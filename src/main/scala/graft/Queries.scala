@@ -1,0 +1,517 @@
+package graft
+
+import graft.core.Catalog
+import graft.exec.Executor
+import graft.operators._
+import graft.plans.{JoinEdge, JoinOptimizer}
+import graft.stats.{PredicateOp, TableStats}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's query surface: every operator family from SURVEY.md §2
+  * plus the north-star pipeline operators, each as a
+  * (SparkSession, sfDir) => DataFrame paired (where SQL-expressible) with
+  * a DuckDB oracle in [[oracle]].
+  *
+  * Float discipline for oracle parity: monetary doubles are converted to
+  * integer cents at the source (`round(x*100)::BIGINT` — a single IEEE
+  * multiply + round, bit-identical in both engines), so every aggregate
+  * is exact integer math. Derived ratios divide exact integers in the
+  * same order on both sides, giving bit-identical doubles.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  /** round(x*100) as long — exact-cents conversion. */
+  private def cents(c: Column): Column = round(c * lit(100)).cast("long")
+  private def centsSql(e: String): String = s"CAST(round(($e)*100) AS BIGINT)"
+
+  // ---------------------------------------------------------------- core
+
+  def q01_scan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+
+  def q02_filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_quantity") < 24 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+
+  def q03_project_expr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_c"),
+      cents(col("l_extendedprice") * col("l_tax")).as("tax_c"))
+
+  def q04_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c"),
+        min(cents(col("l_extendedprice"))).as("min_price_c"),
+        max(cents(col("l_extendedprice"))).as("max_price_c"),
+        count(lit(1)).as("n"))
+
+  /** Flagship: the reference's OrderJoinsTest shape on TPC-H-ish tables —
+    * our Selinger DP picks the join order from real stats, the executor
+    * folds it into broadcast-hinted joins, Catalyst pushes the filter to
+    * the parquet scan.
+    */
+  def q05_join_opt(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("lineitem", "orders", "customer", "nation")
+    val tables = names.map(n => n -> t(s, dir, n)).toMap
+    val stats = names.map(n => n -> TableStats.build(tables(n))).toMap
+
+    val edges = Vector(
+      JoinEdge("lineitem", "orders", "l_orderkey", "o_orderkey", PredicateOp.EQ),
+      JoinEdge("orders", "customer", "o_custkey", "c_custkey", PredicateOp.EQ),
+      JoinEdge("customer", "nation", "c_nationkey", "n_nationkey", PredicateOp.EQ))
+
+    // reference-style pkey convention: the table's first column
+    val isPkey = (tbl: String, colName: String) =>
+      tables(tbl).columns.headOption.contains(colName)
+
+    val filtered = tables("lineitem").where(col("l_quantity") < 24)
+    // l_quantity is a double column (histograms are integer-first, like
+    // the reference's), so hand the optimizer a precomputed selectivity —
+    // exactly how the reference receives per-table filter selectivities
+    // (optimizer_test.cc:452-462). Uniform 1..50 ⇒ P(q < 24) = 23/50.
+    val qtySel = 23.0 / 50.0
+
+    val order = new JoinOptimizer(edges).orderJoins(
+      stats, Map("lineitem" -> qtySel), isPkey)
+
+    val joined = Executor.execute(
+      tables + ("lineitem" -> filtered), order, stats,
+      Map("lineitem" -> qtySel))
+
+    joined.groupBy("n_name").agg(
+      count(lit(1)).as("n"),
+      sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+  }
+
+  def q06_theta_join(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region")
+    val a = r.select(col("r_regionkey").as("k1"), col("r_name").as("r1"))
+    val b = r.select(col("r_regionkey").as("k2"), col("r_name").as("r2"))
+    a.join(b, col("k1") < col("k2")).select("r1", "r2")
+  }
+
+  def q07_anti_join(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").select("c_custkey")
+  }
+
+  def q08_semi_join(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").where(col("o_totalprice") > 200000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").select("c_custkey")
+  }
+
+  def q09_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+  def q10_window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+  }
+
+  def q11_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  def q12_intersect(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
+    c.intersect(o)
+  }
+
+  def q13_except(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("k"))
+    val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
+    c.except(o)
+  }
+
+  def q14_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+
+  def q15_scalar_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      length(col("p_name")).cast("long").as("name_len"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("bt"),
+      abs(col("p_size") - lit(25)).as("size_dist"),
+      (col("p_size") % 7).as("size_mod"))
+
+  def q16_date_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      month(col("o_orderdate")).cast("long").as("mo"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      date_trunc("month", col("o_orderdate")).as("month_start"))
+
+  def q17_agg_derived(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_price_c"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .withColumn("avg_price",
+        col("sum_price_c").cast("double") / lit(100) / col("n"))
+
+  /** Distributed equi-width histogram build (the TableStats module) made
+    * visible as a query: bucket counts over part.p_size with the
+    * reference's span formula.
+    */
+  def q18_histogram(s: SparkSession, dir: String): DataFrame = {
+    val stats = TableStats.build(t(s, dir, "part"))
+    val h = stats.histogram("p_size")
+    val rows = h.bucketCounts.zipWithIndex.collect {
+      case (c, b) if c > 0 => (b.toLong, c)
+    }
+    import s.implicits._
+    rows.toDF("bucket", "cnt")
+  }
+
+  // ------------------------------------------------------ pipeline: text
+
+  def q20_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))
+
+  def q21_dedup_tokenset(s: SparkSession, dir: String): DataFrame =
+    Dedup.tokenSet(t(s, dir, "documents"), "doc_id", "text")
+
+  def q22_token_stats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"),
+      TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
+  }
+
+  def q23_lang_id(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  def q24_quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  def q25_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  // ----------------------------------------------- pipeline: dedup (LSH)
+
+  def q26_minhash(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleWidth = 3, threshold = 0.5)
+    pairs.agg(
+      count(lit(1)).as("n_dup_pairs"),
+      coalesce(min(col("est_jaccard")), lit(0.0)).as("min_est_jaccard"))
+  }
+
+  def q27_simhash(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+    pairs.agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
+  def q28_embed_neardup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.embeddingNearDupPairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+      planes = 16, minCosine = 0.9)
+    pairs.agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
+  // ------------------------------------------- pipeline: similarity/ANN
+
+  def q30_knn_brute(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      e.where(col("vec_id") < 16), e, "vec_id", "vec_id", "embedding", k = 5)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  def q31_knn_ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(
+      e.where(col("vec_id") < 16), e, "vec_id", "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  // -------------------------------------------------- events / temporal
+
+  def q32_events_window(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+
+  def q33_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val o = t(s, dir, "orders")
+    AsOfJoin(e, o, "user_id", "ts", "o_custkey", "o_orderdate",
+      tieBreak = "o_orderkey", payloadCols = Seq("o_orderdate", "o_orderkey"))
+      .where(col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderdate").as("asof_date"), col("o_orderkey").as("asof_orderkey"))
+  }
+
+  def q34_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("pts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("pts"))) > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("new_session")).as("n_sessions"))
+  }
+
+  // ------------------------------------------------- pipeline: multimodal
+
+  def q35_multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+    Multimodal.decodeImages(s, media).toDF()
+      .select("media_id", "kind", "n_bytes", "width", "height", "channels")
+  }
+
+  // ================================================================ maps
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan" -> (q01_scan _),
+    "q02_filter" -> (q02_filter _),
+    "q03_project_expr" -> (q03_project_expr _),
+    "q04_agg" -> (q04_agg _),
+    "q05_join_opt" -> (q05_join_opt _),
+    "q06_theta_join" -> (q06_theta_join _),
+    "q07_anti_join" -> (q07_anti_join _),
+    "q08_semi_join" -> (q08_semi_join _),
+    "q09_distinct" -> (q09_distinct _),
+    "q10_window" -> (q10_window _),
+    "q11_topk" -> (q11_topk _),
+    "q12_intersect" -> (q12_intersect _),
+    "q13_except" -> (q13_except _),
+    "q14_rollup" -> (q14_rollup _),
+    "q15_scalar_funcs" -> (q15_scalar_funcs _),
+    "q16_date_funcs" -> (q16_date_funcs _),
+    "q17_agg_derived" -> (q17_agg_derived _),
+    "q18_histogram" -> (q18_histogram _),
+    "q20_dedup_exact" -> (q20_dedup_exact _),
+    "q21_dedup_tokenset" -> (q21_dedup_tokenset _),
+    "q22_token_stats" -> (q22_token_stats _),
+    "q23_lang_id" -> (q23_lang_id _),
+    "q24_quality" -> (q24_quality _),
+    "q25_fingerprint" -> (q25_fingerprint _),
+    "q26_minhash" -> (q26_minhash _),
+    "q27_simhash" -> (q27_simhash _),
+    "q28_embed_neardup" -> (q28_embed_neardup _),
+    "q30_knn_brute" -> (q30_knn_brute _),
+    "q31_knn_ivf" -> (q31_knn_ivf _),
+    "q32_events_window" -> (q32_events_window _),
+    "q33_asof_join" -> (q33_asof_join _),
+    "q34_sessionize" -> (q34_sessionize _),
+    "q35_multimodal" -> (q35_multimodal _))
+
+  // -------------------------------------------------------- oracle SQL
+
+  /** DuckDB-dialect equivalents. Generated pieces (lang markers, stopword
+    * lists) come from the SAME Scala constants the Spark expressions use,
+    * so the two sides cannot drift.
+    */
+  private def occSql(textExpr: String, w: String): String = {
+    val needle = s" $w "
+    s"CAST((length(' ' || $textExpr || ' ') - length(replace(' ' || $textExpr || ' ', '$needle', ''))) / ${needle.length} AS BIGINT)"
+  }
+  private val tokCountSql =
+    "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+
+  private def langScoreSql(lang: String): String =
+    TextAnalysis.langMarkers.toMap.apply(lang)
+      .map(w => occSql("text", w)).mkString("(", " + ", ")")
+
+  private val langCaseSql: String = {
+    val ls = TextAnalysis.langMarkers.map(_._1)
+    val conds = ls.zipWithIndex.init.map { case (l, i) =>
+      val later = ls.drop(i + 1)
+      val c = later.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $c THEN '$l'"
+    }
+    s"CASE ${conds.mkString(" ")} ELSE '${ls.last}' END"
+  }
+
+  private val stopSumSql: String =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+      .map(w => occSql("text", w)).mkString("(", " + ", ")")
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,65), i -> $a[i]*$b[i])), (x,y) -> x+y)"
+
+  val oracle: Map[String, String] = Map(
+    "q01_scan" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem",
+    "q02_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 24 AND l_returnflag = 'R'",
+    "q03_project_expr" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         ${centsSql("l_extendedprice*(1-l_discount)")} AS revenue_c,
+         ${centsSql("l_extendedprice*l_tax")} AS tax_c FROM lineitem""",
+    "q04_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+         CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_c,
+         CAST(sum(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS sum_disc_c,
+         min(${centsSql("l_extendedprice")}) AS min_price_c,
+         max(${centsSql("l_extendedprice")}) AS max_price_c,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q05_join_opt" ->
+      s"""SELECT n_name, count(*) AS n,
+         CAST(sum(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS revenue_c
+         FROM lineitem, orders, customer, nation
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = n_nationkey AND l_quantity < 24
+         GROUP BY n_name""",
+    "q06_theta_join" ->
+      "SELECT a.r_name AS r1, b.r_name AS r2 FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey",
+    "q07_anti_join" ->
+      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "q08_semi_join" ->
+      "SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)",
+    "q09_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q10_window" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn <= 3""",
+    "q11_topk" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q12_intersect" ->
+      "SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' INTERSECT SELECT o_custkey AS k FROM orders",
+    "q13_except" ->
+      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders",
+    "q14_rollup" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+    "q15_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         substring(p_type, 1, 5) AS type5,
+         p_brand || '#' || p_type AS bt,
+         abs(p_size - 25) AS size_dist,
+         p_size % 7 AS size_mod FROM part""",
+    "q16_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(day(o_orderdate) AS BIGINT) AS dom,
+         date_trunc('month', o_orderdate) AS month_start FROM orders""",
+    "q17_agg_derived" ->
+      s"""SELECT o_orderpriority, n, sum_price_c, min_price, max_price,
+         CAST(sum_price_c AS DOUBLE)/100/n AS avg_price FROM (
+           SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_price_c,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+           FROM orders GROUP BY o_orderpriority)""",
+    "q18_histogram" ->
+      """WITH s AS (SELECT min(p_size) AS mn, max(p_size) AS mx FROM part)
+         SELECT CAST(least(CAST(floor((p_size - mn)/greatest(1.0, (1.0 + mx - mn)/100)) AS BIGINT), 99) AS BIGINT) AS bucket,
+                count(*) AS cnt
+         FROM part, s GROUP BY 1""",
+    "q20_dedup_exact" ->
+      "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text",
+    "q21_dedup_tokenset" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_dups
+         FROM documents GROUP BY list_sort(list_distinct(string_split(text, ' ')))""",
+    "q22_token_stats" ->
+      s"""SELECT doc_id, $tokCountSql AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / $tokCountSql AS mean_tok_len,
+         CAST($stopSumSql AS DOUBLE) / $tokCountSql AS stop_ratio
+         FROM documents""",
+    "q23_lang_id" -> {
+      val scoreCols = TextAnalysis.langMarkers.map { case (l, _) =>
+        s"${langScoreSql(l)} AS s_$l"
+      }.mkString(", ")
+      s"""SELECT doc_id, lang, $langCaseSql AS lang_pred FROM (
+         SELECT doc_id, lang, $scoreCols FROM documents)"""
+    },
+    "q24_quality" ->
+      s"""SELECT doc_id,
+         least(CAST($tokCountSql AS DOUBLE)/64.0, 1.0)*0.5 +
+         (CAST($stopSumSql AS DOUBLE)/$tokCountSql)*0.5 AS quality
+         FROM documents""",
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc*31 + c) % 1000000007) AS fp
+         FROM documents""",
+    "q30_knn_brute" -> {
+      val dot = dotSql("qv", "cv")
+      val na = dotSql("qv", "qv"); val nb = dotSql("cv", "cv")
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 16),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         sc AS (SELECT query_id, neighbor_id, ($dot)/(sqrt($na)*sqrt($nb)) AS cos
+                FROM q, c WHERE neighbor_id <> query_id)
+         SELECT query_id, rn AS rnk, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM sc) WHERE rn <= 5"""
+    },
+    "q32_events_window" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, count(*) AS n,
+         CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c
+         FROM events GROUP BY 1, 2""",
+    "q33_asof_join" ->
+      """WITH m AS (
+           SELECT e.event_id, max(o.o_orderdate) AS asof_date
+           FROM events e JOIN orders o
+             ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+           GROUP BY e.event_id)
+         SELECT e.event_id, e.user_id, m.asof_date,
+                CAST(max(o.o_orderkey) AS BIGINT) AS asof_orderkey
+         FROM events e
+         JOIN m ON m.event_id = e.event_id
+         JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate = m.asof_date
+         GROUP BY e.event_id, e.user_id, m.asof_date""",
+    "q34_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events)
+         SELECT user_id,
+                CAST(sum(CASE WHEN pts IS NULL
+                              OR (epoch_us(ts) - epoch_us(pts)) > 1800000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+         FROM x GROUP BY user_id""",
+    "q35_multimodal" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
+         CAST(length(text) AS BIGINT) AS n_bytes,
+         CAST(1 + length(text) % 1024 AS INTEGER) AS width,
+         CAST(1 + (length(text)*7) % 768 AS INTEGER) AS height,
+         3 AS channels FROM documents""")
+}

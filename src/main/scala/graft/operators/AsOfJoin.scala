@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (point-in-time) join: for each left row, attach the right row
+  * with the greatest `rightTs <= leftTs` for the same key; ties on
+  * `rightTs` resolve to the greatest `tieBreak` value.
+  *
+  * Implementation is the union + window trick, NOT a range join: tag both
+  * sides, union, and take `last(ignoreNulls)` of the right-side payload
+  * struct over (key) ordered by (ts, side, tieBreak). One shuffle on the
+  * key, one sort within partitions — the shape that survives 100 TB,
+  * where a `leftTs >= rightTs` theta join would explode to O(|L|·|R|)
+  * per key.
+  *
+  * (Spark has no built-in as-of join; composed from built-ins per the
+  * custom-operator preference order.)
+  */
+object AsOfJoin {
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      leftTs: String,
+      rightKey: String,
+      rightTs: String,
+      tieBreak: String,
+      payloadCols: Seq[String]): DataFrame = {
+
+    val payload = (rightTs +: tieBreak +: payloadCols).distinct
+    val payloadType = StructType(payload.map(c => right.schema(c)))
+    val leftCols = left.columns.toSeq
+
+    val taggedLeft = left.select(
+      Seq(col(leftKey).as("__key"), col(leftTs).as("__ts"),
+        lit(1).as("__side"), // left sorts after right at equal ts
+        lit(null).cast(right.schema(tieBreak).dataType).as("__tie"),
+        lit(null).cast(payloadType).as("__payload")) ++
+        leftCols.map(col): _*)
+
+    val taggedRight = right.select(
+      Seq(col(rightKey).as("__key"), col(rightTs).as("__ts"),
+        lit(0).as("__side"), col(tieBreak).as("__tie"),
+        struct(payload.map(col): _*).as("__payload")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__match.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora. All variants follow the
+  * same scale discipline: per-row signature computation is a codegen'd
+  * expression (no UDFs), candidate generation is a single shuffle on a
+  * bucket key (never an all-pairs cross join), and verification runs only
+  * inside buckets. At 100 TB the only O(n^2) work left is within LSH
+  * buckets, which banding keeps tiny.
+  *
+  * (The reference engine has no dedup surface — these are north-star
+  * pipeline operators, built Spark-first.)
+  */
+object Dedup {
+  val HashPrime = 2038074743L // large prime < 2^31 for minhash permutations
+
+  /** Exact dedup: one representative row id (min) per identical value of
+    * `keyCols`. A single hash-aggregate shuffle.
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Token-set dedup: documents with the same SET of word tokens collapse
+    * to one representative. Group key = sorted distinct token array.
+    */
+  def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(array_sort(array_distinct(split(col(textCol), " "))).as("__sig"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .select(idCol, "n_dups")
+
+  /** Word w-shingles of a document, distinct. */
+  def shingles(text: Column, w: Int): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    array_distinct(
+      when(n >= w,
+        transform(sequence(lit(0), n - lit(w)),
+          i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+        .otherwise(array(text)))
+  }
+
+  /** MinHash signature: for permutation i, min over shingles of
+    * ((a_i * xxhash64(s) + b_i) mod prime). Derived from the classic
+    * Broder MinHash scheme; deterministic seeded coefficients.
+    */
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column = {
+    val rnd = new scala.util.Random(42)
+    val coeffs = Seq.fill(numHashes)(
+      (1 + rnd.nextLong().abs % (HashPrime - 1), rnd.nextLong().abs % HashPrime))
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(shingleArr,
+        s => pmod(lit(a) * pmod(xxhash64(s), lit(HashPrime)) + lit(b), lit(HashPrime))))
+    }: _*)
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Pipeline: shingle → signature (numHashes minhashes) → split into
+    * `bands` bands of numHashes/bands rows → explode one row per band →
+    * shuffle on (band index, band hash) → join within buckets → distinct
+    * candidate pairs → estimate Jaccard as the fraction of matching
+    * minhashes → filter by `threshold`.
+    *
+    * Cost at scale: rows × bands exploded rows, one shuffle, and a
+    * self-join that only ever matches within identical band buckets.
+    */
+  def minHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    val sigs = df.select(
+      col(idCol).as("__id"),
+      minHashSignature(shingles(col(textCol), shingleWidth), numHashes).as("__sig"))
+
+    val banded = sigs.select(
+      col("__id"), col("__sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",",
+          slice(col("__sig"), b * rows + 1, rows)))): _*)).as(Seq("__band", "__bkey")))
+
+    val l = banded.select(col("__band"), col("__bkey"),
+      col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val r = banded.select(col("__band"), col("__bkey"),
+      col("__id").as("id_b"), col("__sig").as("sig_b"))
+
+    l.join(r, Seq("__band", "__bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_match"))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("n_match")).as("n_match"))
+      .where(col("n_match") >= lit((threshold * numHashes).ceil.toLong))
+      .select(col("id_a"), col("id_b"),
+        (col("n_match").cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash of the word tokens: bit j of the signature is the
+    * sign of the sum over tokens of ±1 according to bit j of
+    * xxhash64(token).
+    */
+  def simHash(text: Column): Column = {
+    val toks = split(text, " ")
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map(j =>
+          when(shiftright(xxhash64(t), j).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+            .otherwise(lit(-1L))): _*),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(counters, array((0 until 64).map(j => lit(1L << j)): _*),
+        (c, bit) => when(c > 0, bit).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxDist.
+    * Pigeonhole banding: split the 64-bit signature into maxDist+1
+    * chunks; any pair within distance maxDist agrees exactly on at least
+    * one chunk, so candidates = bucket-join per chunk, verified with
+    * bit_count(xor).
+    */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+
+    val sigs = df.select(col(idCol).as("__id"), simHash(col(textCol)).as("__sim"))
+    val banded = sigs.select(col("__id"), col("__sim"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("__sim"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1))): _*)).as(Seq("__chunk", "__ckey")))
+
+    val l = banded.select(col("__chunk"), col("__ckey"),
+      col("__id").as("id_a"), col("__sim").as("sim_a"))
+    val r = banded.select(col("__chunk"), col("__ckey"),
+      col("__id").as("id_b"), col("__sim").as("sim_b"))
+
+    l.join(r, Seq("__chunk", "__ckey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** Embedding near-duplicate pairs: random-hyperplane LSH buckets, then
+    * exact cosine verification inside buckets. `planes` sign bits form
+    * the bucket key; near-identical vectors collide with high
+    * probability while the shuffle stays one-pass.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planes: Int = 16,
+      minCosine: Double = 0.95): DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val hyper: Seq[Array[Double]] =
+      Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+
+    def dotConst(v: Column, h: Array[Double]): Column =
+      aggregate(zip_with(v, lit(h), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+
+    val keyed = df.select(
+      col(idCol).as("__id"), col(vecCol).as("__v"),
+      Similarity.norm(col(vecCol)).as("__n"),
+      concat_ws("", hyper.map(h =>
+        when(dotConst(col(vecCol), h) >= 0, lit("1")).otherwise(lit("0"))): _*)
+        .as("__bucket"))
+
+    val l = keyed.select(col("__bucket"), col("__id").as("id_a"),
+      col("__v").as("va"), col("__n").as("na"))
+    val r = keyed.select(col("__bucket"), col("__id").as("id_b"),
+      col("__v").as("vb"), col("__n").as("nb"))
+
+    l.join(r, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .distinct()
+  }
+}

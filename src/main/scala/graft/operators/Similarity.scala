@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two paths:
+  *
+  *   - [[bruteForceTopK]]: exact cosine top-k via a broadcast
+  *     nested-loop join — the correctness baseline. Right for a small
+  *     query set against an arbitrarily large corpus (the corpus side
+  *     streams, queries broadcast; no shuffle of the corpus).
+  *   - [[ivfTopK]]: the scale path — IVF-style partitioning. Corpus
+  *     vectors are assigned to their nearest centroid once (one pass);
+  *     queries probe only the `nprobe` nearest centroid cells, so the
+  *     scanned fraction is ~nprobe/nlist of the corpus.
+  *
+  * Dot products / norms are `aggregate`/`zip_with` higher-order
+  * expressions — codegen'd, no UDFs. (No similarity surface exists in the
+  * reference; north-star pipeline operator, built Spark-first.)
+  */
+object Similarity {
+
+  /** Sequential-fold dot product (deterministic order, matches the SQL
+    * oracle's loop order bit-for-bit).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param queries (queryIdCol, vecCol) — assumed small enough to
+    *                broadcast (the usual ANN-serving shape)
+    * @param corpus  (idCol, vecCol) — arbitrarily large; streamed
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      corpusIdCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(q) // broadcast nested-loop join
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** IVF-style ANN: deterministic centroid sample, one-pass cell
+    * assignment, query probes nprobe cells. Returns (query_id, rank,
+    * neighbor_id) like the brute-force baseline.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      corpusIdCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"))
+
+    // Deterministic "training": the first nlist vectors by id serve as
+    // centroids (a fixed sample; swap in k-means rounds when quality
+    // matters more than determinism).
+    val cents = broadcast(
+      c.orderBy(col("neighbor_id")).limit(nlist)
+        .select(col("neighbor_id").as("cell_id"), col("__cv").as("__centroid")))
+
+    // Assign corpus vectors to their best cell (one broadcast join pass).
+    val assigned = c.crossJoin(cents)
+      .select(col("neighbor_id"), col("__cv"), col("cell_id"),
+        cosine(col("__cv"), col("__centroid")).as("__sim"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("neighbor_id").orderBy(col("__sim").desc, col("cell_id"))))
+      .where(col("__r") === 1)
+      .select("cell_id", "neighbor_id", "__cv")
+
+    // Each query probes its nprobe closest cells.
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+    val probes = q.crossJoin(cents)
+      .select(col("query_id"), col("__qv"), col("cell_id"),
+        cosine(col("__qv"), col("__centroid")).as("__sim"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__sim").desc, col("cell_id"))))
+      .where(col("__r") <= nprobe)
+      .select("query_id", "__qv", "cell_id")
+
+    val scored = broadcast(probes).join(assigned, Seq("cell_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * Everything here is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — fully whole-stage-codegen'd, no
+  * UDFs, no driver round-trips — so each operator runs at scan speed and
+  * scales linearly with input splits. (The reference has no text/function
+  * surface at all — `/root/reference/src/` contains only int-tuple scans —
+  * so these are the north-star pipeline additions built Spark-first.)
+  *
+  * Each function is deliberately expressible in portable SQL (same
+  * replace/length/ascii arithmetic) so the DuckDB oracle can verify it
+  * bit-for-bit.
+  */
+object TextAnalysis {
+  val FingerprintMod = 1000000007L
+
+  /** Whitespace token count: single-space-separated text. */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** Word tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Occurrences of `word` as a whole token (non-overlapping replace
+    * counting — identical arithmetic to the SQL oracle).
+    */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val needle = s" $word "
+    ((length(padded) - length(regexp_replace(padded,
+      java.util.regex.Pattern.quote(needle), ""))) / lit(needle.length))
+      .cast("long")
+  }
+
+  /** Language marker words (public stopword lists, most-frequent tokens
+    * per language). Scoring = total marker occurrences; argmax with a
+    * fixed tie-break order (en, de, fr, es, zh).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "de", "que", "los", "las"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScore(text: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang)
+      .map(w => wordOccurrences(text, w))
+      .reduce(_ + _)
+
+  /** N-gram-heuristic language ID: argmax of marker scores; on ties the
+    * first-listed language wins (CASE chain, same shape as the oracle SQL).
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val cases = scores.zipWithIndex.init.map { case ((l, s), i) =>
+      val later = scores.drop(i + 1)
+      (later.map(x => s >= x._2).reduce(_ && _), lit(l))
+    }
+    cases.foldRight(lit(scores.last._1): Column) { case ((cond, v), els) =>
+      when(cond, v).otherwise(els)
+    }
+  }
+
+  /** Quality heuristics: token count, mean token length, stopword ratio,
+    * and a combined score. All integer/exact arithmetic so the oracle
+    * matches bitwise.
+    */
+  def meanTokenLen(text: Column): Column =
+    (length(regexp_replace(text, " ", "")).cast("double")) / tokenCount(text)
+
+  def stopwordRatio(text: Column): Column = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val cnt = stops.map(w => wordOccurrences(text, w)).reduce(_ + _)
+    cnt.cast("double") / tokenCount(text)
+  }
+
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text).cast("double") / lit(64.0), lit(1.0)) * lit(0.5) +
+      stopwordRatio(text) * lit(0.5)
+
+  /** Rolling polynomial hash over the characters of the document:
+    * fold acc = (acc * 31 + ascii(c)) mod 1e9+7. Order-sensitive, O(len),
+    * codegen'd via the `aggregate` higher-order function.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => c =!= lit("")),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + ascii(c), lit(FingerprintMod)))
+}

@@ -1,0 +1,99 @@
+package graft.stats
+
+/** Predicate comparison ops — mirrors the six ops of the reference
+  * (`/root/reference/src/include/operators/seq_scan.h:19-26`).
+  */
+sealed abstract class PredicateOp(val sql: String)
+object PredicateOp {
+  case object EQ extends PredicateOp("=")
+  case object NE extends PredicateOp("<>")
+  case object LT extends PredicateOp("<")
+  case object LE extends PredicateOp("<=")
+  case object GT extends PredicateOp(">")
+  case object GE extends PredicateOp(">=")
+  val all: Seq[PredicateOp] = Seq(EQ, NE, LT, LE, GT, GE)
+}
+
+/** Equi-width integer histogram with O(1) add and O(buckets) space.
+  *
+  * Semantics follow the reference's IntHistogram
+  * (`/root/reference/src/optimizer/table_stats.cc:25-139`):
+  *   - span  = max(1.0, (1 + max - min) / buckets)   [real-valued]
+  *   - bucket(v) = min(floor((v - min) / span), buckets - 1)
+  *   - out-of-range adds are ignored; ntups counts in-range rows only.
+  *
+  * One deliberate fix vs the reference: its GT branch computes the
+  * partial-bucket term with C++ integer division (`table_stats.cc:96`,
+  * `h / ntups` on ints), which truncates to 0. We use the intended
+  * real-valued formula; it stays within every reference test tolerance
+  * (documented in SURVEY.md §2 bug ledger).
+  *
+  * The class is driver-side and tiny; the *distributed* build happens in
+  * [[TableStats]] via a Spark aggregation, which then feeds bucket counts
+  * in through [[addBucketCount]].
+  */
+final class IntHistogram(val buckets: Int, val minV: Long, val maxV: Long)
+    extends Serializable {
+  require(buckets > 0, "buckets must be positive")
+
+  val span: Double = math.max(1.0, (1.0 + maxV - minV) / buckets)
+  private val counts = new Array[Long](buckets)
+  private var nt: Long = 0L
+
+  def ntups: Long = nt
+  def bucketCounts: IndexedSeq[Long] = counts.toIndexedSeq
+
+  @inline def bucketOf(v: Long): Int =
+    math.min(((v - minV) / span).toInt, buckets - 1)
+
+  /** O(1) ingest of one value; ignores out-of-range values. */
+  def addValue(v: Long): Unit = {
+    if (v >= minV && v <= maxV) {
+      counts(bucketOf(v)) += 1
+      nt += 1
+    }
+  }
+
+  /** Bulk ingest used by the distributed build: `c` rows landed in
+    * `bucket` (already computed with the same span formula).
+    */
+  def addBucketCount(bucket: Int, c: Long): Unit = {
+    require(bucket >= 0 && bucket < buckets, s"bucket $bucket out of range")
+    counts(bucket) += c
+    nt += c
+  }
+
+  /** Estimated fraction of rows satisfying `value op v`. */
+  def estimateSelectivity(op: PredicateOp, v: Long): Double = op match {
+    case PredicateOp.EQ =>
+      if (v < minV || v > maxV || nt == 0L) 0.0
+      else (counts(bucketOf(v)) / span) / nt
+    case PredicateOp.NE =>
+      1.0 - estimateSelectivity(PredicateOp.EQ, v)
+    case PredicateOp.GT =>
+      if (v <= minV) 1.0
+      else if (v >= maxV) 0.0
+      else if (nt == 0L) 0.0
+      else {
+        val b = bucketOf(v)
+        val h = counts(b).toDouble
+        val partial = (h / nt) * ((minV + (b + 1) * span - v) / span)
+        var right = 0L
+        var i = b + 1
+        while (i < buckets) { right += counts(i); i += 1 }
+        partial + right.toDouble / nt
+      }
+    case PredicateOp.GE =>
+      if (v < minV) 1.0
+      else if (v > maxV) 0.0
+      else estimateSelectivity(PredicateOp.GT, v - 1)
+    case PredicateOp.LT =>
+      if (v <= minV) 0.0
+      else if (v >= maxV) 1.0
+      else 1.0 - estimateSelectivity(PredicateOp.GE, v)
+    case PredicateOp.LE =>
+      if (v < minV) 0.0
+      else if (v > maxV) 1.0
+      else 1.0 - estimateSelectivity(PredicateOp.GT, v)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-table statistics: row count, per-column min/max and equi-width
+  * histograms, plus the reference's cost/cardinality estimators
+  * (`/root/reference/src/optimizer/table_stats.cc:156-268`).
+  *
+  * Unlike the reference (two full single-threaded scans per table), the
+  * build is two distributed Spark aggregation jobs over the DataFrame —
+  * pass 1: one `agg` computing count + min/max of every integral column;
+  * pass 2: one bucketize + `groupBy(col, bucket).count()` over all columns
+  * at once (stacked via `posexplode`, so it is a single shuffle regardless
+  * of column count). Both passes are aggregation-only — nothing row-sized
+  * ever reaches the driver, so the build scales to arbitrarily large
+  * tables.
+  */
+final class TableStats private (
+    val numTuples: Long,
+    val ioCostPerPage: Double,
+    val numPages: Long,
+    val columns: IndexedSeq[String],
+    hists: Map[String, IntHistogram])
+    extends Serializable {
+
+  /** `2 * io_cost * num_pages` — reference `table_stats.cc:228-231`
+    * (the factor 2 is the reference's, kept consistently since join costs
+    * build on scan costs).
+    */
+  def estimateScanCost(): Double = 2.0 * ioCostPerPage * numPages
+
+  /** `floor(selectivity * num_tups)` — reference `table_stats.cc:243-246`. */
+  def estimateTableCardinality(selectivity: Double): Long =
+    (selectivity * numTuples).toLong
+
+  def histogram(col: String): IntHistogram = hists(col)
+
+  def estimateSelectivity(col: String, op: PredicateOp, v: Long): Double =
+    hists(col).estimateSelectivity(op, v)
+
+  /** By-index variant mirroring the reference signature. */
+  def estimateSelectivity(field: Int, op: PredicateOp, v: Long): Double =
+    estimateSelectivity(columns(field), op, v)
+}
+
+object TableStats {
+  val NumHistBins = 100 // reference NUM_HIST_BINS, table_stats.h:53
+  val PageSizeBytes = 8196L // reference BUFFER_PAGE_SIZE, macros.h:19
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Distributed two-pass build over the integral columns of `df`.
+    *
+    * @param numPagesOverride page count for the scan-cost model; when
+    *        absent it is derived from the relation's size-in-bytes at the
+    *        reference's 8196-byte page size.
+    */
+  def build(
+      df: DataFrame,
+      ioCostPerPage: Double = 100.0,
+      numPagesOverride: Option[Long] = None,
+      numBins: Int = NumHistBins): TableStats = {
+
+    val intCols: IndexedSeq[String] =
+      df.schema.fields.filter(f => isIntegral(f.dataType)).map(_.name).toIndexedSeq
+
+    // Pass 1: count + min/max for every integral column in ONE job.
+    val aggExprs = Seq(count(lit(1)).as("__n")) ++ intCols.flatMap { c =>
+      Seq(min(col(c).cast(LongType)).as(s"__min_$c"),
+          max(col(c).cast(LongType)).as(s"__max_$c"))
+    }
+    val row: Row = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val n = row.getLong(row.fieldIndex("__n"))
+
+    val ranges: IndexedSeq[(String, Long, Long)] = intCols.flatMap { c =>
+      val mi = row.fieldIndex(s"__min_$c")
+      val ma = row.fieldIndex(s"__max_$c")
+      if (row.isNullAt(mi) || row.isNullAt(ma)) None
+      else Some((c, row.getLong(mi), row.getLong(ma)))
+    }
+
+    val hists: Map[String, IntHistogram] = ranges.map { case (c, lo, hi) =>
+      c -> new IntHistogram(numBins, lo, hi)
+    }.toMap
+
+    // Pass 2: all histograms in ONE job. Per row emit (colIdx, bucket),
+    // then a single groupBy(colIdx, bucket).count() — one shuffle total,
+    // output is at most numCols * numBins rows (tiny on the driver).
+    if (ranges.nonEmpty && n > 0) {
+      val bucketCols = ranges.map { case (c, lo, _) =>
+        val h = hists(c)
+        val v = col(c).cast(LongType)
+        when(v.isNull, lit(null))
+          .otherwise(least(
+            floor((v - lit(lo)) / lit(h.span)).cast(IntegerType),
+            lit(h.buckets - 1)))
+      }
+      val counted = df
+        .select(posexplode(array(bucketCols: _*)).as(Seq("__col", "__bucket")))
+        .where(col("__bucket").isNotNull)
+        .groupBy("__col", "__bucket")
+        .count()
+        .collect() // ≤ numCols * numBins rows
+      counted.foreach { r =>
+        val (cIdx, b, c) = (r.getInt(0), r.getInt(1), r.getLong(2))
+        hists(ranges(cIdx)._1).addBucketCount(b, c)
+      }
+    }
+
+    val pages = numPagesOverride.getOrElse {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      math.max(1L, ((bytes + PageSizeBytes - 1) / PageSizeBytes).toLong)
+    }
+    new TableStats(n, ioCostPerPage, pages, intCols, hists)
+  }
+
+  /** Test/bench constructor from pre-built histograms (no Spark). */
+  def fromHistograms(
+      numTuples: Long,
+      ioCostPerPage: Double,
+      numPages: Long,
+      hists: IndexedSeq[(String, IntHistogram)]): TableStats =
+    new TableStats(numTuples, ioCostPerPage, numPages,
+      hists.map(_._1), hists.toMap)
+}
