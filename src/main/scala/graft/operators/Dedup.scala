@@ -43,19 +43,29 @@ object Dedup {
         .otherwise(array(text)))
   }
 
+  /** Deterministic seeded (a_i, b_i) coefficients for the minhash
+    * permutation family h_i(x) = (a_i * x + b_i) mod prime.
+    */
+  private def minHashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)(
+      (1 + rnd.nextLong().abs % (HashPrime - 1), rnd.nextLong().abs % HashPrime))
+  }
+
   /** MinHash signature: for permutation i, min over shingles of
     * ((a_i * xxhash64(s) + b_i) mod prime). Derived from the classic
     * Broder MinHash scheme; deterministic seeded coefficients.
+    *
+    * `shingleArr` should be a plain column reference, not an inline
+    * expression: the signature references it numHashes times, and a
+    * non-trivial expression would be re-evaluated per permutation
+    * (CollapseProject keeps multiply-referenced aliases materialized).
     */
-  def minHashSignature(shingleArr: Column, numHashes: Int): Column = {
-    val rnd = new scala.util.Random(42)
-    val coeffs = Seq.fill(numHashes)(
-      (1 + rnd.nextLong().abs % (HashPrime - 1), rnd.nextLong().abs % HashPrime))
-    array(coeffs.map { case (a, b) =>
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
+    array(minHashCoeffs(numHashes).map { case (a, b) =>
       array_min(transform(shingleArr,
         s => pmod(lit(a) * pmod(xxhash64(s), lit(HashPrime)) + lit(b), lit(HashPrime))))
     }: _*)
-  }
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -79,29 +89,45 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    val sigs = df.select(
-      col(idCol).as("__id"),
-      minHashSignature(shingles(col(textCol), shingleWidth), numHashes).as("__sig"))
+    // Staged projections (shingles → shingle hashes → signature) so each
+    // stage is computed exactly once per row; inlining would re-evaluate
+    // the shingle build once per permutation.
+    val sigs = df
+      .select(col(idCol).as("__id"),
+        shingles(col(textCol), shingleWidth).as("__sh"))
+      .select(col("__id"),
+        transform(col("__sh"),
+          s => pmod(xxhash64(s), lit(HashPrime))).as("__shh"))
+      .select(col("__id"),
+        array(minHashCoeffs(numHashes).map { case (a, b) =>
+          array_min(transform(col("__shh"),
+            h => pmod(lit(a) * h + lit(b), lit(HashPrime))))
+        }: _*).as("__sig"))
 
+    // Candidate generation carries only (id, band key) through the
+    // shuffle — signatures (numHashes longs, duplicated per band) would
+    // multiply shuffle volume by ~bands at scale.
     val banded = sigs.select(
-      col("__id"), col("__sig"),
+      col("__id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",",
           slice(col("__sig"), b * rows + 1, rows)))): _*)).as(Seq("__band", "__bkey")))
 
-    val l = banded.select(col("__band"), col("__bkey"),
-      col("__id").as("id_a"), col("__sig").as("sig_a"))
-    val r = banded.select(col("__band"), col("__bkey"),
-      col("__id").as("id_b"), col("__sig").as("sig_b"))
-
-    l.join(r, Seq("__band", "__bkey"))
+    val candidates = banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"))
+      .join(banded.select(col("__band"), col("__bkey"), col("__id").as("id_b")),
+        Seq("__band", "__bkey"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    // Verification: re-attach full signatures only for surviving pairs.
+    candidates
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v).as("n_match"))
-      .groupBy("id_a", "id_b")
-      .agg(max(col("n_match")).as("n_match"))
       .where(col("n_match") >= lit((threshold * numHashes).ceil.toLong))
       .select(col("id_a"), col("id_b"),
         (col("n_match").cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))

@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
   val FingerprintMod = 1000000007L
 
+  /** Plain (non-regex) string replace — same operator the DuckDB oracle's
+    * `replace()` uses, and ~10x cheaper than regexp_replace.
+    */
+  private def strReplace(text: Column, find: String, repl: String): Column =
+    call_function("replace", text, lit(find), lit(repl))
+
   /** Whitespace token count: single-space-separated text. */
   def tokenCount(text: Column): Column =
-    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+    (length(text) - length(strReplace(text, " ", "")) + 1).cast("long")
 
   /** Word tokens. */
   def tokens(text: Column): Column = split(text, " ")
@@ -33,8 +39,7 @@ object TextAnalysis {
   def wordOccurrences(text: Column, word: String): Column = {
     val padded = concat(lit(" "), text, lit(" "))
     val needle = s" $word "
-    ((length(padded) - length(regexp_replace(padded,
-      java.util.regex.Pattern.quote(needle), ""))) / lit(needle.length))
+    ((length(padded) - length(strReplace(padded, needle, ""))) / lit(needle.length))
       .cast("long")
   }
 
@@ -73,7 +78,7 @@ object TextAnalysis {
     * matches bitwise.
     */
   def meanTokenLen(text: Column): Column =
-    (length(regexp_replace(text, " ", "")).cast("double")) / tokenCount(text)
+    (length(strReplace(text, " ", "")).cast("double")) / tokenCount(text)
 
   def stopwordRatio(text: Column): Column = {
     val stops = Seq("the", "a", "of", "and", "to", "in", "is")

@@ -23,10 +23,15 @@ object PredicateOp {
   *   - out-of-range adds are ignored; ntups counts in-range rows only.
   *
   * One deliberate fix vs the reference: its GT branch computes the
-  * partial-bucket term with C++ integer division (`table_stats.cc:96`,
-  * `h / ntups` on ints), which truncates to 0. We use the intended
-  * real-valued formula; it stays within every reference test tolerance
-  * (documented in SURVEY.md §2 bug ledger).
+  * partial-bucket term as `(h/ntups) * ((min + (b+1)*span - v)/span)`
+  * with C++ integer division (`table_stats.cc:96`, `h / ntups` on ints),
+  * which truncates the whole term to 0. The real-valued version of that
+  * exact formula would OVERcount (the exclusive right edge counts `v`
+  * itself as "greater than v"), breaking the reference's own LtTest
+  * contract. We use the integer-domain strictly-greater fraction
+  * `(min + (b+1)*span - (v+1)) / span`, clamped to [0, 1] — zero for
+  * unit-span buckets (agreeing with the truncated reference on all its
+  * tests) and the right value for wide buckets.
   *
   * The class is driver-side and tiny; the *distributed* build happens in
   * [[TableStats]] via a Spark aggregation, which then feeds bucket counts
@@ -77,7 +82,9 @@ final class IntHistogram(val buckets: Int, val minV: Long, val maxV: Long)
       else {
         val b = bucketOf(v)
         val h = counts(b).toDouble
-        val partial = (h / nt) * ((minV + (b + 1) * span - v) / span)
+        val frac = math.min(1.0, math.max(0.0,
+          (minV + (b + 1) * span - (v + 1)) / span))
+        val partial = (h / nt) * frac
         var right = 0L
         var i = b + 1
         while (i < buckets) { right += counts(i); i += 1 }

@@ -1,0 +1,166 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Specs for the pipeline operators (dedup, similarity, as-of join, text
+  * analysis, multimodal plumbing) on small handcrafted inputs with
+  * hand-computed expectations. The sf-scale correctness gate is the
+  * DuckDB oracle (Verify + tools/check_oracle.py); these pin down operator
+  * semantics at the unit level.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- dedup
+
+  test("Dedup.exact keeps one min-id representative per identical key") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t")
+    val out = Dedup.exact(df, "id", Seq("t")).as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  test("Dedup.tokenSet collapses same token set regardless of order/dups") {
+    val df = Seq((1L, "a b c"), (2L, "c b a a"), (3L, "a b d")).toDF("id", "t")
+    val out = Dedup.tokenSet(df, "id", "t")
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("Dedup.minHashPairs finds near-duplicates, skips distinct docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"
+    val far = (100 to 140).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far), (4L, base)).toDF("id", "t")
+    val pairs = Dedup.minHashPairs(df, "id", "t",
+      numHashes = 64, bands = 16, shingleWidth = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical -> jaccard 1
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // disjoint doc
+  }
+
+  test("Dedup.simHashPairs: identical docs at distance 0, disjoint docs absent") {
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (100 to 130).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("id", "t")
+    val pairs = Dedup.simHashPairs(df, "id", "t", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("Dedup.embeddingNearDupPairs: parallel vectors match, orthogonal don't") {
+    val e1 = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(8)(i => if (i == 0) 2.0f else 0.0f) // same direction
+    val e3 = Array.tabulate(8)(i => if (i == 7) 1.0f else 0.0f) // orthogonal
+    val df = Seq((1L, e1.toSeq), (2L, e2.toSeq), (3L, e3.toSeq)).toDF("id", "v")
+    val pairs = Dedup.embeddingNearDupPairs(df, "id", "v", dim = 8,
+      planes = 8, minCosine = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // -------------------------------------------------------- similarity
+
+  test("Similarity.bruteForceTopK ranks by cosine") {
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("id", "v")
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("id", "v")
+    val out = Similarity.bruteForceTopK(q, corpus, "id", "id", "v", k = 2)
+      .orderBy("rank").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 1L, 1L), (0L, 2L, 2L)))
+  }
+
+  test("Similarity.ivfTopK matches brute force when probing all cells") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 64L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val queries = corpus.where(col("id") < 4)
+    val brute = Similarity.bruteForceTopK(queries, corpus, "id", "id", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, "id", "id", "v", k = 3,
+      nlist = 4, nprobe = 4) // nprobe = nlist -> exhaustive, must equal brute
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == brute)
+  }
+
+  // -------------------------------------------------------- as-of join
+
+  test("AsOfJoin attaches greatest right ts <= left ts per key") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")),
+      (2L, 10L, ts("2024-01-01 00:00:00")), // before any right row
+      (3L, 20L, ts("2024-06-01 12:00:00"))).toDF("eid", "k", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-02 00:00:00"), 100L),
+      (10L, ts("2024-01-04 00:00:00"), 101L),
+      (10L, ts("2024-01-04 00:00:00"), 102L), // tie -> greater tieBreak wins
+      (10L, ts("2024-01-06 00:00:00"), 103L), // after left ts 1 -> ignored
+      (20L, ts("2024-06-01 12:00:00"), 200L)).toDF("k", "rts", "oid")
+    val out = AsOfJoin(left, right, "k", "ts", "k", "rts",
+      tieBreak = "oid", payloadCols = Seq("oid"))
+      .select("eid", "oid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(out == Set((1L, 102L), (2L, -1L), (3L, 200L)))
+  }
+
+  // ------------------------------------------------------ text analysis
+
+  test("TextAnalysis token count / mean length / stopword ratio") {
+    val df = Seq(Tuple1("the cat sat on the mat")).toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("t")).as("n"),
+      TextAnalysis.meanTokenLen(col("t")).as("m"),
+      TextAnalysis.stopwordRatio(col("t")).as("s")).head()
+    assert(r.getLong(0) == 6L)
+    assert(math.abs(r.getDouble(1) - 17.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 2.0 / 6.0) < 1e-12) // "the" twice
+  }
+
+  test("TextAnalysis.langId picks marker-majority language") {
+    val df = Seq(
+      (1L, "the house of the king and to the north in winter"),
+      (2L, "der hund und die katze das ist gut"),
+      (3L, "le chat et la maison les portes des villes")).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.langId(col("t")).as("l"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "en"), (2L, "de"), (3L, "fr")))
+  }
+
+  test("TextAnalysis.fingerprint equals driver-side rolling hash") {
+    val text = "hello world"
+    val expected = text.foldLeft(0L)((acc, c) =>
+      (acc * 31 + c.toLong) % TextAnalysis.FingerprintMod)
+    val got = Seq(Tuple1(text)).toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"))).head().getLong(0)
+    assert(got == expected)
+  }
+
+  // -------------------------------------------------------- multimodal
+
+  test("Multimodal decode plumbing: deterministic stub metadata") {
+    val media = Multimodal.fromText(
+      Seq((7L, "abcdef")).toDF("id", "t"), "id", "t")
+    val meta = Multimodal.decodeImages(spark, media).collect()
+    assert(meta.length == 1)
+    val m = meta.head
+    assert(m.media_id == 7L && m.n_bytes == 6L &&
+      m.width == 7 && m.height == 43 && m.channels == 3)
+  }
+
+  test("Multimodal frame sampling: one row per sampled frame") {
+    val media = Multimodal.fromText(
+      Seq((1L, "0123456789")).toDF("id", "t"), "id", "t")
+    val frames = Multimodal.sampleFrames(spark, media, everyNth = 3).collect()
+    assert(frames.map(_.frame_no).sorted.toSeq == Seq(0, 3, 6, 9))
+  }
+}
