@@ -292,6 +292,51 @@ object Queries {
       .agg(sum(col("new_session")).as("n_sessions"))
   }
 
+  def q36_json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"),
+        max(col("k_val")).as("max_k"))
+
+  /** Transaction layer end-to-end (SURVEY §2.19-20): two committed txns,
+    * one aborted, one in-flight, a crash and a recovery; the surviving
+    * snapshot must be exactly the two committed slices of `orders` — which
+    * the DuckDB oracle states declaratively.
+    */
+  def q37_txn_visibility(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q37").toString
+    val table = new graft.txn.TxnTable(s, tmp)
+    val t1 = table.txns.startTxn()
+    table.insert(t1, orders.where(col("o_orderkey") % 3 === 0))
+    table.txns.commitTxn(t1)
+    val t2 = table.txns.startTxn()
+    table.insert(t2, orders.where(col("o_orderkey") % 3 === 1)) // aborted
+    table.txns.abortTxn(t2)
+    val t3 = table.txns.startTxn()
+    table.insert(t3, orders.where(col("o_orderkey") % 3 === 2)) // never commits
+    table.crash()
+    table.recover()
+    table.read()
+  }
+
+  /** Structured Streaming end-to-end: the events table consumed
+    * incrementally through a watermarked windowed aggregation; the final
+    * (complete-mode) answer equals the batch SQL the oracle runs.
+    */
+  def q38_stream_window(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-q38").toString
+    events.repartition(4).write.mode("overwrite").parquet(streamDir)
+    val stream = graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 2)
+    val counts = graft.streaming.Streams.windowedCounts(stream, "1 hour", "30 minutes")
+    graft.streaming.Streams
+      .runToCompletion(s, counts, s"q38_sink_${System.nanoTime()}", "complete")
+      .select(col("w_start"), col("event_type"), col("n"))
+  }
+
   // ------------------------------------------------- pipeline: multimodal
 
   def q35_multimodal(s: SparkSession, dir: String): DataFrame = {
@@ -335,7 +380,10 @@ object Queries {
     "q32_events_window" -> (q32_events_window _),
     "q33_asof_join" -> (q33_asof_join _),
     "q34_sessionize" -> (q34_sessionize _),
-    "q35_multimodal" -> (q35_multimodal _))
+    "q35_multimodal" -> (q35_multimodal _),
+    "q36_json" -> (q36_json _),
+    "q37_txn_visibility" -> (q37_txn_visibility _),
+    "q38_stream_window" -> (q38_stream_window _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -513,5 +561,15 @@ object Queries {
          CAST(length(text) AS BIGINT) AS n_bytes,
          CAST(1 + length(text) % 1024 AS INTEGER) AS width,
          CAST(1 + (length(text)*7) % 768 AS INTEGER) AS height,
-         3 AS channels FROM documents""")
+         3 AS channels FROM documents""",
+    "q36_json" ->
+      """SELECT event_type, count(*) AS n,
+         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type""",
+    "q37_txn_visibility" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0",
+    "q38_stream_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
+         count(*) AS n FROM events GROUP BY 1, 2""")
 }

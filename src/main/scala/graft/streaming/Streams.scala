@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the events schema
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming surface (SURVEY §2.13); these are the
+  * Spark-first streaming analogues of the batch event queries:
+  * watermarked windowed aggregation (late data dropped past the
+  * watermark) and custom session state via flatMapGroupsWithState. All
+  * state is managed by Spark's state store, so every operator here runs
+  * identically on a 1000-executor cluster — state shards by group key,
+  * watermarks gate eviction.
+  */
+object Streams {
+
+  /** File-based event stream: the same parquet dir the batch path reads,
+    * consumed incrementally (one file per trigger by default).
+    */
+  def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+  }
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * analogue of q32_events_window. Events later than `lateness` past the
+    * max seen ts are dropped; windows finalize (append mode) once the
+    * watermark passes their end.
+    */
+  def windowedCounts(events: DataFrame,
+      windowLen: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, nEvents: Long)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+      n_events: Long)
+
+  /** Custom sessionization with a processing-timeout-free, event-time gap
+    * rule: a session closes when a new event arrives more than `gapMs`
+    * after the previous one (same rule as batch q34_sessionize). Emits
+    * closed sessions; state per user is O(1).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Vector.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs <= gapMs =>
+                cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed += Session(userId, new Timestamp(s.start),
+                  new Timestamp(s.lastTs), s.nEvents)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Run a stream to completion against the (finite) file source and
+    * return the sink table — used by tests and demos; production callers
+    * keep the query running with their own trigger/checkpoint config.
+    */
+  def runToCompletion(spark: SparkSession, out: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,209 @@
+package graft.txn
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Transaction layer with the observable semantics of the reference's
+  * TransactionManager + LogManager contract
+  * (`/root/reference/src/transaction/transaction_manager.cc:37-102`,
+  * `/root/reference/src/log/log_manager.h:12-72`, behavior specified by
+  * `/root/reference/test/unit/log/log_manager_test.cc`): committed
+  * transactions are durable across crashes, aborted and in-flight
+  * transactions are invisible after rollback/recovery, checkpoints bound
+  * recovery work.
+  *
+  * The mechanics are deliberately NOT the reference's (in-place page
+  * updates + ARIES before/after images make no sense on Spark): writes are
+  * append-only parquet batch directories tagged by transaction id, and the
+  * log is a tiny append-only record file. "Redo" is free (batches are
+  * already durable when COMMIT is logged — the parquet write IS the
+  * flush), "undo" is free (uncommitted batches are simply never unioned
+  * into reads), and recovery = re-deriving the committed set from the log.
+  * This is the standard commit-log-over-immutable-files design used by
+  * large-scale table formats, and it scales: the log carries only
+  * metadata, data moves through distributed parquet writes.
+  */
+object LogRecord {
+  val Begin = "BEGIN"
+  val Update = "UPDATE"
+  val Commit = "COMMIT"
+  val Abort = "ABORT"
+  val Checkpoint = "CHECKPOINT"
+}
+
+/** Append-only record log. Each record is one line:
+  * `<type>\t<txnId>\t<payload>`. In-memory counters mirror the reference
+  * LogManager's record-count API; `reset()` simulates a crash by dropping
+  * in-memory state, after which [[recovery]] rebuilds it from disk.
+  */
+final class LogManager(val logPath: Path) {
+  private var records: Vector[(String, Long, String)] = reload()
+
+  private def reload(): Vector[(String, Long, String)] =
+    if (!Files.exists(logPath)) Vector.empty
+    else Files.readAllLines(logPath, StandardCharsets.UTF_8).asScala.toVector
+      .filter(_.nonEmpty).map { line =>
+        val parts = line.split("\t", 3)
+        (parts(0), parts(1).toLong, if (parts.length > 2) parts(2) else "")
+      }
+
+  private def append(tpe: String, txn: Long, payload: String = ""): Unit = {
+    Files.createDirectories(logPath.getParent)
+    // The write is flushed before the call returns — a COMMIT record on
+    // disk is the durability point (reference: FORCE policy flushes pages
+    // before logging commit, transaction_manager.cc:52-73).
+    Files.write(logPath, s"$tpe\t$txn\t$payload\n".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND, StandardOpenOption.SYNC)
+    records :+= ((tpe, txn, payload))
+  }
+
+  def logBegin(txn: Long): Unit = append(LogRecord.Begin, txn)
+  def logUpdate(txn: Long, batchDir: String): Unit =
+    append(LogRecord.Update, txn, batchDir)
+  def logCommit(txn: Long): Unit = append(LogRecord.Commit, txn)
+  def logAbort(txn: Long): Unit = append(LogRecord.Abort, txn)
+  /** Checkpoint payload = the compacted base dir; batches of txns
+    * committed before the checkpoint are subsumed by it.
+    */
+  def logCheckpoint(baseDir: String): Unit =
+    append(LogRecord.Checkpoint, -1L, baseDir)
+
+  // Record-count API (reference log_manager.h:30-44).
+  def totalRecords: Int = records.size
+  def count(tpe: String): Int = records.count(_._1 == tpe)
+
+  /** Crash simulation: drop all in-memory state
+    * (reference `LogManager::reset`, log_manager_test.cc:186-194).
+    */
+  def reset(): Unit = records = Vector.empty
+
+  /** ARIES-shaped recovery, radically simplified by immutability:
+    * analysis = replay the tape to find committed txns and the last
+    * checkpoint; redo = nothing (committed parquet batches are already
+    * durable); undo = nothing (loser batches were never visible).
+    */
+  def recovery(): Unit = records = reload()
+
+  /** Committed txn ids whose batches are NOT subsumed by the latest
+    * checkpoint, plus the latest checkpoint base (if any).
+    */
+  def committedState: (Option[String], Set[Long], Map[Long, Vector[String]]) = {
+    val lastCkpt = records.lastIndexWhere(_._1 == LogRecord.Checkpoint)
+    val base = if (lastCkpt >= 0) Some(records(lastCkpt)._3) else None
+    val after = if (lastCkpt >= 0) records.drop(lastCkpt + 1) else records
+    val committed = after.collect { case (LogRecord.Commit, t, _) => t }.toSet
+    val batches = after.collect {
+      case (LogRecord.Update, t, dir) if committed(t) => (t, dir)
+    }.groupBy(_._1).map { case (t, v) => t -> v.map(_._2) }
+    (base, committed, batches)
+  }
+}
+
+/** Monotonic txn ids + begin/commit/abort protocol
+  * (reference transaction_manager.cc:37-102).
+  */
+final class TransactionManager(log: LogManager) {
+  private var nextId: Long = 0L
+  private var active: Set[Long] = Set.empty
+
+  def startTxn(): Long = {
+    nextId += 1
+    active += nextId
+    log.logBegin(nextId)
+    nextId
+  }
+  def commitTxn(txn: Long): Unit = {
+    require(active(txn), s"txn $txn not active")
+    // Data batches were durably written at insert time (FORCE, for free).
+    log.logCommit(txn)
+    active -= txn
+  }
+  def abortTxn(txn: Long): Unit = {
+    require(active(txn), s"txn $txn not active")
+    // NO-STEAL for free: nothing uncommitted is ever visible to readers,
+    // so rollback is just the ABORT record.
+    log.logAbort(txn)
+    active -= txn
+  }
+  def activeTxns: Set[Long] = active
+  /** Crash simulation (reference TransactionManager::reset). */
+  def reset(): Unit = { active = Set.empty; nextId = 0L }
+  /** Post-recovery: resume ids past everything in the log. */
+  def recover(maxSeenTxn: Long): Unit = { nextId = maxSeenTxn; active = Set.empty }
+}
+
+/** A transactional table: committed-visible reads over append-only
+  * parquet batches + optional checkpoint compaction.
+  */
+final class TxnTable(spark: SparkSession, val dir: String) {
+  private val root = Paths.get(dir)
+  val log = new LogManager(root.resolve("log.tsv"))
+  val txns = new TransactionManager(log)
+  private var batchSeq = 0
+
+  /** Insert a batch of rows under `txn`. The parquet write completes (is
+    * durable) before the UPDATE record is appended — write-ahead in the
+    * only sense an append-only store needs.
+    */
+  def insert(txn: Long, df: DataFrame): Unit = {
+    batchSeq += 1
+    val batch = s"batch-$txn-$batchSeq"
+    df.write.mode("errorifexists").parquet(root.resolve(batch).toString)
+    log.logUpdate(txn, batch)
+  }
+
+  /** Committed-visible snapshot: checkpoint base (if any) + batches of
+    * committed txns. `asTxn` additionally sees its own uncommitted writes
+    * (read-your-writes).
+    */
+  def read(asTxn: Option[Long] = None): DataFrame = {
+    val (base, committed, batchMap) = log.committedState
+    val visible = asTxn match {
+      case Some(t) =>
+        // own writes: every UPDATE of t, committed or not
+        val own = ownBatches(t)
+        batchMap.values.flatten.toVector ++ own.filterNot(batchMap.values.flatten.toSet)
+      case None => batchMap.values.flatten.toVector
+    }
+    val dirs = base.toVector ++ visible
+    val frames = dirs.map(b => spark.read.parquet(root.resolve(b).toString))
+    frames.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataFrame)
+  }
+
+  // All UPDATE records of t from the full durable tape (committedState
+  // hides uncommitted ones).
+  private def ownBatches(t: Long): Vector[String] =
+    Files.readAllLines(root.resolve("log.tsv")).asScala
+      .filter(_.startsWith(s"${LogRecord.Update}\t$t\t"))
+      .map(_.split("\t", 3)(2)).toVector
+
+  /** Compact all currently-committed data into a single base dir and log
+    * a CHECKPOINT; recovery after this never replays older batches.
+    */
+  def checkpoint(): Unit = {
+    batchSeq += 1
+    val base = s"ckpt-$batchSeq"
+    read().write.mode("errorifexists").parquet(root.resolve(base).toString)
+    log.logCheckpoint(base)
+  }
+
+  /** Simulate a crash: all in-memory state gone. */
+  def crash(): Unit = { log.reset(); txns.reset() }
+
+  /** Recover from the durable log; committed data is readable again and
+    * new txn ids resume past everything on the tape.
+    */
+  def recover(): Unit = {
+    log.recovery()
+    txns.recover(maxSeen)
+  }
+
+  private def maxSeen: Long =
+    if (!Files.exists(root.resolve("log.tsv"))) 0L
+    else Files.readAllLines(root.resolve("log.tsv")).asScala
+      .filter(_.nonEmpty).map(_.split("\t", 3)(1).toLong).foldLeft(0L)(math.max)
+}

@@ -1,0 +1,153 @@
+package graft
+
+import graft.txn.{LogRecord, TxnTable}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Port of the reference's WAL/transaction contract
+  * (`/root/reference/test/unit/log/log_manager_test.cc`): record counts,
+  * atomicity, durability of committed txns across crash, invisibility of
+  * aborted and in-flight txns, interleavings, checkpoint. The reference's
+  * `look` helper (expects each value present exactly once / absent) maps
+  * to reading the committed snapshot and comparing value sets.
+  */
+class TxnSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def freshTable(): TxnTable =
+    new TxnTable(spark, Files.createTempDirectory("graft-txn").toString)
+
+  private def insertValues(t: TxnTable, txn: Long, vs: Long*): Unit = {
+    import spark.implicits._
+    vs.foreach(v => t.insert(txn, Seq(v).toDF("value")))
+  }
+
+  private def values(t: TxnTable): Seq[Long] = {
+    val df = t.read()
+    if (df.columns.isEmpty) Seq.empty
+    else df.collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  // log_manager_test.cc:197-214 — one txn, two row writes, commit:
+  // 4 records total, 2 of them UPDATE.
+  test("LogRecordTest: exact record counts") {
+    val t = freshTable()
+    val txn = t.txns.startTxn()
+    insertValues(t, txn, 1L, 2L)
+    t.txns.commitTxn(txn)
+    assert(t.log.totalRecords == 4)
+    assert(t.log.count(LogRecord.Update) == 2)
+    assert(t.log.count(LogRecord.Begin) == 1)
+    assert(t.log.count(LogRecord.Commit) == 1)
+  }
+
+  // log_manager_test.cc:249-270 — committed data survives a crash.
+  test("TestCommitCrash: durability of committed txns") {
+    val t = freshTable()
+    val txn = t.txns.startTxn()
+    insertValues(t, txn, 10L, 11L)
+    t.txns.commitTxn(txn)
+    t.crash()
+    assert(values(t).isEmpty) // crashed: in-memory state gone
+    t.recover()
+    assert(values(t) == Seq(10L, 11L))
+  }
+
+  // log_manager_test.cc:276-300 — aborted txn's writes are invisible.
+  test("TestAbort: aborted data invisible") {
+    val t = freshTable()
+    val t1 = t.txns.startTxn()
+    insertValues(t, t1, 1L, 2L)
+    t.txns.commitTxn(t1)
+    val t2 = t.txns.startTxn()
+    insertValues(t, t2, 3L, 4L)
+    t.txns.abortTxn(t2)
+    assert(values(t) == Seq(1L, 2L))
+  }
+
+  // log_manager_test.cc:305-340 — interleaved commit and abort.
+  test("TestAbortCommitInterleaved") {
+    val t = freshTable()
+    val t1 = t.txns.startTxn()
+    val t2 = t.txns.startTxn()
+    insertValues(t, t1, 1L)
+    insertValues(t, t2, 21L)
+    insertValues(t, t1, 2L)
+    t.txns.abortTxn(t1)
+    insertValues(t, t2, 22L)
+    t.txns.commitTxn(t2)
+    assert(values(t) == Seq(21L, 22L))
+  }
+
+  // log_manager_test.cc:345-377 — abort then crash then recover.
+  test("TestAbortCrash: abort survives crash") {
+    val t = freshTable()
+    val t1 = t.txns.startTxn()
+    insertValues(t, t1, 5L)
+    t.txns.commitTxn(t1)
+    val t2 = t.txns.startTxn()
+    insertValues(t, t2, 6L)
+    t.txns.abortTxn(t2)
+    t.crash(); t.recover()
+    assert(values(t) == Seq(5L))
+  }
+
+  // log_manager_test.cc:385-432 — commit, abort, commit, crash.
+  test("TestCommitAbortCommitCrash") {
+    val t = freshTable()
+    val t1 = t.txns.startTxn()
+    insertValues(t, t1, 1L)
+    t.txns.commitTxn(t1)
+    val t2 = t.txns.startTxn()
+    insertValues(t, t2, 2L)
+    t.txns.abortTxn(t2)
+    val t3 = t.txns.startTxn()
+    insertValues(t, t3, 3L)
+    t.txns.commitTxn(t3)
+    t.crash(); t.recover()
+    assert(values(t) == Seq(1L, 3L))
+  }
+
+  // log_manager_test.cc:440-464 — uncommitted data gone after crash.
+  test("TestOpenCrash: in-flight txn invisible after recovery") {
+    val t = freshTable()
+    val t1 = t.txns.startTxn()
+    insertValues(t, t1, 9L)
+    // read-your-writes before the crash
+    assert(t.read(asTxn = Some(t1)).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    t.crash(); t.recover()
+    assert(values(t).isEmpty)
+  }
+
+  // log_manager_test.cc:474-505
+  test("TestOpenCommitOpenCrash") {
+    val t = freshTable()
+    val t1 = t.txns.startTxn()
+    insertValues(t, t1, 1L)
+    t.txns.commitTxn(t1)
+    val t2 = t.txns.startTxn()
+    insertValues(t, t2, 2L)
+    t.crash(); t.recover()
+    assert(values(t) == Seq(1L))
+    // new txns resume with fresh ids past the tape
+    val t3 = t.txns.startTxn()
+    assert(t3 > t2)
+  }
+
+  // log_manager_test.cc:517-550 — checkpoint then crash.
+  test("TestOpenCommitCheckpointOpenCrash") {
+    val t = freshTable()
+    val t1 = t.txns.startTxn()
+    insertValues(t, t1, 1L, 2L)
+    t.txns.commitTxn(t1)
+    t.checkpoint()
+    val t2 = t.txns.startTxn()
+    insertValues(t, t2, 3L)
+    t.txns.commitTxn(t2)
+    val t3 = t.txns.startTxn()
+    insertValues(t, t3, 4L) // never committed
+    t.crash(); t.recover()
+    assert(values(t) == Seq(1L, 2L, 3L))
+  }
+}
