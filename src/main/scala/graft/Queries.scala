@@ -200,14 +200,19 @@ object Queries {
   def q21_dedup_tokenset(s: SparkSession, dir: String): DataFrame =
     Dedup.tokenSet(t(s, dir, "documents"), "doc_id", "text")
 
-  def q22_token_stats(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    d.select(
-      col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-      TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"),
-      TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
-  }
+  /** Staged so tokenCount / stopword-sum are computed once per row;
+    * collapsed into one projection they'd be inlined ~9x, and the
+    * resulting codegen blob takes seconds to JIT-compile.
+    */
+  def q22_token_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (length(col("text")) - col("n_tokens") + 1).cast("double")
+          ./(col("n_tokens")).as("mean_tok_len"),
+        (TextAnalysis.stopwordCount(col("text")).cast("double") / col("n_tokens"))
+          .as("stop_ratio"))
 
   def q23_lang_id(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -215,9 +220,13 @@ object Queries {
       TextAnalysis.langId(col("text")).as("lang_pred"))
 
   def q24_quality(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("__tc"),
+        TextAnalysis.stopwordCount(col("text")).as("__sc"))
+      .select(col("doc_id"),
+        (least(col("__tc").cast("double") / lit(64.0), lit(1.0)) * lit(0.5) +
+          (col("__sc").cast("double") / col("__tc")) * lit(0.5)).as("quality"))
 
   def q25_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(

@@ -32,16 +32,11 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(idCol, "n_dups")
 
-  /** Word w-shingles of a document, distinct. */
-  def shingles(text: Column, w: Int): Column = {
-    val toks = split(text, " ")
-    val n = size(toks)
-    array_distinct(
-      when(n >= w,
-        transform(sequence(lit(0), n - lit(w)),
-          i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
-        .otherwise(array(text)))
-  }
+  /** Word w-shingles of a document, distinct (native codegen'd
+    * expression; texts shorter than w tokens yield themselves).
+    */
+  def shingles(text: Column, w: Int): Column =
+    graft.functions.exprs.wordShingles(text, w)
 
   /** Deterministic seeded (a_i, b_i) coefficients for the minhash
     * permutation family h_i(x) = (a_i * x + b_i) mod prime.
@@ -54,18 +49,13 @@ object Dedup {
 
   /** MinHash signature: for permutation i, min over shingles of
     * ((a_i * xxhash64(s) + b_i) mod prime). Derived from the classic
-    * Broder MinHash scheme; deterministic seeded coefficients.
-    *
-    * `shingleArr` should be a plain column reference, not an inline
-    * expression: the signature references it numHashes times, and a
-    * non-trivial expression would be re-evaluated per permutation
-    * (CollapseProject keeps multiply-referenced aliases materialized).
+    * Broder MinHash scheme; deterministic seeded coefficients. Runs as a
+    * native codegen'd expression ([[graft.functions.MinHashSignature]]) —
+    * one compiled pass per row instead of numHashes interpreted
+    * higher-order-function walks.
     */
   def minHashSignature(shingleArr: Column, numHashes: Int): Column =
-    array(minHashCoeffs(numHashes).map { case (a, b) =>
-      array_min(transform(shingleArr,
-        s => pmod(lit(a) * pmod(xxhash64(s), lit(HashPrime)) + lit(b), lit(HashPrime))))
-    }: _*)
+    graft.functions.exprs.minhashSig(shingleArr, minHashCoeffs(numHashes), HashPrime)
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -89,20 +79,15 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    // Staged projections (shingles → shingle hashes → signature) so each
-    // stage is computed exactly once per row; inlining would re-evaluate
-    // the shingle build once per permutation.
+    // One native-expression projection per row; persisted because the
+    // relation is consumed three times (two self-join sides + the
+    // verification rejoin) and recomputing shingles+signatures per
+    // consumer would triple the dominant cost. The cached form is tiny
+    // relative to the input text (id + numHashes longs).
     val sigs = df
       .select(col(idCol).as("__id"),
-        shingles(col(textCol), shingleWidth).as("__sh"))
-      .select(col("__id"),
-        transform(col("__sh"),
-          s => pmod(xxhash64(s), lit(HashPrime))).as("__shh"))
-      .select(col("__id"),
-        array(minHashCoeffs(numHashes).map { case (a, b) =>
-          array_min(transform(col("__shh"),
-            h => pmod(lit(a) * h + lit(b), lit(HashPrime))))
-        }: _*).as("__sig"))
+        minHashSignature(shingles(col(textCol), shingleWidth), numHashes).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Candidate generation carries only (id, band key) through the
     // shuffle — signatures (numHashes longs, duplicated per band) would
@@ -135,23 +120,11 @@ object Dedup {
 
   /** 64-bit SimHash of the word tokens: bit j of the signature is the
     * sign of the sum over tokens of ±1 according to bit j of
-    * xxhash64(token).
+    * xxhash64(token). Native codegen'd expression
+    * ([[graft.functions.SimHash64]]).
     */
-  def simHash(text: Column): Column = {
-    val toks = split(text, " ")
-    val counters = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        array((0 until 64).map(j =>
-          when(shiftright(xxhash64(t), j).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
-            .otherwise(lit(-1L))): _*),
-        (a, b) => a + b))
-    aggregate(
-      zip_with(counters, array((0 until 64).map(j => lit(1L << j)): _*),
-        (c, bit) => when(c > 0, bit).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def simHash(text: Column): Column =
+    graft.functions.exprs.simhash64(split(text, " "))
 
   /** SimHash near-duplicate pairs with Hamming distance <= maxDist.
     * Pigeonhole banding: split the 64-bit signature into maxDist+1
@@ -203,8 +176,7 @@ object Dedup {
       Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
 
     def dotConst(v: Column, h: Array[Double]): Column =
-      aggregate(zip_with(v, lit(h), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
+      graft.functions.exprs.dotProduct(v, lit(h))
 
     val keyed = df.select(
       col(idCol).as("__id"), col(vecCol).as("__v"),

@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product (deterministic order, matches the SQL
-    * oracle's loop order bit-for-bit).
+    * oracle's loop order bit-for-bit). Native codegen'd expression
+    * ([[graft.functions.DotProduct]]) — the interpreted
+    * `aggregate(zip_with(...))` walk was the ANN bottleneck.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.exprs.dotProduct(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 

@@ -80,11 +80,13 @@ object TextAnalysis {
   def meanTokenLen(text: Column): Column =
     (length(strReplace(text, " ", "")).cast("double")) / tokenCount(text)
 
-  def stopwordRatio(text: Column): Column = {
-    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
-    val cnt = stops.map(w => wordOccurrences(text, w)).reduce(_ + _)
-    cnt.cast("double") / tokenCount(text)
-  }
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordCount(text: Column): Column =
+    stopwords.map(w => wordOccurrences(text, w)).reduce(_ + _)
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text)
 
   def qualityScore(text: Column): Column =
     least(tokenCount(text).cast("double") / lit(64.0), lit(1.0)) * lit(0.5) +

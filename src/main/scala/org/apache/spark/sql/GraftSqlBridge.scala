@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column <-> Expression conversions, the
+  * standard pattern for Spark extension libraries that define native
+  * Catalyst expressions (the public API offers no constructor from an
+  * `Expression` since Spark 4 split Column into sql-api).
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
