@@ -1,0 +1,80 @@
+package graft
+
+import graft.plans.SelingerJoinReorder
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the Catalyst-integrated Selinger reorder rule: the DP must
+  * pull a big fact table out of the outermost-left position of a badly
+  * written join chain, leave results semantically identical, and keep
+  * non-eligible plans untouched.
+  */
+class SelingerRuleSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Leaf relations in DFS order (= left-deep join order), identified by
+    * their first output column ("l_orderkey" -> lineitem etc).
+    */
+  private def joinChainLeaves(p: LogicalPlan): Seq[String] =
+    p.collectLeaves().map(_.output.headOption.map(_.name).getOrElse("?"))
+
+  test("rule reorders a lineitem-first chain and preserves the result") {
+    val li = graft.core.Catalog.table(spark, dir, "lineitem")
+    val o = graft.core.Catalog.table(spark, dir, "orders")
+    val c = graft.core.Catalog.table(spark, dir, "customer")
+    val n = graft.core.Catalog.table(spark, dir, "nation")
+
+    // deliberately bad authoring order: big lineitem outermost-left
+    val q = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .select(li("l_orderkey"), n("n_name"))
+
+    val before = q.queryExecution.optimizedPlan
+    val after = SelingerJoinReorder(before)
+
+    assert(after ne before, "rule should have rewritten the join tree")
+    val beforeLeaves = joinChainLeaves(before)
+    val afterLeaves = joinChainLeaves(after)
+    assert(beforeLeaves.head.startsWith("l_"))
+    assert(!afterLeaves.head.startsWith("l_"),
+      s"big table still outermost: $afterLeaves")
+
+    // semantics preserved: execute the rewritten plan and compare
+    val expected = q.collect().map(_.toSeq).toSet
+    val got = org.apache.spark.sql.GraftSqlBridge
+      .datasetOfRows(spark, after).collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
+  test("rule is idempotent and ignores non-inner / tiny joins") {
+    val a = graft.core.Catalog.table(spark, dir, "region")
+    val b = graft.core.Catalog.table(spark, dir, "nation")
+    val two = a.join(b, a("r_regionkey") === b("n_regionkey"))
+      .queryExecution.optimizedPlan
+    assert(SelingerJoinReorder(two).canonicalized == two.canonicalized)
+
+    val outer = a.join(b, a("r_regionkey") === b("n_regionkey"), "left")
+      .queryExecution.optimizedPlan
+    assert(SelingerJoinReorder(outer).canonicalized == outer.canonicalized)
+  }
+
+  test("extension-installed session reorders spark.sql multi-joins") {
+    val s2 = SharedSpark.sparkWithExtensions
+    Seq("lineitem", "orders", "customer", "nation").foreach { t =>
+      graft.core.Catalog.table(s2, dir, t).createOrReplaceTempView(t)
+    }
+    val df = s2.sql(
+      """SELECT n_name, count(*) AS cnt
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+    val leaves = joinChainLeaves(df.queryExecution.optimizedPlan)
+    assert(!leaves.head.startsWith("l_"), s"leaves: $leaves")
+    assert(df.count() > 0)
+  }
+}

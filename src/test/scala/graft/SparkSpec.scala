@@ -18,4 +18,25 @@ object SharedSpark {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** A second session (same SparkContext) with GraftExtensions installed,
+    * for specs covering the injected optimizer rule.
+    */
+  lazy val sparkWithExtensions: SparkSession = {
+    val base = spark // ensure the context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // NOTE spark.sql.extensions is a static conf read at SparkContext
+    // creation; with the context already up (shared across suites) the
+    // programmatic withExtensions hook is the way in.
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.plans.GraftExtensions()(_))
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
 }
