@@ -346,6 +346,96 @@ object Queries {
       .select(col("w_start"), col("event_type"), col("n"))
   }
 
+  def q39_union(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), lit("cust").as("src"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("k"), lit("supp").as("src"))
+    c.unionByName(sup).groupBy("src").agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+  }
+
+  def q40_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_price_c"))
+
+  def q41_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("q41_lineitem")
+    s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             FROM q41_lineitem
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+  }
+
+  /** Correlated EXISTS + scalar subquery through the SQL surface
+    * (Catalyst decorrelates both into joins).
+    */
+  def q42_subqueries(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("q42_orders")
+    t(s, dir, "customer").createOrReplaceTempView("q42_customer")
+    s.sql("""SELECT c_custkey,
+               (SELECT count(*) FROM q42_orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+             FROM q42_customer c
+             WHERE EXISTS (SELECT 1 FROM q42_orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice > 100000)""")
+  }
+
+  def q43_outer_joins(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").where(col("o_totalprice") > 150000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("sum_price_c"))
+  }
+
+  def q44_conditional_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("l_quantity") < 10, 1L).otherwise(0L)).as("n_small"),
+        sum(when(col("l_quantity") >= 40, 1L).otherwise(0L)).as("n_large"),
+        sum(when(col("l_discount") > 0.05, cents(col("l_extendedprice")))
+          .otherwise(lit(0L))).as("disc_price_c"))
+
+  /** Exact integer variance: var = (n*Σx² − (Σx)²) / (n*(n−1)) with
+    * bigint sums, so both engines divide the same exact integers.
+    */
+  def q45_variance(s: SparkSession, dir: String): DataFrame = {
+    val x = round(col("o_totalprice")).cast("long")
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .select(col("o_orderpriority"), col("n"),
+        ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("n") * (col("n") - 1))).as("var_price"))
+  }
+
+  /** Band (range) join: lineitem quantity within ±5 of the part's size,
+    * on top of the partkey equi-join — the equi key drives the shuffle,
+    * the range is a residual predicate (never a cross product).
+    */
+  def q46_range_join(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+    l.join(p, l("l_partkey") === p("p_partkey") &&
+        l("l_quantity") >= p("p_size") - 5 && l("l_quantity") <= p("p_size") + 5)
+      .groupBy(p("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(cents(l("l_extendedprice"))).as("sum_price_c"))
+  }
+
+  def q47_full_outer(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").where(col("c_custkey") <= 100)
+      .select(col("c_custkey").as("k"), col("c_acctbal"))
+    val b = t(s, dir, "orders").where(col("o_custkey") >= 50)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_ord"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(cents(col("c_acctbal")), lit(-1L)).as("acctbal_c"),
+        coalesce(col("n_ord"), lit(0L)).as("n_ord"))
+  }
+
   // ------------------------------------------------- pipeline: multimodal
 
   def q35_multimodal(s: SparkSession, dir: String): DataFrame = {
@@ -392,7 +482,16 @@ object Queries {
     "q35_multimodal" -> (q35_multimodal _),
     "q36_json" -> (q36_json _),
     "q37_txn_visibility" -> (q37_txn_visibility _),
-    "q38_stream_window" -> (q38_stream_window _))
+    "q38_stream_window" -> (q38_stream_window _),
+    "q39_union" -> (q39_union _),
+    "q40_cube" -> (q40_cube _),
+    "q41_grouping_sets" -> (q41_grouping_sets _),
+    "q42_subqueries" -> (q42_subqueries _),
+    "q43_outer_joins" -> (q43_outer_joins _),
+    "q44_conditional_agg" -> (q44_conditional_agg _),
+    "q45_variance" -> (q45_variance _),
+    "q46_range_join" -> (q46_range_join _),
+    "q47_full_outer" -> (q47_full_outer _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -580,5 +679,60 @@ object Queries {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0",
     "q38_stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
-         count(*) AS n FROM events GROUP BY 1, 2""")
+         count(*) AS n FROM events GROUP BY 1, 2""",
+    "q39_union" ->
+      """SELECT src, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k FROM (
+           SELECT c_custkey AS k, 'cust' AS src FROM customer
+           UNION ALL
+           SELECT s_suppkey AS k, 'supp' AS src FROM supplier)
+         GROUP BY src""",
+    "q40_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_price_c
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q41_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "q42_subqueries" ->
+      """SELECT c_custkey,
+           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)""",
+    "q43_outer_joins" ->
+      s"""SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders,
+         coalesce(CAST(sum(${centsSql("o_totalprice")}) AS BIGINT), 0) AS sum_price_c
+         FROM customer c LEFT JOIN
+           (SELECT * FROM orders WHERE o_totalprice > 150000) o
+           ON c.c_custkey = o.o_custkey
+         GROUP BY c_mktsegment""",
+    "q44_conditional_agg" ->
+      s"""SELECT l_returnflag,
+         CAST(sum(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+         CAST(sum(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+         CAST(sum(CASE WHEN l_discount > 0.05 THEN ${centsSql("l_extendedprice")} ELSE 0 END) AS BIGINT) AS disc_price_c
+         FROM lineitem GROUP BY l_returnflag""",
+    "q45_variance" ->
+      """SELECT o_orderpriority, n,
+           CAST(n*sxx - sx*sx AS DOUBLE) / (n*(n-1)) AS var_price
+         FROM (SELECT o_orderpriority, count(*) AS n,
+                 CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sx,
+                 CAST(sum(CAST(round(o_totalprice) AS BIGINT) * CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sxx
+               FROM orders GROUP BY o_orderpriority)""",
+    "q46_range_join" ->
+      s"""SELECT p_brand, count(*) AS n,
+         CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_c
+         FROM lineitem l JOIN part p
+           ON l.l_partkey = p.p_partkey
+          AND l.l_quantity >= p.p_size - 5 AND l.l_quantity <= p.p_size + 5
+         GROUP BY p_brand""",
+    "q47_full_outer" ->
+      s"""SELECT k,
+         coalesce(${centsSql("c_acctbal")}, -1) AS acctbal_c,
+         coalesce(n_ord, 0) AS n_ord
+         FROM (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_custkey <= 100) a
+         FULL OUTER JOIN
+           (SELECT o_custkey AS k, count(*) AS n_ord FROM orders
+            WHERE o_custkey >= 50 GROUP BY o_custkey) b
+         USING (k)""")
 }
