@@ -88,27 +88,22 @@ object TableStats {
       c -> new IntHistogram(numBins, lo, hi)
     }.toMap
 
-    // Pass 2: all histograms in ONE job. Per row emit (colIdx, bucket),
-    // then a single groupBy(colIdx, bucket).count() — one shuffle total,
-    // output is at most numCols * numBins rows (tiny on the driver).
+    // Pass 2: all histograms in ONE job via the typed HistogramAgg
+    // aggregator — each column contributes one Array[Long] buffer, merged
+    // tree-wise; no row ever re-keys through a shuffle (the explode +
+    // groupBy(col, bucket) alternative shuffles numCols x rows).
     if (ranges.nonEmpty && n > 0) {
-      val bucketCols = ranges.map { case (c, lo, _) =>
-        val h = hists(c)
-        val v = col(c).cast(LongType)
-        when(v.isNull, lit(null))
-          .otherwise(least(
-            floor((v - lit(lo)) / lit(h.span)).cast(IntegerType),
-            lit(h.buckets - 1)))
+      val aggCols = ranges.map { case (c, lo, hi) =>
+        HistogramAgg.column(col(c).cast(LongType), lo, hi, numBins).as(s"__h_$c")
       }
-      val counted = df
-        .select(posexplode(array(bucketCols: _*)).as(Seq("__col", "__bucket")))
-        .where(col("__bucket").isNotNull)
-        .groupBy("__col", "__bucket")
-        .count()
-        .collect() // ≤ numCols * numBins rows
-      counted.foreach { r =>
-        val (cIdx, b, c) = (r.getInt(0), r.getInt(1), r.getLong(2))
-        hists(ranges(cIdx)._1).addBucketCount(b, c)
+      val hrow = df.agg(aggCols.head, aggCols.tail: _*).head()
+      ranges.zipWithIndex.foreach { case ((c, _, _), i) =>
+        val counts = hrow.getSeq[Long](i)
+        var b = 0
+        while (b < counts.length) {
+          if (counts(b) > 0) hists(c).addBucketCount(b, counts(b))
+          b += 1
+        }
       }
     }
 
