@@ -65,7 +65,11 @@ object Queries {
   def q05_join_opt(s: SparkSession, dir: String): DataFrame = {
     val names = Seq("lineitem", "orders", "customer", "nation")
     val tables = names.map(n => n -> t(s, dir, n)).toMap
-    val stats = names.map(n => n -> TableStats.build(tables(n))).toMap
+    // Light stats (no histograms): the DP needs row counts + scan costs;
+    // the filter selectivity arrives pre-computed per the reference's
+    // order_joins contract.
+    val stats = names.map(n =>
+      n -> TableStats.build(tables(n), withHistograms = false)).toMap
 
     val edges = Vector(
       JoinEdge("lineitem", "orders", "l_orderkey", "o_orderkey", PredicateOp.EQ),
@@ -255,6 +259,15 @@ object Queries {
     pairs.agg(count(lit(1)).as("n_dup_pairs"))
   }
 
+  /** Exact n-gram Jaccard pairs (brute-force verification form over a
+    * capped id range so the DuckDB oracle can replicate it; the
+    * production path uses LSH candidates — see Dedup.ngramJaccardPairs).
+    */
+  def q29_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      t(s, dir, "documents").where(col("doc_id") < 200),
+      "doc_id", "text", shingleWidth = 3, threshold = 0.3, bruteForce = true)
+
   // ------------------------------------------- pipeline: similarity/ANN
 
   def q30_knn_brute(s: SparkSession, dir: String): DataFrame = {
@@ -264,11 +277,16 @@ object Queries {
       .withColumnRenamed("rank", "rnk")
   }
 
+  /** IVF with nprobe = nlist probes every cell, so the result must equal
+    * exact brute force — which is what the DuckDB oracle states. (The
+    * approximate operating point is nprobe << nlist; its recall is
+    * covered by OperatorsSpec.)
+    */
   def q31_knn_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.ivfTopK(
       e.where(col("vec_id") < 16), e, "vec_id", "vec_id", "embedding",
-      k = 5, nlist = 16, nprobe = 4)
+      k = 5, nlist = 16, nprobe = 16)
       .withColumnRenamed("rank", "rnk")
   }
 
@@ -474,6 +492,7 @@ object Queries {
     "q26_minhash" -> (q26_minhash _),
     "q27_simhash" -> (q27_simhash _),
     "q28_embed_neardup" -> (q28_embed_neardup _),
+    "q29_ngram_jaccard" -> (q29_ngram_jaccard _),
     "q30_knn_brute" -> (q30_knn_brute _),
     "q31_knn_ivf" -> (q31_knn_ivf _),
     "q32_events_window" -> (q32_events_window _),
@@ -526,6 +545,22 @@ object Queries {
 
   private val dotSql = (a: String, b: String) =>
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,65), i -> $a[i]*$b[i])), (x,y) -> x+y)"
+
+  /** Exact cosine top-5 for queries vec_id < 16 — the oracle for both the
+    * brute-force scan (q30) and IVF probing every cell (q31).
+    */
+  private val knnOracleSql: String = {
+    val dot = dotSql("qv", "cv")
+    val na = dotSql("qv", "qv"); val nb = dotSql("cv", "cv")
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 16),
+       c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       sc AS (SELECT query_id, neighbor_id, ($dot)/(sqrt($na)*sqrt($nb)) AS cos
+              FROM q, c WHERE neighbor_id <> query_id)
+       SELECT query_id, rn AS rnk, neighbor_id FROM (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         FROM sc) WHERE rn <= 5"""
+  }
 
   val oracle: Map[String, String] = Map(
     "q01_scan" ->
@@ -626,18 +661,21 @@ object Queries {
              list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
            (acc, c) -> (acc*31 + c) % 1000000007) AS fp
          FROM documents""",
-    "q30_knn_brute" -> {
-      val dot = dotSql("qv", "cv")
-      val na = dotSql("qv", "qv"); val nb = dotSql("cv", "cv")
-      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 16),
-         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-         sc AS (SELECT query_id, neighbor_id, ($dot)/(sqrt($na)*sqrt($nb)) AS cos
-                FROM q, c WHERE neighbor_id <> query_id)
-         SELECT query_id, rn AS rnk, neighbor_id FROM (
-           SELECT query_id, neighbor_id,
-                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
-           FROM sc) WHERE rn <= 5"""
-    },
+    "q29_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [text] END) AS s
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                 FROM documents WHERE doc_id < 200))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3""",
+    "q30_knn_brute" -> knnOracleSql,
+    "q31_knn_ivf" -> knnOracleSql,
     "q32_events_window" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, count(*) AS n,
          CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c

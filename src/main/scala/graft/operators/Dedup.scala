@@ -118,6 +118,43 @@ object Dedup {
         (col("n_match").cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
+  /** Exact n-gram (word w-shingle) Jaccard similarity pairs:
+    * |A ∩ B| / |A ∪ B| >= threshold. Candidates come from MinHash-LSH
+    * banding (single shuffle); the exact set arithmetic runs only inside
+    * candidate pairs, so the full O(n²) comparison never materializes.
+    * For oracle-checkable exactness, `bruteForce = true` compares every
+    * pair below the id cap instead (test/verification path).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.5,
+      bruteForce: Boolean = false): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      array_sort(shingles(col(textCol), shingleWidth)).as("__sh"))
+
+    val candidates =
+      if (bruteForce) {
+        sh.select(col("__id").as("id_a")).crossJoin(sh.select(col("__id").as("id_b")))
+          .where(col("id_a") < col("id_b"))
+      } else {
+        // LSH banding over the same shingles: recall-biased candidates
+        minHashPairs(df, idCol, textCol, numHashes = 64, bands = 32,
+          shingleWidth = shingleWidth, threshold = math.max(0.0, threshold - 0.2))
+          .select("id_a", "id_b")
+      }
+
+    candidates
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash of the word tokens: bit j of the signature is the
     * sign of the sum over tokens of ±1 according to bit j of
     * xxhash64(token). Native codegen'd expression

@@ -60,11 +60,17 @@ object TableStats {
     *        absent it is derived from the relation's size-in-bytes at the
     *        reference's 8196-byte page size.
     */
+  /** @param withHistograms false skips pass 2 entirely — enough for
+    *        callers that only need row counts and scan costs (the join
+    *        DP receives filter selectivities pre-computed, like the
+    *        reference's order_joins contract).
+    */
   def build(
       df: DataFrame,
       ioCostPerPage: Double = 100.0,
       numPagesOverride: Option[Long] = None,
-      numBins: Int = NumHistBins): TableStats = {
+      numBins: Int = NumHistBins,
+      withHistograms: Boolean = true): TableStats = {
 
     val intCols: IndexedSeq[String] =
       df.schema.fields.filter(f => isIntegral(f.dataType)).map(_.name).toIndexedSeq
@@ -92,7 +98,7 @@ object TableStats {
     // aggregator — each column contributes one Array[Long] buffer, merged
     // tree-wise; no row ever re-keys through a shuffle (the explode +
     // groupBy(col, bucket) alternative shuffles numCols x rows).
-    if (ranges.nonEmpty && n > 0) {
+    if (withHistograms && ranges.nonEmpty && n > 0) {
       val aggCols = ranges.map { case (c, lo, hi) =>
         HistogramAgg.column(col(c).cast(LongType), lo, hi, numBins).as(s"__h_$c")
       }
