@@ -252,11 +252,19 @@ object Queries {
     pairs.agg(count(lit(1)).as("n_dup_pairs"))
   }
 
+  /** Embedding near-dup pairs, exact form over a capped id range so the
+    * DuckDB oracle can replicate it pair-for-pair (the LSH-bucketed
+    * production path is covered by OperatorsSpec; its candidate recall is
+    * probabilistic and so not hash-comparable).
+    */
   def q28_embed_neardup(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.embeddingNearDupPairs(
-      t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
-      planes = 16, minCosine = 0.9)
-    pairs.agg(count(lit(1)).as("n_dup_pairs"))
+    val e = t(s, dir, "embeddings").where(col("vec_id") < 500)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= 0.45)
   }
 
   /** Exact n-gram Jaccard pairs (brute-force verification form over a
@@ -443,6 +451,34 @@ object Queries {
       .agg(count(lit(1)).as("n"), sum(cents(l("l_extendedprice"))).as("sum_price_c"))
   }
 
+  def q48_count_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("nd_supp_part"),
+        count(lit(1)).as("n"))
+
+  def q49_edit_distance(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    p.select(col("p_partkey"),
+      levenshtein(col("p_brand"), col("p_type")).cast("long").as("dist_bt"),
+      levenshtein(col("p_name"), lit("standard polished tin")).cast("long").as("dist_std"))
+  }
+
+  def q50_window_funcs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .where(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"))
+  }
+
   def q47_full_outer(s: SparkSession, dir: String): DataFrame = {
     val a = t(s, dir, "customer").where(col("c_custkey") <= 100)
       .select(col("c_custkey").as("k"), col("c_acctbal"))
@@ -510,7 +546,10 @@ object Queries {
     "q44_conditional_agg" -> (q44_conditional_agg _),
     "q45_variance" -> (q45_variance _),
     "q46_range_join" -> (q46_range_join _),
-    "q47_full_outer" -> (q47_full_outer _))
+    "q47_full_outer" -> (q47_full_outer _),
+    "q48_count_distinct" -> (q48_count_distinct _),
+    "q49_edit_distance" -> (q49_edit_distance _),
+    "q50_window_funcs" -> (q50_window_funcs _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -661,6 +700,17 @@ object Queries {
              list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
            (acc, c) -> (acc*31 + c) % 1000000007) AS fp
          FROM documents""",
+    "q28_embed_neardup" -> {
+      val dot = dotSql("va", "vb")
+      val na = dotSql("va", "va"); val nb = dotSql("vb", "vb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings WHERE vec_id < 500)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                ($dot)/(sqrt($na)*sqrt($nb)) AS cosine
+         FROM (SELECT vec_id, v AS va FROM e) a
+         JOIN (SELECT vec_id, v AS vb FROM e) b ON a.vec_id < b.vec_id
+         WHERE ($dot)/(sqrt($na)*sqrt($nb)) >= 0.45"""
+    },
     "q29_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
@@ -764,6 +814,27 @@ object Queries {
            ON l.l_partkey = p.p_partkey
           AND l.l_quantity >= p.p_size - 5 AND l.l_quantity <= p.p_size + 5
          GROUP BY p_brand""",
+    "q48_count_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS nd_part,
+         count(DISTINCT (l_suppkey, l_partkey)) AS nd_supp_part,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "q49_edit_distance" ->
+      """SELECT p_partkey,
+         CAST(levenshtein(p_brand, p_type) AS BIGINT) AS dist_bt,
+         CAST(levenshtein(p_name, 'standard polished tin') AS BIGINT) AS dist_std
+         FROM part""",
+    "q50_window_funcs" ->
+      """SELECT o_orderkey, o_orderpriority,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         ntile(4) OVER w AS quartile,
+         lag(o_orderkey, 1) OVER w AS prev_key,
+         lead(o_orderkey, 1) OVER w AS next_key
+         FROM orders WHERE o_orderkey <= 2000
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)""",
     "q47_full_outer" ->
       s"""SELECT k,
          coalesce(${centsSql("c_acctbal")}, -1) AS acctbal_c,
