@@ -490,6 +490,93 @@ object Queries {
         coalesce(col("n_ord"), lit(0L)).as("n_ord"))
   }
 
+  // ------------------------------------------------ TPC-H (adapted to the
+  // driver schema: lineitem lacks shipmode/commitdate, orders lacks
+  // shippriority; predicates adjusted accordingly, aggregates in exact
+  // cents with derived averages dividing the same integers both sides)
+
+  /** TPC-H Q1: pricing summary report. */
+  def q51_tpch_q1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_price_c"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price_c"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")))).as("sum_charge_c"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        col("sum_qty_c").cast("double") / lit(100) / col("count_order"))
+      .withColumn("avg_price",
+        col("sum_base_price_c").cast("double") / lit(100) / col("count_order"))
+
+  /** TPC-H Q3 (adapted: no o_shippriority; mktsegment + date window). */
+  def q52_tpch_q3(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+      .where(col("o_orderdate") < lit("1997-03-15").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+      .where(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(l("l_orderkey"), o("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5: local supplier volume (supplier nation = customer nation). */
+  def q53_tpch_q5(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(n, sup("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .where(r("r_name") === "ASIA" &&
+        o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        o("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(n("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_c"))
+  }
+
+  /** TPC-H Q6: forecasting revenue change. */
+  def q54_tpch_q6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(coalesce(sum(cents(col("l_extendedprice") * col("l_discount"))), lit(0L))
+        .as("revenue_c"))
+
+  /** TPC-H Q10 (adapted: no returnflag date window columns beyond those
+    * present): returned-item reporting by customer.
+    */
+  def q55_tpch_q10(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+    val n = t(s, dir, "nation")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(c("c_custkey"), c("c_name"), n("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_c"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_c").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   // ------------------------------------------------- pipeline: multimodal
 
   def q35_multimodal(s: SparkSession, dir: String): DataFrame = {
@@ -549,7 +636,12 @@ object Queries {
     "q47_full_outer" -> (q47_full_outer _),
     "q48_count_distinct" -> (q48_count_distinct _),
     "q49_edit_distance" -> (q49_edit_distance _),
-    "q50_window_funcs" -> (q50_window_funcs _))
+    "q50_window_funcs" -> (q50_window_funcs _),
+    "q51_tpch_q1" -> (q51_tpch_q1 _),
+    "q52_tpch_q3" -> (q52_tpch_q3 _),
+    "q53_tpch_q5" -> (q53_tpch_q5 _),
+    "q54_tpch_q6" -> (q54_tpch_q6 _),
+    "q55_tpch_q10" -> (q55_tpch_q10 _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -835,6 +927,55 @@ object Queries {
          FROM orders WHERE o_orderkey <= 2000
          WINDOW w AS (PARTITION BY o_orderpriority
                       ORDER BY o_totalprice DESC, o_orderkey)""",
+    "q51_tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+         CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price_c,
+         CAST(sum(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS sum_disc_price_c,
+         CAST(sum(${centsSql("l_extendedprice*(1-l_discount)*(1+l_tax)")}) AS BIGINT) AS sum_charge_c,
+         count(*) AS count_order,
+         CAST(sum(${centsSql("l_quantity")}) AS DOUBLE)/100/count(*) AS avg_qty,
+         CAST(sum(${centsSql("l_extendedprice")}) AS DOUBLE)/100/count(*) AS avg_price
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q52_tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         CAST(sum(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS revenue_c
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND o_orderkey = l_orderkey
+           AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue_c DESC, l_orderkey LIMIT 10""",
+    "q53_tpch_q5" ->
+      s"""SELECT n_name,
+         CAST(sum(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS revenue_c
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name""",
+    "q54_tpch_q6" ->
+      s"""SELECT coalesce(CAST(sum(${centsSql("l_extendedprice*l_discount")}) AS BIGINT), 0) AS revenue_c
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q55_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         CAST(sum(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS revenue_c,
+         count(*) AS n_items
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue_c DESC, c_custkey LIMIT 20""",
     "q47_full_outer" ->
       s"""SELECT k,
          coalesce(${centsSql("c_acctbal")}, -1) AS acctbal_c,
