@@ -577,6 +577,16 @@ object Queries {
       .limit(20)
   }
 
+  /** The custom TopKPerGroup physical operator (partial per-partition
+    * heaps -> one shuffle of ≤ k rows/group/partition -> final heaps);
+    * oracle = the window row_number formulation it replaces.
+    */
+  def q56_topk_custom(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perGroup(t(s, dir, "orders"),
+      Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+
   // ------------------------------------------------- pipeline: multimodal
 
   def q35_multimodal(s: SparkSession, dir: String): DataFrame = {
@@ -641,7 +651,8 @@ object Queries {
     "q52_tpch_q3" -> (q52_tpch_q3 _),
     "q53_tpch_q5" -> (q53_tpch_q5 _),
     "q54_tpch_q6" -> (q54_tpch_q6 _),
-    "q55_tpch_q10" -> (q55_tpch_q10 _))
+    "q55_tpch_q10" -> (q55_tpch_q10 _),
+    "q56_topk_custom" -> (q56_topk_custom _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -976,6 +987,12 @@ object Queries {
            AND l_returnflag = 'R' AND c_nationkey = n_nationkey
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue_c DESC, c_custkey LIMIT 20""",
+    "q56_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
     "q47_full_outer" ->
       s"""SELECT k,
          coalesce(${centsSql("c_acctbal")}, -1) AS acctbal_c,

@@ -156,5 +156,6 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SelingerJoinReorder)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

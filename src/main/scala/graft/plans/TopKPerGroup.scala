@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Top-k rows per group in a given sort order, as a whole custom
+  * operator: logical node + planner strategy + two physical stages
+  * (partial heaps before the shuffle, final heaps after).
+  *
+  * The composed alternative — `row_number().over(partitionBy(keys)
+  * .orderBy(ord)) <= k` — shuffles EVERY row of every group and sorts
+  * whole partitions. This operator keeps a bounded heap of k rows per
+  * group on the map side, so at 100 TB the shuffle carries at most
+  * k * upstream-partitions rows per group, independent of group size,
+  * and nothing is ever fully sorted. (The skew case — one hot group —
+  * is exactly where the map-side bound matters most.)
+  *
+  * Exercises the custom-operator extension path end-to-end (SURVEY §7.3's
+  * option (c)): `LogicalPlan` -> `Strategy` -> `SparkPlan` with proper
+  * `requiredChildDistribution`, registered either via
+  * [[GraftExtensions]] or per-session `experimental.extraStrategies`.
+  */
+final case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  import org.apache.spark.sql.execution.PlanLater
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(groups, order, k, child) =>
+      val planned = PlanLater(child)
+      TopKPerGroupExec(groups, order, k, partial = false,
+        TopKPerGroupExec(groups, order, k, partial = true, planned)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupsBound = groupExprs
+    val orderBound = order
+    val schema = child.output
+    val limit = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(groupsBound, schema)
+      val cmp = GenerateOrdering.generate(orderBound, schema)
+      // per group: max-heap under cmp so the WORST kept row is on top
+      val heaps = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.PriorityQueue[InternalRow]]()
+      val heapOrd: Ordering[InternalRow] = (a, b) => cmp.compare(a, b)
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty(heapOrd)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < limit) heap.enqueue(row.copy())
+        else if (cmp.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.forEach { (_, heap) => out ++= heap.toSeq }
+      out.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+object TopK {
+  /** Top-k rows per group; output order within/among groups is
+    * unspecified (like any unsorted relational result).
+    *
+    * Columns are referenced by name and resolved against the analyzed
+    * child plan (Column-derived expressions drag non-serializable
+    * column-node origin metadata into task closures).
+    *
+    * @param orderCols (columnName, ascending)
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val child = GraftSqlBridge.logicalPlan(df)
+    def attr(n: String): Attribute =
+      child.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${child.output.map(_.name)}"))
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+    val plan = TopKPerGroup(
+      groupCols.map(attr),
+      orderCols.map { case (n, asc) =>
+        SortOrder(attr(n), if (asc) Ascending else Descending)
+      },
+      k, child)
+    GraftSqlBridge.datasetOfRows(spark, plan)
+  }
+
+  /** Idempotently register the strategy on sessions without
+    * [[GraftExtensions]].
+    */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+}

@@ -17,4 +17,10 @@ object GraftSqlBridge {
   def datasetOfRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame (for wrapping it in a
+    * custom logical operator).
+    */
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.DataFrame].queryExecution.analyzed
 }
