@@ -54,10 +54,20 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Per-query top-k + rank. Selection runs through the custom
+    * TopKPerGroup operator (bounded map-side heaps: the corpus-sized
+    * score stream never gets fully shuffled or sorted); the final
+    * row_number window only orders the surviving queries x k rows.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perGroup(scored, Seq("query_id"),
+      Seq("cos" -> false, "neighbor_id" -> true), k)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .select("query_id", "rank", "neighbor_id")
   }
 
@@ -106,10 +116,6 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+    rankTopK(scored, k)
   }
 }
