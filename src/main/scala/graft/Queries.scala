@@ -595,6 +595,24 @@ object Queries {
       .select("media_id", "kind", "n_bytes", "width", "height", "channels")
   }
 
+  /** Generator (UDTF-surface) operators: one row per sampled frame of
+    * each media payload via the typed flatMap stage.
+    */
+  def q57_frames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+    Multimodal.sampleFrames(s, media, everyNth = 7).toDF()
+      .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+        col("n_bytes"))
+  }
+
+  /** posexplode over split tokens — the built-in generator path. */
+  def q58_explode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+
   // ================================================================ maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -652,7 +670,9 @@ object Queries {
     "q53_tpch_q5" -> (q53_tpch_q5 _),
     "q54_tpch_q6" -> (q54_tpch_q6 _),
     "q55_tpch_q10" -> (q55_tpch_q10 _),
-    "q56_topk_custom" -> (q56_topk_custom _))
+    "q56_topk_custom" -> (q56_topk_custom _),
+    "q57_frames" -> (q57_frames _),
+    "q58_explode" -> (q58_explode _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -993,6 +1013,16 @@ object Queries {
                   row_number() OVER (PARTITION BY o_custkey
                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3""",
+    "q57_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(unnest(range(0, length(text), 7)) AS BIGINT) AS frame_no,
+         CAST(length(text) AS BIGINT) AS n_bytes
+         FROM documents""",
+    "q58_explode" ->
+      """SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, toks[u.i] AS token
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 50) d,
+              unnest(range(1, len(toks)+1)) AS u(i)""",
     "q47_full_outer" ->
       s"""SELECT k,
          coalesce(${centsSql("c_acctbal")}, -1) AS acctbal_c,
