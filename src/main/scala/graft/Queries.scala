@@ -239,13 +239,13 @@ object Queries {
 
   // ----------------------------------------------- pipeline: dedup (LSH)
 
-  def q26_minhash(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
+  /** LSH near-dup pairs (rows-only check: the LSH candidate set is
+    * probabilistic, so no SQL oracle — the exact-Jaccard counterpart is
+    * oracle-checked as q29).
+    */
+  def q26_minhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
       numHashes = 64, bands = 16, shingleWidth = 3, threshold = 0.5)
-    pairs.agg(
-      count(lit(1)).as("n_dup_pairs"),
-      coalesce(min(col("est_jaccard")), lit(0.0)).as("min_est_jaccard"))
-  }
 
   def q27_simhash(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
@@ -613,6 +613,34 @@ object Queries {
         posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
 
+  /** Window frames: running and windowed-frame aggregates over a
+    * deterministic total order.
+    */
+  def q59_running_sum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .where(col("o_custkey") < 300)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(cents(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("running_c"),
+        max(cents(col("o_totalprice")))
+          .over(w.rowsBetween(-2, 0)).as("max3_c"))
+  }
+
+  /** Array functions over the embeddings vectors (size / element_at /
+    * slice / sort / aggregate-min), exact float arithmetic both sides.
+    */
+  def q60_array_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .where(col("vec_id") < 256)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_v"),
+        array_min(col("embedding")).cast("double").as("min_v"),
+        array_max(col("embedding")).cast("double").as("max_v"),
+        element_at(array_sort(col("embedding")), 3).cast("double").as("third_smallest"))
+
   // ================================================================ maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -672,7 +700,9 @@ object Queries {
     "q55_tpch_q10" -> (q55_tpch_q10 _),
     "q56_topk_custom" -> (q56_topk_custom _),
     "q57_frames" -> (q57_frames _),
-    "q58_explode" -> (q58_explode _))
+    "q58_explode" -> (q58_explode _),
+    "q59_running_sum" -> (q59_running_sum _),
+    "q60_array_funcs" -> (q60_array_funcs _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -1023,6 +1053,23 @@ object Queries {
          FROM (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents WHERE doc_id < 50) d,
               unnest(range(1, len(toks)+1)) AS u(i)""",
+    "q59_running_sum" ->
+      s"""SELECT o_custkey, o_orderkey,
+         CAST(sum(${centsSql("o_totalprice")}) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c,
+         CAST(max(${centsSql("o_totalprice")}) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS max3_c
+         FROM orders WHERE o_custkey < 300""",
+    "q60_array_funcs" ->
+      """SELECT vec_id,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         CAST(embedding[1] AS DOUBLE) AS first_v,
+         CAST(list_min(embedding) AS DOUBLE) AS min_v,
+         CAST(list_max(embedding) AS DOUBLE) AS max_v,
+         CAST(list_sort(embedding)[3] AS DOUBLE) AS third_smallest
+         FROM embeddings WHERE vec_id < 256""",
     "q47_full_outer" ->
       s"""SELECT k,
          coalesce(${centsSql("c_acctbal")}, -1) AS acctbal_c,

@@ -87,6 +87,34 @@ object Streams {
       }
   }
 
+  /** Watermarked streaming deduplication: exactly-once per key within
+    * the watermark horizon; state for a key is dropped once the
+    * watermark passes, so state size tracks the horizon, not the stream.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicates(keyCols :+ "ts")
+
+  /** Stream-stream inner join with both sides watermarked and a join
+    * range condition — Spark buffers only the watermark-bounded window
+    * of each side, so the join state is bounded at any scale.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      lateness: String = "30 minutes",
+      maxGap: String = "15 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val l = left.withWatermark("ts", lateness)
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_id").as("l_event"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_event"))
+    l.join(r, expr(
+      s"""l_user = r_user AND l_event < r_event AND
+          r_ts BETWEEN l_ts AND l_ts + INTERVAL $maxGap"""))
+  }
+
   /** Run a stream to completion against the (finite) file source and
     * return the sink table — used by tests and demos; production callers
     * keep the query running with their own trigger/checkpoint config.

@@ -67,6 +67,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.get(0L).contains(2L))
   }
 
+  test("dedupStream removes duplicate (key, ts) rows within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // times sit a day past epoch: Spark's initial watermark is epoch 0
+    // and rows at-or-before it are dropped as late
+    def ts(min: Int) = new Timestamp(86_400_000L + min * 60_000L)
+    val src = MemoryStream[Event]
+    val deduped = Streams.dedupStream(src.toDF(), Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    src.addData(Event(1, ts(0), 1, "a", 1.0), Event(1, ts(0), 1, "a", 1.0))
+    q.processAllAvailable()
+    src.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 1, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_sink").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("stream-stream join pairs events within the time gap, state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(86_400_000L + min * 60_000L)
+    val src = MemoryStream[Event]
+    val joined = Streams.streamStreamJoin(src.toDF(), src.toDF(),
+      lateness = "10 minutes", maxGap = "15 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: events at 0, 10 (within gap), 40 (outside gap of both)
+    src.addData(Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "a", 0),
+      Event(3, ts(40), 1, "a", 0), Event(4, ts(41), 2, "a", 0))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ss_join")
+      .select("l_event", "r_event").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // (1,3),(2,3) outside 15min; user 2 alone
+  }
+
   test("sessionize: event-time gap rule matches batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
