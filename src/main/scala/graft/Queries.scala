@@ -363,8 +363,12 @@ object Queries {
     */
   def q38_stream_window(s: SparkSession, dir: String): DataFrame = {
     val events = t(s, dir, "events")
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-q38").toString
-    events.repartition(4).write.mode("overwrite").parquet(streamDir)
+    // deterministic per-sfDir copy, written once per machine: the file
+    // stream source needs a directory, and re-materializing 600k rows on
+    // every invocation would dominate the query's cost
+    val streamDir = s"/tmp/graft-q38-src-${math.abs(dir.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$streamDir/_SUCCESS")))
+      events.repartition(4).write.mode("overwrite").parquet(streamDir)
     val stream = graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 2)
     val counts = graft.streaming.Streams.windowedCounts(stream, "1 hour", "30 minutes")
     graft.streaming.Streams
