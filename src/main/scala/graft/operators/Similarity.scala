@@ -71,9 +71,48 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
-  /** IVF-style ANN: deterministic centroid sample, one-pass cell
-    * assignment, query probes nprobe cells. Returns (query_id, rank,
-    * neighbor_id) like the brute-force baseline.
+  /** Lloyd iterations refining IVF centroids: assign every vector to its
+    * best cell (one broadcast pass), recompute element-wise means. The
+    * per-iteration driver traffic is nlist x dim aggregates — model
+    * metadata, never data rows — so training scales with the corpus.
+    * Empty cells keep their previous centroid.
+    */
+  def kmeansCentroids(c: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    var cents: DataFrame = c.orderBy(col("neighbor_id")).limit(nlist)
+      .select(col("neighbor_id").as("cell_id"),
+        col("__cv").cast("array<double>").as("__centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = c.crossJoin(broadcast(cents))
+        .select(col("neighbor_id"), col("__cv"), col("cell_id"),
+          cosine(col("__cv"), col("__centroid")).as("__sim"))
+        .withColumn("__r", row_number().over(
+          Window.partitionBy("neighbor_id").orderBy(col("__sim").desc, col("cell_id"))))
+        .where(col("__r") === 1)
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("__cv")).as(Seq("__i", "__x")))
+        .groupBy("cell_id", "__i").agg(avg(col("__x")).as("__m"))
+        .collect() // <= nlist * dim rows
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      val kept = cents.select("cell_id").as[Long].collect().map { cell =>
+        cell -> means.get(cell)
+      }
+      val prev = cents.as[(Long, Seq[Double])].collect().toMap
+      cents = kept.map { case (cell, m) =>
+        (cell, m.getOrElse(prev(cell)))
+      }.toSeq.toDF("cell_id", "__centroid")
+    }
+    cents
+  }
+
+  /** IVF-style ANN: deterministic seed centroids refined by `trainIters`
+    * k-means rounds, one-pass cell assignment, query probes nprobe
+    * cells. Returns (query_id, rank, neighbor_id) like the brute-force
+    * baseline.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -83,14 +122,13 @@ object Similarity {
       vecCol: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      trainIters: Int = 2): DataFrame = {
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"))
 
-    // Deterministic "training": the first nlist vectors by id serve as
-    // centroids (a fixed sample; swap in k-means rounds when quality
-    // matters more than determinism).
     val cents = broadcast(
-      c.orderBy(col("neighbor_id")).limit(nlist)
+      if (trainIters > 0) kmeansCentroids(c, nlist, trainIters)
+      else c.orderBy(col("neighbor_id")).limit(nlist)
         .select(col("neighbor_id").as("cell_id"), col("__cv").as("__centroid")))
 
     // Assign corpus vectors to their best cell (one broadcast join pass).

@@ -92,6 +92,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("IVF with k-means training finds cluster neighbors at nprobe=1") {
+    // 4 well-separated direction clusters; a query probing ONE cell must
+    // still retrieve neighbors from its own cluster
+    val rnd = new scala.util.Random(11)
+    def cluster(base: Int, n: Int, offset: Long) = (0 until n).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat * 0.05f)
+      v(base) = 1.0f
+      (offset + i, v.toSeq)
+    }
+    val corpus = (cluster(0, 16, 0L) ++ cluster(2, 16, 100L) ++
+      cluster(4, 16, 200L) ++ cluster(6, 16, 300L)).toDF("id", "v")
+    val queries = corpus.where(col("id").isin(0L, 100L, 200L, 300L))
+    val out = Similarity.ivfTopK(queries, corpus, "id", "id", "v",
+      k = 3, nlist = 4, nprobe = 1, trainIters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // every returned neighbor comes from the query's own 100-block
+    assert(out.nonEmpty && out.forall { case (q, n) => (n / 100) == (q / 100) })
+    // and each query got a full k=3 result
+    assert(out.groupBy(_._1).forall(_._2.length == 3))
+  }
+
   // -------------------------------------------------------- as-of join
 
   test("AsOfJoin attaches greatest right ts <= left ts per key") {
