@@ -294,7 +294,8 @@ object Queries {
     val e = t(s, dir, "embeddings")
     Similarity.ivfTopK(
       e.where(col("vec_id") < 16), e, "vec_id", "vec_id", "embedding",
-      k = 5, nlist = 16, nprobe = 16)
+      k = 5, nlist = 16, nprobe = 16,
+      trainIters = 0) // probing every cell is exact regardless of centroids
       .withColumnRenamed("rank", "rnk")
   }
 
