@@ -47,6 +47,12 @@ object Dedup {
       (1 + rnd.nextLong().abs % (HashPrime - 1), rnd.nextLong().abs % HashPrime))
   }
 
+  /** Packed (a_0, b_0, a_1, b_1, ...) coefficient form for the SQL
+    * function registration.
+    */
+  def minHashCoeffArray(numHashes: Int): Array[Long] =
+    minHashCoeffs(numHashes).flatMap { case (a, b) => Seq(a, b) }.toArray
+
   /** MinHash signature: for permutation i, min over shingles of
     * ((a_i * xxhash64(s) + b_i) mod prime). Derived from the classic
     * Broder MinHash scheme; deterministic seeded coefficients. Runs as a

@@ -150,12 +150,49 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** `spark.sql.extensions` entry point: injects the Selinger reorder rule
-  * and registers the native expressions for SQL use.
+/** `spark.sql.extensions` entry point: injects the Selinger reorder rule,
+  * the TopKPerGroup planner strategy, and SQL bindings for the native
+  * expressions (`word_shingles`, `minhash_sig`, `simhash64`,
+  * `dot_product`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+  import graft.functions._
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", name, usage)
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SelingerJoinReorder)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, w) - distinct word w-shingles"),
+      (args: Seq[Expression]) =>
+        WordShingles(args.head, intArg(args(1), "shingle width"))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, k) - k-permutation minhash signature"),
+      (args: Seq[Expression]) => {
+        val k = intArg(args(1), "numHashes")
+        MinHashSignature(args.head,
+          graft.operators.Dedup.minHashCoeffArray(k),
+          graft.operators.Dedup.HashPrime)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit simhash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - float/double array dot product"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
   }
 }

@@ -62,6 +62,20 @@ class SelingerRuleSpec extends AnyFunSuite {
     assert(SelingerJoinReorder(outer).canonicalized == outer.canonicalized)
   }
 
+  test("extension registers the native expressions as SQL functions") {
+    val s2 = SharedSpark.sparkWithExtensions
+    val r = s2.sql(
+      """SELECT simhash64(split('the quick brown fox', ' ')) AS sh,
+                size(word_shingles('a b c d', 2)) AS n_sh,
+                size(minhash_sig(word_shingles('a b c d', 2), 16)) AS n_mh,
+                dot_product(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+                            array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS dp
+      """).head()
+    assert(r.getLong(0) != 0L)
+    assert(r.getInt(1) == 3 && r.getInt(2) == 16)
+    assert(r.getDouble(3) == 11.0)
+  }
+
   test("extension-installed session reorders spark.sql multi-joins") {
     val s2 = SharedSpark.sparkWithExtensions
     Seq("lineitem", "orders", "customer", "nation").foreach { t =>
