@@ -918,7 +918,7 @@ object Queries {
          3 AS channels FROM documents""",
     "q36_json" ->
       """SELECT event_type, count(*) AS n,
-         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type""",
     "q37_txn_visibility" ->

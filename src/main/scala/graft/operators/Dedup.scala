@@ -112,7 +112,7 @@ object Dedup {
       .distinct()
 
     // Verification: re-attach full signatures only for surviving pairs.
-    candidates
+    val pairs = candidates
       .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -122,6 +122,15 @@ object Dedup {
       .where(col("n_match") >= lit((threshold * numHashes).ceil.toLong))
       .select(col("id_a"), col("id_b"),
         (col("n_match").cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+
+    // Materialize eagerly (the surviving-pairs set is small: ids + one
+    // double) so the signature cache can be released NOW instead of
+    // leaking MEMORY_AND_DISK blocks for the session lifetime across
+    // repeated invocations. The checkpointed result itself is freed by the
+    // ContextCleaner once the returned DataFrame is unreachable.
+    val out = pairs.localCheckpoint(true)
+    sigs.unpersist(false)
+    out
   }
 
   /** Exact n-gram (word w-shingle) Jaccard similarity pairs:

@@ -49,7 +49,6 @@ final class JoinOptimizer(joins: Vector[JoinEdge]) {
       isPkey: (String, String) => Boolean): Vector[JoinEdge] = {
 
     val pc = new PlanCache
-    var lastBest: CostCard = CostCard(0.0, 0L, Vector.empty)
 
     for (size <- 1 to joins.length) {
       // combinations() of the distinct edges; within a subset, iterate in
@@ -68,11 +67,16 @@ final class JoinOptimizer(joins: Vector[JoinEdge]) {
         }
         bestCC.foreach { cc =>
           pc.addPlan(subset, cc)
-          lastBest = cc
         }
       }
     }
-    lastBest.plan
+    // Only the plan covering ALL edges is a valid answer. A disconnected
+    // join graph admits no connected left-deep plan for the full set, and
+    // silently returning the best plan of a smaller subset would drop join
+    // edges — callers must fall back to default planning instead
+    // (SelingerReorderRule treats empty as "decline to rewrite").
+    if (joins.isEmpty) Vector.empty
+    else pc.get(joins).map(_.plan).getOrElse(Vector.empty)
   }
 
   /** Mirror of `compute_cost_and_card_of_subplan`

@@ -142,7 +142,23 @@ final class TxnTable(spark: SparkSession, val dir: String) {
   private val root = Paths.get(dir)
   val log = new LogManager(root.resolve("log.tsv"))
   val txns = new TransactionManager(log)
-  private var batchSeq = 0
+
+  /** Highest sequence number already used by a `batch-<txn>-<seq>` or
+    * `ckpt-<seq>` directory on disk, so a TxnTable reopened over an
+    * existing directory (or after recover()) resumes numbering past
+    * durable state instead of restarting at 0 and colliding with
+    * mode=errorifexists writes.
+    */
+  private def maxDurableSeq: Int =
+    if (!Files.exists(root)) 0
+    else Files.list(root).iterator().asScala.map(_.getFileName.toString)
+      .flatMap { n =>
+        if (n.startsWith("batch-")) n.substring(n.lastIndexOf('-') + 1).toIntOption
+        else if (n.startsWith("ckpt-")) n.substring(5).toIntOption
+        else None
+      }.foldLeft(0)(math.max)
+
+  private var batchSeq = maxDurableSeq
 
   /** Insert a batch of rows under `txn`. The parquet write completes (is
     * durable) before the UPDATE record is appended — write-ahead in the
@@ -200,6 +216,7 @@ final class TxnTable(spark: SparkSession, val dir: String) {
   def recover(): Unit = {
     log.recovery()
     txns.recover(maxSeen)
+    batchSeq = maxDurableSeq
   }
 
   private def maxSeen: Long =
