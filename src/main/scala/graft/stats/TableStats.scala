@@ -120,6 +120,25 @@ object TableStats {
     new TableStats(n, ioCostPerPage, pages, intCols, hists)
   }
 
+  /** Build stats for several tables with their Spark jobs submitted
+    * concurrently — each build is 1-2 independent jobs, and on an
+    * otherwise-idle scheduler (driver-side planning time) running them
+    * sequentially leaves the cluster idle between jobs. Thread-safe:
+    * Spark job submission is designed for multi-threaded drivers.
+    */
+  def buildMany(
+      tables: Map[String, DataFrame],
+      ioCostPerPage: Double = 100.0,
+      withHistograms: Boolean = true): Map[String, TableStats] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = tables.map { case (n, df) =>
+      Future(n -> build(df, ioCostPerPage, withHistograms = withHistograms))
+    }
+    Await.result(Future.sequence(futures), Duration.Inf).toMap
+  }
+
   /** Test/bench constructor from pre-built histograms (no Spark). */
   def fromHistograms(
       numTuples: Long,
