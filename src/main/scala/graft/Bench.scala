@@ -15,24 +15,43 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.queries("q01_scan")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    // Two passes per query: pass 1 pays one-time costs (whole-stage
+    // Two passes per query: pass 1 (cold) pays one-time costs (whole-stage
     // codegen compilation, parquet footer/schema caches, shuffle file
-    // warmup) that a long-lived engine amortizes across thousands of
-    // queries; pass 2 is the steady-state throughput. Report steady-state
-    // as the headline, with the cold pass included for transparency.
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // warmup); pass 2 is the steady-state throughput a long-lived engine
+    // sees. "value" stays the COLD total for cross-round continuity; the
+    // warm pass is reported alongside as warm_total/queries_warm.
+    // A query that throws is reported in "errors" (and timed as -1), so a
+    // crash can never masquerade as a fast number.
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case e: Throwable =>
+          (-1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+      }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val cold = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
     val warm = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => " "
+                  case c if c < ' ' => " "; case c => c.toString }
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val warmTotal = warm.map(_._2).sum
-    val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${jsonMap(warm)},"sf":"$sfDir","cold_total":$coldTotal,"queries_cold":${jsonMap(cold)}}""")
+    val errors = (cold ++ warm).collect { case (n, (_, Some(e))) => n -> e }
+      .groupBy(_._1).map { case (n, es) => n -> es.head._2 }.toSeq.sortBy(_._1)
+    val errJson = errors
+      .map { case (n, e) => s"\"" + n + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
+    val coldTimes = cold.map { case (n, (v, _)) => n -> v }
+    val warmTimes = warm.map { case (n, (v, _)) => n -> v }
+    val coldTotal = coldTimes.map(_._2).filter(_ >= 0).sum
+    val warmTotal = warmTimes.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${jsonMap(coldTimes)},"sf":"$sfDir","warm_total":$warmTotal,"queries_warm":${jsonMap(warmTimes)},"errors":$errJson}""")
     spark.stop()
   }
 }

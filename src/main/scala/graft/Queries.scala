@@ -65,10 +65,11 @@ object Queries {
   def q05_join_opt(s: SparkSession, dir: String): DataFrame = {
     val names = Seq("lineitem", "orders", "customer", "nation")
     val tables = names.map(n => n -> t(s, dir, n)).toMap
-    // Light stats (no histograms): the DP needs row counts + scan costs;
-    // the filter selectivity arrives pre-computed per the reference's
-    // order_joins contract.
-    val stats = TableStats.buildMany(tables, withHistograms = false)
+    // Stats come from the Catalog's per-(dir, table) memo — built once
+    // per process (like the reference's persisted Catalog.txt) and shared
+    // with the Catalyst rule via StatsRegistry, so repeat invocations
+    // skip the two aggregation jobs per table.
+    val stats = Catalog.statsMany(s, dir, names)
 
     val edges = Vector(
       JoinEdge("lineitem", "orders", "l_orderkey", "o_orderkey", PredicateOp.EQ),
@@ -186,7 +187,9 @@ object Queries {
     * reference's span formula.
     */
   def q18_histogram(s: SparkSession, dir: String): DataFrame = {
-    val stats = TableStats.build(t(s, dir, "part"))
+    // only p_size is read — don't pay a per-partition buffer for every
+    // integral column of part
+    val stats = TableStats.build(t(s, dir, "part"), columns = Some(Seq("p_size")))
     val h = stats.histogram("p_size")
     val rows = h.bucketCounts.zipWithIndex.collect {
       case (c, b) if c > 0 => (b.toLong, c)
@@ -342,19 +345,25 @@ object Queries {
     */
   def q37_txn_visibility(s: SparkSession, dir: String): DataFrame = {
     // The txn tape (3 parquet batch writes) is deterministic per sfDir;
-    // build it once per machine and let later invocations exercise the
-    // cold-open path instead: a fresh TxnTable over an existing directory
-    // re-derives committed state from the durable log — the same recovery
-    // contract, without re-paying the writes. A marker written last makes
-    // partially-built dirs (crash mid-build) detectable and rebuilt.
-    val tmp = s"/tmp/graft-q37-${math.abs(dir.hashCode)}"
+    // build it once PER PROCESS — keyed by pid + the sanitized source
+    // path, so a fresh JVM always pays the full transaction path (begin/
+    // insert/commit/abort/crash), later invocations in the same process
+    // exercise the cold-open recovery path (a fresh TxnTable re-deriving
+    // committed state from the durable log), no two processes ever share
+    // a tape, and a regenerated dataset can't serve stale state across
+    // runs. A marker written last makes partially-built dirs (crash
+    // mid-build) detectable and rebuilt.
+    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tmp = s"/tmp/graft-q37-${ProcessHandle.current().pid()}-$sanitized"
     val root = java.nio.file.Paths.get(tmp)
     val marker = root.resolve("_graft_built")
     if (!java.nio.file.Files.exists(marker)) {
       if (java.nio.file.Files.exists(root)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
       }
       val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
       val table = new graft.txn.TxnTable(s, tmp)

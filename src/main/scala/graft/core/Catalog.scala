@@ -16,17 +16,54 @@ object Catalog {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
     // read as a raw long; convert nanos -> microsecond TimestampType here
-    // so downstream operators see a normal timestamp column.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    // so downstream operators see a normal timestamp column. The legacy
+    // conf is only needed (and only set) for that one table — session
+    // state isn't mutated for the other nine lookups.
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
   def loadAll(spark: SparkSession, dir: String): Map[String, DataFrame] =
     tableNames.map(n => n -> table(spark, dir, n)).toMap
+
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.stats.TableStats]()
+
+  /** [[graft.stats.TableStats]] memoized per (dir, table) — the analogue
+    * of the reference's persisted Catalog.txt: the fixtures are immutable,
+    * so stats built once serve every later query in the process. Each
+    * build also registers with [[graft.stats.StatsRegistry]], so
+    * [[graft.plans.SelingerJoinReorder]] sees true row counts and
+    * histogram selectivities for SQL-path queries over these tables.
+    */
+  def stats(spark: SparkSession, dir: String, name: String): graft.stats.TableStats =
+    statsCache.computeIfAbsent((dir, name), { _ =>
+      val df = table(spark, dir, name)
+      val ts = graft.stats.TableStats.build(df)
+      graft.stats.StatsRegistry.register(df, ts)
+      ts
+    })
+
+  /** Batch variant: builds only the missing tables, their Spark jobs
+    * submitted concurrently via [[graft.stats.TableStats.buildMany]].
+    */
+  def statsMany(spark: SparkSession, dir: String,
+      names: Seq[String]): Map[String, graft.stats.TableStats] = {
+    val missing = names.filterNot(n => statsCache.containsKey((dir, n)))
+    if (missing.nonEmpty) {
+      val built = graft.stats.TableStats.buildMany(
+        missing.map(n => n -> table(spark, dir, n)).toMap)
+      built.foreach { case (n, ts) =>
+        statsCache.putIfAbsent((dir, n), ts)
+        graft.stats.StatsRegistry.register(table(spark, dir, n), ts)
+      }
+    }
+    names.map(n => n -> statsCache.get((dir, n))).toMap
+  }
 
   /** Standard session factory: 32 shuffle partitions to match local[32]
     * (not the 200 default sized for clusters), AQE on for runtime

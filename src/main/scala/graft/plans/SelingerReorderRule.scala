@@ -1,9 +1,9 @@
 package graft.plans
 
-import graft.stats.{PredicateOp, TableStats}
+import graft.stats.{PredicateOp, StatsRegistry, TableStats}
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Not, Or, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -22,12 +22,25 @@ import org.apache.spark.sql.catalyst.trees.TreeNodeTag
   * reference (`/root/reference/src/optimizer/join_optimizer.cc:108-137`
   * produces an order and owns no executor).
   *
-  * Statistics: per-relation row counts come from the logical plan's
-  * size-in-bytes statistics (Spark's file-index stats), mapped into the
-  * reference's cost model (scanCost = 2 * io * pages at 8196 B/page).
-  * The column-histogram path ([[TableStats.build]]) remains available for
-  * callers that pre-compute stats; inside the rule we stay with plan
-  * stats so optimization never triggers jobs.
+  * Statistics: the rule peels each join input down to its base relation,
+  * collecting the Filter conjuncts above it, then sources per-relation
+  * stats in preference order — (1) [[StatsRegistry]] entries (true row
+  * counts + integer histograms, pre-built once per table like the
+  * reference's persisted catalog), with filter selectivity estimated per
+  * conjunct through [[TableStats.estimateSelectivity]] exactly as the
+  * reference feeds `filterSelectivities` into `order_joins`
+  * (`/root/reference/test/unit/optimizer/optimizer_test.cc:452-462`);
+  * (2) the plan's CBO rowCount; (3) a size-in-bytes / default-row-width
+  * guess. Conjuncts without a usable histogram fall back to System R
+  * constants (EQ 0.1, range 0.3). Optimization never triggers Spark jobs
+  * — registry lookup is a map read.
+  *
+  * Join edges cover all six predicate ops of the reference's DP (EQ plus
+  * the theta ops via `<`,`<=`,`>`,`>=`,`!=`), and multiple edges between
+  * the same table pair are allowed (the extra edges land as residual
+  * Filters over the join, like the reference's plan application); only
+  * edges identical up to op are declined, since the memo's reference-
+  * faithful identity ignores op ([[PlanCache]]).
   *
   * Registered via [[GraftExtensions]]
   * (`spark.sql.extensions=graft.plans.GraftExtensions`) or applied
@@ -76,6 +89,68 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
       case other => (Seq(other), Seq.empty)
     }
 
+  /** Strip the Filter/Project stack off a join input, returning the base
+    * relation and the filter conjuncts above it (projection doesn't change
+    * cardinality, so it is looked through for estimation only — the
+    * original subtree is what gets placed back into the rebuilt tree).
+    */
+  private def peel(p: LogicalPlan): (LogicalPlan, Seq[Expression]) = p match {
+    case Filter(cond, child) =>
+      val (b, fs) = peel(child)
+      (b, fs ++ splitConjunctivePredicates(cond))
+    case Project(_, child) => peel(child)
+    case other => (other, Seq.empty)
+  }
+
+  // System R fallback selectivities for conjuncts with no usable histogram
+  private val EqSel = 0.1
+  private val RangeSel = 0.3
+  private val OtherSel = 0.25
+
+  private object IntLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+  }
+
+  /** Per-conjunct selectivity: histogram-backed when the relation has
+    * registered stats covering the column, System R constants otherwise
+    * (mirrors the reference's estimate paths in
+    * `table_stats.cc:186-226` for the histogram case).
+    */
+  private def predicateSelectivity(ts: Option[TableStats], e: Expression): Double = {
+    def hist(a: Attribute, op: PredicateOp, v: Long, fallback: Double): Double =
+      ts.filter(_.hasHistogram(a.name))
+        .map(_.estimateSelectivity(a.name, op, v))
+        .getOrElse(fallback)
+    e match {
+      case IsNotNull(_) => 1.0
+      case EqualTo(a: Attribute, IntLit(v)) => hist(a, PredicateOp.EQ, v, EqSel)
+      case EqualTo(IntLit(v), a: Attribute) => hist(a, PredicateOp.EQ, v, EqSel)
+      case LessThan(a: Attribute, IntLit(v)) => hist(a, PredicateOp.LT, v, RangeSel)
+      case LessThan(IntLit(v), a: Attribute) => hist(a, PredicateOp.GT, v, RangeSel)
+      case LessThanOrEqual(a: Attribute, IntLit(v)) => hist(a, PredicateOp.LE, v, RangeSel)
+      case LessThanOrEqual(IntLit(v), a: Attribute) => hist(a, PredicateOp.GE, v, RangeSel)
+      case GreaterThan(a: Attribute, IntLit(v)) => hist(a, PredicateOp.GT, v, RangeSel)
+      case GreaterThan(IntLit(v), a: Attribute) => hist(a, PredicateOp.LT, v, RangeSel)
+      case GreaterThanOrEqual(a: Attribute, IntLit(v)) => hist(a, PredicateOp.GE, v, RangeSel)
+      case GreaterThanOrEqual(IntLit(v), a: Attribute) => hist(a, PredicateOp.LE, v, RangeSel)
+      case Not(inner) => math.max(0.0, 1.0 - predicateSelectivity(ts, inner))
+      case And(l, r) => predicateSelectivity(ts, l) * predicateSelectivity(ts, r)
+      case Or(l, r) =>
+        val (a, b) = (predicateSelectivity(ts, l), predicateSelectivity(ts, r))
+        math.min(1.0, a + b - a * b)
+      case In(_, list) => math.min(1.0, EqSel * list.size)
+      case _: EqualTo | _: EqualNullSafe => EqSel
+      case _: LessThan | _: LessThanOrEqual | _: GreaterThan | _: GreaterThanOrEqual => RangeSel
+      case _ => OtherSel
+    }
+  }
+
   private def reorder(root: Join): Option[LogicalPlan] = {
     val (rels, conds) = flatten(root)
     if (rels.size < 3 || rels.size > MaxEdges + 1) return None
@@ -85,58 +160,115 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     def relOf(a: Attribute): Option[LogicalPlan] =
       rels.find(_.outputSet.contains(a))
 
-    // every conjunct must be an equi-join between two distinct relations
-    val edges = conds.map {
-      case EqualTo(a: Attribute, b: Attribute) =>
-        (relOf(a), relOf(b)) match {
-          case (Some(ra), Some(rb)) if ra != rb =>
-            Some((JoinEdge(names(ra), names(rb), a.name, b.name, PredicateOp.EQ),
-              Map(names(ra) -> a, names(rb) -> b)))
-          case _ => None
-        }
-      case _ => None
+    // Classify each conjunct: a two-relation comparison in one of the
+    // DP's six ops becomes a join edge; a deterministic single-relation
+    // conjunct becomes a residual filter on that side (lowering its
+    // cardinality estimate and re-applied in the rebuilt tree); anything
+    // else (multi-relation non-binary shapes, nondeterminism) declines.
+    val edgeSpecs = Vector.newBuilder[(JoinEdge, Map[String, Attribute])]
+    val residual = scala.collection.mutable.Map.empty[LogicalPlan, Vector[Expression]]
+      .withDefaultValue(Vector.empty)
+
+    def mkEdge(op: PredicateOp, a: Attribute, b: Attribute): Boolean =
+      (relOf(a), relOf(b)) match {
+        case (Some(ra), Some(rb)) if ra != rb =>
+          edgeSpecs += ((JoinEdge(names(ra), names(rb), a.name, b.name, op),
+            Map(names(ra) -> a, names(rb) -> b)))
+          true
+        case _ => false
+      }
+
+    conds.foreach { c =>
+      val isEdge = c match {
+        case EqualTo(a: Attribute, b: Attribute) => mkEdge(PredicateOp.EQ, a, b)
+        case LessThan(a: Attribute, b: Attribute) => mkEdge(PredicateOp.LT, a, b)
+        case LessThanOrEqual(a: Attribute, b: Attribute) => mkEdge(PredicateOp.LE, a, b)
+        case GreaterThan(a: Attribute, b: Attribute) => mkEdge(PredicateOp.GT, a, b)
+        case GreaterThanOrEqual(a: Attribute, b: Attribute) => mkEdge(PredicateOp.GE, a, b)
+        case Not(EqualTo(a: Attribute, b: Attribute)) => mkEdge(PredicateOp.NE, a, b)
+        case _ => false
+      }
+      if (!isEdge) {
+        val refRels = c.references.toSeq.flatMap(relOf(_)).distinct
+        if (refRels.size == 1 && c.deterministic) residual(refRels.head) :+= c
+        else return None
+      }
     }
-    if (edges.exists(_.isEmpty)) return None
-    val joinEdges = edges.flatten.map(_._1).toVector
+
+    val specs = edgeSpecs.result()
+    val joinEdges = specs.map(_._1).distinct
     if (joinEdges.isEmpty || joinEdges.size > MaxEdges) return None
-    // duplicate edges on the same table pair break the DP's memo keys
-    if (joinEdges.map(e => Set(e.leftTable, e.rightTable)).distinct.size !=
-      joinEdges.size) return None
+    // The memo's reference-faithful identity ignores op (PlanCache keys,
+    // JoinGraph.scala:59): two edges identical up to op would collide.
+    if (joinEdges.map(e => (e.leftTable, e.rightTable, e.leftField, e.rightField))
+      .distinct.size != joinEdges.size) return None
 
     val byName = names.map(_.swap)
-    val stats: Map[String, TableStats] = byName.map { case (n, rel) =>
-      val s = rel.stats
-      val bytes = s.sizeInBytes
-      val pages = ((bytes + 8195) / 8196).max(1).toLong
-      val rowSize = math.max(8L, 8L * rel.output.size)
-      val rows = s.rowCount.map(_.toLong)
-        .getOrElse((bytes / rowSize).max(1).toLong)
-      n -> TableStats.fromHistograms(rows, 100.0, pages, IndexedSeq.empty)
+    val peeled: Map[String, (LogicalPlan, Seq[Expression])] =
+      byName.map { case (n, rel) => n -> peel(rel) }
+
+    val statsAndSel: Map[String, (TableStats, Double)] = byName.map { case (n, rel) =>
+      val (base, peeledFilters) = peeled(n)
+      val registered = StatsRegistry.forPlan(base)
+      val ts = registered.getOrElse {
+        val s = base.stats
+        val bytes = s.sizeInBytes
+        val pages = ((bytes + 8195) / 8196).max(1).toLong
+        // fallback guess: default in-memory row width vs (compressed)
+        // file bytes — only reached when no stats were registered and
+        // CBO has no rowCount
+        val rowSize = math.max(8L,
+          base.output.map(_.dataType.defaultSize.toLong).sum)
+        val rows = s.rowCount.map(_.toLong)
+          .getOrElse((bytes / rowSize).max(1).toLong)
+        TableStats.fromHistograms(rows, 100.0, pages, IndexedSeq.empty)
+      }
+      val sel = (peeledFilters ++ residual(rel))
+        .foldLeft(1.0)((acc, f) => acc * predicateSelectivity(registered, f))
+      n -> (ts, sel)
     }
-    // reference pkey convention: the relation's first output column
+    val stats = statsAndSel.map { case (n, (ts, _)) => n -> ts }
+    val filterSel = statsAndSel.collect { case (n, (_, s)) if s < 1.0 => n -> s }
+
+    // reference pkey convention: the base relation's first column
     val isPkey = (tbl: String, colName: String) =>
-      byName(tbl).output.headOption.exists(_.name == colName)
+      peeled(tbl)._1.output.headOption.exists(_.name == colName)
 
     val order = new JoinOptimizer(joinEdges)
-      .orderJoins(stats, Map.empty, isPkey)
+      .orderJoins(stats, filterSel, isPkey)
     if (order.isEmpty) return None
 
     // fold the order back into a left-deep Join tree
     val attrFor: Map[JoinEdge, Map[String, Attribute]] =
-      edges.flatten.map { case (e, m) => e -> m }.toMap ++
-        edges.flatten.map { case (e, m) => e.swapInnerOuter -> m }.toMap
+      (specs.map { case (e, m) => e -> m } ++
+        specs.map { case (e, m) => e.swapInnerOuter -> m }).toMap
+
+    def cond(e: JoinEdge): Expression = {
+      val l = attrFor(e)(e.leftTable)
+      val r = attrFor(e)(e.rightTable)
+      e.op match {
+        case PredicateOp.EQ => EqualTo(l, r)
+        case PredicateOp.NE => Not(EqualTo(l, r))
+        case PredicateOp.LT => LessThan(l, r)
+        case PredicateOp.LE => LessThanOrEqual(l, r)
+        case PredicateOp.GT => GreaterThan(l, r)
+        case PredicateOp.GE => GreaterThanOrEqual(l, r)
+      }
+    }
+    // conjuncts consumed from join conditions (not part of any leaf
+    // subtree) re-attach as Filters over their relation
+    def leafOf(tbl: String): LogicalPlan =
+      residual(byName(tbl)).foldLeft(byName(tbl))((p, f) => Filter(f, p))
 
     var joined: Set[String] = Set(order.head.leftTable, order.head.rightTable)
-    def cond(e: JoinEdge): Expression =
-      EqualTo(attrFor(e)(e.leftTable), attrFor(e)(e.rightTable))
-    var tree: LogicalPlan = Join(byName(order.head.leftTable),
-      byName(order.head.rightTable), Inner, Some(cond(order.head)), JoinHint.NONE)
+    var tree: LogicalPlan = Join(leafOf(order.head.leftTable),
+      leafOf(order.head.rightTable), Inner, Some(cond(order.head)), JoinHint.NONE)
     order.tail.foreach { e =>
       if (joined(e.leftTable) && joined(e.rightTable)) {
         tree = Filter(cond(e), tree)
       } else {
         val newSide = if (joined(e.leftTable)) e.rightTable else e.leftTable
-        tree = Join(tree, byName(newSide), Inner, Some(cond(e)), JoinHint.NONE)
+        tree = Join(tree, leafOf(newSide), Inner, Some(cond(e)), JoinHint.NONE)
         joined += newSide
       }
     }

@@ -37,6 +37,11 @@ final class TableStats private (
 
   def histogram(col: String): IntHistogram = hists(col)
 
+  /** Whether a histogram was built for `col` (integral, non-all-null, and
+    * not excluded by the build's column filter).
+    */
+  def hasHistogram(col: String): Boolean = hists.contains(col)
+
   def estimateSelectivity(col: String, op: PredicateOp, v: Long): Double =
     hists(col).estimateSelectivity(op, v)
 
@@ -64,16 +69,22 @@ object TableStats {
     *        callers that only need row counts and scan costs (the join
     *        DP receives filter selectivities pre-computed, like the
     *        reference's order_joins contract).
+    * @param columns restrict histogram building to these columns — at
+    *        100 TB every extra column is an extra per-partition buffer in
+    *        both passes, so callers that read one histogram shouldn't pay
+    *        for ten. None = all integral columns.
     */
   def build(
       df: DataFrame,
       ioCostPerPage: Double = 100.0,
       numPagesOverride: Option[Long] = None,
       numBins: Int = NumHistBins,
-      withHistograms: Boolean = true): TableStats = {
+      withHistograms: Boolean = true,
+      columns: Option[Seq[String]] = None): TableStats = {
 
     val intCols: IndexedSeq[String] =
-      df.schema.fields.filter(f => isIntegral(f.dataType)).map(_.name).toIndexedSeq
+      df.schema.fields.filter(f => isIntegral(f.dataType))
+        .map(_.name).filter(n => columns.forall(_.contains(n))).toIndexedSeq
 
     // Pass 1: count + min/max for every integral column in ONE job.
     val aggExprs = Seq(count(lit(1)).as("__n")) ++ intCols.flatMap { c =>
@@ -130,11 +141,14 @@ object TableStats {
       tables: Map[String, DataFrame],
       ioCostPerPage: Double = 100.0,
       withHistograms: Boolean = true): Map[String, TableStats] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // blocking{}: each build awaits Spark jobs, so without it a large
+    // table map would pin every global fork-join worker for the whole
+    // Await and starve unrelated users of the shared pool.
     val futures = tables.map { case (n, df) =>
-      Future(n -> build(df, ioCostPerPage, withHistograms = withHistograms))
+      Future(blocking { n -> build(df, ioCostPerPage, withHistograms = withHistograms) })
     }
     Await.result(Future.sequence(futures), Duration.Inf).toMap
   }

@@ -151,12 +151,14 @@ final class TxnTable(spark: SparkSession, val dir: String) {
     */
   private def maxDurableSeq: Int =
     if (!Files.exists(root)) 0
-    else Files.list(root).iterator().asScala.map(_.getFileName.toString)
-      .flatMap { n =>
-        if (n.startsWith("batch-")) n.substring(n.lastIndexOf('-') + 1).toIntOption
-        else if (n.startsWith("ckpt-")) n.substring(5).toIntOption
-        else None
-      }.foldLeft(0)(math.max)
+    else scala.util.Using.resource(Files.list(root)) { stream =>
+      stream.iterator().asScala.map(_.getFileName.toString)
+        .flatMap { n =>
+          if (n.startsWith("batch-")) n.substring(n.lastIndexOf('-') + 1).toIntOption
+          else if (n.startsWith("ckpt-")) n.substring(5).toIntOption
+          else None
+        }.foldLeft(0)(math.max)
+    }
 
   private var batchSeq = maxDurableSeq
 

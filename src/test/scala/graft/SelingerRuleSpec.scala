@@ -76,6 +76,61 @@ class SelingerRuleSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 11.0)
   }
 
+  test("registered stats: a selective filter changes the chosen order") {
+    // Register real TableStats (row counts + histograms) so the rule's
+    // estimates are stats-driven, like the reference's order_joins fed by
+    // filterSelectivities (optimizer_test.cc:452-462).
+    Seq("lineitem", "orders", "customer", "nation")
+      .foreach(n => graft.core.Catalog.stats(spark, dir, n))
+    val li = graft.core.Catalog.table(spark, dir, "lineitem")
+    val o = graft.core.Catalog.table(spark, dir, "orders")
+    val c = graft.core.Catalog.table(spark, dir, "customer")
+    val n = graft.core.Catalog.table(spark, dir, "nation")
+    def chain(of: org.apache.spark.sql.DataFrame) = li
+      .join(of, li("l_orderkey") === of("o_orderkey"))
+      .join(c, of("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .select(li("l_orderkey"), n("n_name"))
+
+    val unfiltered = chain(o)
+    val filtered = chain(o.where(o("o_orderkey") < 10))
+    val unfLeaves = joinChainLeaves(
+      SelingerJoinReorder(unfiltered.queryExecution.optimizedPlan))
+    val filPlan = SelingerJoinReorder(filtered.queryExecution.optimizedPlan)
+    val filLeaves = joinChainLeaves(filPlan)
+    assert(unfLeaves != filLeaves,
+      s"selective filter did not change the order: $unfLeaves vs $filLeaves")
+    assert(filLeaves.head.startsWith("o_"),
+      s"near-empty filtered orders should lead the plan: $filLeaves")
+
+    val expected = filtered.collect().map(_.toSeq).toSet
+    val got = org.apache.spark.sql.GraftSqlBridge
+      .datasetOfRows(spark, filPlan).collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
+  test("theta + duplicate-pair edges reorder and preserve results") {
+    // Mirrors the reference's NonequalityOrderJoinsTest
+    // (optimizer_test.cc:577-623) through spark.sql: one table pair
+    // carries BOTH an equi edge and an inequality edge.
+    val s2 = SharedSpark.sparkWithExtensions
+    Seq("lineitem", "orders", "customer").foreach { t =>
+      graft.core.Catalog.table(s2, dir, t).createOrReplaceTempView(t)
+      graft.core.Catalog.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+    val sql =
+      """SELECT count(*) AS cnt
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND o_orderkey > c_custkey""".stripMargin
+    val withRule = s2.sql(sql)
+    // the rule must have engaged: join leaves no longer in authored order
+    val leaves = joinChainLeaves(withRule.queryExecution.optimizedPlan)
+    assert(!leaves.head.startsWith("l_"),
+      s"big lineitem still outermost with a theta edge present: $leaves")
+    assert(withRule.head().getLong(0) == spark.sql(sql).head().getLong(0))
+  }
+
   test("extension-installed session reorders spark.sql multi-joins") {
     val s2 = SharedSpark.sparkWithExtensions
     Seq("lineitem", "orders", "customer", "nation").foreach { t =>
