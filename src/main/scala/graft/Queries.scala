@@ -241,17 +241,48 @@ object Queries {
 
   // ----------------------------------------------- pipeline: dedup (LSH)
 
-  /** LSH near-dup pairs (rows-only check: the LSH candidate set is
-    * probabilistic, so no SQL oracle — the exact-Jaccard counterpart is
-    * oracle-checked as q29).
+  /** MinHash-LSH recall invariant, oracle-checked: exact n-gram-Jaccard
+    * pairs at the banding threshold (capped id range, like q29),
+    * SEMI-joined against the LSH candidate set. MinHash signatures are
+    * deterministic (fixed seeds), so this equals the full exact pair set
+    * iff banding (64 hashes, 32 bands of 2 rows: P(candidate | j=0.5) =
+    * 1-(1-0.25)^32 ≈ 0.9999) surfaced every true pair — which the DuckDB
+    * oracle states declaratively as the plain exact-pairs query. A
+    * banding bug now FAILS the gate instead of shrinking a trusted
+    * rows-only count.
     */
-  def q26_minhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
-      numHashes = 64, bands = 16, shingleWidth = 3, threshold = 0.5)
+  def q26_minhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+    val candidates = Dedup.minHashPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleWidth = 3, threshold = 0.0)
+      .select("id_a", "id_b")
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleWidth = 3,
+      threshold = 0.5, bruteForce = true)
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+  }
 
+  /** SimHash pigeonhole invariant, oracle-checked: the banded path
+    * (Dedup.simHashPairs: signature chunks → bucket join → bit_count
+    * verify) must produce EXACTLY the brute-force all-pairs
+    * Hamming-≤-maxDist set — pigeonhole guarantees any pair within
+    * distance d agrees on one of d+1 chunks, so unlike MinHash this
+    * equality is a mathematical identity, not a recall bet. The query
+    * emits the symmetric difference of the two forms over a capped id
+    * range; the oracle states it is empty (SimHash itself is not
+    * SQL-expressible, but "no disagreement" is).
+    */
   def q27_simhash(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
-    pairs.agg(count(lit(1)).as("n_dup_pairs"))
+    val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+    val banded = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+    val sigs = docs.select(col("doc_id").as("__id"),
+      Dedup.simHash(col("text")).as("__sim"))
+    val brute = sigs.select(col("__id").as("id_a"), col("__sim").as("sim_a"))
+      .crossJoin(sigs.select(col("__id").as("id_b"), col("__sim").as("sim_b")))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+    banded.exceptAll(brute).unionAll(brute.exceptAll(banded))
   }
 
   /** Embedding near-dup pairs, exact form over a capped id range so the
@@ -618,10 +649,17 @@ object Queries {
 
   // ------------------------------------------------- pipeline: multimodal
 
+  /** Real header decode end-to-end: synthesize minimal PNG/JPEG
+    * containers from row ids with native column functions, then recover
+    * width/height/channels by parsing actual magic bytes and big-endian
+    * header fields in the mapPartitions decode stage. The oracle states
+    * the dimensions straight from the id formulas — any parser bug
+    * breaks the match.
+    */
   def q35_multimodal(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+    val media = Multimodal.syntheticImages(t(s, dir, "documents"), "doc_id")
     Multimodal.decodeImages(s, media).toDF()
-      .select("media_id", "kind", "n_bytes", "width", "height", "channels")
+      .select("media_id", "format", "n_bytes", "width", "height", "channels")
   }
 
   /** Generator (UDTF-surface) operators: one row per sampled frame of
@@ -882,6 +920,27 @@ object Queries {
              list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
            (acc, c) -> (acc*31 + c) % 1000000007) AS fp
          FROM documents""",
+    // Recall invariant: Spark emits (exact pairs ≥ 0.5) ∩ (LSH candidates);
+    // the oracle states the full exact pair set. Equal iff LSH recall = 1.
+    "q26_minhash" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [text] END) AS s
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                 FROM documents WHERE doc_id < 200))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""",
+    // Pigeonhole identity: banded and brute-force SimHash pair sets must
+    // not disagree — the oracle states the symmetric difference is empty.
+    "q27_simhash" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+                CAST(NULL AS BIGINT) AS hamming
+         WHERE FALSE""",
     "q28_embed_neardup" -> {
       val dot = dotSql("va", "vb")
       val na = dotSql("va", "va"); val nb = dotSql("vb", "vb")
@@ -935,10 +994,11 @@ object Queries {
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
          FROM x GROUP BY user_id""",
     "q35_multimodal" ->
-      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
-         CAST(length(text) AS BIGINT) AS n_bytes,
-         CAST(1 + length(text) % 1024 AS INTEGER) AS width,
-         CAST(1 + (length(text)*7) % 768 AS INTEGER) AS height,
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 23 END AS BIGINT) AS n_bytes,
+         CAST(1 + doc_id % 1024 AS INTEGER) AS width,
+         CAST(1 + (doc_id*7) % 768 AS INTEGER) AS height,
          3 AS channels FROM documents""",
     "q36_json" ->
       """SELECT event_type, count(*) AS n,

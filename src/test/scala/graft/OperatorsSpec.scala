@@ -168,14 +168,46 @@ class OperatorsSpec extends AnyFunSuite {
 
   // -------------------------------------------------------- multimodal
 
-  test("Multimodal decode plumbing: deterministic stub metadata") {
+  test("Multimodal decode: non-image payloads fall back to raw metadata") {
     val media = Multimodal.fromText(
       Seq((7L, "abcdef")).toDF("id", "t"), "id", "t")
     val meta = Multimodal.decodeImages(spark, media).collect()
     assert(meta.length == 1)
     val m = meta.head
-    assert(m.media_id == 7L && m.n_bytes == 6L &&
+    assert(m.media_id == 7L && m.format == "raw" && m.n_bytes == 6L &&
       m.width == 7 && m.height == 43 && m.channels == 3)
+  }
+
+  test("ImageHeader parses PNG IHDR, JPEG SOF, GIF descriptors") {
+    import Multimodal.ImageHeader
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 640x480, color type 6 (RGBA)
+    val png = bytes("89504E470D0A1A0A0000000D49484452" +
+      "0000028000000" + "1E0" + "0806000000" + "00000000")
+    assert(ImageHeader.parse(png).contains(ImageHeader.Info("png", 640, 480, 4)))
+    // JPEG with an APP0 segment before SOF0: 123x77, 3 components
+    val jpeg = bytes("FFD8" + "FFE00004" + "0000" + // APP0 len 4 (2 payload)
+      "FFC00011" + "08" + "004D" + "007B" + "03" + "011100021101031101" + "FFD9")
+    assert(ImageHeader.parse(jpeg).contains(ImageHeader.Info("jpeg", 123, 77, 3)))
+    // progressive JPEG (SOF2)
+    val jpeg2 = bytes("FFD8" + "FFC20011" + "08" + "0001" + "0002" + "01" +
+      "011100021101031101" + "FFD9")
+    assert(ImageHeader.parse(jpeg2).contains(ImageHeader.Info("jpeg", 2, 1, 1)))
+    // GIF89a 3x5 (little-endian dims)
+    val gif = bytes("474946383961" + "0300" + "0500" + "00000000")
+    assert(ImageHeader.parse(gif).contains(ImageHeader.Info("gif", 3, 5, 3)))
+    // truncated / garbage
+    assert(ImageHeader.parse(bytes("FFD8FFC0")).isEmpty)
+    assert(ImageHeader.parse("not an image".getBytes).isEmpty)
+  }
+
+  test("synthetic containers round-trip through the real header parser") {
+    val df = Seq(4L, 7L).toDF("id")
+    val meta = Multimodal.decodeImages(spark, Multimodal.syntheticImages(df, "id"))
+      .collect().sortBy(_.media_id)
+    assert(meta(0) == Multimodal.ImageMeta(4L, "png", 33L, 5, 29, 3))
+    assert(meta(1) == Multimodal.ImageMeta(7L, "jpeg", 23L, 8, 50, 3))
   }
 
   test("Multimodal frame sampling: one row per sampled frame") {
