@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (executor threads, codegen, parquet reader paths)

@@ -68,8 +68,10 @@ object Queries {
     // Stats come from the Catalog's per-(dir, table) memo — built once
     // per process (like the reference's persisted Catalog.txt) and shared
     // with the Catalyst rule via StatsRegistry, so repeat invocations
-    // skip the two aggregation jobs per table.
-    val stats = Catalog.statsMany(s, dir, names)
+    // skip the aggregation jobs. Light build: the DP needs row counts +
+    // scan costs; the filter selectivity arrives pre-computed per the
+    // reference's order_joins contract.
+    val stats = Catalog.statsMany(s, dir, names, withHistograms = false)
 
     val edges = Vector(
       JoinEdge("lineitem", "orders", "l_orderkey", "o_orderkey", PredicateOp.EQ),
@@ -332,6 +334,22 @@ object Queries {
       .withColumnRenamed("rank", "rnk")
   }
 
+  /** IVF again but with the k-means training loop LIVE (2 Lloyd
+    * iterations): nprobe = nlist keeps the result provably exact whatever
+    * the centroids converge to, so the oracle (brute-force SQL) checks
+    * that training ran without corrupting assignment/probing — the
+    * training loop is no longer exercised only by unit tests. Centroid
+    * QUALITY (recall at nprobe << nlist) is asserted by OperatorsSpec's
+    * clustered-corpus test.
+    */
+  def q61_knn_ivf_trained(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(
+      e.where(col("vec_id") < 16), e, "vec_id", "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 8, trainIters = 2)
+      .withColumnRenamed("rank", "rnk")
+  }
+
   // -------------------------------------------------- events / temporal
 
   def q32_events_window(s: SparkSession, dir: String): DataFrame =
@@ -425,7 +443,10 @@ object Queries {
     val streamDir = s"/tmp/graft-q38-src-${math.abs(dir.hashCode)}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$streamDir/_SUCCESS")))
       events.repartition(4).write.mode("overwrite").parquet(streamDir)
-    val stream = graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 2)
+    // one trigger over all 4 files: complete-mode recomputes full state
+    // per trigger, so extra triggers only multiply fixed cost — the
+    // incremental multi-trigger path is covered by StreamingSpec
+    val stream = graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 4)
     val counts = graft.streaming.Streams.windowedCounts(stream, "1 hour", "30 minutes")
     graft.streaming.Streams
       .runToCompletion(s, counts, s"q38_sink_${System.nanoTime()}", "complete")
@@ -769,7 +790,8 @@ object Queries {
     "q57_frames" -> (q57_frames _),
     "q58_explode" -> (q58_explode _),
     "q59_running_sum" -> (q59_running_sum _),
-    "q60_array_funcs" -> (q60_array_funcs _))
+    "q60_array_funcs" -> (q60_array_funcs _),
+    "q61_knn_ivf_trained" -> (q61_knn_ivf_trained _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -967,6 +989,7 @@ object Queries {
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3""",
     "q30_knn_brute" -> knnOracleSql,
     "q31_knn_ivf" -> knnOracleSql,
+    "q61_knn_ivf_trained" -> knnOracleSql,
     "q32_events_window" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, count(*) AS n,
          CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c

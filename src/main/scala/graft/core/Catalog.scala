@@ -30,39 +30,54 @@ object Catalog {
   def loadAll(spark: SparkSession, dir: String): Map[String, DataFrame] =
     tableNames.map(n => n -> table(spark, dir, n)).toMap
 
-  private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.stats.TableStats]()
+  // value: (stats, whether histograms were built) — a light (row-count
+  // only) entry upgrades in place when a caller first needs histograms
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (graft.stats.TableStats, Boolean)]()
 
   /** [[graft.stats.TableStats]] memoized per (dir, table) — the analogue
     * of the reference's persisted Catalog.txt: the fixtures are immutable,
     * so stats built once serve every later query in the process. Each
     * build also registers with [[graft.stats.StatsRegistry]], so
-    * [[graft.plans.SelingerJoinReorder]] sees true row counts and
-    * histogram selectivities for SQL-path queries over these tables.
+    * [[graft.plans.SelingerJoinReorder]] sees true row counts (and, once
+    * built, histogram selectivities) for SQL-path queries over these
+    * tables. Histograms are a second aggregation job per table, so
+    * callers that only need cardinalities pass `withHistograms = false`
+    * and the histogram pass stays lazy until someone asks.
     */
-  def stats(spark: SparkSession, dir: String, name: String): graft.stats.TableStats =
-    statsCache.computeIfAbsent((dir, name), { _ =>
+  def stats(spark: SparkSession, dir: String, name: String,
+      withHistograms: Boolean = true): graft.stats.TableStats = {
+    val key = (dir, name)
+    val cached = statsCache.get(key)
+    if (cached != null && (cached._2 || !withHistograms)) cached._1
+    else {
       val df = table(spark, dir, name)
-      val ts = graft.stats.TableStats.build(df)
+      val ts = graft.stats.TableStats.build(df, withHistograms = withHistograms)
+      statsCache.put(key, (ts, withHistograms))
       graft.stats.StatsRegistry.register(df, ts)
       ts
-    })
+    }
+  }
 
   /** Batch variant: builds only the missing tables, their Spark jobs
     * submitted concurrently via [[graft.stats.TableStats.buildMany]].
     */
-  def statsMany(spark: SparkSession, dir: String,
-      names: Seq[String]): Map[String, graft.stats.TableStats] = {
-    val missing = names.filterNot(n => statsCache.containsKey((dir, n)))
+  def statsMany(spark: SparkSession, dir: String, names: Seq[String],
+      withHistograms: Boolean = true): Map[String, graft.stats.TableStats] = {
+    val missing = names.filterNot { n =>
+      val c = statsCache.get((dir, n))
+      c != null && (c._2 || !withHistograms)
+    }
     if (missing.nonEmpty) {
       val built = graft.stats.TableStats.buildMany(
-        missing.map(n => n -> table(spark, dir, n)).toMap)
+        missing.map(n => n -> table(spark, dir, n)).toMap,
+        withHistograms = withHistograms)
       built.foreach { case (n, ts) =>
-        statsCache.putIfAbsent((dir, n), ts)
+        statsCache.put((dir, n), (ts, withHistograms))
         graft.stats.StatsRegistry.register(table(spark, dir, n), ts)
       }
     }
-    names.map(n => n -> statsCache.get((dir, n))).toMap
+    names.map(n => n -> statsCache.get((dir, n))._1).toMap
   }
 
   /** Standard session factory: 32 shuffle partitions to match local[32]
@@ -77,6 +92,7 @@ object Catalog {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

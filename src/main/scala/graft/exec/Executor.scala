@@ -26,6 +26,13 @@ object Executor {
   /** Row-count threshold under which a join side is broadcast-hinted. */
   val BroadcastRows: Long = 500000L
 
+  /** Byte threshold for the broadcast hint: estimated post-filter bytes
+    * (table pages × page size × selectivity) must also fit — a 500k-row
+    * table of wide rows would OOM the driver/executors if hinted on row
+    * count alone.
+    */
+  val BroadcastBytes: Long = 64L << 20
+
   def condition(left: DataFrame, right: DataFrame, e: JoinEdge): Column = {
     val (l, r) = (left(e.leftField), right(e.rightField))
     e.op match {
@@ -53,7 +60,10 @@ object Executor {
     def hinted(name: String): DataFrame = {
       val df = tables(name)
       val small = stats.get(name).exists { s =>
-        s.estimateTableCardinality(filterSel.getOrElse(name, 1.0)) <= BroadcastRows
+        val sel = filterSel.getOrElse(name, 1.0)
+        val bytes = s.numPages * TableStats.PageSizeBytes
+        s.estimateTableCardinality(sel) <= BroadcastRows &&
+          (bytes * sel).toLong <= BroadcastBytes
       }
       if (small) broadcast(df) else df
     }

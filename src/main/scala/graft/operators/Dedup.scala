@@ -73,6 +73,16 @@ object Dedup {
     *
     * Cost at scale: rows × bands exploded rows, one shuffle, and a
     * self-join that only ever matches within identical band buckets.
+    *
+    * EAGER, one-shot semantics: the returned frame is a
+    * `localCheckpoint(eager = true)` — the full LSH pipeline runs INSIDE
+    * this call (so the signature cache can be released immediately
+    * rather than leak for the session's lifetime), and the result is a
+    * materialized block set, not a recomputable lineage. Compose further
+    * transforms freely, but on a multi-executor cluster a lost executor
+    * invalidates the blocks — long-lived cluster callers that need
+    * fault-tolerant reuse should write the (small) pair set to a table
+    * instead of holding the handle.
     */
   def minHashPairs(
       df: DataFrame,

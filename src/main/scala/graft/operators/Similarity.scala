@@ -73,18 +73,21 @@ object Similarity {
 
   /** Lloyd iterations refining IVF centroids: assign every vector to its
     * best cell (one broadcast pass), recompute element-wise means. The
-    * per-iteration driver traffic is nlist x dim aggregates — model
-    * metadata, never data rows — so training scales with the corpus.
-    * Empty cells keep their previous centroid.
+    * model (nlist × dim centroids) lives on the driver between
+    * iterations, so each round costs exactly ONE distributed aggregation
+    * + one collect of nlist × dim mean cells — metadata, never data rows
+    * — and training scales with the corpus. Empty cells keep their
+    * previous centroid.
     */
   def kmeansCentroids(c: DataFrame, nlist: Int, iters: Int): DataFrame = {
     val spark = c.sparkSession
     import spark.implicits._
-    var cents: DataFrame = c.orderBy(col("neighbor_id")).limit(nlist)
-      .select(col("neighbor_id").as("cell_id"),
-        col("__cv").cast("array<double>").as("__centroid"))
+    // deterministic seeds: the nlist lowest-id vectors (a TakeOrdered)
+    var cents: Seq[(Long, Seq[Double])] = c.orderBy(col("neighbor_id")).limit(nlist)
+      .select(col("neighbor_id"), col("__cv").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
     for (_ <- 1 to iters) {
-      val assigned = c.crossJoin(broadcast(cents))
+      val assigned = c.crossJoin(broadcast(cents.toDF("cell_id", "__centroid")))
         .select(col("neighbor_id"), col("__cv"), col("cell_id"),
           cosine(col("__cv"), col("__centroid")).as("__sim"))
         .withColumn("__r", row_number().over(
@@ -93,20 +96,14 @@ object Similarity {
       val means = assigned
         .select(col("cell_id"), posexplode(col("__cv")).as(Seq("__i", "__x")))
         .groupBy("cell_id", "__i").agg(avg(col("__x")).as("__m"))
-        .collect() // <= nlist * dim rows
+        .collect() // <= nlist * dim rows; the iteration's only collect
         .groupBy(_.getLong(0))
         .map { case (cell, rows) =>
           cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
         }
-      val kept = cents.select("cell_id").as[Long].collect().map { cell =>
-        cell -> means.get(cell)
-      }
-      val prev = cents.as[(Long, Seq[Double])].collect().toMap
-      cents = kept.map { case (cell, m) =>
-        (cell, m.getOrElse(prev(cell)))
-      }.toSeq.toDF("cell_id", "__centroid")
+      cents = cents.map { case (cell, prev) => (cell, means.getOrElse(cell, prev)) }
     }
-    cents
+    cents.toDF("cell_id", "__centroid")
   }
 
   /** IVF-style ANN: deterministic seed centroids refined by `trainIters`

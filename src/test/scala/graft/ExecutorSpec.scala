@@ -44,4 +44,24 @@ class ExecutorSpec extends AnyFunSuite {
     // a_v in {10,20,30} >= b_v in {100,200}: none
     assert(n == 0L)
   }
+
+  test("broadcast hint requires small bytes, not just small row count") {
+    import graft.stats.TableStats
+    def hasBroadcastHint(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      plan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.hint.leftHint.orElse(j.hint.rightHint)
+              .exists(_.strategy.isDefined) => j
+      }.nonEmpty
+    val order = Vector(JoinEdge("a", "b", "a_k", "b_k", PredicateOp.EQ))
+    // few rows AND few pages -> hinted
+    val narrow = Map("b" -> TableStats.fromHistograms(2L, 100.0, 1L, IndexedSeq.empty))
+    assert(hasBroadcastHint(
+      Executor.execute(tables, order, narrow).queryExecution.optimizedPlan))
+    // few rows but ~8 GB of pages (wide rows) -> NOT hinted
+    val wide = Map("b" -> TableStats.fromHistograms(
+      2L, 100.0, 1000000L, IndexedSeq.empty))
+    assert(!hasBroadcastHint(
+      Executor.execute(tables, order, wide).queryExecution.optimizedPlan))
+  }
 }
