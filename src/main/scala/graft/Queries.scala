@@ -431,18 +431,42 @@ object Queries {
     new graft.txn.TxnTable(s, tmp).read()
   }
 
+  /** The file-stream copy of `events` shared by the streaming queries
+    * (q38/q62/q63/q64): the file source needs a directory, and
+    * re-materializing the table per invocation would dominate every
+    * streaming query's cost. Keyed by pid + sanitized path (same
+    * discipline as the q37 txn tape): one write per process, never
+    * shared across processes, never stale across dataset regenerations.
+    */
+  private def eventsStreamDir(s: SparkSession, dir: String): String = {
+    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val streamDir = s"/tmp/graft-stream-src-${ProcessHandle.current().pid()}-$sanitized"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$streamDir/_SUCCESS")))
+      t(s, dir, "events").repartition(4).write.mode("overwrite").parquet(streamDir)
+    streamDir
+  }
+
+  /** Derived session for the streaming queries with shuffle partitions
+    * sized to the stream volume: streaming state lives PER PARTITION
+    * (a stream-stream join commits four state stores per partition per
+    * trigger), so inheriting the batch-tuned 32 partitions multiplies
+    * fixed state-store overhead ~4x for zero parallelism benefit at this
+    * state size. On a cluster this is the same knob you'd size to
+    * executor count × state volume.
+    */
+  private def streamSession(s: SparkSession, partitions: Int = 8): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s2
+  }
+
   /** Structured Streaming end-to-end: the events table consumed
     * incrementally through a watermarked windowed aggregation; the final
     * (complete-mode) answer equals the batch SQL the oracle runs.
     */
-  def q38_stream_window(s: SparkSession, dir: String): DataFrame = {
-    val events = t(s, dir, "events")
-    // deterministic per-sfDir copy, written once per machine: the file
-    // stream source needs a directory, and re-materializing 600k rows on
-    // every invocation would dominate the query's cost
-    val streamDir = s"/tmp/graft-q38-src-${math.abs(dir.hashCode)}"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$streamDir/_SUCCESS")))
-      events.repartition(4).write.mode("overwrite").parquet(streamDir)
+  def q38_stream_window(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = eventsStreamDir(s, dir)
     // one trigger over all 4 files: complete-mode recomputes full state
     // per trigger, so extra triggers only multiply fixed cost — the
     // incremental multi-trigger path is covered by StreamingSpec
@@ -451,6 +475,67 @@ object Queries {
     graft.streaming.Streams
       .runToCompletion(s, counts, s"q38_sink_${System.nanoTime()}", "complete")
       .select(col("w_start"), col("event_type"), col("n"))
+  }
+
+  /** Stream-stream inner join, oracle-checked: both sides watermarked
+    * with a 15-minute range condition (Spark buffers only the
+    * watermark-bounded window of each side — bounded state at any
+    * scale). All files arrive in the first trigger, so the initial
+    * watermark drops nothing and the streaming answer must equal the
+    * batch self-join the DuckDB oracle runs. Incremental multi-trigger
+    * behavior (state eviction, late-row drops) is covered by
+    * StreamingSpec.
+    */
+  def q62_stream_join(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = eventsStreamDir(s, dir)
+    // deterministic user subset: the check is about join SEMANTICS
+    // (state handling, range condition); state volume is exercised
+    // enough at a third of the users, and the oracle applies the same
+    // predicate
+    val mk = () => graft.streaming.Streams
+      .eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+      .where(col("user_id") % 3 === 0)
+    val joined = graft.streaming.Streams.streamStreamJoin(mk(), mk())
+    graft.streaming.Streams
+      .runToCompletion(s, joined, s"q62_sink_${System.nanoTime()}", "append")
+      .select("l_user", "l_ts", "l_event", "r_ts", "r_event")
+  }
+
+  /** Custom stateful sessionization (flatMapGroupsWithState), oracle-
+    * checked: emits CLOSED sessions (the per-user trailing session stays
+    * open in state), which the oracle states declaratively by dropping
+    * each user's last session from the batch gap computation.
+    */
+  def q63_stream_sessions(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = eventsStreamDir(s, dir)
+    import s.implicits._
+    val events = graft.streaming.Streams
+      .eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.Streams.Event]
+    val sessions = graft.streaming.Streams.sessionize(s, events).toDF()
+    graft.streaming.Streams
+      .runToCompletion(s, sessions, s"q63_sink_${System.nanoTime()}", "append")
+      .select(col("user_id"), col("start").as("s_start"), col("end").as("s_end"),
+        col("n_events"))
+  }
+
+  /** Watermarked streaming dedup, oracle-checked: exactly-once per
+    * (user_id, event_type, ts) — projected to the key columns so the
+    * surviving-row choice can't differ from the oracle's DISTINCT.
+    */
+  def q64_stream_dedup(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = eventsStreamDir(s, dir)
+    val stream = graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+    val deduped = graft.streaming.Streams
+      .dedupStream(stream, Seq("user_id", "event_type"))
+      .select("user_id", "event_type", "ts")
+    graft.streaming.Streams
+      .runToCompletion(s, deduped, s"q64_sink_${System.nanoTime()}", "append")
   }
 
   def q39_union(s: SparkSession, dir: String): DataFrame = {
@@ -791,7 +876,10 @@ object Queries {
     "q58_explode" -> (q58_explode _),
     "q59_running_sum" -> (q59_running_sum _),
     "q60_array_funcs" -> (q60_array_funcs _),
-    "q61_knn_ivf_trained" -> (q61_knn_ivf_trained _))
+    "q61_knn_ivf_trained" -> (q61_knn_ivf_trained _),
+    "q62_stream_join" -> (q62_stream_join _),
+    "q63_stream_sessions" -> (q63_stream_sessions _),
+    "q64_stream_dedup" -> (q64_stream_dedup _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -990,6 +1078,38 @@ object Queries {
     "q30_knn_brute" -> knnOracleSql,
     "q31_knn_ivf" -> knnOracleSql,
     "q61_knn_ivf_trained" -> knnOracleSql,
+    "q62_stream_join" ->
+      """SELECT a.user_id AS l_user, a.ts AS l_ts, a.event_id AS l_event,
+                b.ts AS r_ts, b.event_id AS r_event
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE
+         WHERE a.user_id % 3 = 0 AND b.user_id % 3 = 0""",
+    "q63_stream_sessions" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events),
+         y AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN pts IS NULL
+                       OR (epoch_us(ts) - epoch_us(pts)) > 1800000000
+                       THEN 1 ELSE 0 END AS ns
+           FROM x),
+         z AS (
+           SELECT user_id, ts,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM y),
+         se AS (
+           SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM z GROUP BY user_id, sid)
+         SELECT user_id, s_start, s_end, n_events
+         FROM se
+         WHERE sid < (SELECT max(sid) FROM se s2 WHERE s2.user_id = se.user_id)""",
+    "q64_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type, ts FROM events",
     "q32_events_window" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, count(*) AS n,
          CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c

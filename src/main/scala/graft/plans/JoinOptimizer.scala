@@ -25,7 +25,7 @@ import graft.stats.{PredicateOp, TableStats}
   * receives the UNSWAPPED (t1_card, t2_card) but SWAPPED pkey flags,
   * exactly as the reference does (`join_optimizer.cc:269-290`).
   */
-final class JoinOptimizer(joins: Vector[JoinEdge]) {
+class JoinOptimizer(joins: Vector[JoinEdge]) {
 
   def estimateJoinCost(card1: Long, card2: Long,
       cost1: Double, cost2: Double): Double =
@@ -141,5 +141,37 @@ final class JoinOptimizer(joins: Vector[JoinEdge]) {
           Some(CostCard(cost, card, prevPlan :+ j))
         }
     }
+  }
+}
+
+/** Production-path cardinality refinement used by
+  * [[SelingerJoinReorder]]: the reference's EQ non-pkey estimate
+  * `max(card1, card2)` (`join_optimizer.cc:87`) assumes FK-shaped joins;
+  * for genuinely many-to-many keys (low-domain attributes like a nation
+  * key) it underestimates by orders of magnitude, and with REAL row
+  * counts registered the DP then walks straight into a quadratic
+  * intermediate (supplier ⋈ customer on nationkey = |S|·|C|/25 rows that
+  * the model scores as max(|S|, |C|)). When either side's column range is
+  * known we take the larger of the reference estimate and the System R
+  * form `card1 · card2 / max(ndv1, ndv2)`, with ndv capped by the integer
+  * domain width and the table's row count. The base [[JoinOptimizer]]
+  * stays reference-faithful — its ported plan-shape tests pin the
+  * original model.
+  */
+final class NdvAwareJoinOptimizer(
+    joins: Vector[JoinEdge],
+    ndvOf: (String, String) => Option[Long]) extends JoinOptimizer(joins) {
+  override def estimateJoinCardinality(j: JoinEdge, card1: Long, card2: Long,
+      t1pkey: Boolean, t2pkey: Boolean): Long = {
+    val base = super.estimateJoinCardinality(j, card1, card2, t1pkey, t2pkey)
+    if (j.op == PredicateOp.EQ && !t1pkey && !t2pkey) {
+      val ndvs = Seq(ndvOf(j.leftTable, j.leftField),
+        ndvOf(j.rightTable, j.rightField)).flatten
+      if (ndvs.isEmpty) base
+      else {
+        val ndv = math.max(1L, ndvs.max)
+        math.max(base, (card1.toDouble * card2.toDouble / ndv).toLong)
+      }
+    } else base
   }
 }

@@ -234,7 +234,10 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     val isPkey = (tbl: String, colName: String) =>
       peeled(tbl)._1.output.headOption.exists(_.name == colName)
 
-    val order = new JoinOptimizer(joinEdges)
+    // ndv-aware m:n refinement (see NdvAwareJoinOptimizer): column
+    // ranges come from registered stats' pass-1 min/max
+    val ndvOf = (t: String, f: String) => stats.get(t).flatMap(_.estimateNdv(f))
+    val order = new NdvAwareJoinOptimizer(joinEdges, ndvOf)
       .orderJoins(stats, filterSel, isPkey)
     if (order.isEmpty) return None
 

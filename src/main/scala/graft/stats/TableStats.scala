@@ -22,7 +22,8 @@ final class TableStats private (
     val ioCostPerPage: Double,
     val numPages: Long,
     val columns: IndexedSeq[String],
-    hists: Map[String, IntHistogram])
+    hists: Map[String, IntHistogram],
+    ranges: Map[String, (Long, Long)])
     extends Serializable {
 
   /** `2 * io_cost * num_pages` — reference `table_stats.cc:228-231`
@@ -37,10 +38,25 @@ final class TableStats private (
 
   def histogram(col: String): IntHistogram = hists(col)
 
-  /** Whether a histogram was built for `col` (integral, non-all-null, and
-    * not excluded by the build's column filter).
+  /** Whether a histogram was built for `col` (integral/timestamp,
+    * non-all-null, `withHistograms` build, and not excluded by the
+    * build's column filter). Light builds expose NO histograms — an
+    * empty histogram would answer range predicates with garbage.
     */
   def hasHistogram(col: String): Boolean = hists.contains(col)
+
+  /** Observed (min, max) of `col` — known even for light builds (pass 1
+    * computes it); the basis for domain-capped ndv estimates.
+    */
+  def columnRange(col: String): Option[(Long, Long)] = ranges.get(col)
+
+  /** Domain-capped distinct-count estimate for `col`: at most the value
+    * range width, at most the row count.
+    */
+  def estimateNdv(col: String): Option[Long] =
+    ranges.get(col).map { case (lo, hi) =>
+      math.max(1L, math.min(hi - lo + 1, numTuples))
+    }
 
   def estimateSelectivity(col: String, op: PredicateOp, v: Long): Double =
     hists(col).estimateSelectivity(op, v)
@@ -59,6 +75,22 @@ object TableStats {
     case _ => false
   }
 
+  /** Timestamps histogram as epoch MICROSECONDS — the same unit Catalyst
+    * stores timestamp literals in, so
+    * [[graft.plans.SelingerJoinReorder]]'s literal extraction feeds
+    * date-range predicates straight into these histograms.
+    */
+  private def isTimestamp(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  // NTZ timestamps cast through TimestampType (sessions run UTC, so the
+  // micros match the NTZ literal micros Catalyst compares against)
+  private def histExpr(name: String, dt: DataType) =
+    if (isTimestamp(dt)) unix_micros(col(name).cast(TimestampType))
+    else col(name).cast(LongType)
+
   /** Distributed two-pass build over the integral columns of `df`.
     *
     * @param numPagesOverride page count for the scan-cost model; when
@@ -72,7 +104,7 @@ object TableStats {
     * @param columns restrict histogram building to these columns — at
     *        100 TB every extra column is an extra per-partition buffer in
     *        both passes, so callers that read one histogram shouldn't pay
-    *        for ten. None = all integral columns.
+    *        for ten. None = all integral + timestamp columns.
     */
   def build(
       df: DataFrame,
@@ -82,14 +114,18 @@ object TableStats {
       withHistograms: Boolean = true,
       columns: Option[Seq[String]] = None): TableStats = {
 
-    val intCols: IndexedSeq[String] =
-      df.schema.fields.filter(f => isIntegral(f.dataType))
-        .map(_.name).filter(n => columns.forall(_.contains(n))).toIndexedSeq
+    val histCols: IndexedSeq[(String, DataType)] =
+      df.schema.fields
+        .filter(f => isIntegral(f.dataType) || isTimestamp(f.dataType))
+        .map(f => (f.name, f.dataType))
+        .filter { case (n, _) => columns.forall(_.contains(n)) }.toIndexedSeq
+    val intCols = histCols.map(_._1)
+    val exprOf: Map[String, org.apache.spark.sql.Column] =
+      histCols.map { case (n, dt) => n -> histExpr(n, dt) }.toMap
 
-    // Pass 1: count + min/max for every integral column in ONE job.
+    // Pass 1: count + min/max for every histogrammed column in ONE job.
     val aggExprs = Seq(count(lit(1)).as("__n")) ++ intCols.flatMap { c =>
-      Seq(min(col(c).cast(LongType)).as(s"__min_$c"),
-          max(col(c).cast(LongType)).as(s"__max_$c"))
+      Seq(min(exprOf(c)).as(s"__min_$c"), max(exprOf(c)).as(s"__max_$c"))
     }
     val row: Row = df.agg(aggExprs.head, aggExprs.tail: _*).head()
     val n = row.getLong(row.fieldIndex("__n"))
@@ -101,9 +137,13 @@ object TableStats {
       else Some((c, row.getLong(mi), row.getLong(ma)))
     }
 
-    val hists: Map[String, IntHistogram] = ranges.map { case (c, lo, hi) =>
-      c -> new IntHistogram(numBins, lo, hi)
-    }.toMap
+    // No histogram objects on light builds: an all-zero histogram would
+    // answer selectivity queries with garbage (e.g. LT mid-domain = 1.0).
+    val hists: Map[String, IntHistogram] =
+      if (!withHistograms) Map.empty
+      else ranges.map { case (c, lo, hi) =>
+        c -> new IntHistogram(numBins, lo, hi)
+      }.toMap
 
     // Pass 2: all histograms in ONE job via the typed HistogramAgg
     // aggregator — each column contributes one Array[Long] buffer, merged
@@ -111,7 +151,7 @@ object TableStats {
     // groupBy(col, bucket) alternative shuffles numCols x rows).
     if (withHistograms && ranges.nonEmpty && n > 0) {
       val aggCols = ranges.map { case (c, lo, hi) =>
-        HistogramAgg.column(col(c).cast(LongType), lo, hi, numBins).as(s"__h_$c")
+        HistogramAgg.column(exprOf(c), lo, hi, numBins).as(s"__h_$c")
       }
       val hrow = df.agg(aggCols.head, aggCols.tail: _*).head()
       ranges.zipWithIndex.foreach { case ((c, _, _), i) =>
@@ -128,7 +168,8 @@ object TableStats {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       math.max(1L, ((bytes + PageSizeBytes - 1) / PageSizeBytes).toLong)
     }
-    new TableStats(n, ioCostPerPage, pages, intCols, hists)
+    new TableStats(n, ioCostPerPage, pages, intCols, hists,
+      ranges.map { case (c, lo, hi) => c -> (lo, hi) }.toMap)
   }
 
   /** Build stats for several tables with their Spark jobs submitted
@@ -160,5 +201,6 @@ object TableStats {
       numPages: Long,
       hists: IndexedSeq[(String, IntHistogram)]): TableStats =
     new TableStats(numTuples, ioCostPerPage, numPages,
-      hists.map(_._1), hists.toMap)
+      hists.map(_._1), hists.toMap,
+      hists.map { case (c, h) => c -> (h.minV, h.maxV) }.toMap)
 }

@@ -58,25 +58,37 @@ object Streams {
     * after the previous one (same rule as batch q34_sessionize). Emits
     * closed sessions; state per user is O(1).
     */
+  /** Timestamp ↔ epoch-microseconds (Timestamp.getTime alone is millis
+    * and silently truncates the µs precision the events carry).
+    */
+  private def micros(t: Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   def sessionize(spark: SparkSession, events: Dataset[Event],
       gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
     import spark.implicits._
+    val gapUs = gapMs * 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var cur = state.getOption
           val closed = Vector.newBuilder[Session]
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = micros(e.ts)
             cur match {
-              case Some(s) if t - s.lastTs <= gapMs =>
+              case Some(s) if t - s.lastTs <= gapUs =>
                 cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
               case Some(s) =>
-                closed += Session(userId, new Timestamp(s.start),
-                  new Timestamp(s.lastTs), s.nEvents)
+                closed += Session(userId, tsFromMicros(s.start),
+                  tsFromMicros(s.lastTs), s.nEvents)
                 cur = Some(SessionState(t, t, 1))
               case None =>
                 cur = Some(SessionState(t, t, 1))

@@ -160,4 +160,22 @@ class JoinOptimizerSpec extends AnyFunSuite {
     assert(result.size == nodes.size)
     assert(result.last.rightTable == "a" || result.last.leftTable == "a")
   }
+
+  // The rule-path refinement: reference model says max(card1, card2) for
+  // non-pkey EQ joins; with a known 25-value domain the System R form
+  // must dominate, while pkey joins stay on the reference estimate.
+  test("NdvAwareJoinOptimizer inflates m:n low-domain equi-joins") {
+    val e = JoinEdge("s", "c", "s_nationkey", "c_nationkey", PredicateOp.EQ)
+    val faithful = new JoinOptimizer(Vector(e))
+    val refined = new graft.plans.NdvAwareJoinOptimizer(
+      Vector(e), (_, _) => Some(25L))
+    assert(faithful.estimateJoinCardinality(e, 4000L, 15000L, false, false) == 15000L)
+    assert(refined.estimateJoinCardinality(e, 4000L, 15000L, false, false) ==
+      4000L * 15000L / 25L)
+    // pkey orientation keeps the reference estimate
+    assert(refined.estimateJoinCardinality(e, 4000L, 15000L, true, false) == 15000L)
+    // no domain info -> reference estimate
+    val blind = new graft.plans.NdvAwareJoinOptimizer(Vector(e), (_, _) => None)
+    assert(blind.estimateJoinCardinality(e, 4000L, 15000L, false, false) == 15000L)
+  }
 }

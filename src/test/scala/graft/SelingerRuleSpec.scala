@@ -107,6 +107,16 @@ class SelingerRuleSpec extends AnyFunSuite {
     val got = org.apache.spark.sql.GraftSqlBridge
       .datasetOfRows(spark, filPlan).collect().map(_.toSeq).toSet
     assert(got == expected)
+
+    // timestamp-literal predicates feed the epoch-micros histograms the
+    // same way: a near-empty date window also pulls orders to the front
+    import org.apache.spark.sql.functions.{col, lit}
+    val dateFiltered = chain(o.where(
+      o("o_orderdate") < lit("1995-02-01").cast("timestamp")))
+    val dateLeaves = joinChainLeaves(
+      SelingerJoinReorder(dateFiltered.queryExecution.optimizedPlan))
+    assert(dateLeaves != unfLeaves && dateLeaves.head.startsWith("o_"),
+      s"date filter should reorder like the key filter did: $dateLeaves")
   }
 
   test("theta + duplicate-pair edges reorder and preserve results") {

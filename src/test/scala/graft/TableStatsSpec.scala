@@ -101,6 +101,22 @@ class TableStatsSpec extends AnyFunSuite {
     }
   }
 
+  // Timestamp columns histogram as epoch MICROS — the unit Catalyst
+  // stores timestamp literals in, so date-range predicates estimate
+  // straight from data.
+  test("timestamp histograms: epoch-micros domain, range selectivity") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 1000).map(i => Tuple1(new java.sql.Timestamp(base + i * 3600000L)))
+    val stats = TableStats.build(rows.toDF("ts"),
+      ioCostPerPage = IoCost, numPagesOverride = Some(1L))
+    assert(stats.hasHistogram("ts"))
+    val mid = (base + 500L * 3600000L) * 1000L // micros, like a Catalyst literal
+    assert(math.abs(stats.estimateSelectivity("ts", PredicateOp.LT, mid) - 0.5) < 0.05)
+    assert(stats.estimateSelectivity("ts", PredicateOp.GT, (base + 1000L * 3600000L) * 1000L) < 0.01)
+  }
+
   // The distributed bucketize pass must agree exactly with a driver-side
   // addValue loop over the same data.
   test("distributed histogram build equals driver-side addValue build") {
