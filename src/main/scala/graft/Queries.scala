@@ -768,6 +768,17 @@ object Queries {
       .select("media_id", "format", "n_bytes", "width", "height", "channels")
   }
 
+  /** Audio analogue of q35: synthesize canonical RIFF/WAVE headers from
+    * row ids, recover rate/channels/sample-count by parsing the actual
+    * little-endian chunk stream; oracle states the id formulas.
+    */
+  def q65_multimodal_audio(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticWavs(t(s, dir, "documents"), "doc_id")
+    Multimodal.decodeAudios(s, media).toDF()
+      .select("media_id", "format", "n_bytes", "sample_rate", "channels",
+        "bits", "n_samples")
+  }
+
   /** Generator (UDTF-surface) operators: one row per sampled frame of
     * each media payload via the typed flatMap stage.
     */
@@ -878,6 +889,7 @@ object Queries {
     "q60_array_funcs" -> (q60_array_funcs _),
     "q61_knn_ivf_trained" -> (q61_knn_ivf_trained _),
     "q62_stream_join" -> (q62_stream_join _),
+    "q65_multimodal_audio" -> (q65_multimodal_audio _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
     "q64_stream_dedup" -> (q64_stream_dedup _))
 
@@ -1110,6 +1122,13 @@ object Queries {
          WHERE sid < (SELECT max(sid) FROM se s2 WHERE s2.user_id = se.user_id)""",
     "q64_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type, ts FROM events",
+    "q65_multimodal_audio" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'wav' AS format,
+         CAST(44 AS BIGINT) AS n_bytes,
+         CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+         CAST(1 + doc_id % 2 AS INTEGER) AS channels, 16 AS bits,
+         CAST(100 + (doc_id * 13) % 900 AS BIGINT) AS n_samples
+         FROM documents""",
     "q32_events_window" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, count(*) AS n,
          CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c

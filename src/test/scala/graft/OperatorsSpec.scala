@@ -210,6 +210,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(meta(1) == Multimodal.ImageMeta(7L, "jpeg", 23L, 8, 50, 3))
   }
 
+  test("WAV headers round-trip; non-RIFF bytes degrade to raw") {
+    val df = Seq(5L).toDF("id")
+    val meta = Multimodal.decodeAudios(spark, Multimodal.syntheticWavs(df, "id"))
+      .collect()
+    // id=5: rate 8000+5*1000, 2 channels, 100+65%900=165 samples
+    assert(meta.head == Multimodal.AudioMeta(5L, "wav", 44L, 13000, 2, 16, 165L))
+    val raw = Multimodal.decodeAudio(
+      Multimodal.MediaFile(1L, "audio", "definitely not riff".getBytes))
+    assert(raw.format == "raw" && raw.n_samples == 0L)
+  }
+
   test("Multimodal frame sampling: one row per sampled frame") {
     val media = Multimodal.fromText(
       Seq((1L, "0123456789")).toDF("id", "t"), "id", "t")
