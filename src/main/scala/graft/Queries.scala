@@ -457,6 +457,12 @@ object Queries {
   private def streamSession(s: SparkSession, partitions: Int = 8): SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // RocksDB state store: measured 1.5-4x faster and far less variant
+    // than the HDFS-backed default at sf0.1 (q62: ~3.8 s vs 5.7-16.7 s),
+    // and it is the backend that holds large state off-heap at cluster
+    // scale.
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     s2
   }
 

@@ -23,7 +23,8 @@ final class TableStats private (
     val numPages: Long,
     val columns: IndexedSeq[String],
     hists: Map[String, IntHistogram],
-    ranges: Map[String, (Long, Long)])
+    ranges: Map[String, (Long, Long)],
+    ndvs: Map[String, Long])
     extends Serializable {
 
   /** `2 * io_cost * num_pages` — reference `table_stats.cc:228-231`
@@ -50,13 +51,16 @@ final class TableStats private (
     */
   def columnRange(col: String): Option[(Long, Long)] = ranges.get(col)
 
-  /** Domain-capped distinct-count estimate for `col`: at most the value
-    * range width, at most the row count.
+  /** Distinct-count estimate for `col`: the measured HLL sketch value
+    * from the build's pass 1 when available (works for ANY atomic type,
+    * including string join keys), else capped by the integer domain
+    * width; always capped by the row count.
     */
-  def estimateNdv(col: String): Option[Long] =
-    ranges.get(col).map { case (lo, hi) =>
-      math.max(1L, math.min(hi - lo + 1, numTuples))
-    }
+  def estimateNdv(col: String): Option[Long] = {
+    val measured = ndvs.get(col)
+    val domain = ranges.get(col).map { case (lo, hi) => hi - lo + 1 }
+    measured.orElse(domain).map(n => math.max(1L, math.min(n, numTuples)))
+  }
 
   def estimateSelectivity(col: String, op: PredicateOp, v: Long): Double =
     hists(col).estimateSelectivity(op, v)
@@ -123,6 +127,24 @@ object TableStats {
     val exprOf: Map[String, org.apache.spark.sql.Column] =
       histCols.map { case (n, dt) => n -> histExpr(n, dt) }.toMap
 
+    // ndv via HLL sketch for every atomic column (strings included —
+    // join keys are often strings); arrays/structs are skipped (hashing
+    // a wide embedding per row for a distinct count nobody consults is
+    // pure waste).
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: NumericType => true
+      case StringType | BooleanType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _ => false
+    }
+    // ndv sketches ride in pass 2 (full builds only): light builds stay
+    // a single count/min-max job, and their consumers fall back to the
+    // domain-cap ndv estimate.
+    val ndvCols: IndexedSeq[String] =
+      if (!withHistograms) IndexedSeq.empty
+      else df.schema.fields.collect { case f if atomic(f.dataType) => f.name }
+        .toIndexedSeq
+
     // Pass 1: count + min/max for every histogrammed column in ONE job.
     val aggExprs = Seq(count(lit(1)).as("__n")) ++ intCols.flatMap { c =>
       Seq(min(exprOf(c)).as(s"__min_$c"), max(exprOf(c)).as(s"__max_$c"))
@@ -145,14 +167,16 @@ object TableStats {
         c -> new IntHistogram(numBins, lo, hi)
       }.toMap
 
-    // Pass 2: all histograms in ONE job via the typed HistogramAgg
-    // aggregator — each column contributes one Array[Long] buffer, merged
-    // tree-wise; no row ever re-keys through a shuffle (the explode +
-    // groupBy(col, bucket) alternative shuffles numCols x rows).
-    if (withHistograms && ranges.nonEmpty && n > 0) {
+    // Pass 2 (full builds): all histograms in ONE job via the typed
+    // HistogramAgg aggregator — each column contributes one Array[Long]
+    // buffer, merged tree-wise; no row ever re-keys through a shuffle
+    // (the explode + groupBy(col, bucket) alternative shuffles
+    // numCols x rows) — plus the HLL ndv sketches in the SAME job.
+    var ndvs: Map[String, Long] = Map.empty
+    if (withHistograms && (ranges.nonEmpty || ndvCols.nonEmpty) && n > 0) {
       val aggCols = ranges.map { case (c, lo, hi) =>
         HistogramAgg.column(exprOf(c), lo, hi, numBins).as(s"__h_$c")
-      }
+      } ++ ndvCols.map(c => approx_count_distinct(col(c)).as(s"__ndv_$c"))
       val hrow = df.agg(aggCols.head, aggCols.tail: _*).head()
       ranges.zipWithIndex.foreach { case ((c, _, _), i) =>
         val counts = hrow.getSeq[Long](i)
@@ -162,14 +186,19 @@ object TableStats {
           b += 1
         }
       }
+      ndvs = ndvCols.flatMap { c =>
+        val i = hrow.fieldIndex(s"__ndv_$c")
+        if (hrow.isNullAt(i)) None else Some(c -> hrow.getLong(i))
+      }.toMap
     }
 
     val pages = numPagesOverride.getOrElse {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       math.max(1L, ((bytes + PageSizeBytes - 1) / PageSizeBytes).toLong)
     }
+
     new TableStats(n, ioCostPerPage, pages, intCols, hists,
-      ranges.map { case (c, lo, hi) => c -> (lo, hi) }.toMap)
+      ranges.map { case (c, lo, hi) => c -> (lo, hi) }.toMap, ndvs)
   }
 
   /** Build stats for several tables with their Spark jobs submitted
@@ -202,5 +231,5 @@ object TableStats {
       hists: IndexedSeq[(String, IntHistogram)]): TableStats =
     new TableStats(numTuples, ioCostPerPage, numPages,
       hists.map(_._1), hists.toMap,
-      hists.map { case (c, h) => c -> (h.minV, h.maxV) }.toMap)
+      hists.map { case (c, h) => c -> (h.minV, h.maxV) }.toMap, Map.empty)
 }

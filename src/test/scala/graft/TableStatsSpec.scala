@@ -117,6 +117,22 @@ class TableStatsSpec extends AnyFunSuite {
     assert(stats.estimateSelectivity("ts", PredicateOp.GT, (base + 1000L * 3600000L) * 1000L) < 0.01)
   }
 
+  // ndv: measured HLL for atomic columns (strings included), domain cap
+  // as fallback, always bounded by row count.
+  test("estimateNdv: measured for atomic columns, capped by rows") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val rows = (0 until 2000).map(i => (i.toLong, s"name-${i % 50}", i % 7))
+    val stats = TableStats.build(rows.toDF("id", "name", "grp"),
+      ioCostPerPage = IoCost, numPagesOverride = Some(1L))
+    val idNdv = stats.estimateNdv("id").get
+    assert(math.abs(idNdv - 2000L) < 200L, s"id ndv $idNdv") // ~5% HLL error
+    val nameNdv = stats.estimateNdv("name").get // string column
+    assert(math.abs(nameNdv - 50L) < 5L, s"name ndv $nameNdv")
+    assert(stats.estimateNdv("grp").get <= 8L)
+    assert(stats.estimateNdv("nope").isEmpty)
+  }
+
   // The distributed bucketize pass must agree exactly with a driver-side
   // addValue loop over the same data.
   test("distributed histogram build equals driver-side addValue build") {
