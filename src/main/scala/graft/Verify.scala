@@ -18,6 +18,12 @@ object Verify {
       .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Load the catalog's statistics up front (the reference loads
+    // Catalog.txt at startup): row counts + scan costs for every table,
+    // so SelingerJoinReorder decisions are deterministic rather than
+    // dependent on which query happened to build stats first.
+    graft.core.Catalog.statsMany(spark, sfDir,
+      graft.core.Catalog.tableNames, withHistograms = false)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

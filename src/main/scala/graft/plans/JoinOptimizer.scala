@@ -145,18 +145,24 @@ class JoinOptimizer(joins: Vector[JoinEdge]) {
 }
 
 /** Production-path cardinality refinement used by
-  * [[SelingerJoinReorder]]: the reference's EQ non-pkey estimate
-  * `max(card1, card2)` (`join_optimizer.cc:87`) assumes FK-shaped joins;
-  * for genuinely many-to-many keys (low-domain attributes like a nation
-  * key) it underestimates by orders of magnitude, and with REAL row
-  * counts registered the DP then walks straight into a quadratic
-  * intermediate (supplier ⋈ customer on nationkey = |S|·|C|/25 rows that
-  * the model scores as max(|S|, |C|)). When either side's column range is
-  * known we take the larger of the reference estimate and the System R
-  * form `card1 · card2 / max(ndv1, ndv2)`, with ndv capped by the integer
-  * domain width and the table's row count. The base [[JoinOptimizer]]
-  * stays reference-faithful — its ported plan-shape tests pin the
-  * original model.
+  * [[SelingerJoinReorder]]: the reference's EQ estimates
+  * (`join_optimizer.cc:76-92`) underestimate in two compounding ways —
+  * the non-pkey branch `max(card1, card2)` assumes FK-shaped joins, and
+  * the accumulated-plan pkey flag (`prevHasPkey`: any prior pkey edge
+  * marks the WHOLE intermediate as "pkey") keeps the FK branch firing
+  * even after the intermediate has multiplied, so a low-domain key like
+  * nationkey walks the DP into quadratic intermediates that an
+  * AQE-coalesced single partition then executes serially (measured: 40 s
+  * on TPC-H Q5 at sf0.1, one 33 s task). When a column ndv is known we
+  * take the larger of the reference estimate and the System R form
+  * `card1 · card2 / max(ndv1, ndv2)` for EVERY EQ edge — the System R
+  * form degenerates to exactly the FK estimate when ndv equals the
+  * keyed side's row count, so true FK joins are unchanged, while m:n
+  * expansions become visible to the cost model mid-plan. ndv comes from
+  * HLL sketches (full stats builds) or the integer domain width (pass-1
+  * min/max), capped by row count. The base [[JoinOptimizer]] stays
+  * reference-faithful — its ported plan-shape tests pin the original
+  * model.
   */
 final class NdvAwareJoinOptimizer(
     joins: Vector[JoinEdge],
@@ -164,7 +170,7 @@ final class NdvAwareJoinOptimizer(
   override def estimateJoinCardinality(j: JoinEdge, card1: Long, card2: Long,
       t1pkey: Boolean, t2pkey: Boolean): Long = {
     val base = super.estimateJoinCardinality(j, card1, card2, t1pkey, t2pkey)
-    if (j.op == PredicateOp.EQ && !t1pkey && !t2pkey) {
+    if (j.op == PredicateOp.EQ) {
       val ndvs = Seq(ndvOf(j.leftTable, j.leftField),
         ndvOf(j.rightTable, j.rightField)).flatten
       if (ndvs.isEmpty) base

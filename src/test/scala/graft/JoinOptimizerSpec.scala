@@ -162,8 +162,11 @@ class JoinOptimizerSpec extends AnyFunSuite {
   }
 
   // The rule-path refinement: reference model says max(card1, card2) for
-  // non-pkey EQ joins; with a known 25-value domain the System R form
-  // must dominate, while pkey joins stay on the reference estimate.
+  // non-pkey EQ joins and trusts pkey flags; with a known 25-value
+  // domain the System R form must dominate EVEN under a pkey flag (the
+  // reference's prevHasPkey marks whole intermediates as pkey, hiding
+  // m:n expansion), while genuine FK joins (ndv = keyed side's rows)
+  // stay on the reference estimate because the two forms coincide.
   test("NdvAwareJoinOptimizer inflates m:n low-domain equi-joins") {
     val e = JoinEdge("s", "c", "s_nationkey", "c_nationkey", PredicateOp.EQ)
     val faithful = new JoinOptimizer(Vector(e))
@@ -172,8 +175,14 @@ class JoinOptimizerSpec extends AnyFunSuite {
     assert(faithful.estimateJoinCardinality(e, 4000L, 15000L, false, false) == 15000L)
     assert(refined.estimateJoinCardinality(e, 4000L, 15000L, false, false) ==
       4000L * 15000L / 25L)
-    // pkey orientation keeps the reference estimate
-    assert(refined.estimateJoinCardinality(e, 4000L, 15000L, true, false) == 15000L)
+    // pkey flag does NOT suppress the refinement (prevHasPkey quirk)
+    assert(refined.estimateJoinCardinality(e, 4000L, 15000L, true, false) ==
+      4000L * 15000L / 25L)
+    // genuine FK: ndv = keyed side rows -> System R equals the FK estimate
+    val fk = JoinEdge("l", "o", "l_orderkey", "o_orderkey", PredicateOp.EQ)
+    val fkRefined = new graft.plans.NdvAwareJoinOptimizer(
+      Vector(fk), (_, _) => Some(150000L))
+    assert(fkRefined.estimateJoinCardinality(fk, 600000L, 150000L, false, true) == 600000L)
     // no domain info -> reference estimate
     val blind = new graft.plans.NdvAwareJoinOptimizer(Vector(e), (_, _) => None)
     assert(blind.estimateJoinCardinality(e, 4000L, 15000L, false, false) == 15000L)
