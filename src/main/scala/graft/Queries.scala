@@ -255,9 +255,8 @@ object Queries {
     */
   def q26_minhash(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").where(col("doc_id") < 200)
-    val candidates = Dedup.minHashPairs(docs, "doc_id", "text",
-      numHashes = 64, bands = 32, shingleWidth = 3, threshold = 0.0)
-      .select("id_a", "id_b")
+    val candidates = Dedup.minHashCandidates(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleWidth = 3)
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleWidth = 3,
       threshold = 0.5, bruteForce = true)
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
@@ -793,6 +792,16 @@ object Queries {
         "bits", "n_samples")
   }
 
+  /** Video analogue of q35/q65: synthesize real MP4 box trees from row
+    * ids, recover width/height/duration by walking genuine box sizes and
+    * 16.16 fixed-point header fields; oracle states the id formulas.
+    */
+  def q66_multimodal_video(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMp4s(t(s, dir, "documents"), "doc_id")
+    Multimodal.decodeVideos(s, media).toDF()
+      .select("media_id", "format", "n_bytes", "width", "height", "duration_ms")
+  }
+
   /** Generator (UDTF-surface) operators: one row per sampled frame of
     * each media payload via the typed flatMap stage.
     */
@@ -904,6 +913,7 @@ object Queries {
     "q61_knn_ivf_trained" -> (q61_knn_ivf_trained _),
     "q62_stream_join" -> (q62_stream_join _),
     "q65_multimodal_audio" -> (q65_multimodal_audio _),
+    "q66_multimodal_video" -> (q66_multimodal_video _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
     "q64_stream_dedup" -> (q64_stream_dedup _))
 
@@ -1142,6 +1152,13 @@ object Queries {
          CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
          CAST(1 + doc_id % 2 AS INTEGER) AS channels, 16 AS bits,
          CAST(100 + (doc_id * 13) % 900 AS BIGINT) AS n_samples
+         FROM documents""",
+    "q66_multimodal_video" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'mp4' AS format,
+         CAST(232 AS BIGINT) AS n_bytes,
+         CAST(16 + doc_id % 1920 AS INTEGER) AS width,
+         CAST(16 + (doc_id * 3) % 1080 AS INTEGER) AS height,
+         CAST(1000 + doc_id % 60000 AS BIGINT) AS duration_ms
          FROM documents""",
     "q32_events_window" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, count(*) AS n,

@@ -84,6 +84,43 @@ object Dedup {
     * fault-tolerant reuse should write the (small) pair set to a table
     * instead of holding the handle.
     */
+  /** Banded candidate pairs from a signature relation: explode one row
+    * per band, shuffle on (band index, band hash), join within buckets.
+    * Only (id, band key) rides the shuffle — signatures (numHashes
+    * longs, duplicated per band) would multiply shuffle volume ~bands×.
+    */
+  private def bandedCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = sigs.select(
+      col("__id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",",
+          slice(col("__sig"), b * rows + 1, rows)))): _*)).as(Seq("__band", "__bkey")))
+    banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"))
+      .join(banded.select(col("__band"), col("__bkey"), col("__id").as("id_b")),
+        Seq("__band", "__bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** LSH candidate pairs only (id_a, id_b) — no signature rejoin, no
+    * estimated-Jaccard filter, no materialization. This is the recall
+    * surface a verification stage (exact Jaccard, or q26's invariant
+    * check) consumes; [[minHashPairs]] adds the verification pass.
+    */
+  def minHashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleWidth: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = df.select(col(idCol).as("__id"),
+      minHashSignature(shingles(col(textCol), shingleWidth), numHashes).as("__sig"))
+    bandedCandidates(sigs, bands, numHashes / bands)
+  }
+
   def minHashPairs(
       df: DataFrame,
       idCol: String,
@@ -105,21 +142,7 @@ object Dedup {
         minHashSignature(shingles(col(textCol), shingleWidth), numHashes).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Candidate generation carries only (id, band key) through the
-    // shuffle — signatures (numHashes longs, duplicated per band) would
-    // multiply shuffle volume by ~bands at scale.
-    val banded = sigs.select(
-      col("__id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",",
-          slice(col("__sig"), b * rows + 1, rows)))): _*)).as(Seq("__band", "__bkey")))
-
-    val candidates = banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"))
-      .join(banded.select(col("__band"), col("__bkey"), col("__id").as("id_b")),
-        Seq("__band", "__bkey"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val candidates = bandedCandidates(sigs, bands, rows)
 
     // Verification: re-attach full signatures only for surviving pairs.
     val pairs = candidates

@@ -210,6 +210,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(meta(1) == Multimodal.ImageMeta(7L, "jpeg", 23L, 8, 50, 3))
   }
 
+  test("MP4 box trees round-trip; non-MP4 bytes degrade to raw") {
+    val df = Seq(10L).toDF("id")
+    val meta = Multimodal.decodeVideos(spark, Multimodal.syntheticMp4s(df, "id"))
+      .collect()
+    // id=10: w=26, h=46, dur=1010ms
+    assert(meta.head == Multimodal.VideoMeta(10L, "mp4", 232L, 26, 46, 1010L))
+    val raw = Multimodal.decodeVideo(
+      Multimodal.MediaFile(1L, "video", "not an iso bmff stream!!".getBytes))
+    assert(raw.format == "raw" && raw.width == 0)
+  }
+
   test("WAV headers round-trip; non-RIFF bytes degrade to raw") {
     val df = Seq(5L).toDF("id")
     val meta = Multimodal.decodeAudios(spark, Multimodal.syntheticWavs(df, "id"))
