@@ -19,7 +19,7 @@ object Bench {
     try {
       SparkEntry.queries("q01_scan")(spark, sfDir).count()
       graft.core.Catalog.statsMany(spark, sfDir,
-        graft.core.Catalog.tableNames, withHistograms = false)
+        graft.core.Catalog.tableNames, withHistograms = true)
       // stage the streaming source copy (input plumbing, not operator
       // work — a production stream reads an existing directory)
       Queries.stageStreamSource(spark, sfDir)

@@ -19,11 +19,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Load the catalog's statistics up front (the reference loads
-    // Catalog.txt at startup): row counts + scan costs for every table,
+    // Catalog.txt at startup): full stats (row counts, histograms, ndv sketches) for every table,
     // so SelingerJoinReorder decisions are deterministic rather than
     // dependent on which query happened to build stats first.
     graft.core.Catalog.statsMany(spark, sfDir,
-      graft.core.Catalog.tableNames, withHistograms = false)
+      graft.core.Catalog.tableNames, withHistograms = true)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -118,19 +118,24 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Per-conjunct selectivity: histogram-backed when the relation has
-    * registered stats covering the column, System R constants otherwise
-    * (mirrors the reference's estimate paths in
-    * `table_stats.cc:186-226` for the histogram case).
+    * registered stats covering the column (mirrors the reference's
+    * estimate paths in `table_stats.cc:186-226`); equality against any
+    * literal falls back to 1/ndv (System R) when a distinct-count is
+    * known — this is what prices `r_name = 'ASIA'` at 1/5 instead of a
+    * blanket constant; System R constants otherwise.
     */
   private def predicateSelectivity(ts: Option[TableStats], e: Expression): Double = {
     def hist(a: Attribute, op: PredicateOp, v: Long, fallback: Double): Double =
       ts.filter(_.hasHistogram(a.name))
         .map(_.estimateSelectivity(a.name, op, v))
         .getOrElse(fallback)
+    def eqNdv(a: Attribute): Double =
+      ts.flatMap(_.estimateNdv(a.name))
+        .map(n => 1.0 / math.max(1L, n)).getOrElse(EqSel)
     e match {
       case IsNotNull(_) => 1.0
-      case EqualTo(a: Attribute, IntLit(v)) => hist(a, PredicateOp.EQ, v, EqSel)
-      case EqualTo(IntLit(v), a: Attribute) => hist(a, PredicateOp.EQ, v, EqSel)
+      case EqualTo(a: Attribute, IntLit(v)) => hist(a, PredicateOp.EQ, v, eqNdv(a))
+      case EqualTo(IntLit(v), a: Attribute) => hist(a, PredicateOp.EQ, v, eqNdv(a))
       case LessThan(a: Attribute, IntLit(v)) => hist(a, PredicateOp.LT, v, RangeSel)
       case LessThan(IntLit(v), a: Attribute) => hist(a, PredicateOp.GT, v, RangeSel)
       case LessThanOrEqual(a: Attribute, IntLit(v)) => hist(a, PredicateOp.LE, v, RangeSel)
@@ -144,7 +149,10 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
       case Or(l, r) =>
         val (a, b) = (predicateSelectivity(ts, l), predicateSelectivity(ts, r))
         math.min(1.0, a + b - a * b)
+      case In(a: Attribute, list) => math.min(1.0, eqNdv(a) * list.size)
       case In(_, list) => math.min(1.0, EqSel * list.size)
+      case EqualTo(a: Attribute, l) if l.foldable => eqNdv(a)
+      case EqualTo(l, a: Attribute) if l.foldable => eqNdv(a)
       case _: EqualTo | _: EqualNullSafe => EqSel
       case _: LessThan | _: LessThanOrEqual | _: GreaterThan | _: GreaterThanOrEqual => RangeSel
       case _ => OtherSel
