@@ -208,6 +208,33 @@ object Queries {
   def q21_dedup_tokenset(s: SparkSession, dir: String): DataFrame =
     Dedup.tokenSet(t(s, dir, "documents"), "doc_id", "text")
 
+  /** Benchmark decontamination (3-gram overlap): docs 0-19 stand in for
+    * an eval set; every other document reporting ≥ 1 shared shingle is
+    * flagged with its overlap count. Benchmark set broadcast, corpus
+    * streamed — the 100 TB-shaped plan.
+    */
+  def q67_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminate(
+      docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20),
+      "doc_id", "text", shingleWidth = 3)
+  }
+
+  /** Intra-document repetition (Gopher-style quality rule): the fraction
+    * of a doc's word 3-grams that are duplicates. Distinct count comes
+    * from the native WordShingles expression; totals from token count.
+    * Numerator/denominator emitted as exact integers; the fraction
+    * divides the same integers both sides for bit parity.
+    */
+  def q68_repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(col("text"), " "))
+    val total = when(toks >= 3, toks - 2).otherwise(lit(1)).cast("long")
+    val dist = size(Dedup.shingles(col("text"), 3)).cast("long")
+    t(s, dir, "documents").select(
+      col("doc_id"), total.as("n_grams"), dist.as("n_distinct"),
+      ((total - dist).cast("double") / total.cast("double")).as("rep_frac"))
+  }
+
   /** Staged so tokenCount / stopword-sum are computed once per row;
     * collapsed into one projection they'd be inlined ~9x, and the
     * resulting codegen blob takes seconds to JIT-compile.
@@ -914,6 +941,8 @@ object Queries {
     "q62_stream_join" -> (q62_stream_join _),
     "q65_multimodal_audio" -> (q65_multimodal_audio _),
     "q66_multimodal_video" -> (q66_multimodal_video _),
+    "q67_decontaminate" -> (q67_decontaminate _),
+    "q68_repetition" -> (q68_repetition _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
     "q64_stream_dedup" -> (q64_stream_dedup _))
 
@@ -1160,6 +1189,28 @@ object Queries {
          CAST(16 + (doc_id * 3) % 1080 AS INTEGER) AS height,
          CAST(1000 + doc_id % 60000 AS BIGINT) AS duration_ms
          FROM documents""",
+    "q67_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [text] END) AS s
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
+         bench AS (SELECT DISTINCT u.g FROM sh, unnest(sh.s) AS u(g) WHERE doc_id < 20),
+         corpus AS (SELECT doc_id, u.g FROM sh, unnest(sh.s) AS u(g) WHERE doc_id >= 20)
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         FROM corpus c JOIN bench b ON c.g = b.g
+         GROUP BY c.doc_id""",
+    "q68_repetition" ->
+      """WITH x AS (
+           SELECT doc_id,
+             CAST(CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END AS BIGINT) AS n_grams,
+             CAST(len(list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [text] END)) AS BIGINT) AS n_distinct
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
+         SELECT doc_id, n_grams, n_distinct,
+                CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS rep_frac
+         FROM x""",
     "q32_events_window" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, count(*) AS n,
          CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c

@@ -203,6 +203,31 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing word
+    * w-shingles with a benchmark/eval set (the standard n-gram-overlap
+    * decontamination step of LLM training pipelines). The benchmark
+    * shingle set is distinct-reduced and broadcast (eval suites are
+    * tiny next to a 100 TB corpus); the corpus streams through one
+    * semi-join + one aggregation — no corpus shuffle beyond the final
+    * per-doc count.
+    *
+    * @return (idCol, n_overlap) for corpus docs with ≥ 1 shared shingle
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3): DataFrame = {
+    def exploded(df: DataFrame) = df.select(
+      col(idCol), explode(shingles(col(textCol), shingleWidth)).as("__sh"))
+    val benchSet = exploded(benchmark).select("__sh").distinct()
+    exploded(corpus)
+      .join(broadcast(benchSet), Seq("__sh"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** 64-bit SimHash of the word tokens: bit j of the signature is the
     * sign of the sum over tokens of ±1 according to bit j of
     * xxhash64(token). Native codegen'd expression

@@ -210,6 +210,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(meta(1) == Multimodal.ImageMeta(7L, "jpeg", 23L, 8, 50, 3))
   }
 
+  test("decontaminate flags corpus docs sharing shingles with the benchmark") {
+    val bench = Seq((1L, "the quick brown fox jumps")).toDF("id", "t")
+    val corpus = Seq(
+      (10L, "lazy dog sleeps all day"),          // no overlap
+      (11L, "the quick brown fox runs far"),     // shares 2 shingles
+      (12L, "a b the quick brown c")).toDF("id", "t") // shares 1
+    val out = Dedup.decontaminate(corpus, bench, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(11L -> 2L, 12L -> 1L))
+  }
+
   test("MP4 box trees round-trip; non-MP4 bytes degrade to raw") {
     val df = Seq(10L).toDF("id")
     val meta = Multimodal.decodeVideos(spark, Multimodal.syntheticMp4s(df, "id"))
