@@ -141,6 +141,30 @@ class SelingerRuleSpec extends AnyFunSuite {
     assert(withRule.head().getLong(0) == spark.sql(sql).head().getLong(0))
   }
 
+  test("7-table FK chain through spark.sql: reordered, result-identical") {
+    val s2 = SharedSpark.sparkWithExtensions
+    val tables = Seq("region", "nation", "customer", "orders",
+      "lineitem", "part", "supplier")
+    tables.foreach { t =>
+      graft.core.Catalog.stats(spark, dir, t) // registered, full stats
+      graft.core.Catalog.table(s2, dir, t).createOrReplaceTempView(t)
+      graft.core.Catalog.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+    val sql =
+      """SELECT count(*) AS cnt
+        |FROM lineitem, region, nation, customer, orders, part, supplier
+        |WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND o_totalprice > 150000""".stripMargin
+    val withRule = s2.sql(sql)
+    val leaves = joinChainLeaves(withRule.queryExecution.optimizedPlan)
+    assert(leaves.size == 7)
+    assert(!leaves.head.startsWith("l_"),
+      s"600k-row lineitem authored first should not stay outermost: $leaves")
+    assert(withRule.head().getLong(0) == spark.sql(sql).head().getLong(0))
+  }
+
   test("extension-installed session reorders spark.sql multi-joins") {
     val s2 = SharedSpark.sparkWithExtensions
     Seq("lineitem", "orders", "customer", "nation").foreach { t =>
