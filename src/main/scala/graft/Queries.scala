@@ -783,6 +783,56 @@ object Queries {
       .limit(20)
   }
 
+  /** TPC-H Q4 (adapted): order-priority checking — correlated EXISTS
+    * over lineitem with a non-equi condition, decorrelated by Catalyst
+    * into a left-semi join with a compound condition.
+    */
+  def q69_tpch_q4(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q14 (adapted): promotion revenue share — conditional
+    * aggregation over a fact-dim join; numerator/denominator as exact
+    * cents, ratio divides the same integers both sides.
+    */
+  def q70_tpch_q14(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = t(s, dir, "part")
+    val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_c"),
+        sum(rev).as("total_c"))
+      .select(col("promo_c"), col("total_c"),
+        (col("promo_c").cast("double") / col("total_c").cast("double"))
+          .as("promo_share"))
+  }
+
+  /** TPC-H Q19 (adapted): discounted revenue under an OR-of-ANDs
+    * brand/size/quantity predicate — the disjunctive-predicate shape
+    * that exercises pushdown and the rule's Or/And selectivity walk.
+    */
+  def q71_tpch_q19(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    l.join(p, l("l_partkey") === p("p_partkey") && (
+        (p("p_brand") === "Brand#1" && p("p_size").between(1, 15) &&
+          l("l_quantity").between(1, 25)) ||
+        (p("p_brand") === "Brand#2" && p("p_size").between(10, 30) &&
+          l("l_quantity").between(10, 40))))
+      .agg(coalesce(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))),
+        lit(0L)).as("revenue_c"), count(lit(1)).as("n"))
+  }
+
   /** The custom TopKPerGroup physical operator (partial per-partition
     * heaps -> one shuffle of ≤ k rows/group/partition -> final heaps);
     * oracle = the window row_number formulation it replaces.
@@ -943,6 +993,9 @@ object Queries {
     "q66_multimodal_video" -> (q66_multimodal_video _),
     "q67_decontaminate" -> (q67_decontaminate _),
     "q68_repetition" -> (q68_repetition _),
+    "q69_tpch_q4" -> (q69_tpch_q4 _),
+    "q70_tpch_q14" -> (q70_tpch_q14 _),
+    "q71_tpch_q19" -> (q71_tpch_q19 _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
     "q64_stream_dedup" -> (q64_stream_dedup _))
 
@@ -1200,6 +1253,35 @@ object Queries {
          SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
          FROM corpus c JOIN bench b ON c.g = b.g
          GROUP BY c.doc_id""",
+    "q69_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority""",
+    "q70_tpch_q14" -> {
+      val rev = centsSql("l_extendedprice*(1-l_discount)")
+      s"""SELECT
+         CAST(sum(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) AS BIGINT) AS promo_c,
+         CAST(sum($rev) AS BIGINT) AS total_c,
+         CAST(sum(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) AS DOUBLE)
+           / CAST(sum($rev) AS DOUBLE) AS promo_share
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"""
+    },
+    "q71_tpch_q19" ->
+      s"""SELECT coalesce(CAST(sum(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT), 0) AS revenue_c,
+         CAST(count(*) AS BIGINT) AS n
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey AND (
+           (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 25) OR
+           (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+              AND l_quantity BETWEEN 10 AND 40))""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,
