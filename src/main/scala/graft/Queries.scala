@@ -833,6 +833,26 @@ object Queries {
         lit(0L)).as("revenue_c"), count(lit(1)).as("n"))
   }
 
+  /** TPC-H Q17 (adapted): small-quantity-order revenue — a correlated
+    * SCALAR subquery (per-part average quantity) decorrelated into an
+    * aggregate + join; the one subquery shape q44/q45 (IN/EXISTS) don't
+    * cover. Float parity: l_quantity is integer-valued, so the per-part
+    * sum is exact in double regardless of summation order and the
+    * 0.2·avg threshold is bit-identical in both engines; the revenue
+    * output is exact cents.
+    */
+  def q72_tpch_q17(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").where(col("p_brand") === "Brand#3")
+    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_threshold"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(avgQty, l("l_partkey") === col("ap_partkey"))
+      .where(col("l_quantity") < col("qty_threshold"))
+      .agg(coalesce(sum(cents(col("l_extendedprice"))), lit(0L)).as("sum_price_c"),
+        count(lit(1)).as("n"))
+  }
+
   /** The custom TopKPerGroup physical operator (partial per-partition
     * heaps -> one shuffle of ≤ k rows/group/partition -> final heaps);
     * oracle = the window row_number formulation it replaces.
@@ -996,6 +1016,7 @@ object Queries {
     "q69_tpch_q4" -> (q69_tpch_q4 _),
     "q70_tpch_q14" -> (q70_tpch_q14 _),
     "q71_tpch_q19" -> (q71_tpch_q19 _),
+    "q72_tpch_q17" -> (q72_tpch_q17 _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
     "q64_stream_dedup" -> (q64_stream_dedup _))
 
@@ -1282,6 +1303,15 @@ object Queries {
               AND l_quantity BETWEEN 1 AND 25) OR
            (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
               AND l_quantity BETWEEN 10 AND 40))""",
+    "q72_tpch_q17" ->
+      s"""SELECT coalesce(CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT), 0) AS sum_price_c,
+         CAST(count(*) AS BIGINT) AS n
+         FROM lineitem l, part p,
+           (SELECT l_partkey AS ap_partkey, avg(l_quantity) * 0.2 AS qty_threshold
+            FROM lineitem GROUP BY l_partkey) a
+         WHERE l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#3'
+           AND l.l_partkey = a.ap_partkey
+           AND l.l_quantity < a.qty_threshold""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,
