@@ -27,8 +27,11 @@ object Bench {
     // Two passes per query: pass 1 (cold) pays one-time costs (whole-stage
     // codegen compilation, parquet footer/schema caches, shuffle file
     // warmup); pass 2 is the steady-state throughput a long-lived engine
-    // sees. "value" stays the COLD total for cross-round continuity; the
-    // warm pass is reported alongside as warm_total/queries_warm.
+    // sees. SEMANTICS NOTE: r1 reported a single (cold) pass as "value";
+    // r2 reported the warm total as "value"; from r3 on "value" is the
+    // COLD total — both totals also appear under the explicit names
+    // cold_total / warm_total so cross-round comparisons never depend on
+    // which one "value" meant that round.
     // A query that throws is reported in "errors" (and timed as -1), so a
     // crash can never masquerade as a fast number.
     def runOnce(name: String,
@@ -60,7 +63,9 @@ object Bench {
     val warmTimes = warm.map { case (n, (v, _)) => n -> v }
     val coldTotal = coldTimes.map(_._2).filter(_ >= 0).sum
     val warmTotal = warmTimes.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${jsonMap(coldTimes)},"sf":"$sfDir","warm_total":$warmTotal,"queries_warm":${jsonMap(warmTimes)},"errors":$errJson}""")
+    // errored queries contribute 0 to both totals; n_errors flags that the
+    // totals cover fewer queries so a crash can't read as a speedup
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"errors":$errJson}""")
     spark.stop()
   }
 }

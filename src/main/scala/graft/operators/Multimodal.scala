@@ -135,7 +135,11 @@ object Multimodal {
         } else if (id == "data") {
           dataSize = Some(size)
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+        // chunks are 2-byte aligned; size is an untrusted u32 — advance in
+        // Long so 0xFFFFFFF8-style sizes can't wrap the step to 0 (hang) or
+        // drive i negative (throw). Anything past the buffer ends the walk.
+        val next = i.toLong + 8L + size + (size & 1L)
+        i = if (next > b.length) b.length else next.toInt
       }
       for ((rate, ch, bits) <- fmt; ds <- dataSize)
         yield (rate, ch, bits, ds / math.max(1, ch * bits / 8))

@@ -277,12 +277,21 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     order.tail.foreach { e =>
       if (joined(e.leftTable) && joined(e.rightTable)) {
         tree = Filter(cond(e), tree)
-      } else {
+      } else if (joined(e.leftTable) || joined(e.rightTable)) {
         val newSide = if (joined(e.leftTable)) e.rightTable else e.leftTable
         tree = Join(tree, leafOf(newSide), Inner, Some(cond(e)), JoinHint.NONE)
         joined += newSide
+      } else {
+        // disconnected edge: its condition references a relation not yet
+        // in the tree — the fold can't place it, decline the rewrite
+        return None
       }
     }
+    // A relation touched by NO join edge (`FROM a, b, c WHERE a.k = b.k`
+    // leaves c edgeless) never gets placed; rebuilding would silently drop
+    // it and the restoring Project would reference absent attributes.
+    // Decline — Spark keeps the authored cross join.
+    if (joined.size != rels.size) return None
 
     if (tree.canonicalized == root.canonicalized) None
     // Reordering permutes the join output's attribute order; restore the

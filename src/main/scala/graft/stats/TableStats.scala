@@ -58,7 +58,13 @@ final class TableStats private (
     */
   def estimateNdv(col: String): Option[Long] = {
     val measured = ndvs.get(col)
-    val domain = ranges.get(col).map { case (lo, hi) => hi - lo + 1 }
+    // hi - lo + 1 overflows Long for hash/id-width ranges on light builds
+    // (no HLL sketch); a wrapped-negative width would clamp to ndv=1 and
+    // price EQ joins as cross products — saturate to numTuples instead.
+    val domain = ranges.get(col).map { case (lo, hi) =>
+      val width = hi - lo
+      if (width < 0L || width + 1L <= 0L) numTuples else width + 1L
+    }
     measured.orElse(domain).map(n => math.max(1L, math.min(n, numTuples)))
   }
 

@@ -165,6 +165,23 @@ class SelingerRuleSpec extends AnyFunSuite {
     assert(withRule.head().getLong(0) == spark.sql(sql).head().getLong(0))
   }
 
+  test("relation with no join edge: rule declines, cross join still runs") {
+    // `FROM r, n, c WHERE r_regionkey = n_regionkey` leaves customer
+    // edgeless; the fold can never place it, so the rule must decline
+    // rather than drop it (the rebuilt tree would reference absent
+    // attributes and die at physical planning — advisor round 3).
+    val s2 = SharedSpark.sparkWithExtensions
+    Seq("region", "nation", "customer").foreach { t =>
+      graft.core.Catalog.table(s2, dir, t).createOrReplaceTempView(t)
+      graft.core.Catalog.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+    val sql =
+      """SELECT count(*) AS cnt
+        |FROM region, nation, customer
+        |WHERE r_regionkey = n_regionkey""".stripMargin
+    assert(s2.sql(sql).head().getLong(0) == spark.sql(sql).head().getLong(0))
+  }
+
   test("extension-installed session reorders spark.sql multi-joins") {
     val s2 = SharedSpark.sparkWithExtensions
     Seq("lineitem", "orders", "customer", "nation").foreach { t =>
