@@ -46,7 +46,12 @@ object Bench {
           (-1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
       }
     }
+    // local-iteration filter: SPARK_GRAFT_ONLY=q62_stream_join,q64_...
+    // benches just those queries (the round driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val cold = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
     val warm = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
     def esc(s: String): String =
