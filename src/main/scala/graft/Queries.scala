@@ -869,6 +869,172 @@ object Queries {
         count(lit(1)).as("n"))
   }
 
+  /** TPC-H Q2 (adapted: no partsupp table — the part↔supplier link is
+    * the distinct (l_partkey, l_suppkey) pairs observed in lineitem):
+    * minimum-acctbal supplier per part. The correlated MIN subquery is
+    * expressed Spark-first as a window min over the per-part partition —
+    * one shuffle, no self-join — while the oracle keeps the reference's
+    * correlated-subquery form. Acctbal equality is exact: both engines
+    * compare the same parquet-read doubles, no arithmetic.
+    */
+  def q73_tpch_q2(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+    val p = t(s, dir, "part").where(col("p_size") === 10)
+    val sup = t(s, dir, "supplier")
+    val w = Window.partitionBy(col("ps_partkey"))
+    p.join(ps, p("p_partkey") === col("ps_partkey"))
+      .join(sup, col("ps_suppkey") === sup("s_suppkey"))
+      .withColumn("min_bal", min(sup("s_acctbal")).over(w))
+      .where(sup("s_acctbal") === col("min_bal"))
+      .select(p("p_partkey"), sup("s_suppkey"), sup("s_name"),
+        cents(sup("s_acctbal")).as("s_acctbal_c"))
+  }
+
+  /** TPC-H Q7: volume shipping between two nations — the two-role nation
+    * dimension (supplier nation vs customer nation) with a symmetric OR
+    * pair predicate, grouped by shipping year.
+    */
+  def q74_tpch_q7(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier"); val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    sup.join(l, sup("s_suppkey") === l("l_suppkey"))
+      .join(o, o("o_orderkey") === l("l_orderkey"))
+      .join(c, c("c_custkey") === o("o_custkey"))
+      .join(n1, sup("s_nationkey") === col("n1_key"))
+      .join(n2, c("c_nationkey") === col("n2_key"))
+      .where(((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")) &&
+        l("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        l("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(l("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_c"))
+  }
+
+  /** TPC-H Q13: customer order-count distribution — the left outer join
+    * with a join-side-only predicate (excluded priority), then a
+    * two-level aggregation over the count itself.
+    */
+  def q75_tpch_q13(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").where(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q18: large-volume customers — HAVING over a per-order
+    * quantity sum joined back to customer/order detail. Quantities are
+    * integer-valued, summed as exact cents.
+    */
+  def q76_tpch_q18(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_orderdate"),
+        o("o_totalprice"))
+      .agg(sum(cents(l("l_quantity"))).as("sum_qty_c"))
+      .where(col("sum_qty_c") > 250 * 100L)
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("totalprice_c"),
+        col("sum_qty_c"))
+  }
+
+  /** TPC-H Q22 (adapted: nationkey stands in for the phone country
+    * code, and — since every synthetic customer has orders — "no orders"
+    * becomes "no URGENT orders"): above-average-balance customers with
+    * no urgent order — scalar-average subquery + filtered anti join. The
+    * threshold is integer cents DIV count (exact integer math), so the
+    * boundary can't drift between engines the way an IEEE average could.
+    */
+  def q77_tpch_q22(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+    // `div` = exact integer division, same as the oracle's `//` for
+    // positive sums — double-divide-then-truncate could round across an
+    // integer boundary
+    val thr = c.where(col("c_acctbal") > 0)
+      .agg(sum(cents(col("c_acctbal"))).as("bal_sum_c"), count(lit(1)).as("n_cust"))
+      .selectExpr("bal_sum_c div n_cust AS thr_c")
+    c.crossJoin(broadcast(thr))
+      .where(cents(col("c_acctbal")) > col("thr_c"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(cents(col("c_acctbal"))).as("totacctbal_c"))
+  }
+
+  /** TPC-H Q15: top supplier — revenue-per-supplier subquery reused
+    * twice (detail + scalar max), the view-reuse shape; ties all
+    * surface because the comparison is on exact cents.
+    */
+  def q78_tpch_q15(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_rev_c"))
+    val maxRev = rev.agg(max(col("total_rev_c")).as("max_rev_c"))
+    t(s, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(maxRev))
+      .where(col("total_rev_c") === col("max_rev_c"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
+  }
+
+  /** TPC-H Q16 (adapted: supplier link via lineitem, supplier complaint
+    * filter via negative acctbal): distinct-supplier counts per
+    * brand/size with a NOT IN exclusion subquery (anti join).
+    */
+  def q79_tpch_q16(s: SparkSession, dir: String): DataFrame = {
+    val badSup = t(s, dir, "supplier").where(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_key"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+      .join(badSup, col("l_suppkey") === col("bad_key"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q21 (adapted: "late" = shipped more than 90 days after the
+    * order date, standing in for receipt>commit): suppliers who were the
+    * SOLE late supplier on a multi-supplier finalized order. Runs
+    * through the SQL surface so Catalyst decorrelates the
+    * EXISTS/NOT EXISTS pair into semi/anti joins under the Selinger
+    * rule's session.
+    */
+  def q80_tpch_q21(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "supplier").createOrReplaceTempView("q80_supplier")
+    t(s, dir, "lineitem").createOrReplaceTempView("q80_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("q80_orders")
+    s.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM q80_supplier, q80_lineitem l1, q80_orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM q80_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM q80_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name""".stripMargin)
+  }
+
   /** The custom TopKPerGroup physical operator (partial per-partition
     * heaps -> one shuffle of ≤ k rows/group/partition -> final heaps);
     * oracle = the window row_number formulation it replaces.
@@ -1033,6 +1199,14 @@ object Queries {
     "q70_tpch_q14" -> (q70_tpch_q14 _),
     "q71_tpch_q19" -> (q71_tpch_q19 _),
     "q72_tpch_q17" -> (q72_tpch_q17 _),
+    "q73_tpch_q2" -> (q73_tpch_q2 _),
+    "q74_tpch_q7" -> (q74_tpch_q7 _),
+    "q75_tpch_q13" -> (q75_tpch_q13 _),
+    "q76_tpch_q18" -> (q76_tpch_q18 _),
+    "q77_tpch_q22" -> (q77_tpch_q22 _),
+    "q78_tpch_q15" -> (q78_tpch_q15 _),
+    "q79_tpch_q16" -> (q79_tpch_q16 _),
+    "q80_tpch_q21" -> (q80_tpch_q21 _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
     "q64_stream_dedup" -> (q64_stream_dedup _))
 
@@ -1328,6 +1502,88 @@ object Queries {
          WHERE l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#3'
            AND l.l_partkey = a.ap_partkey
            AND l.l_quantity < a.qty_threshold""",
+    "q73_tpch_q2" ->
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem)
+         SELECT p_partkey, s_suppkey, s_name,
+                ${centsSql("s_acctbal")} AS s_acctbal_c
+         FROM part, ps, supplier
+         WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey AND p_size = 10
+           AND s_acctbal = (SELECT min(s2.s_acctbal) FROM ps ps2, supplier s2
+                            WHERE ps2.ps_partkey = p_partkey
+                              AND s2.s_suppkey = ps2.ps_suppkey)""",
+    "q74_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+                CAST(sum(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS revenue_c
+         FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+           AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+           AND c_nationkey = n2.n_nationkey
+           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+                (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1, 2, 3""",
+    "q75_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+           SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
+    "q76_tpch_q18" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                ${centsSql("o_totalprice")} AS totalprice_c,
+                CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c
+         FROM customer, orders, lineitem
+         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+         HAVING sum(${centsSql("l_quantity")}) > 25000""",
+    "q77_tpch_q22" ->
+      s"""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS totacctbal_c
+         FROM customer c
+         WHERE ${centsSql("c_acctbal")} >
+               (SELECT CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) // count(*)
+                FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c.c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY c_nationkey""",
+    "q78_tpch_q15" ->
+      s"""WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(sum(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS total_rev_c
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_rev_c
+         FROM supplier, rev
+         WHERE s_suppkey = l_suppkey
+           AND total_rev_c = (SELECT max(total_rev_c) FROM rev)""",
+    "q79_tpch_q16" ->
+      """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey
+           AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_size""",
+    "q80_tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY s_name""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,
