@@ -899,9 +899,13 @@ object Queries {
   def q74_tpch_q7(s: SparkSession, dir: String): DataFrame = {
     val sup = t(s, dir, "supplier"); val l = t(s, dir, "lineitem")
     val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
-    val n1 = t(s, dir, "nation")
+    // the symmetric OR can't push below the join, but its implied
+    // single-side filters can: each nation dim drops to 2 rows before
+    // broadcast, and the FK joins against them filter the fact early
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = t(s, dir, "nation").where(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
-    val n2 = t(s, dir, "nation")
+    val n2 = t(s, dir, "nation").where(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
     sup.join(l, sup("s_suppkey") === l("l_suppkey"))
       .join(o, o("o_orderkey") === l("l_orderkey"))
@@ -939,12 +943,16 @@ object Queries {
   def q76_tpch_q18(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem")
-    c.join(o, c("c_custkey") === o("o_custkey"))
-      .join(l, o("o_orderkey") === l("l_orderkey"))
-      .groupBy(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_orderdate"),
-        o("o_totalprice"))
-      .agg(sum(cents(l("l_quantity"))).as("sum_qty_c"))
+    // aggregate the fact FIRST: the per-order sum + HAVING keeps ~1% of
+    // orders, so the customer/orders joins see thousands of rows, not
+    // 600k — the grouping keys are functionally dependent on o_orderkey,
+    // so this is the same result as grouping after the joins (which is
+    // how the oracle states it)
+    val big = l.groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
       .where(col("sum_qty_c") > 250 * 100L)
+    o.join(big, o("o_orderkey") === col("b_orderkey"))
+      .join(c, c("c_custkey") === o("o_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), cents(col("o_totalprice")).as("totalprice_c"),
         col("sum_qty_c"))
@@ -1033,6 +1041,57 @@ object Queries {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY s_name""".stripMargin)
+  }
+
+  // ---------------------------------------------- pipeline: maintenance
+
+  /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
+    * %5, deletes on keys %15, inserts at fresh negative keys from %7) to
+    * the orders snapshot in one window shuffle; the oracle states the
+    * same last-writer-wins MERGE declaratively. The +10 price bump is a
+    * single IEEE add — bit-identical in both engines — then exact cents.
+    */
+  def q81_merge_upsert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val updates = o.where(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice") + 10).as("o_totalprice"),
+        when(col("o_orderkey") % 15 === 0, "D").otherwise("U").as("op"))
+    // fresh keys: -(k+1) stays disjoint from the snapshot's 0..N keys
+    val inserts = o.where(col("o_orderkey") % 7 === 0)
+      .select((-(col("o_orderkey") + 1)).as("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), lit("I").as("op"))
+    Merge.upsert(o, updates.unionByName(inserts), Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_c"))
+  }
+
+  /** Stratified corpus rebalance ([[Sampling.stratifiedSample]]):
+    * per-language keep fractions over a deterministic multiplicative id
+    * mix (chosen over xxhash64 here so the oracle can reproduce the
+    * bucket exactly) — a scan-speed predicate, no shuffle, no RNG.
+    */
+  def q82_stratified_sample(s: SparkSession, dir: String): DataFrame = {
+    val mix = pmod(col("doc_id") * lit(2654435761L), lit(10000L))
+    Sampling.stratifiedSample(
+      t(s, dir, "documents"),
+      "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1),
+      bucketOf = Some(mix))
+      .select(col("doc_id"), col("lang"), mix.as("bucket"))
+  }
+
+  /** Token-budget shard packing ([[Packing.shardByTokenBudget]]):
+    * contiguous 1000-token shards per language in doc_id order — the
+    * deterministic export sharding a pretraining pipeline runs before
+    * writing batch files. Exact long arithmetic end-to-end.
+    */
+  def q83_pack_shards(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Packing.shardByTokenBudget(docs, col("n_tokens"), col("doc_id"),
+      budget = 1000L, stratumCols = Seq(col("lang")))
   }
 
   /** The custom TopKPerGroup physical operator (partial per-partition
@@ -1207,6 +1266,9 @@ object Queries {
     "q78_tpch_q15" -> (q78_tpch_q15 _),
     "q79_tpch_q16" -> (q79_tpch_q16 _),
     "q80_tpch_q21" -> (q80_tpch_q21 _),
+    "q81_merge_upsert" -> (q81_merge_upsert _),
+    "q82_stratified_sample" -> (q82_stratified_sample _),
+    "q83_pack_shards" -> (q83_pack_shards _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
     "q64_stream_dedup" -> (q64_stream_dedup _))
 
@@ -1584,6 +1646,41 @@ object Queries {
                              AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
          GROUP BY s_name""",
+    "q81_merge_upsert" ->
+      s"""WITH changes AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 10 AS o_totalprice,
+                  CASE WHEN o_orderkey % 15 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM orders WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT -(o_orderkey + 1), o_custkey, o_orderstatus, o_totalprice, 'I'
+           FROM orders WHERE o_orderkey % 7 = 0),
+         all_rows AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  CAST(NULL AS VARCHAR) AS op, 0 AS prio FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, op, 1
+           FROM changes),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                        ORDER BY prio DESC) AS rn
+           FROM all_rows)
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                ${centsSql("o_totalprice")} AS price_c
+         FROM ranked WHERE rn = 1 AND (op IS NULL OR op <> 'D')""",
+    "q82_stratified_sample" ->
+      """SELECT doc_id, lang, (doc_id * 2654435761) % 10000 AS bucket
+         FROM documents
+         WHERE (doc_id * 2654435761) % 10000 <
+               CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                         WHEN 'zh' THEN 1000 ELSE -1 END""",
+    "q83_pack_shards" ->
+      s"""SELECT doc_id, lang, n_tokens,
+                coalesce(sum(n_tokens) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
+                  AS shard_id
+         FROM (SELECT doc_id, lang, $tokCountSql AS n_tokens FROM documents)""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch MERGE / upsert for incremental corpus maintenance: apply a
+  * keyed changeset (updates, inserts, deletes) to a snapshot — the
+  * operation behind refreshing a 100 TB training corpus from a crawl
+  * delta without rewriting the unchanged 99%.
+  *
+  * Spark-first shape: ONE shuffle. Snapshot and changes are unioned
+  * with a priority tag and reduced per key with a window row_number
+  * (last-writer-wins, like `MERGE INTO ... WHEN MATCHED UPDATE`);
+  * delete markers drop the key entirely. No driver-side state, no
+  * full-outer join (which would shuffle both sides AND produce a wide
+  * nullable schema to repair).
+  *
+  * At scale the win is layout: if the snapshot is bucketed by the key
+  * ([[graft.core.Bucketing]]), the union's window shuffle degenerates
+  * to a co-located sort within buckets.
+  */
+object Merge {
+
+  /** Apply `changes` to `snapshot`. Both share the snapshot's schema;
+    * `changes` adds `opCol` with 'U' (upsert), 'I' (insert — same
+    * behavior as 'U', kept for changelog fidelity), or 'D' (delete).
+    * Keys must be unique within each input (snapshot PK + one change
+    * per key per batch — standard CDC compaction contract).
+    */
+  def upsert(snapshot: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val snapTagged = snapshot
+      .withColumn(opCol, lit(null).cast("string"))
+      .withColumn("__prio", lit(0))
+    val chTagged = changes.withColumn("__prio", lit(1))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__prio").desc)
+    snapTagged.unionByName(chTagged)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && (col(opCol).isNull || col(opCol) =!= "D"))
+      .drop(opCol, "__prio", "__rn")
+  }
+}

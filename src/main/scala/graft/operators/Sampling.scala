@@ -37,4 +37,25 @@ object Sampling {
     */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.where(bucket(col(idCol)) < (fraction * Buckets).toLong)
+
+  /** Per-stratum deterministic sampling (e.g. rebalance a corpus by
+    * language): keep rows whose bucket falls below the stratum's
+    * fraction; strata without an entry are dropped. Pure row-content
+    * predicate — no shuffle, no RNG, scan-speed at any scale.
+    *
+    * `bucketOf` defaults to the xxhash64 bucket; pass an explicit
+    * column (e.g. a multiplicative id mix) when the downstream system
+    * must reproduce the assignment in another engine.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double],
+      bucketOf: Option[Column] = None, idCol: String = "id"): DataFrame = {
+    require(fractions.nonEmpty && fractions.values.forall(f => f >= 0 && f <= 1))
+    val b = bucketOf.getOrElse(bucket(col(idCol)))
+    val threshold = fractions.foldLeft(lit(-1L): Column) {
+      case (els, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit((f * Buckets).toLong)).otherwise(els)
+    }
+    df.where(b < threshold)
+  }
 }

@@ -249,4 +249,42 @@ class OperatorsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(spark, media, everyNth = 3).collect()
     assert(frames.map(_.frame_no).sorted.toSeq == Seq(0, 3, 6, 9))
   }
+
+  // ------------------------------------------------------- maintenance
+
+  test("Merge.upsert applies updates, deletes, inserts; keeps the rest") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq((2L, "B", "U"), (3L, "c", "D"), (9L, "z", "I"))
+      .toDF("k", "v", "op")
+    val out = Merge.upsert(snap, changes, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (9L, "z")))
+  }
+
+  test("Packing.shardByTokenBudget: exclusive prefix sum, per-stratum") {
+    val docs = Seq(
+      ("en", 1L, 600L), ("en", 2L, 600L), ("en", 3L, 600L),
+      ("de", 1L, 2500L), ("de", 2L, 10L)).toDF("lang", "id", "ntok")
+    val out = Packing
+      .shardByTokenBudget(docs, col("ntok"), col("id"), 1000L, Seq(col("lang")))
+      .select("lang", "id", "shard_id").as[(String, Long, Long)]
+      .collect().toSet
+    // en: cum-before 0/600/1200 -> shards 0,0,1; de: 0/2500 -> 0,2
+    assert(out == Set(("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 1L),
+      ("de", 1L, 0L), ("de", 2L, 2L)))
+  }
+
+  test("Sampling.stratifiedSample keeps per-stratum fractions, drops rest") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, "lang", Map("en" -> 0.5))
+      .as[(Long, String)].collect()
+    assert(out.forall(_._2 == "en"))
+    // hash-bucket sampling: expect ~250 of the 500 en rows, loosely bounded
+    assert(out.length > 150 && out.length < 350)
+    // deterministic: the same rows every time
+    val again = Sampling.stratifiedSample(df, "lang", Map("en" -> 0.5))
+      .as[(Long, String)].collect()
+    assert(out.toSet == again.toSet)
+  }
 }
