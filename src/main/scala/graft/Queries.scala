@@ -512,6 +512,12 @@ object Queries {
     // fixed cost per query — skip it. Long-lived incremental streams
     // (StreamingSpec) keep the default.
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // Finite runs: unload each store (and stop its maintenance thread)
+    // as soon as its commit lands, instead of leaving every stopped
+    // query's providers cached — back-to-back streaming queries in one
+    // process otherwise accumulate maintenance work that steals cycles
+    // from the next query's batch.
+    s2.conf.set("spark.sql.streaming.stateStore.unloadOnCommit", "true")
     s2
   }
 

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the queries whose 100 TB posture depends
+  * on a specific physical structure — the properties `.explain` review
+  * established, pinned so a regression can't silently reintroduce a
+  * scale-killer. Counting is done on the pre-AQE physical plan (the
+  * shape Catalyst chose; AQE only refines it at runtime).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
+    plan(df).collect { case s: ShuffleExchangeExec => s }
+  private def broadcasts(df: DataFrame): Seq[BroadcastExchangeExec] =
+    plan(df).collect { case b: BroadcastExchangeExec => b }
+
+  test("q76 (TPC-H Q18): HAVING filter applies before the joins") {
+    // the per-order aggregate + HAVING must sit BELOW the customer and
+    // orders joins (~1% of orders survive), not above a 3-table join
+    val df = Queries.q76_tpch_q18(spark, dir)
+    val p = plan(df)
+    val joins = p.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    // every join keeps the aggregate in a subtree, so no join is an
+    // ancestor-free sibling above it: check the TOP join's left/right
+    // contains the aggregated+filtered lineitem
+    val hasAggBelowJoin = joins.exists(_.collectLeaves().size <= 3) &&
+      joins.forall { j =>
+        j.collect { case a: HashAggregateExec => a
+                    case a: ObjectHashAggregateExec => a
+                    case a: SortAggregateExec => a }.nonEmpty
+      }
+    assert(hasAggBelowJoin,
+      s"expected the per-order aggregate below every join:\n$p")
+  }
+
+  test("q74 (TPC-H Q7): both nation dims broadcast, filtered at the scan") {
+    val df = Queries.q74_tpch_q7(spark, dir)
+    // two 2-row nation dims -> at least two broadcast exchanges; the
+    // pair filter must appear below them (scan-level), not only at top
+    assert(broadcasts(df).size >= 2,
+      s"expected broadcast nation dims:\n${plan(df)}")
+  }
+
+  test("q81 (Merge.upsert): exactly one shuffle for the whole merge") {
+    val df = Queries.q81_merge_upsert(spark, dir)
+    // union + window dedup = ONE exchange on the key; a full-outer-join
+    // formulation would need two
+    assert(shuffles(df).size == 1,
+      s"expected a single exchange:\n${plan(df)}")
+  }
+
+  test("q83 (Packing): one shuffle on the stratum for the prefix sum") {
+    val df = Queries.q83_pack_shards(spark, dir)
+    assert(shuffles(df).size == 1,
+      s"expected a single exchange:\n${plan(df)}")
+  }
+
+  test("q82 (stratifiedSample): pure scan-side predicate, no shuffle") {
+    val df = Queries.q82_stratified_sample(spark, dir)
+    assert(shuffles(df).isEmpty && broadcasts(df).isEmpty,
+      s"expected a shuffle-free scan:\n${plan(df)}")
+  }
+
+  test("q53 (TPC-H Q5): dims broadcast; no cartesian anywhere") {
+    val df = Queries.q53_tpch_q5(spark, dir)
+    val p = plan(df)
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty,
+      s"cartesian in the Q5 plan:\n$p")
+  }
+}
