@@ -1100,6 +1100,35 @@ object Queries {
       budget = 1000L, stratumCols = Seq(col("lang")))
   }
 
+  /** Corpus n-gram statistics: top-20 word trigrams by document
+    * frequency (distinct per doc via the codegen'd [[Dedup.shingles]]
+    * expression, so a doc repeating a gram counts once) — explode →
+    * count with map-side partial agg → TakeOrdered; the vocabulary
+    * shuffle carries (gram, partial count), never documents.
+    */
+  def q84_ngram_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(Dedup.shingles(col("text"), 3)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(20)
+
+  /** Inverted index build (token -> doc frequency + sorted posting
+    * list): one explode + one grouped aggregation; postings serialize
+    * as a comma-joined string (the export format — and array-typed
+    * columns don't survive the oracle's row sort). The per-token
+    * `transform` cast runs on vocabulary-sized rows, not documents.
+    */
+  def q85_inverted_index(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+          ",").as("postings"))
+
   /** The custom TopKPerGroup physical operator (partial per-partition
     * heaps -> one shuffle of ≤ k rows/group/partition -> final heaps);
     * oracle = the window row_number formulation it replaces.
@@ -1275,6 +1304,8 @@ object Queries {
     "q81_merge_upsert" -> (q81_merge_upsert _),
     "q82_stratified_sample" -> (q82_stratified_sample _),
     "q83_pack_shards" -> (q83_pack_shards _),
+    "q84_ngram_topk" -> (q84_ngram_topk _),
+    "q85_inverted_index" -> (q85_inverted_index _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
     "q64_stream_dedup" -> (q64_stream_dedup _))
 
@@ -1687,6 +1718,20 @@ object Queries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
                   AS shard_id
          FROM (SELECT doc_id, lang, $tokCountSql AS n_tokens FROM documents)""",
+    "q84_ngram_topk" ->
+      """SELECT gram, CAST(count(*) AS BIGINT) AS df FROM (
+           SELECT unnest(list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks)-1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [text] END)) AS gram
+           FROM (SELECT text, string_split(text, ' ') AS toks FROM documents))
+         GROUP BY gram ORDER BY df DESC, gram LIMIT 20""",
+    "q85_inverted_index" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS df,
+                array_to_string(list_sort(list(doc_id)), ',') AS postings
+         FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+               FROM documents)
+         GROUP BY token""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,
