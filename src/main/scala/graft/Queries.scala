@@ -884,17 +884,20 @@ object Queries {
     * compare the same parquet-read doubles, no arithmetic.
     */
   def q73_tpch_q2(s: SparkSession, dir: String): DataFrame = {
-    val ps = t(s, dir, "lineitem")
-      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-      .distinct()
     val p = t(s, dir, "part").where(col("p_size") === 10)
     val sup = t(s, dir, "supplier")
+    // broadcast the filtered part dim BELOW the distinct: the pair
+    // dedup then shuffles ~5% of the fact (the size-10 slice), not
+    // every (partkey, suppkey) pair in lineitem
+    val ps = t(s, dir, "lineitem")
+      .join(p, col("l_partkey") === p("p_partkey"))
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
     val w = Window.partitionBy(col("ps_partkey"))
-    p.join(ps, p("p_partkey") === col("ps_partkey"))
-      .join(sup, col("ps_suppkey") === sup("s_suppkey"))
+    ps.join(sup, col("ps_suppkey") === sup("s_suppkey"))
       .withColumn("min_bal", min(sup("s_acctbal")).over(w))
       .where(sup("s_acctbal") === col("min_bal"))
-      .select(p("p_partkey"), sup("s_suppkey"), sup("s_name"),
+      .select(col("ps_partkey").as("p_partkey"), sup("s_suppkey"), sup("s_name"),
         cents(sup("s_acctbal")).as("s_acctbal_c"))
   }
 
