@@ -30,6 +30,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(fromJson.collect().map(_.toSeq).toSet == expected)
   }
 
+  test("ORC round-trips the nation table and pushes filters to the scan") {
+    val nation = graft.core.Catalog.table(spark, dir, "nation")
+    val expected = nation.collect().map(_.toSeq).toSet
+    val orcDir = Files.createTempDirectory("graft-orc").toString
+    graft.sources.Formats.writeOrc(nation, orcDir)
+    val back = graft.sources.Formats.readOrc(spark, orcDir)
+    assert(back.collect().map(_.toSeq).toSet == expected)
+    // predicate pushdown reaches the ORC reader like parquet
+    val scanDesc = back.where(col("n_nationkey") < 5)
+      .queryExecution.executedPlan.toString
+    assert(scanDesc.contains("PushedFilters") &&
+      scanDesc.contains("LessThan(n_nationkey,5)"), scanDesc)
+  }
+
   test("partitioned parquet write prunes partitions at read") {
     val orders = graft.core.Catalog.table(spark, dir, "orders")
       .withColumn("yr", year(col("o_orderdate")))
