@@ -1052,6 +1052,115 @@ object Queries {
         |GROUP BY s_name""".stripMargin)
   }
 
+  /** TPC-H Q8: national market share — an 8-relation join (nation plays
+    * two roles) with a conditional-share aggregation by year; the widest
+    * chain the Selinger DP orders in this surface. Share divides two
+    * exact cent sums once, so the double is bit-identical.
+    */
+  def q86_tpch_q8(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
+    val p = t(s, dir, "part").where(col("p_type") === "PROMO")
+    val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n1, c("c_nationkey") === col("cn_key"))
+      .join(r, col("cn_region") === r("r_regionkey"))
+      .join(n2, sup("s_nationkey") === col("sn_key"))
+      .where(o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        o("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(year(o("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_1", rev).otherwise(lit(0L)))
+        .as("nation_rev_c"), sum(rev).as("total_rev_c"))
+      .select(col("o_year"), col("nation_rev_c"), col("total_rev_c"),
+        (col("nation_rev_c").cast("double") / col("total_rev_c").cast("double"))
+          .as("mkt_share"))
+  }
+
+  /** TPC-H Q9 (adapted: no partsupp — supply cost stands in as
+    * retailprice × quantity): profit by supplier nation and year over a
+    * LIKE-filtered part set. Both profit terms round to cents BEFORE the
+    * subtraction, so the aggregate is exact integer math.
+    */
+  def q87_tpch_q9(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val sup = t(s, dir, "supplier"); val n = t(s, dir, "nation")
+    val p = t(s, dir, "part").where(col("p_name").contains("bolt"))
+    val amount = cents(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+      cents(col("p_retailprice") * col("l_quantity"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(n, sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("nation"),
+        year(o("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).as("profit_c"))
+  }
+
+  /** TPC-H Q11 (adapted: part value per supplier-nation from lineitem
+    * revenue): parts whose value exceeds a fraction of the national
+    * total — aggregate-over-aggregate with an integer scalar threshold
+    * (`div`, exact).
+    */
+  def q88_tpch_q11(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").where(col("s_nationkey") === 3)
+    val v = t(s, dir, "lineitem")
+      .join(sup, col("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("val_c"))
+    val thr = v.agg(sum(col("val_c")).as("tot_c"))
+      .selectExpr("tot_c div 500 AS thr_c")
+    v.crossJoin(broadcast(thr))
+      .where(col("val_c") > col("thr_c"))
+      .select(col("l_partkey"), col("val_c"))
+  }
+
+  /** TPC-H Q12 (adapted: no shipmode — returnflag classes the lines):
+    * late-shipment priority mix, the two-way conditional count.
+    */
+  def q89_tpch_q12(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .where(l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAY") &&
+        l("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        l("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(l("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q20 (adapted: "excess stock" = a supplier shipped the strict
+    * majority of a contested part's windowed quantity; membership alone
+    * is trivially true at this data shape, so the output is the
+    * per-supplier COUNT of such parts): nested aggregate join, exact
+    * integer comparison (sq·2 > tq).
+    */
+  def q90_tpch_q20(s: SparkSession, dir: String): DataFrame = {
+    val lw = t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val ps = lw.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(cents(col("l_quantity"))).as("sq_c"))
+    val tot = lw.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(cents(col("l_quantity"))).as("tq_c"),
+        countDistinct(col("l_suppkey")).as("n_sup"))
+    val excess = ps.join(tot, col("l_partkey") === col("pk"))
+      .where(col("n_sup") >= 2 && col("sq_c") * 2 > col("tq_c"))
+      .select(col("l_suppkey"), col("l_partkey"))
+    t(s, dir, "supplier").where(col("s_nationkey") === 5)
+      .join(excess, col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_excess_parts"))
+  }
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -1307,6 +1416,11 @@ object Queries {
     "q81_merge_upsert" -> (q81_merge_upsert _),
     "q82_stratified_sample" -> (q82_stratified_sample _),
     "q83_pack_shards" -> (q83_pack_shards _),
+    "q86_tpch_q8" -> (q86_tpch_q8 _),
+    "q87_tpch_q9" -> (q87_tpch_q9 _),
+    "q88_tpch_q11" -> (q88_tpch_q11 _),
+    "q89_tpch_q12" -> (q89_tpch_q12 _),
+    "q90_tpch_q20" -> (q90_tpch_q20 _),
     "q84_ngram_topk" -> (q84_ngram_topk _),
     "q85_inverted_index" -> (q85_inverted_index _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
@@ -1721,6 +1835,71 @@ object Queries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
                   AS shard_id
          FROM (SELECT doc_id, lang, $tokCountSql AS n_tokens FROM documents)""",
+    "q86_tpch_q8" -> {
+      val rev = centsSql("l_extendedprice*(1-l_discount)")
+      s"""SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+                CAST(sum(CASE WHEN n2.n_name = 'NATION_1' THEN $rev ELSE 0 END) AS BIGINT) AS nation_rev_c,
+                CAST(sum($rev) AS BIGINT) AS total_rev_c,
+                CAST(sum(CASE WHEN n2.n_name = 'NATION_1' THEN $rev ELSE 0 END) AS DOUBLE)
+                  / CAST(sum($rev) AS DOUBLE) AS mkt_share
+         FROM lineitem, part, supplier, orders, customer,
+              nation n1, nation n2, region
+         WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+           AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+           AND s_nationkey = n2.n_nationkey
+           AND p_type = 'PROMO' AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1"""
+    },
+    "q87_tpch_q9" ->
+      s"""SELECT n_name AS nation,
+                CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+                CAST(sum(${centsSql("l_extendedprice*(1-l_discount)")}
+                         - ${centsSql("p_retailprice*l_quantity")}) AS BIGINT) AS profit_c
+         FROM lineitem, part, supplier, orders, nation
+         WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+           AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+           AND p_name LIKE '%bolt%'
+         GROUP BY 1, 2""",
+    "q88_tpch_q11" ->
+      s"""WITH v AS (
+           SELECT l_partkey, CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS val_c
+           FROM lineitem, supplier
+           WHERE l_suppkey = s_suppkey AND s_nationkey = 3
+           GROUP BY l_partkey)
+         SELECT l_partkey, val_c FROM v
+         WHERE val_c > (SELECT sum(val_c) // 500 FROM v)""",
+    "q89_tpch_q12" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM orders, lineitem
+         WHERE o_orderkey = l_orderkey
+           AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_returnflag""",
+    "q90_tpch_q20" ->
+      s"""WITH lw AS (
+           SELECT l_partkey, l_suppkey, ${centsSql("l_quantity")} AS q_c
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+         ps AS (SELECT l_partkey, l_suppkey, CAST(sum(q_c) AS BIGINT) AS sq_c
+                FROM lw GROUP BY 1, 2),
+         tot AS (SELECT l_partkey, CAST(sum(q_c) AS BIGINT) AS tq_c,
+                        count(DISTINCT l_suppkey) AS n_sup
+                 FROM lw GROUP BY 1)
+         SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_excess_parts
+         FROM supplier, ps, tot
+         WHERE s_nationkey = 5 AND s_suppkey = ps.l_suppkey
+           AND ps.l_partkey = tot.l_partkey
+           AND tot.n_sup >= 2 AND ps.sq_c * 2 > tot.tq_c
+         GROUP BY s_suppkey, s_name""",
     "q84_ngram_topk" ->
       """SELECT gram, CAST(count(*) AS BIGINT) AS df FROM (
            SELECT unnest(list_distinct(CASE WHEN len(toks) >= 3
