@@ -1161,6 +1161,23 @@ object Queries {
       .agg(count(lit(1)).as("n_excess_parts"))
   }
 
+  /** Exact grouped percentiles (p25/median/p75 of order value): Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the same linear
+    * interpolation at rank (n-1)·p, and over exact integer cents the
+    * interpolated midpoints are exact in double — so even the quantile
+    * surface is bit-checkable. (At 100 TB you'd reach for
+    * approx_percentile's t-digest instead; this is the exact form that
+    * oracles can verify.)
+    */
+  def q91_group_median(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(price_c, 0.25)").as("p25_c"),
+        expr("percentile(price_c, 0.5)").as("median_c"),
+        expr("percentile(price_c, 0.75)").as("p75_c"))
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -1421,6 +1438,7 @@ object Queries {
     "q88_tpch_q11" -> (q88_tpch_q11 _),
     "q89_tpch_q12" -> (q89_tpch_q12 _),
     "q90_tpch_q20" -> (q90_tpch_q20 _),
+    "q91_group_median" -> (q91_group_median _),
     "q84_ngram_topk" -> (q84_ngram_topk _),
     "q85_inverted_index" -> (q85_inverted_index _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
@@ -1900,6 +1918,12 @@ object Queries {
            AND ps.l_partkey = tot.l_partkey
            AND tot.n_sup >= 2 AND ps.sq_c * 2 > tot.tq_c
          GROUP BY s_suppkey, s_name""",
+    "q91_group_median" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                quantile_cont(${centsSql("o_totalprice")}, 0.25) AS p25_c,
+                quantile_cont(${centsSql("o_totalprice")}, 0.5) AS median_c,
+                quantile_cont(${centsSql("o_totalprice")}, 0.75) AS p75_c
+         FROM orders GROUP BY o_orderpriority""",
     "q84_ngram_topk" ->
       """SELECT gram, CAST(count(*) AS BIGINT) AS df FROM (
            SELECT unnest(list_distinct(CASE WHEN len(toks) >= 3
