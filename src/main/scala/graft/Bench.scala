@@ -47,9 +47,16 @@ object Bench {
       }
     }
     // local-iteration filter: SPARK_GRAFT_ONLY=q62_stream_join,q64_...
-    // benches just those queries (the round driver never sets it)
+    // benches just those queries (the round driver never sets it).
+    // Unknown names fail fast — a typo would otherwise bench an empty
+    // set and print value:0 with n_errors:0, reading as a speedup.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val cold = ordered.map { case (name, fn) => name -> runOnce(name, fn) }

@@ -1208,7 +1208,12 @@ object Queries {
     * bucket exactly) — a scan-speed predicate, no shuffle, no RNG.
     */
   def q82_stratified_sample(s: SparkSession, dir: String): DataFrame = {
-    val mix = pmod(col("doc_id") * lit(2654435761L), lit(10000L))
+    // reduce the id below 1e9 before the multiplicative mix: the product
+    // then stays under 2.7e18 < 2^63 for ANY doc_id, where a raw
+    // doc_id*2654435761 would wrap silently in Spark but raise an
+    // out-of-range error in DuckDB — a cross-engine divergence
+    val mix = pmod((col("doc_id") % lit(1000000000L)) * lit(2654435761L),
+      lit(10000L))
     Sampling.stratifiedSample(
       t(s, dir, "documents"),
       "lang",
@@ -1841,9 +1846,10 @@ object Queries {
                 ${centsSql("o_totalprice")} AS price_c
          FROM ranked WHERE rn = 1 AND (op IS NULL OR op <> 'D')""",
     "q82_stratified_sample" ->
-      """SELECT doc_id, lang, (doc_id * 2654435761) % 10000 AS bucket
+      """SELECT doc_id, lang,
+                ((doc_id % 1000000000) * 2654435761) % 10000 AS bucket
          FROM documents
-         WHERE (doc_id * 2654435761) % 10000 <
+         WHERE ((doc_id % 1000000000) * 2654435761) % 10000 <
                CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
                          WHEN 'zh' THEN 1000 ELSE -1 END""",
     "q83_pack_shards" ->

@@ -31,6 +31,20 @@ object Merge {
   def upsert(snapshot: DataFrame, changes: DataFrame, keyCols: Seq[String],
       opCol: String = "op"): DataFrame = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
+    // fail fast instead of silently clobbering a data column named like
+    // the op/bookkeeping columns, or keying on a column that isn't there
+    require(!snapshot.columns.contains(opCol),
+      s"snapshot already has a '$opCol' column — pass a different opCol")
+    Seq(opCol, "__prio", "__rn").foreach { c =>
+      require(!snapshot.columns.contains(c) || c == opCol,
+        s"snapshot column '$c' collides with upsert bookkeeping")
+    }
+    keyCols.foreach { k =>
+      require(snapshot.columns.contains(k) && changes.columns.contains(k),
+        s"key column '$k' missing from snapshot or changes")
+    }
+    require(changes.columns.contains(opCol),
+      s"changes must carry the '$opCol' column")
     val snapTagged = snapshot
       .withColumn(opCol, lit(null).cast("string"))
       .withColumn("__prio", lit(0))

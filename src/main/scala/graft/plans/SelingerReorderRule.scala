@@ -282,8 +282,12 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
         tree = Join(tree, leafOf(newSide), Inner, Some(cond(e)), JoinHint.NONE)
         joined += newSide
       } else {
-        // disconnected edge: its condition references a relation not yet
-        // in the tree — the fold can't place it, decline the rewrite
+        // Defensive: the DP only ever extends a plan by an edge sharing a
+        // table with it (computeCostAndCardOfSubplan declines cross
+        // products), so a full-set order is prefix-connected and this
+        // branch is unreachable unless that contract breaks. Decline
+        // rather than build a tree whose condition references an absent
+        // relation.
         return None
       }
     }
