@@ -80,6 +80,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a shuffle-free scan:\n${plan(df)}")
   }
 
+  test("no CartesianProduct in ANY batch query plan") {
+    // the repo-wide scale invariant: every cross-join-shaped operation
+    // (theta join, capped LSH verification, ANN broadcast pass, 1-row
+    // scalar thresholds) must plan as a broadcast-bounded BNLJ, never a
+    // CartesianProduct — which shuffles both sides everywhere and is
+    // the canonical 100 TB cluster-killer. Streaming/stateful queries
+    // are audited via progress metrics instead (PlanAudit skips ditto).
+    val skip = Set("q38_stream_window", "q62_stream_join",
+      "q63_stream_sessions", "q64_stream_dedup", "q37_txn_visibility")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip(n) }
+      .flatMap { case (name, fn) =>
+        val p = plan(fn(spark, dir))
+        val crosses = p.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }
+        if (crosses.nonEmpty) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
   test("q53 (TPC-H Q5): dims broadcast; no cartesian anywhere") {
     val df = Queries.q53_tpch_q5(spark, dir)
     val p = plan(df)
