@@ -36,4 +36,70 @@ object Packing {
       .withColumn("shard_id", expr(s"__cum div ${budget}L"))
       .drop("__cum")
   }
+
+  /** The 100 TB form of [[shardByTokenBudget]] for ONE global sequence:
+    * an empty-partitionBy window funnels every row through a single
+    * task, so this runs the classic distributed prefix sum instead.
+    *
+    * Deliberately NOT `repartitionByRange`: range partitioning samples
+    * per job, so two actions over the same plan can land rows in
+    * different partitions — and the offsets computed in pass 1 would be
+    * wrong in pass 2. Instead rows bucket by a PURE function of the
+    * (numeric, unique) order key — uniform-width ranges over [min, max]
+    * — which is identical in every job with no caching:
+    *   pass 0: one agg for (min, max);
+    *   pass 1: per-bucket token totals (numBuckets longs — the only
+    *           driver traffic), folded into exclusive offsets;
+    *   pass 2: shuffle by bucket, sort within partitions, stream each
+    *           partition once resetting the running sum at each bucket
+    *           boundary (buckets are key ranges, so a partition holding
+    *           several buckets sees them contiguously).
+    * Skewed key distributions give uneven buckets — acceptable for id
+    * keys; use explicit quantile bounds if keys cluster.
+    */
+  def shardByTokenBudgetGlobal(df: DataFrame, tokensCol: String,
+      orderCol: String, budget: Long, numBuckets: Int): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(numBuckets > 0, "need at least one bucket")
+    val r0 = df.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long")).head()
+    if (r0.isNullAt(0)) return df.withColumn("shard_id", lit(0L))
+    val (lo, hi) = (r0.getLong(0), r0.getLong(1))
+    val span = math.max(1L, (hi - lo) / numBuckets + 1L)
+    def bucketOf(key: Long): Long = (key - lo) / span
+
+    // `div`, not `/`: long / long is DOUBLE division in Spark and would
+    // drift from the executor-side bucketOf at large keys
+    val bucketCol = expr(s"(CAST(`$orderCol` AS BIGINT) - ${lo}L) div ${span}L")
+    val totals = df
+      .groupBy(bucketCol.as("b"))
+      .agg(sum(col(tokensCol).cast("long")).as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets: Map[Long, Long] = {
+      var acc = 0L
+      totals.keys.toSeq.sorted.map { b =>
+        val o = b -> acc; acc += totals(b); o
+      }.toMap
+    }
+
+    val schema = df.schema
+      .add("shard_id", org.apache.spark.sql.types.LongType, nullable = false)
+    val tokIdx = df.schema.fieldIndex(tokensCol)
+    val ordIdx = df.schema.fieldIndex(orderCol)
+    val rowEnc = org.apache.spark.sql.Encoders.row(schema)
+    df.repartition(numBuckets, bucketCol)
+      .sortWithinPartitions(col(orderCol))
+      .mapPartitions { it =>
+        var curBucket = Long.MinValue
+        var cum = 0L
+        it.map { r =>
+          val key = r.getAs[Number](ordIdx).longValue()
+          val b = bucketOf(key)
+          if (b != curBucket) { curBucket = b; cum = offsets.getOrElse(b, 0L) }
+          val shard = cum / budget
+          cum += r.getAs[Number](tokIdx).longValue()
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ shard)
+        }
+      }(rowEnc)
+  }
 }

@@ -274,6 +274,25 @@ class OperatorsSpec extends AnyFunSuite {
       ("de", 1L, 0L), ("de", 2L, 2L)))
   }
 
+  test("Packing global prefix-sum sharding equals the window form") {
+    // the distributed (bucketed offsets) implementation must produce the
+    // IDENTICAL global sequence sharding as the single-window form, for
+    // any bucket count — including buckets that hash-collide into the
+    // same partition (numBuckets > partitions exercises the per-bucket
+    // cum reset)
+    val docs = graft.core.Catalog.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), (length(col("text")) % 97 + 1).cast("long").as("ntok"))
+    val windowed = Packing
+      .shardByTokenBudget(docs, col("ntok"), col("doc_id"), budget = 500L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    for (buckets <- Seq(1, 3, 16, 64)) {
+      val global = Packing
+        .shardByTokenBudgetGlobal(docs, "ntok", "doc_id", budget = 500L, buckets)
+        .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+      assert(global == windowed, s"mismatch at numBuckets=$buckets")
+    }
+  }
+
   test("Sampling.stratifiedSample keeps per-stratum fractions, drops rest") {
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("id", "lang")
