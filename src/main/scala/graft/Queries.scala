@@ -550,14 +550,12 @@ object Queries {
   def q62_stream_join(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     val streamDir = eventsStreamDir(s, dir)
-    // deterministic user subset: the check is about join SEMANTICS
-    // (state handling, range condition); state volume is exercised
-    // enough at a third of the users, and the oracle applies the same
-    // predicate. ONE source, self-joined — two separate readStream
-    // instances would scan and checkpoint the source twice.
+    // full event volume (the r3 user_id%3 cap predated the changelog-
+    // checkpointing fixed-cost work; the uncapped join now measures the
+    // honest surface). ONE source, self-joined — two separate
+    // readStream instances would scan and checkpoint the source twice.
     val src = graft.streaming.Streams
       .eventsStream(s, streamDir, maxFilesPerTrigger = 4)
-      .where(col("user_id") % 3 === 0)
     val joined = graft.streaming.Streams.streamStreamJoin(src, src)
     graft.streaming.Streams
       .runToCompletion(s, joined, s"q62_sink_${System.nanoTime()}", "append")
@@ -1651,8 +1649,7 @@ object Queries {
                 b.ts AS r_ts, b.event_id AS r_event
          FROM events a JOIN events b
            ON a.user_id = b.user_id AND a.event_id < b.event_id
-          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE
-         WHERE a.user_id % 3 = 0 AND b.user_id % 3 = 0""",
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE""",
     "q63_stream_sessions" ->
       """WITH x AS (
            SELECT user_id, ts, event_id,
