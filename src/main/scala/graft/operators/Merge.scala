@@ -35,8 +35,8 @@ object Merge {
     // the op/bookkeeping columns, or keying on a column that isn't there
     require(!snapshot.columns.contains(opCol),
       s"snapshot already has a '$opCol' column — pass a different opCol")
-    Seq(opCol, "__prio", "__rn").foreach { c =>
-      require(!snapshot.columns.contains(c) || c == opCol,
+    Seq("__prio", "__rn").foreach { c =>
+      require(!snapshot.columns.contains(c),
         s"snapshot column '$c' collides with upsert bookkeeping")
     }
     keyCols.foreach { k =>

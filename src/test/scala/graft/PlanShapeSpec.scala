@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
@@ -19,10 +18,7 @@ class PlanShapeSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(df: DataFrame): SparkPlan =
-    df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.initialPlan
-      case p => p
-    }
+    PlanAudit.preAqe(df.queryExecution.executedPlan)
   private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
     plan(df).collect { case s: ShuffleExchangeExec => s }
   private def broadcasts(df: DataFrame): Seq[BroadcastExchangeExec] =
@@ -86,11 +82,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // scalar thresholds) must plan as a broadcast-bounded BNLJ, never a
     // CartesianProduct — which shuffles both sides everywhere and is
     // the canonical 100 TB cluster-killer. Streaming/stateful queries
-    // are audited via progress metrics instead (PlanAudit skips ditto).
-    val skip = Set("q38_stream_window", "q62_stream_join",
-      "q63_stream_sessions", "q64_stream_dedup", "q37_txn_visibility")
+    // are audited via progress metrics instead.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => skip(n) }
+      .filterNot { case (n, _) => PlanAudit.planlessQueries(n) }
       .flatMap { case (name, fn) =>
         val p = plan(fn(spark, dir))
         val crosses = p.collect {
