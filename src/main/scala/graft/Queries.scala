@@ -598,6 +598,27 @@ object Queries {
       .runToCompletion(s, deduped, s"q64_sink_${System.nanoTime()}", "append")
   }
 
+  /** Stream-static enrichment, oracle-checked: the event stream joined
+    * per-microbatch against the static customer dimension (zero state —
+    * the standard at-ingest attribute attachment), aggregated to one row
+    * per market segment so the check is volume-insensitive.
+    */
+  def q92_stream_enrich(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = eventsStreamDir(s, dir)
+    val events = graft.streaming.Streams
+      .eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = graft.streaming.Streams
+      .enrichWithDim(events, dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("c_mktsegment"), cents(col("value")).as("value_c"))
+    graft.streaming.Streams
+      .runToCompletion(s, enriched, s"q92_sink_${System.nanoTime()}", "append")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"))
+  }
+
   def q39_union(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
       .select(col("c_custkey").as("k"), lit("cust").as("src"))
@@ -1442,6 +1463,7 @@ object Queries {
     "q89_tpch_q12" -> (q89_tpch_q12 _),
     "q90_tpch_q20" -> (q90_tpch_q20 _),
     "q91_group_median" -> (q91_group_median _),
+    "q92_stream_enrich" -> (q92_stream_enrich _),
     "q84_ngram_topk" -> (q84_ngram_topk _),
     "q85_inverted_index" -> (q85_inverted_index _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
@@ -1921,6 +1943,11 @@ object Queries {
            AND ps.l_partkey = tot.l_partkey
            AND tot.n_sup >= 2 AND ps.sq_c * 2 > tot.tq_c
          GROUP BY s_suppkey, s_name""",
+    "q92_stream_enrich" ->
+      s"""SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment""",
     "q91_group_median" ->
       s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
                 quantile_cont(${centsSql("o_totalprice")}, 0.25) AS p25_c,

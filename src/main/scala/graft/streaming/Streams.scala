@@ -127,6 +127,16 @@ object Streams {
           r_ts BETWEEN l_ts AND l_ts + INTERVAL $maxGap"""))
   }
 
+  /** Stream-static enrichment: join each arriving event against a batch
+    * dimension table — the most common streaming shape (attach user /
+    * customer attributes at ingest). No state store at all: Spark plans
+    * the static side as a per-microbatch broadcast (or shuffled) join,
+    * so state is zero and the dimension can be swapped between batches.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(dim, events(eventKey) === dim(dimKey))
+
   /** Run a stream to completion against the (finite) file source and
     * return the sink table — used by tests and demos; production callers
     * keep the query running with their own trigger/checkpoint config.
