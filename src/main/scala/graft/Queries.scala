@@ -249,6 +249,19 @@ object Queries {
         (TextAnalysis.stopwordCount(col("text")).cast("double") / col("n_tokens"))
           .as("stop_ratio"))
 
+  /** Whitespace vs BPE-ish token counts side by side: the synthetic text
+    * is space-separated words, so a deterministic digit/punctuation
+    * suffix is appended to make the two tokenizations genuinely diverge
+    * (digits count one token each, marks separate from words).
+    */
+  def q93_bpeish_tokens(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"), lit(" v"),
+      (col("doc_id") % 100).cast("string"), lit(".x!"))
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(aug).as("n_ws"),
+      TextAnalysis.bpeishTokenCount(aug).as("n_bpe"))
+  }
+
   def q23_lang_id(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"), col("lang"),
@@ -1464,6 +1477,7 @@ object Queries {
     "q90_tpch_q20" -> (q90_tpch_q20 _),
     "q91_group_median" -> (q91_group_median _),
     "q92_stream_enrich" -> (q92_stream_enrich _),
+    "q93_bpeish_tokens" -> (q93_bpeish_tokens _),
     "q84_ngram_topk" -> (q84_ngram_topk _),
     "q85_inverted_index" -> (q85_inverted_index _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
@@ -1948,6 +1962,13 @@ object Queries {
                 CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment""",
+    "q93_bpeish_tokens" -> {
+      val aug = "text || ' v' || CAST(doc_id % 100 AS VARCHAR) || '.x!'"
+      s"""SELECT doc_id,
+                CAST(length($aug) - length(replace($aug, ' ', '')) + 1 AS BIGINT) AS n_ws,
+                CAST(len(regexp_extract_all($aug, '${TextAnalysis.BpeishPattern}')) AS BIGINT) AS n_bpe
+         FROM documents"""
+    },
     "q91_group_median" ->
       s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
                 quantile_cont(${centsSql("o_totalprice")}, 0.25) AS p25_c,

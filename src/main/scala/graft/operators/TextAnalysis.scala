@@ -33,6 +33,22 @@ object TextAnalysis {
   /** Word tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** BPE-ish pre-tokenization pattern: letter runs, single digits,
+    * single non-alphanumeric marks — the GPT-2-style split (digits
+    * individually, punctuation separate from words). ASCII classes
+    * only, so Java regex (Spark) and RE2 (DuckDB) agree; the
+    * alternatives have disjoint first-character classes, so greedy
+    * matching is unambiguous in both engines.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  /** Subword-shaped token count under [[BpeishPattern]] — the closer
+    * proxy for model token budgets than whitespace counting (digits and
+    * punctuation cost tokens).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
   /** Occurrences of `word` as a whole token (non-overlapping replace
     * counting — identical arithmetic to the SQL oracle).
     */
