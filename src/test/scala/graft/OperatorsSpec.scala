@@ -274,6 +274,18 @@ class OperatorsSpec extends AnyFunSuite {
       ("de", 1L, 0L), ("de", 2L, 2L)))
   }
 
+  test("bpeishTokenCount splits digits and punctuation, not letter runs") {
+    val df = Seq(
+      ("hello world", 2L),        // two letter runs
+      ("w0rld", 3L),              // letters, digit, letters
+      ("42", 2L),                 // each digit its own token
+      ("it's x9!", 6L),           // it ' s x 9 !
+      ("", 0L)).toDF("t", "expect")
+    val got = df.select(col("expect"),
+      TextAnalysis.bpeishTokenCount(col("t")).as("n")).collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(0), r.toString))
+  }
+
   test("Packing global prefix-sum sharding equals the window form") {
     // the distributed (bucketed offsets) implementation must produce the
     // IDENTICAL global sequence sharding as the single-window form, for

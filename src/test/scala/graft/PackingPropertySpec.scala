@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property test for the distributed prefix-sum sharding: on ANY token
+  * sequence (including zero-token docs, huge single docs, and budgets
+  * smaller/larger than every doc) the bucketed-offsets implementation
+  * must equal the single-window form at every bucket count.
+  */
+object PackingPropertySpec extends Properties("Packing") {
+  private lazy val spark = SharedSpark.spark
+
+  // Spark jobs per case are the cost driver — fewer, richer cases
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private val docsGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 60)
+    toks <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0L, 5L), Gen.choose(100L, 5000L)))
+    // sparse, non-contiguous ids exercise uneven bucket occupancy
+    ids <- Gen.listOfN(n, Gen.choose(0L, 100000L)).map(_.distinct)
+  } yield ids.zip(toks)
+
+  property("global bucketed form == window form") =
+    Prop.forAllNoShrink(docsGen, Gen.oneOf(1, 2, 7, 32),
+      Gen.oneOf(1L, 500L, 100000L)) { (docs, buckets, budget) =>
+      import spark.implicits._
+      val df = docs.toDF("id", "ntok")
+      val windowed = Packing
+        .shardByTokenBudget(df, col("ntok"), col("id"), budget)
+        .select("id", "shard_id").as[(Long, Long)].collect().toMap
+      val global = Packing
+        .shardByTokenBudgetGlobal(df, "ntok", "id", budget, buckets)
+        .select("id", "shard_id").as[(Long, Long)].collect().toMap
+      val ok = global == windowed
+      if (!ok) println(s"MISMATCH buckets=$buckets budget=$budget docs=$docs")
+      ok
+    }
+}
