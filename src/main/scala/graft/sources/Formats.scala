@@ -34,6 +34,21 @@ object Formats {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Tolerant CSV ingestion for crawled/third-party feeds: malformed
+    * rows don't kill the job (PERMISSIVE) — they surface in a
+    * `_corrupt_record` column so the pipeline can route them to a
+    * quarantine sink and count them, which at 100 TB of scraped data is
+    * a first-class output, not an error path.
+    */
+  def readCsvTolerant(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   // ORC: the other columnar interchange format warehouses hand us; same
   // pushdown/pruning properties as parquet in Spark's reader
   def readOrc(spark: SparkSession, path: String): DataFrame =

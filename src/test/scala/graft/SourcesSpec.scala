@@ -44,6 +44,24 @@ class SourcesSpec extends AnyFunSuite {
       scanDesc.contains("LessThan(n_nationkey,5)"), scanDesc)
   }
 
+  test("tolerant CSV: malformed rows quarantine instead of killing the job") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-badcsv")
+    Files.writeString(dir.resolve("data.csv"),
+      "k,v\n1,alpha\nnot_a_number,beta\n3,gamma\n")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val df = graft.sources.Formats
+      .readCsvTolerant(spark, dir.toString, schema).cache()
+    try {
+      val good = df.where(col("_corrupt_record").isNull)
+      val bad = df.where(col("_corrupt_record").isNotNull)
+      assert(good.count() == 2 && bad.count() == 1)
+      assert(bad.select("_corrupt_record").head().getString(0)
+        .startsWith("not_a_number"))
+    } finally df.unpersist()
+  }
+
   test("partitioned parquet write prunes partitions at read") {
     val orders = graft.core.Catalog.table(spark, dir, "orders")
       .withColumn("yr", year(col("o_orderdate")))
