@@ -1,0 +1,86 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering for multi-dimensional data skipping.
+  *
+  * Partitioning prunes on ONE dimension and bucketing co-locates on ONE
+  * key; a corpus that gets filtered on several independent columns
+  * (date AND customer, size AND price) needs file layout where parquet
+  * row-group min/max stats are selective on ALL of them. Sorting by the
+  * bit-interleaved z-value of the normalized dimensions gives every
+  * file a tight bounding box in the filter space, so a predicate on ANY
+  * clustered dimension skips most files at the footer — the same
+  * mechanism behind Delta/Iceberg OPTIMIZE ZORDER, built here from
+  * plain column expressions.
+  *
+  * All arithmetic is exact integer math on codegen'd expressions; the
+  * only driver traffic is one agg for per-column (min, max).
+  */
+object ZOrder {
+
+  /** Bit-interleaved z-value of `cols`, each normalized from its
+    * [lo, hi] range to a `bits`-wide integer rank via a power-of-two
+    * stride (a pure right shift — exact at any magnitude, where a
+    * multiply-then-divide normalization overflows wide ranges; the ≤1
+    * bit of lost resolution is irrelevant for file layout). Monotone
+    * per dimension; bit i of dimension j lands at position i·k + j.
+    */
+  def zValue(cols: Seq[(Column, Long, Long)], bits: Int = 16): Column = {
+    require(cols.nonEmpty && bits * cols.size <= 62,
+      s"${cols.size} dims x $bits bits must fit a long")
+    val k = cols.size
+    val scaled = cols.map { case (c, lo, hi) =>
+      require(hi >= lo && (BigInt(hi) - BigInt(lo)).isValidLong,
+        s"range [$lo, $hi] wider than a long")
+      val width = hi - lo // rank domain is [0, width]
+      val needed = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, width))
+      // shift every dimension to the SAME effective width: narrow dims
+      // stretch left, wide dims compress right — otherwise a narrow
+      // dimension only touches low-order z bits and the file splits are
+      // governed entirely by the widest dimension
+      val sh = needed - bits
+      if (sh >= 0) shiftright(c.cast("long") - lit(lo), sh)
+      else shiftleft(c.cast("long") - lit(lo), -sh)
+    }
+    val parts = for {
+      (s, j) <- scaled.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(s, i).bitwiseAND(lit(1L)), i * k + j)
+    parts.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` z-ordered on `colNames` into `numFiles` parquet files:
+    * one agg for the ranges, partition + sort on the z-value, drop the
+    * helper columns (projection preserves the sort), write.
+    *
+    * Files split at BIT-ALIGNED z boundaries (`numFiles` must be a
+    * power of two): every file is a union of whole z-quadrants, whose
+    * bounding box per dimension is exact — a quantile split (what a
+    * balanced-size-first writer would do) puts boundaries mid-quadrant,
+    * and a file whose z-range crosses a high-bit transition spans the
+    * full width of the other dimensions, measured to roughly double the
+    * files touched per band predicate. The trade is file-size balance
+    * under skew; z-ranks are near-uniform for id-like keys.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colNames: Seq[String],
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(numFiles > 0 && (numFiles & (numFiles - 1)) == 0,
+      s"numFiles must be a power of two for bit-aligned splits, got $numFiles")
+    val aggs = colNames.flatMap(c =>
+      Seq(min(col(c).cast("long")).as(s"__lo_$c"), max(col(c).cast("long")).as(s"__hi_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val ranges = colNames.map { c =>
+      (col(c), r.getLong(r.fieldIndex(s"__lo_$c")), r.getLong(r.fieldIndex(s"__hi_$c")))
+    }
+    val zbits = bits * colNames.size
+    val bucketShift = zbits - (63 - java.lang.Long.numberOfLeadingZeros(numFiles.toLong))
+    df.withColumn("__z", zValue(ranges, bits))
+      .withColumn("__zb", shiftright(col("__z"), bucketShift))
+      .repartitionByRange(numFiles, col("__zb"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "__zb")
+      .write.mode("overwrite").parquet(path)
+  }
+}
