@@ -71,6 +71,12 @@ object ZOrder {
     val aggs = colNames.flatMap(c =>
       Seq(min(col(c).cast("long")).as(s"__lo_$c"), max(col(c).cast("long")).as(s"__hi_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty input (or an all-null dimension) has no ranges to cluster on
+    // — write as-is rather than NPE on the null min/max
+    if (colNames.exists(c => r.isNullAt(r.fieldIndex(s"__lo_$c")))) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val ranges = colNames.map { c =>
       (col(c), r.getLong(r.fieldIndex(s"__lo_$c")), r.getLong(r.fieldIndex(s"__hi_$c")))
     }

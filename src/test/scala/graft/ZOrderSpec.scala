@@ -54,4 +54,13 @@ class ZOrderSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).collect().map(_.toSeq).toSet ==
       orders.collect().map(_.toSeq).toSet)
   }
+
+  test("empty input writes an empty table instead of failing on ranges") {
+    val empty = graft.core.Catalog.table(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .where(lit(false))
+    val dir = Files.createTempDirectory("graft-zempty").toString
+    ZOrder.writeZOrdered(empty, dir, Seq("o_custkey", "o_totalprice"), numFiles = 4)
+    assert(spark.read.parquet(dir).count() == 0)
+  }
 }
