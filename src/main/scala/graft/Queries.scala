@@ -26,7 +26,14 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
-  /** round(x*100) as long — exact-cents conversion. */
+  /** round(x*100) as long — exact-cents conversion.
+    *
+    * Oracle-side type discipline: every DuckDB sum (plain OR windowed) that
+    * reaches an output column must be wrapped in CAST(... AS BIGINT).
+    * DuckDB widens sum(BIGINT) to HUGEINT, which pandas materializes as
+    * float64, so a type-sensitive hash sees 4.0 vs Spark's int64 4 even
+    * when values match (bit us twice: q36 round 1, q83 round 4).
+    */
   private def cents(c: Column): Column = round(c * lit(100)).cast("long")
   private def centsSql(e: String): String = s"CAST(round(($e)*100) AS BIGINT)"
 
@@ -1887,10 +1894,10 @@ object Queries {
                          WHEN 'zh' THEN 1000 ELSE -1 END""",
     "q83_pack_shards" ->
       s"""SELECT doc_id, lang, n_tokens,
-                coalesce(sum(n_tokens) OVER (
+                CAST(coalesce(sum(n_tokens) OVER (
                   PARTITION BY lang ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
-                  AS shard_id
+                  AS BIGINT) AS shard_id
          FROM (SELECT doc_id, lang, $tokCountSql AS n_tokens FROM documents)""",
     "q86_tpch_q8" -> {
       val rev = centsSql("l_extendedprice*(1-l_discount)")
