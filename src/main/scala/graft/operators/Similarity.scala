@@ -71,15 +71,42 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Per-row (sim, cell) struct array against a driver-side centroid list
+    * (nlist × dim doubles — model metadata, not data). Every element is a
+    * codegen'd [[graft.functions.DotProduct]] against a literal vector, so
+    * cell scoring is map-only: the corpus is never shuffled or replicated
+    * nlist times (the old crossJoin + row_number argmax shuffled nlist
+    * copies of the corpus per pass — once per Lloyd iteration).
+    */
+  private def cellSims(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.map { case (id, ctr) =>
+      // Rank by dot/‖ctr‖, not full cosine: ‖vec‖ is a constant positive
+      // factor across cells (cannot change the ordering) and ‖ctr‖
+      // constant-folds to a literal, so each cell costs ONE dim-length
+      // dot product per row instead of three.
+      struct((-(dot(vec, typedLit(ctr)) / norm(typedLit(ctr)))).as("neg_sim"),
+        lit(id).as("cell_id"))
+    }: _*)
+
+  /** argmax cell per row (ties → lowest cell_id), zero shuffle. */
+  private def bestCell(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    array_min(cellSims(vec, cents)).getField("cell_id")
+
+  /** The nprobe best cells per row (sim desc, ties cell_id asc), zero
+    * shuffle: sort_array on (neg_sim, cell_id) structs + slice.
+    */
+  private def probeCells(vec: Column, cents: Seq[(Long, Seq[Double])], nprobe: Int): Column =
+    slice(sort_array(cellSims(vec, cents)), 1, nprobe).getField("cell_id")
+
   /** Lloyd iterations refining IVF centroids: assign every vector to its
-    * best cell (one broadcast pass), recompute element-wise means. The
-    * model (nlist × dim centroids) lives on the driver between
+    * best cell (one map-only pass — [[bestCell]]), recompute element-wise
+    * means. The model (nlist × dim centroids) lives on the driver between
     * iterations, so each round costs exactly ONE distributed aggregation
     * + one collect of nlist × dim mean cells — metadata, never data rows
     * — and training scales with the corpus. Empty cells keep their
     * previous centroid.
     */
-  def kmeansCentroids(c: DataFrame, nlist: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(c: DataFrame, nlist: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     val spark = c.sparkSession
     import spark.implicits._
     // deterministic seeds: the nlist lowest-id vectors (a TakeOrdered)
@@ -87,13 +114,8 @@ object Similarity {
       .select(col("neighbor_id"), col("__cv").cast("array<double>"))
       .as[(Long, Seq[Double])].collect().toSeq
     for (_ <- 1 to iters) {
-      val assigned = c.crossJoin(broadcast(cents.toDF("cell_id", "__centroid")))
-        .select(col("neighbor_id"), col("__cv"), col("cell_id"),
-          cosine(col("__cv"), col("__centroid")).as("__sim"))
-        .withColumn("__r", row_number().over(
-          Window.partitionBy("neighbor_id").orderBy(col("__sim").desc, col("cell_id"))))
-        .where(col("__r") === 1)
-      val means = assigned
+      val means = c
+        .withColumn("cell_id", bestCell(col("__cv"), cents))
         .select(col("cell_id"), posexplode(col("__cv")).as(Seq("__i", "__x")))
         .groupBy("cell_id", "__i").agg(avg(col("__x")).as("__m"))
         .collect() // <= nlist * dim rows; the iteration's only collect
@@ -103,7 +125,7 @@ object Similarity {
         }
       cents = cents.map { case (cell, prev) => (cell, means.getOrElse(cell, prev)) }
     }
-    cents.toDF("cell_id", "__centroid")
+    cents
   }
 
   /** IVF-style ANN: deterministic seed centroids refined by `trainIters`
@@ -123,29 +145,24 @@ object Similarity {
       trainIters: Int = 2): DataFrame = {
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"))
 
-    val cents = broadcast(
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Seq[(Long, Seq[Double])] =
       if (trainIters > 0) kmeansCentroids(c, nlist, trainIters)
       else c.orderBy(col("neighbor_id")).limit(nlist)
-        .select(col("neighbor_id").as("cell_id"), col("__cv").as("__centroid")))
+        .select(col("neighbor_id"), col("__cv").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toSeq
 
-    // Assign corpus vectors to their best cell (one broadcast join pass).
-    val assigned = c.crossJoin(cents)
-      .select(col("neighbor_id"), col("__cv"), col("cell_id"),
-        cosine(col("__cv"), col("__centroid")).as("__sim"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("neighbor_id").orderBy(col("__sim").desc, col("cell_id"))))
-      .where(col("__r") === 1)
+    // Assign corpus vectors to their best cell — map-only, zero shuffle.
+    val assigned = c
+      .withColumn("cell_id", bestCell(col("__cv"), cents))
       .select("cell_id", "neighbor_id", "__cv")
 
-    // Each query probes its nprobe closest cells.
+    // Each query probes its nprobe closest cells — map-only explode.
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
-    val probes = q.crossJoin(cents)
-      .select(col("query_id"), col("__qv"), col("cell_id"),
-        cosine(col("__qv"), col("__centroid")).as("__sim"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("__sim").desc, col("cell_id"))))
-      .where(col("__r") <= nprobe)
-      .select("query_id", "__qv", "cell_id")
+    val probes = q
+      .select(col("query_id"), col("__qv"),
+        explode(probeCells(col("__qv"), cents, nprobe)).as("cell_id"))
 
     val scored = broadcast(probes).join(assigned, Seq("cell_id"))
       .where(col("neighbor_id") =!= col("query_id"))
