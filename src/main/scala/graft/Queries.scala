@@ -1286,21 +1286,36 @@ object Queries {
       .orderBy(col("df").desc, col("gram").asc)
       .limit(20)
 
-  /** Inverted index build (token -> doc frequency + sorted posting
-    * list): one explode + one grouped aggregation; postings serialize
-    * as a comma-joined string (the export format — and array-typed
-    * columns don't survive the oracle's row sort). The per-token
-    * `transform` cast runs on vocabulary-sized rows, not documents.
+  /** Inverted index build with the stopword-skew cap LIVE (see
+    * [[graft.operators.InvertedIndex]]): tokens appearing in more than
+    * 78% of documents are pruned, and every aggregation buffer is
+    * bounded at maxDf + 1 ids — no corpus-sized collect_list on a
+    * stopword's reducer. Postings serialize as a comma-joined string
+    * (the export format — and array-typed columns don't survive the
+    * oracle's row sort).
     */
-  def q85_inverted_index(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("df"),
-        array_join(
-          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
-          ",").as("postings"))
+  def q85_inverted_index(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val maxDf = docs.count() * 78 / 100
+    InvertedIndex.build(docs, "doc_id", "text", maxDf)
+  }
+
+  /** Physical-design layer through the driver gate: write lineitem
+    * z-ordered on (l_orderkey, l_partkey) to a scratch dir, read a
+    * 2-dimensional band back. The oracle is the same band on the SOURCE
+    * table, so any clustering bug that drops, duplicates, or mutates
+    * rows across the write/read round-trip breaks the hash match. The
+    * file-SKIPPING benefit of the layout is measured in ZOrderSpec;
+    * this pins end-to-end correctness of the write path.
+    */
+  def q94_zorder_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val path = s"/tmp/graft_q94_zorder_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.core.ZOrder.writeZOrdered(li, path, Seq("l_orderkey", "l_partkey"), numFiles = 8)
+    s.read.parquet(path)
+      .where(col("l_orderkey").between(100, 700) && col("l_partkey").between(50, 150))
+      .select("l_orderkey", "l_partkey", "l_quantity")
+  }
 
   /** The custom TopKPerGroup physical operator (partial per-partition
     * heaps -> one shuffle of ≤ k rows/group/partition -> final heaps);
@@ -1488,7 +1503,8 @@ object Queries {
     "q84_ngram_topk" -> (q84_ngram_topk _),
     "q85_inverted_index" -> (q85_inverted_index _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
-    "q64_stream_dedup" -> (q64_stream_dedup _))
+    "q64_stream_dedup" -> (q64_stream_dedup _),
+    "q94_zorder_roundtrip" -> (q94_zorder_roundtrip _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -1995,7 +2011,11 @@ object Queries {
                 array_to_string(list_sort(list(doc_id)), ',') AS postings
          FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
                FROM documents)
-         GROUP BY token""",
+         GROUP BY token
+         HAVING count(*) <= (SELECT count(*) * 78 // 100 FROM documents)""",
+    "q94_zorder_roundtrip" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+         WHERE l_orderkey BETWEEN 100 AND 700 AND l_partkey BETWEEN 50 AND 150""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Inverted-index build (token -> document frequency + sorted posting
+  * list) with the stopword-skew cap SCALE.md calls for.
+  *
+  * The naive `groupBy(token).agg(collect_list(doc_id))` is a
+  * single-reducer OOM at 100 TB: a stopword's posting list is
+  * corpus-sized and lands in ONE aggregation buffer. The fix is
+  * two-fold, both inside one shuffle:
+  *
+  *   - postings accumulate through [[BoundedSmallestAgg]], a typed
+  *     Aggregator whose buffer is a max-heap capped at `maxDf + 1`
+  *     elements (the smallest ids win), with map-side partial merge —
+  *     a stopword costs O(maxDf) memory per buffer, never O(corpus);
+  *   - tokens whose exact `count` exceeds `maxDf` are dropped after the
+  *     agg (stopword pruning). Kept tokens have df <= maxDf, so their
+  *     capped list is provably the COMPLETE sorted posting list — the
+  *     cap never truncates a surviving row.
+  *
+  * (No index surface exists in the reference; north-star retrieval
+  * operator, built Spark-first.)
+  */
+object InvertedIndex {
+
+  /** Accumulates the `bound` smallest non-null longs seen, as a sorted
+    * sequence. Buffer layout: `buf(0)` = current size n, `buf(1..n)` = a
+    * binary max-heap (root at 1), capacity grown geometrically up to
+    * `bound + 1` — so small groups stay small and heavy groups stay
+    * capped. O(log bound) per row, O(bound) merge.
+    */
+  final class BoundedSmallestAgg(bound: Int)
+      extends Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
+    require(bound > 0, s"bound must be positive, got $bound")
+
+    override def zero: Array[Long] = Array(0L)
+
+    private def siftDown(h: Array[Long], i0: Int): Unit = {
+      val n = h(0).toInt
+      var i = i0
+      var done = false
+      while (!done) {
+        val l = 2 * i; val r = l + 1
+        var m = i
+        if (l <= n && h(l) > h(m)) m = l
+        if (r <= n && h(r) > h(m)) m = r
+        if (m == i) done = true
+        else { val t = h(i); h(i) = h(m); h(m) = t; i = m }
+      }
+    }
+
+    private def push(h0: Array[Long], v: Long): Array[Long] = {
+      val n = h0(0).toInt
+      if (n < bound) {
+        val h = if (n + 1 >= h0.length) {
+          val grown = new Array[Long](math.min(bound + 1, math.max(h0.length * 2, 2)))
+          System.arraycopy(h0, 0, grown, 0, h0.length)
+          grown
+        } else h0
+        // sift up
+        var i = n + 1
+        h(i) = v
+        h(0) = n + 1
+        while (i > 1 && h(i / 2) < h(i)) {
+          val t = h(i); h(i) = h(i / 2); h(i / 2) = t; i = i / 2
+        }
+        h
+      } else if (v < h0(1)) { // full: replace the largest kept value
+        h0(1) = v
+        siftDown(h0, 1)
+        h0
+      } else h0
+    }
+
+    override def reduce(b: Array[Long], v: java.lang.Long): Array[Long] =
+      if (v == null) b else push(b, v.longValue())
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var h = a
+      var i = 1
+      val n = b(0).toInt
+      while (i <= n) { h = push(h, b(i)); i += 1 }
+      h
+    }
+
+    override def finish(b: Array[Long]): Seq[Long] =
+      b.slice(1, b(0).toInt + 1).sorted.toIndexedSeq
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** `bounded_smallest(col, bound)` as a Column for any `agg(...)`. */
+  def boundedSmallest(c: Column, bound: Int): Column =
+    udaf(new BoundedSmallestAgg(bound), Encoders.LONG).apply(c)
+
+  /** Build the index over (idCol, textCol): whitespace tokens, distinct
+    * per doc, tokens with df > maxDf dropped. One explode + ONE
+    * aggregation shuffle; every agg buffer is bounded by maxDf + 1.
+    * Postings serialize as a comma-joined string (the export format).
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, maxDf: Long): DataFrame = {
+    val cap = math.min(maxDf + 1, Int.MaxValue.toLong).toInt
+    docs
+      .select(col(idCol).as("__doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        boundedSmallest(col("__doc_id"), cap).as("__postings"))
+      .where(col("df") <= maxDf)
+      .select(col("token"), col("df"),
+        array_join(transform(col("__postings"), _.cast("string")), ",").as("postings"))
+  }
+}
