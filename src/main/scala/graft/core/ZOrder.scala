@@ -25,7 +25,10 @@ object ZOrder {
     * stride (a pure right shift — exact at any magnitude, where a
     * multiply-then-divide normalization overflows wide ranges; the ≤1
     * bit of lost resolution is irrelevant for file layout). Monotone
-    * per dimension; bit i of dimension j lands at position i·k + j.
+    * per dimension — values outside [lo, hi] (stale or approximate
+    * ranges from a direct caller) SATURATE at the range ends rather
+    * than wrapping into the middle of the z-curve. Bit i of dimension j
+    * lands at position i·k + j.
     */
   def zValue(cols: Seq[(Column, Long, Long)], bits: Int = 16): Column = {
     require(cols.nonEmpty && bits * cols.size <= 62,
@@ -36,13 +39,17 @@ object ZOrder {
         s"range [$lo, $hi] wider than a long")
       val width = hi - lo // rank domain is [0, width]
       val needed = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, width))
+      // clamp BEFORE shifting: out-of-range values would otherwise drop
+      // their high bits in the per-bit extraction and alias arbitrary
+      // in-range ranks, breaking monotonicity for stale-range callers
+      val d = greatest(least(c.cast("long") - lit(lo), lit(width)), lit(0L))
       // shift every dimension to the SAME effective width: narrow dims
       // stretch left, wide dims compress right — otherwise a narrow
       // dimension only touches low-order z bits and the file splits are
       // governed entirely by the widest dimension
       val sh = needed - bits
-      if (sh >= 0) shiftright(c.cast("long") - lit(lo), sh)
-      else shiftleft(c.cast("long") - lit(lo), -sh)
+      if (sh >= 0) shiftright(d, sh)
+      else shiftleft(d, -sh)
     }
     val parts = for {
       (s, j) <- scaled.zipWithIndex
@@ -82,11 +89,31 @@ object ZOrder {
     }
     val zbits = bits * colNames.size
     val bucketShift = zbits - (63 - java.lang.Long.numberOfLeadingZeros(numFiles.toLong))
+    // Deterministic bucket -> partition placement. repartitionByRange
+    // SAMPLES per job, so with exactly numFiles distinct bucket values it
+    // can merge adjacent quadrants into one file and leave others empty;
+    // plain hash repartition is deterministic but collides buckets.
+    // Instead remap each bucket b to a key whose Spark shuffle hash
+    // (Murmur3 seed 42 — HashPartitioning's contract) lands in partition
+    // b exactly: every file holds exactly ONE whole z-quadrant, every
+    // run. The search is driver-side, ~numFiles probes per bucket.
+    val keyFor: Map[Long, Long] = (0 until numFiles).map { b =>
+      var k = 0L
+      while (pmod(org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(k, 42),
+          numFiles) != b) {
+        k += 1
+        require(k < 100000000L, s"no hash preimage found for bucket $b")
+      }
+      b.toLong -> k
+    }.toMap
     df.withColumn("__z", zValue(ranges, bits))
       .withColumn("__zb", shiftright(col("__z"), bucketShift))
-      .repartitionByRange(numFiles, col("__zb"))
+      .withColumn("__zp", element_at(typedLit(keyFor), col("__zb")))
+      .repartition(numFiles, col("__zp"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z", "__zb")
+      .drop("__z", "__zb", "__zp")
       .write.mode("overwrite").parquet(path)
   }
+
+  private def pmod(a: Int, n: Int): Int = { val r = a % n; if (r < 0) r + n else r }
 }

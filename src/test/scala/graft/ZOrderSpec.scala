@@ -55,6 +55,46 @@ class ZOrderSpec extends AnyFunSuite {
       orders.collect().map(_.toSeq).toSet)
   }
 
+  test("each file holds exactly one z-quadrant, at the same index every run") {
+    val orders = graft.core.Catalog.table(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val r = orders.agg(
+      min(col("o_custkey").cast("long")), max(col("o_custkey").cast("long")),
+      min(col("o_totalprice").cast("long")), max(col("o_totalprice").cast("long"))).head()
+    val ranges = Seq((col("o_custkey"), r.getLong(0), r.getLong(1)),
+      (col("o_totalprice"), r.getLong(2), r.getLong(3)))
+    val bucketShift = 16 * 2 - 3 // zbits - log2(numFiles)
+
+    val dirs = Seq.fill(2)(Files.createTempDirectory("graft-zquad").toString)
+    dirs.foreach(d => ZOrder.writeZOrdered(orders, d,
+      Seq("o_custkey", "o_totalprice"), numFiles = 8))
+    for (dir <- dirs) {
+      val parts = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
+      assert(parts.length == 8)
+      val quadrantsByFile = parts.zipWithIndex.map { case (p, i) =>
+        val zbs = spark.read.parquet(p)
+          .select(shiftright(ZOrder.zValue(ranges), bucketShift).as("zb"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        assert(zbs.size == 1, s"file $i spans quadrants $zbs")
+        i -> zbs.head
+      }
+      // direct placement: partition index IS the quadrant id
+      assert(quadrantsByFile.toSeq == (0 until 8).map(i => i -> i.toLong))
+    }
+  }
+
+  test("zValue saturates out-of-range inputs instead of aliasing") {
+    import spark.implicits._
+    val df = Seq(5L, 9L, 10L, 15L, 20L, 21L, 300L).toDF("v")
+    val zs = df.select(col("v"),
+      ZOrder.zValue(Seq((col("v"), 10L, 20L)), bits = 8).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zs(5L) == zs(10L) && zs(9L) == zs(10L))   // below range -> lo
+    assert(zs(21L) == zs(20L) && zs(300L) == zs(20L)) // above range -> hi
+    assert(zs(10L) < zs(15L) && zs(15L) < zs(20L))    // monotone inside
+  }
+
   test("empty input writes an empty table instead of failing on ranges") {
     val empty = graft.core.Catalog.table(spark, "/root/testdata/sf0.001", "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
