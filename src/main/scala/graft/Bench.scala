@@ -16,6 +16,10 @@ object Bench {
     // catalog's statistics (the reference loads Catalog.txt at startup) —
     // engine startup work, not per-query work.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // A swallowed warmup failure would silently bench every query
+    // cold/unstaged — log it AND carry it in the JSON so degraded totals
+    // can never pass as clean numbers.
+    val warmupErrors = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       SparkEntry.queries("q01_scan")(spark, sfDir).count()
       graft.core.Catalog.statsMany(spark, sfDir,
@@ -23,7 +27,11 @@ object Bench {
       // stage the streaming source copy (input plumbing, not operator
       // work — a production stream reads an existing directory)
       Queries.stageStreamSource(spark, sfDir)
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARMUP FAILED (queries bench cold/unstaged): $e")
+        warmupErrors += s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+    }
     // Two passes per query: pass 1 (cold) pays one-time costs (whole-stage
     // codegen compilation, parquet footer/schema caches, shuffle file
     // warmup); pass 2 is the steady-state throughput a long-lived engine
@@ -61,6 +69,16 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val cold = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
     val warm = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
+    // Streaming queries bounce ±25% run-to-run (microbatch scheduling,
+    // RocksDB maintenance); a third sample + median gives round-over-round
+    // comparisons a stable number instead of noise.
+    val streamers = ordered.filter { case (n, _) => n.contains("stream") }
+    val third = streamers.map { case (name, fn) => name -> runOnce(name, fn) }
+    val streamMedians = streamers.map { case (name, _) =>
+      val samples = (cold ++ warm ++ third)
+        .collect { case (n, (v, None)) if n == name && v >= 0 => v }.sorted
+      name -> (if (samples.isEmpty) -1.0 else samples(samples.size / 2))
+    }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => " "
                   case c if c < ' ' => " "; case c => c.toString }
@@ -77,7 +95,8 @@ object Bench {
     val warmTotal = warmTimes.map(_._2).filter(_ >= 0).sum
     // errored queries contribute 0 to both totals; n_errors flags that the
     // totals cover fewer queries so a crash can't read as a speedup
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"errors":$errJson}""")
+    val warmupJson = warmupErrors.map(e => "\"" + esc(e) + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"queries_stream_median":${jsonMap(streamMedians)},"warmup_errors":$warmupJson,"errors":$errJson}""")
     spark.stop()
   }
 }

@@ -26,7 +26,11 @@ object Merge {
     * `changes` adds `opCol` with 'U' (upsert), 'I' (insert — same
     * behavior as 'U', kept for changelog fidelity), or 'D' (delete).
     * Keys must be unique within each input (snapshot PK + one change
-    * per key per batch — standard CDC compaction contract).
+    * per key per batch — standard CDC compaction contract). If a caller
+    * violates the contract, ties resolve DETERMINISTICALLY (row-content
+    * hash order) rather than by partition-arrival luck, so a bad batch
+    * yields the same wrong-but-stable answer every run instead of a
+    * nondeterministic one.
     */
   def upsert(snapshot: DataFrame, changes: DataFrame, keyCols: Seq[String],
       opCol: String = "op"): DataFrame = {
@@ -35,7 +39,7 @@ object Merge {
     // the op/bookkeeping columns, or keying on a column that isn't there
     require(!snapshot.columns.contains(opCol),
       s"snapshot already has a '$opCol' column — pass a different opCol")
-    Seq("__prio", "__rn").foreach { c =>
+    Seq("__prio", "__rn", "__tie").foreach { c =>
       require(!snapshot.columns.contains(c),
         s"snapshot column '$c' collides with upsert bookkeeping")
     }
@@ -49,10 +53,19 @@ object Merge {
       .withColumn(opCol, lit(null).cast("string"))
       .withColumn("__prio", lit(0))
     val chTagged = changes.withColumn("__prio", lit(1))
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__prio").desc)
-    snapTagged.unionByName(chTagged)
+    val unioned = snapTagged.unionByName(chTagged)
+      // content-hash tie-break: free (one codegen'd hash per row) and
+      // only ever consulted when two rows share (key, prio) — i.e. when
+      // the one-change-per-key contract is already broken
+      .withColumn("__tie", xxhash64(unionCols(snapshot, opCol).map(col): _*))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__prio").desc, col("__tie").asc)
+    unioned
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1 && (col(opCol).isNull || col(opCol) =!= "D"))
-      .drop(opCol, "__prio", "__rn")
+      .drop(opCol, "__prio", "__rn", "__tie")
   }
+
+  private def unionCols(snapshot: DataFrame, opCol: String): Seq[String] =
+    snapshot.columns.toSeq :+ opCol
 }

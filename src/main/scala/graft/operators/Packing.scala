@@ -28,6 +28,7 @@ object Packing {
   def shardByTokenBudget(df: DataFrame, tokensCol: Column, orderCol: Column,
       budget: Long, stratumCols: Seq[Column] = Seq.empty): DataFrame = {
     require(budget > 0, "token budget must be positive")
+    guardBookkeeping(df)
     val w0 = if (stratumCols.isEmpty) Window.partitionBy()
       else Window.partitionBy(stratumCols: _*)
     val w = w0.orderBy(orderCol)
@@ -61,6 +62,7 @@ object Packing {
       orderCol: String, budget: Long, numBuckets: Int): DataFrame = {
     require(budget > 0, "token budget must be positive")
     require(numBuckets > 0, "need at least one bucket")
+    guardBookkeeping(df)
     val r0 = df.agg(min(col(orderCol)).cast("long"),
       max(col(orderCol)).cast("long")).head()
     if (r0.isNullAt(0)) return df.withColumn("shard_id", lit(0L))
@@ -73,8 +75,15 @@ object Packing {
     val bucketCol = expr(s"(CAST(`$orderCol` AS BIGINT) - ${lo}L) div ${span}L")
     val totals = df
       .groupBy(bucketCol.as("b"))
-      .agg(sum(col(tokensCol).cast("long")).as("tot"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("tot"))
+      .collect().map { r =>
+        // a null bucket means a null order key: the window form would
+        // silently sort it first; here the bucket math has no home for
+        // it, so fail loudly instead of diverging between the two forms
+        require(!r.isNullAt(0),
+          s"order column '$orderCol' contains nulls — global shard packing needs a total order")
+        r.getLong(0) -> r.getLong(1)
+      }.toMap
     val offsets: Map[Long, Long] = {
       var acc = 0L
       totals.keys.toSeq.sorted.map { b =>
@@ -97,9 +106,20 @@ object Packing {
           val b = bucketOf(key)
           if (b != curBucket) { curBucket = b; cum = offsets.getOrElse(b, 0L) }
           val shard = cum / budget
-          cum += r.getAs[Number](tokIdx).longValue()
+          // null tokens count 0, matching the window form's sum-ignores-null
+          val tv = r.get(tokIdx)
+          cum += (if (tv == null) 0L else tv.asInstanceOf[Number].longValue())
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ shard)
         }
       }(rowEnc)
   }
+
+  /** Fail fast instead of silently clobbering a caller's column named
+    * like our bookkeeping/output columns (mirrors Merge.upsert).
+    */
+  private def guardBookkeeping(df: DataFrame): Unit =
+    Seq("__cum", "shard_id").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with shard-packing bookkeeping/output")
+    }
 }

@@ -32,4 +32,21 @@ object MergePropertySpec extends Properties("Merge") {
         .as[(Long, String)].collect().toMap
       got == model
     }
+
+  // Contract violations (several changes for one key) must resolve the
+  // same way every run — content-hash tie-break, not partition order.
+  private val dupChangesGen: Gen[List[(Long, String, String)]] =
+    Gen.listOfN(40, Gen.zip(keyGen, Gen.alphaStr.map(_.take(4)),
+      Gen.oneOf("U", "I", "D"))).map { l => l.map { case (k, v, op) => (k, v, op) } }
+
+  property("duplicate-key changesets resolve deterministically") =
+    Prop.forAll(snapshotGen, dupChangesGen) { (snap, dupChanges) =>
+      import spark.implicits._
+      val snapDf = snap.toSeq.toDF("k", "v")
+      def run(parts: Int): Map[Long, String] =
+        Merge.upsert(snapDf,
+          dupChanges.toDF("k", "v", "op").repartition(parts), Seq("k"))
+          .as[(Long, String)].collect().toMap
+      run(1) == run(7)
+    }
 }

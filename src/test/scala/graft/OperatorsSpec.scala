@@ -305,6 +305,72 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Packing: global and window forms agree on null tokens; null order keys fail loudly") {
+    val docs = Seq((1L, java.lang.Long.valueOf(300L)), (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, java.lang.Long.valueOf(300L)), (4L, java.lang.Long.valueOf(300L)))
+      .toDF("id", "ntok")
+    val windowed = Packing.shardByTokenBudget(docs, col("ntok"), col("id"), budget = 500L)
+      .select("id", "shard_id").as[(Long, Long)].collect().toMap
+    val global = Packing.shardByTokenBudgetGlobal(docs, "ntok", "id", budget = 500L, 3)
+      .select("id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(global == windowed) // null token counts 0 in both forms
+    val nullKey = Seq((java.lang.Long.valueOf(1L), 10L), (null.asInstanceOf[java.lang.Long], 10L))
+      .toDF("id", "ntok")
+    val err = intercept[Exception] {
+      Packing.shardByTokenBudgetGlobal(nullKey, "ntok", "id", budget = 5L, 2).count()
+    }
+    assert(err.getMessage.contains("total order"))
+  }
+
+  test("Packing fails fast on bookkeeping/output column collisions") {
+    val df = Seq((1L, 10L, 0L)).toDF("id", "ntok", "shard_id")
+    intercept[IllegalArgumentException] {
+      Packing.shardByTokenBudget(df, col("ntok"), col("id"), budget = 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.shardByTokenBudgetGlobal(df, "ntok", "id", budget = 5L, 2)
+    }
+  }
+
+  test("InvertedIndex.build drops exactly the tokens with df > maxDf") {
+    // 20 docs: "stop" in all 20, "mid" in docs 0-9, "rare" only in doc 3
+    val docs = (0L until 20L).map { i =>
+      val toks = Seq("stop") ++
+        (if (i < 10) Seq("mid") else Nil) ++
+        (if (i == 3) Seq("rare") else Nil)
+      (i, toks.mkString(" "))
+    }.toDF("id", "text")
+    val full = InvertedIndex.build(docs, "id", "text", maxDf = 20L)
+      .select("token", "df", "postings").as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for (maxDf <- Seq(1L, 9L, 10L, 19L, 20L)) {
+      val capped = InvertedIndex.build(docs, "id", "text", maxDf)
+        .select("token", "df", "postings").as[(String, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // kept = exactly the tokens at or under the threshold...
+      assert(capped.keySet == full.filter(_._2._1 <= maxDf).keySet,
+        s"wrong token set at maxDf=$maxDf")
+      // ...and their postings/df are bit-identical to the uncapped build
+      assert(capped == full.view.filterKeys(capped.keySet).toMap,
+        s"surviving postings changed at maxDf=$maxDf")
+    }
+    assert(full("stop")._2 == (0L until 20L).mkString(","))
+    assert(full("rare") == ((1L, "3")))
+  }
+
+  test("InvertedIndex.boundedSmallest keeps the bound smallest ids under partial merge") {
+    // ids arrive shuffled across 8 partitions; bound smaller than the group
+    val ids = scala.util.Random.shuffle((0L until 500L).toList)
+    val df = ids.map(i => ("g", i)).toDF("g", "id").repartition(8)
+    for (bound <- Seq(1, 7, 100, 500, 600)) {
+      val got = df.groupBy("g")
+        .agg(InvertedIndex.boundedSmallest(col("id"), bound).as("s"))
+        .select("s").as[Seq[Long]].head()
+      assert(got == (0L until math.min(bound, 500).toLong),
+        s"wrong survivors at bound=$bound")
+    }
+  }
+
   test("Sampling.stratifiedSample keeps per-stratum fractions, drops rest") {
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("id", "lang")
