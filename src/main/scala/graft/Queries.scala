@@ -1217,6 +1217,61 @@ object Queries {
         expr("percentile(price_c, 0.5)").as("median_c"),
         expr("percentile(price_c, 0.75)").as("p75_c"))
 
+  /** The 100 TB companion to q91's exact percentiles: one-pass MERGEABLE
+    * quantile sketch (percentile_approx — Greenwald-Khanna, O(accuracy)
+    * state per group, map-side combine) checked against its own hard
+    * rank-error guarantee (±1/accuracy ranks). The query returns the
+    * VIOLATIONS of exact-percentile bounds at q ± 2/accuracy — provably
+    * empty when the sketch honors its contract — and the oracle states
+    * the empty set (the q27 pattern: the invariant is SQL-expressible
+    * even though the sketch isn't). The exact bounds are the CHECK;
+    * production runs the sketch alone.
+    */
+  def q95_sketch_quantiles(s: SparkSession, dir: String): DataFrame = {
+    val acc = 100
+    val qs = Seq(0.5, 0.9, 0.99)
+    val eps = 1.0 / acc // the sketch's rank-error guarantee
+    val docs = t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val apx = docs.groupBy("lang")
+      .agg(expr(s"percentile_approx(n_tokens, array(${qs.mkString(",")}), $acc)")
+        .as("__apx"), count(lit(1)).as("__n"))
+      .select(col("lang"), col("__n"),
+        posexplode(col("__apx")).as(Seq("__qi", "__approx")))
+    // The contract is on RANKS, not values (checking against interpolated
+    // exact percentiles false-alarms on small groups where interpolation
+    // exceeds the data value at the floor rank). Recover the sketch
+    // answer's exact rank interval with one broadcast join of |langs|x3
+    // rows back over the corpus, then assert it intersects
+    // [floor((q-eps)n) - 1, ceil((q+eps)n) + 1].
+    val target = element_at(array(qs.map(lit): _*), col("__qi") + 1) * col("__n")
+    docs.join(broadcast(apx), Seq("lang"))
+      .groupBy("lang", "__qi", "__approx", "__n")
+      .agg(sum(when(col("n_tokens") <= col("__approx"), 1L).otherwise(0L)).as("__le"),
+        sum(when(col("n_tokens") < col("__approx"), 1L).otherwise(0L)).as("__lt"))
+      .where(col("__le") < floor(target - lit(eps) * col("__n")) - 1 ||
+        col("__lt") + 1 > ceil(target + lit(eps) * col("__n")) + 1)
+      .select(col("lang"), col("__qi").cast("long").as("q_idx"),
+        col("__approx").cast("double").as("approx"))
+  }
+
+  /** HLL distinct-count sketch (approx_count_distinct — the same sketch
+    * TableStats builds ndv from) on the query surface: fixed 2^p bytes
+    * per group and mergeable, vs q48's exact count(distinct) which
+    * re-keys the fact table per group. Returns groups where the sketch
+    * misses exact by more than 15% (3x its 5% target rsd) — empty for
+    * any dataset where HLL behaves, and deterministic for a GIVEN
+    * dataset, so the gate is stable. Oracle states the empty set.
+    */
+  def q96_hll_ndv(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact_ndv"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("approx_ndv"))
+      .where(abs(col("approx_ndv") - col("exact_ndv")) >
+        col("exact_ndv") * lit(0.15))
+      .select(col("l_returnflag"), col("exact_ndv"), col("approx_ndv"))
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -1504,7 +1559,9 @@ object Queries {
     "q85_inverted_index" -> (q85_inverted_index _),
     "q63_stream_sessions" -> (q63_stream_sessions _),
     "q64_stream_dedup" -> (q64_stream_dedup _),
-    "q94_zorder_roundtrip" -> (q94_zorder_roundtrip _))
+    "q94_zorder_roundtrip" -> (q94_zorder_roundtrip _),
+    "q95_sketch_quantiles" -> (q95_sketch_quantiles _),
+    "q96_hll_ndv" -> (q96_hll_ndv _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2016,6 +2073,14 @@ object Queries {
     "q94_zorder_roundtrip" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
          WHERE l_orderkey BETWEEN 100 AND 700 AND l_partkey BETWEEN 50 AND 150""",
+    "q95_sketch_quantiles" ->
+      """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS q_idx,
+                CAST(NULL AS DOUBLE) AS approx
+         WHERE FALSE""",
+    "q96_hll_ndv" ->
+      """SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
+                CAST(NULL AS BIGINT) AS exact_ndv, CAST(NULL AS BIGINT) AS approx_ndv
+         WHERE FALSE""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,
