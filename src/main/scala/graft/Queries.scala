@@ -1272,6 +1272,35 @@ object Queries {
         col("exact_ndv") * lit(0.15))
       .select(col("l_returnflag"), col("exact_ndv"), col("approx_ndv"))
 
+  /** End-to-end corpus build — the operators composed the way a real
+    * pretraining pipeline chains them, in ONE declarative plan: quality
+    * gate (q24's formula) → exact dedup keeping the min-id
+    * representative (q20's semantics, as a single struct-min
+    * aggregation) → per-language token-budget shard packing (q83).
+    * Catalyst fuses the scoring into the scan stage, so the whole
+    * pipeline is 2 shuffles: one for the dedup hash-agg, one for the
+    * packing window. Filtering on the bit-parity `quality` double is
+    * safe — q24 proves both engines compute it bit-identically.
+    */
+  def q97_corpus_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.stopwordCount(col("text")).as("__sc"))
+      .withColumn("quality",
+        least(col("n_tokens").cast("double") / lit(64.0), lit(1.0)) * lit(0.5) +
+          (col("__sc").cast("double") / col("n_tokens")) * lit(0.5))
+      .where(col("quality") >= 0.5)
+    val deduped = scored
+      .groupBy(col("text"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"))).as("__r"))
+      .select(col("__r.doc_id").as("doc_id"), col("__r.lang").as("lang"),
+        col("__r.n_tokens").as("n_tokens"))
+    Packing.shardByTokenBudget(deduped, col("n_tokens"), col("doc_id"),
+      budget = 1000L, stratumCols = Seq(col("lang")))
+      .select("doc_id", "lang", "n_tokens", "shard_id")
+  }
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -1561,7 +1590,8 @@ object Queries {
     "q64_stream_dedup" -> (q64_stream_dedup _),
     "q94_zorder_roundtrip" -> (q94_zorder_roundtrip _),
     "q95_sketch_quantiles" -> (q95_sketch_quantiles _),
-    "q96_hll_ndv" -> (q96_hll_ndv _))
+    "q96_hll_ndv" -> (q96_hll_ndv _),
+    "q97_corpus_pipeline" -> (q97_corpus_pipeline _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2081,6 +2111,24 @@ object Queries {
       """SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
                 CAST(NULL AS BIGINT) AS exact_ndv, CAST(NULL AS BIGINT) AS approx_ndv
          WHERE FALSE""",
+    "q97_corpus_pipeline" ->
+      s"""WITH scored AS (
+           SELECT doc_id, lang, text, $tokCountSql AS n_tokens,
+                  least(CAST($tokCountSql AS DOUBLE)/64.0, 1.0)*0.5 +
+                  (CAST($stopSumSql AS DOUBLE)/$tokCountSql)*0.5 AS quality
+           FROM documents),
+         kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+         dedup AS (
+           SELECT doc_id, lang, n_tokens FROM (
+             SELECT doc_id, lang, n_tokens,
+                    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             FROM kept) WHERE rn = 1)
+         SELECT doc_id, lang, n_tokens,
+                CAST(coalesce(sum(n_tokens) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
+                  AS BIGINT) AS shard_id
+         FROM dedup""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,

@@ -49,6 +49,23 @@ object Formats {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
 
+  /** Raw media ingestion: read a directory of opaque files (images,
+    * audio, video) as one row per file — (path, modificationTime,
+    * length, content binary) — the front door of the multimodal decode
+    * pipeline ([[graft.operators.Multimodal]] consumes the `content`
+    * bytes). `pathGlobFilter` prunes at the FILE LISTING, before any
+    * byte is read, and `maxBytesPerFile` guards executors from a rogue
+    * multi-GB upload in a crawled corpus.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      globFilter: Option[String] = None,
+      maxBytesPerFile: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    val r1 = globFilter.fold(r)(g => r.option("pathGlobFilter", g))
+    val df = r1.load(path)
+    maxBytesPerFile.fold(df)(m => df.where(org.apache.spark.sql.functions.col("length") <= m))
+  }
+
   // ORC: the other columnar interchange format warehouses hand us; same
   // pushdown/pruning properties as parquet in Spark's reader
   def readOrc(spark: SparkSession, path: String): DataFrame =

@@ -30,6 +30,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(fromJson.collect().map(_.toSeq).toSet == expected)
   }
 
+  test("binaryFile source feeds the multimodal decode pipeline") {
+    val binDir = Files.createTempDirectory("graft-bin")
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def png(w: Int, h: Int): Array[Byte] =
+      hexBytes("89504E470D0A1A0A0000000D49484452") ++ be32(w) ++ be32(h) ++
+        hexBytes("080200000000000000")
+    Files.write(binDir.resolve("a.png"), png(5, 7))
+    Files.write(binDir.resolve("b.png"), png(640, 480))
+    Files.write(binDir.resolve("noise.txt"), "not an image".getBytes)
+
+    // glob filter prunes non-matching files at the LISTING
+    val files = graft.sources.Formats.readBinaryFiles(
+      spark, binDir.toString, globFilter = Some("*.png"))
+    assert(files.count() == 2)
+    assert(Seq("path", "length", "content").forall(files.columns.contains))
+
+    // rogue-file guard drops by length without reading content
+    val small = graft.sources.Formats.readBinaryFiles(
+      spark, binDir.toString, globFilter = Some("*.png"),
+      maxBytesPerFile = Some(png(5, 7).length - 1L))
+    assert(small.count() == 0)
+
+    // the listed files flow straight into the decode stage
+    val media = files.select(
+      xxhash64(col("path")).as("media_id"),
+      lit("image/png").as("kind"), col("content"))
+    val metas = graft.operators.Multimodal.decodeImages(spark, media).collect()
+    assert(metas.length == 2 && metas.forall(_.format == "png"))
+    assert(metas.map(m => (m.width, m.height)).toSet == Set((5L, 7L), (640L, 480L)))
+  }
+
   test("ORC round-trips the nation table and pushes filters to the scan") {
     val nation = graft.core.Catalog.table(spark, dir, "nation")
     val expected = nation.collect().map(_.toSeq).toSet
