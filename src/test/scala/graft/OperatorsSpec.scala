@@ -371,6 +371,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Compaction merges small files without changing content") {
+    val src = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+    val orders = graft.core.Catalog.table(spark, "/root/testdata/sf0.001", "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(src) // the small-file mess
+    def partFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(partFiles(src).length == 64)
+    val totalBytes = partFiles(src).map(_.length).sum
+    val n = Compaction.compactParquet(spark, src, dst, targetBytes = totalBytes / 4)
+    val written = partFiles(dst).length
+    assert(n <= 5 && written <= n && written >= 1, s"cap $n, wrote $written")
+    assert(spark.read.parquet(dst).collect().map(_.toSeq).toSet ==
+      orders.collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException] { // in-place rewrite refused
+      Compaction.compactParquet(spark, src, src, targetBytes = 1L)
+    }
+  }
+
   test("Sampling.stratifiedSample keeps per-stratum fractions, drops rest") {
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("id", "lang")
