@@ -1301,6 +1301,63 @@ object Queries {
       .select("doc_id", "lang", "n_tokens", "shard_id")
   }
 
+  /** Near-dup cluster canonicalization ([[Graph.componentsFor]] —
+    * alternating large-star/small-star connected components): documents
+    * sharing a blocking key (source×size-bucket OR lang×size-bucket)
+    * are duplicate evidence; transitive closure assigns every doc the
+    * min doc-id of its cluster as canonical. Edges are STAR edges (each
+    * doc → its key-group minimum, one window per key), so a g-doc group
+    * costs g edges, never g² pairs — the entity-resolution shape that
+    * survives 100 TB. The oracle replays the closure with a recursive
+    * CTE over the same edges.
+    */
+  def q98_dup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bucket = (col("n_chars") / lit(50)).cast("long")
+    def starEdges(key: Column): DataFrame = docs
+      .select(col("doc_id"), key.as("__k"))
+      .withColumn("a", min(col("doc_id")).over(Window.partitionBy(col("__k"))))
+      .select(col("a"), col("doc_id").as("b"))
+      .where(col("a") =!= col("b"))
+    val edges = starEdges(concat_ws("|", col("source"), bucket))
+      .unionByName(starEdges(concat_ws("|", col("lang"), bucket)))
+    Graph.componentsFor(docs, "doc_id", edges, "a", "b")
+      .select(col("id").as("doc_id"), col("component"),
+        (col("id") === col("component")).cast("long").as("is_canonical"))
+  }
+
+  /** Data-mixture resampling ([[Sampling.mixtureSample]]): downsample
+    * over-represented languages to a 6:3:1 en:de:zh token mixture. The
+    * binding stratum (smallest tokens/weight) survives whole; others
+    * keep an exact-rational fraction via integer cross-multiplication
+    * on the q82 multiplicative id mix — one #strata-row agg, then a
+    * scan-speed predicate; the corpus itself never shuffles.
+    */
+  def q99_mixture_sample(s: SparkSession, dir: String): DataFrame = {
+    val mix = pmod((col("doc_id") % lit(1000000000L)) * lit(2654435761L),
+      lit(10000L))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"), mix.as("bucket"))
+    Sampling.mixtureSample(docs, "lang", col("n_tokens"),
+      Seq("en" -> 6L, "de" -> 3L, "zh" -> 1L), col("bucket"))
+  }
+
+  /** Time-series regularization ([[TimeSeries.resample]]): each user's
+    * event stream onto a gapless hourly grid — counts zero-filled,
+    * value sums forward-filled (leading gaps zeroed). Spine is per-key
+    * `sequence(min,max)`, never a global calendar cross join.
+    */
+  def q100_ts_gapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").where(col("user_id") < 40)
+    TimeSeries.resample(ev, "user_id",
+      date_trunc("hour", col("ts")), "interval 1 hour",
+      Seq(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_value_c")),
+      zeroFill = Seq("n_events", "sum_value_c"),
+      ffill = Seq("sum_value_c"))
+      .select(col("user_id"), unix_timestamp(col("bucket")).as("h_epoch"),
+        col("n_events"), col("sum_value_c"))
+  }
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -1591,7 +1648,10 @@ object Queries {
     "q94_zorder_roundtrip" -> (q94_zorder_roundtrip _),
     "q95_sketch_quantiles" -> (q95_sketch_quantiles _),
     "q96_hll_ndv" -> (q96_hll_ndv _),
-    "q97_corpus_pipeline" -> (q97_corpus_pipeline _))
+    "q97_corpus_pipeline" -> (q97_corpus_pipeline _),
+    "q98_dup_clusters" -> (q98_dup_clusters _),
+    "q99_mixture_sample" -> (q99_mixture_sample _),
+    "q100_ts_gapfill" -> (q100_ts_gapfill _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2129,6 +2189,69 @@ object Queries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
                   AS BIGINT) AS shard_id
          FROM dedup""",
+    // Closure replay: same star edges, reachability as a recursive CTE
+    // (UNION-dedup bounds the state), component = min reachable id.
+    "q98_dup_clusters" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+                  source || '|' || CAST(n_chars // 50 AS VARCHAR) AS k1,
+                  lang   || '|' || CAST(n_chars // 50 AS VARCHAR) AS k2
+           FROM documents),
+         e AS (
+           SELECT a, b FROM (
+             SELECT min(doc_id) OVER (PARTITION BY k1) AS a, doc_id AS b FROM d
+             UNION
+             SELECT min(doc_id) OVER (PARTITION BY k2) AS a, doc_id AS b FROM d)
+           WHERE a <> b),
+         sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(id, x) AS (
+           SELECT doc_id, doc_id FROM d
+           UNION
+           SELECT r.id, s.b FROM reach r JOIN sym s ON s.a = r.x)
+         SELECT id AS doc_id, CAST(min(x) AS BIGINT) AS component,
+                CAST(CASE WHEN min(x) = id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         FROM reach GROUP BY id""",
+    // Same mixture math declaratively: totals per weighted lang, binding
+    // stratum by t/w (double ratio, lang tie-break — same IEEE compare
+    // as the operator), integer cross-multiplied keep predicate.
+    "q99_mixture_sample" ->
+      s"""WITH toks AS (
+           SELECT doc_id, lang, $tokCountSql AS n_tokens,
+                  ((doc_id % 1000000000) * 2654435761) % 10000 AS bucket
+           FROM documents WHERE lang IN ('en','de','zh')),
+         w(s, wt) AS (VALUES ('en', CAST(6 AS BIGINT)), ('de', CAST(3 AS BIGINT)),
+                             ('zh', CAST(1 AS BIGINT))),
+         tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
+                 FROM toks GROUP BY lang),
+         tw AS (SELECT tot.lang, t, wt FROM tot JOIN w ON w.s = tot.lang),
+         m AS (SELECT t AS tstar, wt AS wstar FROM tw
+               ORDER BY CAST(t AS DOUBLE)/wt, lang LIMIT 1)
+         SELECT d.doc_id, d.lang, d.n_tokens, d.bucket
+         FROM toks d JOIN tw ON tw.lang = d.lang CROSS JOIN m
+         WHERE d.bucket * m.wstar * tw.t < 10000 * tw.wt * m.tstar""",
+    // Per-user hourly spine via generate_series (inclusive, like Spark's
+    // sequence); IGNORE NULLS last_value = the forward fill.
+    "q100_ts_gapfill" ->
+      s"""WITH e AS (
+           SELECT user_id, date_trunc('hour', ts) AS h, value
+           FROM events WHERE user_id < 40),
+         hourly AS (
+           SELECT user_id, h, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(${centsSql("value")}) AS BIGINT) AS sv
+           FROM e GROUP BY user_id, h),
+         bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi
+                    FROM e GROUP BY user_id),
+         spine AS (SELECT user_id,
+                          unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                   FROM bounds)
+         SELECT s.user_id, CAST(epoch(s.h) AS BIGINT) AS h_epoch,
+                CAST(coalesce(hr.n_events, 0) AS BIGINT) AS n_events,
+                CAST(coalesce(last_value(hr.sv IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                  AS BIGINT) AS sum_value_c
+         FROM spine s LEFT JOIN hourly hr
+           ON hr.user_id = s.user_id AND hr.h = s.h""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,

@@ -58,4 +58,52 @@ object Sampling {
     }
     df.where(b < threshold)
   }
+
+  /** Mixture resampling: downsample over-represented strata so the KEPT
+    * corpus's token mass approaches the target integer weights (the
+    * "data mixture" step of a pretraining pipeline — e.g. en:de:zh =
+    * 6:3:1 regardless of crawl proportions). No stratum is upsampled:
+    * the binding stratum s* = argmin(tokens_s / weight_s) is kept
+    * whole and every other stratum keeps rate_s = (w_s·T_s*)/(w_s*·T_s)
+    * of its tokens. Strata without a weight are dropped.
+    *
+    * Determinism: the keep predicate is exact integer arithmetic on the
+    * caller's bucket column — bucket·w_s*·T_s < Buckets·w_s·T_s*
+    * (cross-multiplied rationals, no float thresholds), reproducible in
+    * any engine. Caller must keep Buckets·max(w)·max(T) < 2^63 — at
+    * 10^4·10^3 that allows ~9·10^11 tokens per stratum; renormalize
+    * weights or widen to decimal beyond that.
+    *
+    * Scale shape: one small agg (rows = #strata) collected to the
+    * driver, then a scan-speed literal predicate — the totals are the
+    * only coordination, there is no shuffle of the corpus itself.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, tokensCol: Column,
+      weights: Seq[(String, Long)], bucketOf: Column): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val w = weights.toMap
+    val totals = df
+      .where(col(stratumCol).isin(weights.map(_._1): _*))
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(sum(tokensCol.cast("long")).as("__t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    require(totals.nonEmpty, "no rows in any weighted stratum")
+    // Binding stratum: smallest tokens/weight ratio (IEEE-double compare
+    // with name tie-break — mirrors the SQL `ORDER BY t/w, s LIMIT 1`
+    // an external replayer would write).
+    val (sStar, tStar) = totals.minBy { case (s, t) =>
+      (t.toDouble / w(s), s)
+    }
+    val wStar = w(sStar)
+    val keep = totals.foldLeft(lit(false): Column) {
+      case (els, (s, t)) =>
+        when(col(stratumCol) === s,
+          bucketOf * lit(wStar) * lit(t) < lit(Buckets.toLong) * lit(w(s)) * lit(tStar))
+          .otherwise(els)
+    }
+    df.where(keep)
+  }
 }
