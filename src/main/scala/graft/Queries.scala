@@ -1358,6 +1358,24 @@ object Queries {
         col("n_events"), col("sum_value_c"))
   }
 
+  /** Bloom semi-join reduction ([[BloomPrune.reducedJoin]]): lineitem
+    * probed against a Bloom filter of the urgent orders' keys at scan
+    * speed (codegen'd [[graft.functions.BloomMightContain]]) before the
+    * exact join — non-matching fact rows never reach the shuffle; false
+    * positives die in the join, so the oracle is the PLAIN join.
+    */
+  def q101_bloom_join(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    BloomPrune.reducedJoin(t(s, dir, "lineitem"), urgent,
+      "l_orderkey", "o_orderkey", expectedItems = 20000L, fpp = 0.01)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_c"))
+  }
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -1651,7 +1669,8 @@ object Queries {
     "q97_corpus_pipeline" -> (q97_corpus_pipeline _),
     "q98_dup_clusters" -> (q98_dup_clusters _),
     "q99_mixture_sample" -> (q99_mixture_sample _),
-    "q100_ts_gapfill" -> (q100_ts_gapfill _))
+    "q100_ts_gapfill" -> (q100_ts_gapfill _),
+    "q101_bloom_join" -> (q101_bloom_join _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2252,6 +2271,15 @@ object Queries {
                   AS BIGINT) AS sum_value_c
          FROM spine s LEFT JOIN hourly hr
            ON hr.user_id = s.user_id AND hr.h = s.h""",
+    // The bloom prune is result-transparent (exact join removes false
+    // positives), so the oracle is simply the unpruned join.
+    "q101_bloom_join" ->
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT)
+                  AS revenue_c
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY l_returnflag""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,

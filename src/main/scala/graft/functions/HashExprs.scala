@@ -196,6 +196,37 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Membership probe (boolean) of a long key against a serialized
+  * [[org.apache.spark.util.sketch.BloomFilter]] — the fact-side probe of
+  * a bloom semi-join reduction. The filter ships as BYTES with the
+  * expression (one copy per task-set broadcast, not per row) and is
+  * deserialized once per executor via the transient lazy val; codegen
+  * references the expression instance, so the probe is one virtual call
+  * per row inside whole-stage codegen.
+  */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomExpr", this,
+      "graft.functions.BloomMightContain")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.filter().mightContainLong($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object exprs {
   def wordShingles(text: Column, width: Int): Column =
@@ -212,4 +243,8 @@ object exprs {
   def dotProduct(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def bloomMightContain(key: Column, filterBytes: Array[Byte]): Column =
+    GraftSqlBridge.column(BloomMightContain(
+      GraftSqlBridge.expression(key), filterBytes))
 }

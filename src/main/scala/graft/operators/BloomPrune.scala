@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.functions.exprs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom semi-join reduction: probe the fact table against a Bloom
+  * filter of the (filtered) dimension's join keys BEFORE the shuffle
+  * join, so non-matching fact rows die at scan speed instead of being
+  * shuffled.
+  *
+  * When it pays at 100 TB: the dim's key set is too big to broadcast as
+  * a hash relation (Spark would shuffle both sides), but its Bloom
+  * filter — ~7.2 bits/key at 1% fpp, 10-20× smaller than the keys —
+  * still fits. A 10⁹-key dim is a ~1 GB filter pruning a multi-TB fact
+  * shuffle down to (matching + fpp) rows. Spark's AQE injects this
+  * automatically in some shapes (`runtimeFilter.bloomFilter`); this is
+  * the explicit form with caller-controlled fpp/size, usable in any
+  * plan position and across query boundaries (build once, prune many).
+  *
+  * False positives survive the prune, so ALWAYS follow with the exact
+  * join — [[reducedJoin]] does, making the result provably identical to
+  * the plain join (no false negatives: Bloom guarantees).
+  */
+object BloomPrune {
+
+  /** Serialized Bloom filter of `keyCol` (long) over `dim` — one
+    * distributed aggregation; the bytes live on the driver, sized by
+    * `expectedItems`/`fpp`, and ship to probe tasks with the expression.
+    */
+  def buildFilter(dim: DataFrame, keyCol: Column,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val bf = dim.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** `fact` with rows whose key cannot be in the filter removed — a
+    * scan-speed codegen'd predicate, zero shuffle.
+    */
+  def prune(fact: DataFrame, keyCol: Column, filterBytes: Array[Byte]): DataFrame =
+    fact.where(exprs.bloomMightContain(keyCol.cast("long"), filterBytes))
+
+  /** Inner equi-join with the fact side Bloom-pruned first; result is
+    * identical to `fact.join(dim, keys)` — the final exact join removes
+    * the filter's false positives.
+    */
+  def reducedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bytes = buildFilter(dim, col(dimKey), expectedItems, fpp)
+    prune(fact, col(factKey), bytes)
+      .join(dim, col(factKey) === col(dimKey))
+  }
+}

@@ -390,6 +390,59 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("BloomPrune.reducedJoin is identical to the plain join; prune has no false negatives") {
+    import spark.implicits._
+    val fact = (0L until 5000L).map(i => (i % 997, i)).toDF("k", "payload")
+    val dim = (0L until 997L by 3).map(i => (i, s"d$i")).toDF("dk", "name")
+    val plain = fact.join(dim, $"k" === $"dk").collect().map(_.toSeq).toSet
+    val reduced = graft.operators.BloomPrune
+      .reducedJoin(fact, dim, "k", "dk", expectedItems = 400L, fpp = 0.05)
+      .collect().map(_.toSeq).toSet
+    assert(reduced == plain)
+    // the prune alone keeps every true match (Bloom: no false negatives)
+    val bytes = graft.operators.BloomPrune.buildFilter(dim, $"dk", 400L, 0.05)
+    val kept = graft.operators.BloomPrune.prune(fact, $"k", bytes)
+      .select("k").as[Long].collect().toSet
+    val trueKeys = dim.select("dk").as[Long].collect().toSet
+    assert(fact.select("k").as[Long].collect().toSet
+      .filter(trueKeys.contains).subsetOf(kept))
+  }
+
+  test("Sampling.mixtureSample keeps binding stratum whole, rates others") {
+    import spark.implicits._
+    // en: 600 tokens over 60 docs, de: 90 over 9, zh: 300 over 30
+    val docs = ((0L until 60L).map(i => (i, "en", 10L)) ++
+      (100L until 109L).map(i => (i, "de", 10L)) ++
+      (200L until 230L).map(i => (i, "zh", 10L)) ++
+      (300L until 310L).map(i => (i, "fr", 10L))).toDF("id", "lang", "toks")
+    val bucket = pmod(xxhash64(col("id")), lit(10000L))
+    val kept = graft.operators.Sampling.mixtureSample(
+      docs, "lang", col("toks"), Seq("en" -> 2L, "de" -> 3L, "zh" -> 1L), bucket)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // binding stratum = argmin T/w: en 300, de 30, zh 300 -> de kept whole
+    assert(kept("de") == 9L)
+    assert(!kept.contains("fr")) // unweighted stratum dropped
+    // expected rates: en = (2*90)/(3*600) = 0.1, zh = (1*90)/(3*300) = 0.1
+    assert(kept.getOrElse("en", 0L) < 20L && kept.getOrElse("zh", 0L) < 12L)
+  }
+
+  test("TimeSeries.resample fills gaps: zero counts, forward-filled values") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:10:00", 5.0),
+      (1L, "2024-01-01 03:20:00", 7.0),
+      (2L, "2024-01-01 01:00:00", 1.0)
+    ).toDF("uid", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = graft.operators.TimeSeries.resample(ev, "uid",
+      date_trunc("hour", col("ts")), "interval 1 hour",
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("sv")),
+      zeroFill = Seq("n"), ffill = Seq("sv"))
+      .orderBy("uid", "bucket")
+      .select("uid", "n", "sv").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 1L, 5.0), (1L, 0L, 5.0), (1L, 0L, 5.0),
+      (1L, 1L, 7.0), (2L, 1L, 1.0)))
+  }
+
   test("Sampling.stratifiedSample keeps per-stratum fractions, drops rest") {
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("id", "lang")
