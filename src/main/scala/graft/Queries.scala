@@ -1376,6 +1376,53 @@ object Queries {
           .as("revenue_c"))
   }
 
+  /** Pivot → unpivot round-trip: per-returnflag quantity sums pivoted
+    * wide by linestatus, then melted back long — both reshapes in one
+    * plan; the oracle states the equivalent plain GROUP BY (the
+    * round-trip must be the identity on non-empty cells).
+    */
+  def q102_pivot_unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(cents(col("l_quantity"))))
+    wide.unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+      "l_linestatus", "sum_qty_c")
+      .where(col("sum_qty_c").isNotNull)
+  }
+
+  /** Per-label embedding centroids, dimension-parallel: posexplode →
+    * one (label, dim)-keyed agg — a 64-dim vector costs 64 shuffle
+    * rows, never an array buffer, so a billion-vector centroid pass is
+    * an ordinary hash agg. Values quantized to exact 2^-20 fixed point
+    * (power-of-two multiply is exact in IEEE; sums are integer math)
+    * per the cents discipline; the mean divides the same exact integers
+    * in the same order on both sides.
+    */
+  def q103_label_centroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(round(col("v").cast("double") * lit(1048576L)).cast("long")).as("sum_q"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("sum_q"), col("n"),
+        (col("sum_q").cast("double") / col("n") / lit(1048576.0)).as("mean"))
+
+  /** Balanced eval-set construction ([[Sampling.exactKPerStratum]]):
+    * exactly 20 docs per language, ranked by a deterministic id mix —
+    * bounded per-partition heaps through the custom TopKPerGroup
+    * physical operator, reproducible on any engine.
+    */
+  def q104_exact_k_sample(s: SparkSession, dir: String): DataFrame = {
+    val mix = pmod((col("doc_id") % lit(1000000000L)) * lit(2654435761L),
+      lit(1000000007L))
+    Sampling.exactKPerStratum(
+      t(s, dir, "documents").select("doc_id", "lang"),
+      "lang", "doc_id", k = 20, bucketOf = mix)
+  }
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -1670,7 +1717,10 @@ object Queries {
     "q98_dup_clusters" -> (q98_dup_clusters _),
     "q99_mixture_sample" -> (q99_mixture_sample _),
     "q100_ts_gapfill" -> (q100_ts_gapfill _),
-    "q101_bloom_join" -> (q101_bloom_join _))
+    "q101_bloom_join" -> (q101_bloom_join _),
+    "q102_pivot_unpivot" -> (q102_pivot_unpivot _),
+    "q103_label_centroids" -> (q103_label_centroids _),
+    "q104_exact_k_sample" -> (q104_exact_k_sample _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2280,6 +2330,32 @@ object Queries {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'
          GROUP BY l_returnflag""",
+    // pivot∘unpivot = identity on non-empty cells = the plain GROUP BY
+    "q102_pivot_unpivot" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c
+         FROM lineitem WHERE l_linestatus IN ('F', 'O')
+         GROUP BY l_returnflag, l_linestatus""",
+    // Same dimension-parallel expansion via lateral unnest over indexes;
+    // 2^-20 fixed-point quantization is exact on both sides.
+    "q103_label_centroids" ->
+      """WITH ex AS (
+           SELECT label, u.i AS dim, e.embedding[u.i + 1] AS v
+           FROM embeddings e, unnest(range(len(e.embedding))) AS u(i))
+         SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT))
+                  AS BIGINT) AS sum_q,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT))
+                  AS DOUBLE) / count(*) / 1048576.0 AS mean
+         FROM ex GROUP BY label, dim""",
+    "q104_exact_k_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY ((doc_id % 1000000000) * 2654435761) % 1000000007,
+                             doc_id) AS rn
+           FROM documents) WHERE rn <= 20""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,

@@ -59,6 +59,23 @@ object Sampling {
     df.where(b < threshold)
   }
 
+  /** Exactly-k-per-stratum deterministic sample (e.g. a balanced eval
+    * set: 20 docs per language): rows ranked inside each stratum by
+    * (bucket, id) — a pure content order, so the same k rows win on any
+    * layout, any run, any engine. Delegates to the TopKPerGroup
+    * physical operator: per-partition bounded heaps of size k, merged
+    * on the stratum shuffle — never a full per-stratum sort. Fractional
+    * sampling can't give exact counts; this is the exact-k complement
+    * of [[stratifiedSample]].
+    */
+  def exactKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int, bucketOf: Column): DataFrame = {
+    require(!df.columns.contains("__b"), "input already has a __b column")
+    graft.plans.TopK.perGroup(df.withColumn("__b", bucketOf),
+      Seq(stratumCol), Seq("__b" -> true, idCol -> true), k)
+      .drop("__b")
+  }
+
   /** Mixture resampling: downsample over-represented strata so the KEPT
     * corpus's token mass approaches the target integer weights (the
     * "data mixture" step of a pretraining pipeline — e.g. en:de:zh =
