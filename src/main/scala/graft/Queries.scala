@@ -1423,6 +1423,67 @@ object Queries {
       "lang", "doc_id", k = 20, bucketOf = mix)
   }
 
+  /** Incremental aggregate maintenance ([[IncrementalAgg]]): the base
+    * partition's partials (the persisted state) merged with a fresh
+    * delta's partials — the delta is aggregated alone, the base is
+    * never rescanned at merge time. The oracle recomputes from scratch:
+    * algebraic merge must be lossless.
+    */
+  def q105_incremental_agg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_returnflag"), col("l_linestatus"),
+      cents(col("l_quantity")).as("q_c"))
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val base = IncrementalAgg.partials(
+      li.where(col("l_orderkey") % 10 =!= 0), keys, Seq("q_c"))
+    val delta = IncrementalAgg.partials(
+      li.where(col("l_orderkey") % 10 === 0), keys, Seq("q_c"))
+    IncrementalAgg.merge(base, delta, keys, Seq("q_c"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("q_c_sum"), col("q_c_cnt"), col("q_c_min"), col("q_c_max"),
+        IncrementalAgg.mean("q_c").as("q_c_mean"))
+  }
+
+  /** Salted skewed join ([[Skew.saltedJoin]]) through the value gate:
+    * the hot left side spreads each key over 8 salt buckets, the right
+    * side replicates 8×; the oracle is the PLAIN join — salting must be
+    * result-invisible.
+    */
+  def q106_salted_join(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c"))
+    val urgent = t(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(li, urgent, "l_orderkey", "o_orderkey",
+      saltSource = col("l_linenumber"), buckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("rev_c")).as("revenue_c"))
+  }
+
+  /** Bucketed co-located join ([[graft.core.Bucketing]]) through the
+    * value gate: both sides written bucketed-by-key (the physical design
+    * that pre-pays the shuffle once at write time), then joined — the
+    * plan has zero exchanges (BucketingSpec pins that); this query pins
+    * the VALUES against the plain-join oracle.
+    */
+  def q107_bucketed_join(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val (lt, ot) = (s"graft_q107_li_$tag", s"graft_q107_ord_$tag")
+    Seq(lt, ot).foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+    graft.core.Bucketing.writeBucketed(
+      t(s, dir, "lineitem").select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c")),
+      lt, "l_orderkey", buckets = 8)
+    graft.core.Bucketing.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      ot, "o_orderkey", buckets = 8)
+    graft.core.Bucketing.coLocatedJoin(s, lt, ot, "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("rev_c")).as("revenue_c"))
+  }
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -1720,7 +1781,10 @@ object Queries {
     "q101_bloom_join" -> (q101_bloom_join _),
     "q102_pivot_unpivot" -> (q102_pivot_unpivot _),
     "q103_label_centroids" -> (q103_label_centroids _),
-    "q104_exact_k_sample" -> (q104_exact_k_sample _))
+    "q104_exact_k_sample" -> (q104_exact_k_sample _),
+    "q105_incremental_agg" -> (q105_incremental_agg _),
+    "q106_salted_join" -> (q106_salted_join _),
+    "q107_bucketed_join" -> (q107_bucketed_join _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2356,6 +2420,30 @@ object Queries {
                     ORDER BY ((doc_id % 1000000000) * 2654435761) % 1000000007,
                              doc_id) AS rn
            FROM documents) WHERE rn <= 20""",
+    // From-scratch recompute: the algebraic merge must equal this exactly.
+    "q105_incremental_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS q_c_sum,
+                CAST(count(*) AS BIGINT) AS q_c_cnt,
+                CAST(min(${centsSql("l_quantity")}) AS BIGINT) AS q_c_min,
+                CAST(max(${centsSql("l_quantity")}) AS BIGINT) AS q_c_max,
+                CAST(sum(${centsSql("l_quantity")}) AS DOUBLE) / count(*) AS q_c_mean
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    // Salting must be result-invisible: oracle is the plain join.
+    "q106_salted_join" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT)
+                  AS revenue_c
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderpriority""",
+    // Bucketing is a physical-layout property; values = the plain join.
+    "q107_bucketed_join" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(${centsSql("l_extendedprice*(1-l_discount)")}) AS BIGINT)
+                  AS revenue_c
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,

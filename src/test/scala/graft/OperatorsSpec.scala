@@ -390,6 +390,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IncrementalAgg: chained delta merges equal the from-scratch aggregate") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (s"k${i % 7}", i * 3 % 101))
+    val df = rows.toDF("k", "v")
+    val full = graft.operators.IncrementalAgg.partials(df, Seq("k"), Seq("v"))
+      .collect().map(_.toSeq).toSet
+    val parts = Seq(df.where($"v" % 3 === 0), df.where($"v" % 3 === 1),
+      df.where($"v" % 3 === 2))
+      .map(graft.operators.IncrementalAgg.partials(_, Seq("k"), Seq("v")))
+    // merge in two different orders — associative/commutative
+    val m1 = graft.operators.IncrementalAgg.merge(
+      graft.operators.IncrementalAgg.merge(parts(0), parts(1), Seq("k"), Seq("v")),
+      parts(2), Seq("k"), Seq("v")).collect().map(_.toSeq).toSet
+    val m2 = graft.operators.IncrementalAgg.merge(
+      parts(2), graft.operators.IncrementalAgg.merge(parts(1), parts(0),
+        Seq("k"), Seq("v")), Seq("k"), Seq("v")).collect().map(_.toSeq).toSet
+    assert(m1 == full && m2 == full)
+  }
+
   test("BloomPrune.reducedJoin is identical to the plain join; prune has no false negatives") {
     import spark.implicits._
     val fact = (0L until 5000L).map(i => (i % 997, i)).toDF("k", "payload")
