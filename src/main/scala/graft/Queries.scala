@@ -1471,14 +1471,22 @@ object Queries {
   def q107_bucketed_join(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val (lt, ot) = (s"graft_q107_li_$tag", s"graft_q107_ord_$tag")
-    Seq(lt, ot).foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+    // external tables at explicit paths, pre-cleaned: a managed table's
+    // leftover warehouse dir from a PREVIOUS session's run would fail
+    // the create with LOCATION_ALREADY_EXISTS (catalog is in-memory,
+    // the filesystem is not)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq(lt, ot).foreach { n =>
+      s.sql(s"DROP TABLE IF EXISTS $n")
+      fs.delete(new org.apache.hadoop.fs.Path(s"/tmp/$n"), true)
+    }
     graft.core.Bucketing.writeBucketed(
       t(s, dir, "lineitem").select(col("l_orderkey"),
         cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c")),
-      lt, "l_orderkey", buckets = 8)
+      lt, "l_orderkey", buckets = 8, path = Some(s"/tmp/$lt"))
     graft.core.Bucketing.writeBucketed(
       t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-      ot, "o_orderkey", buckets = 8)
+      ot, "o_orderkey", buckets = 8, path = Some(s"/tmp/$ot"))
     graft.core.Bucketing.coLocatedJoin(s, lt, ot, "l_orderkey", "o_orderkey")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), sum(col("rev_c")).as("revenue_c"))

@@ -24,13 +24,15 @@ object Bucketing {
       table: String,
       bucketCol: String,
       buckets: Int,
-      mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write
+      mode: SaveMode = SaveMode.Overwrite,
+      path: Option[String] = None): Unit = {
+    val w = df.write
       .mode(mode)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket keys — planned shuffle-free
     * when both were written with the same bucket count.
