@@ -1492,6 +1492,65 @@ object Queries {
       .agg(count(lit(1)).as("n"), sum(col("rev_c")).as("revenue_c"))
   }
 
+  /** Nearest-centroid confusion matrix ([[Similarity.assignNearest]]):
+    * per-label centroids built with the exact fixed-point math of q103
+    * (identical doubles in both engines), collected as the model
+    * (#labels × dim — metadata, not data), then every vector assigned
+    * map-only to its best centroid by cosine. Output: (true label,
+    * assigned, n) — the cluster-purity eval of an embedding space.
+    */
+  def q108_centroid_assign(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centRows = e
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(round(col("v").cast("double") * lit(1048576L)).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .collect() // #labels × dim rows — the model, never the corpus
+    val cents = centRows.groupBy(_.getLong(0)).toSeq
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1))
+          .map(r => r.getLong(2).toDouble / r.getLong(3) / 1048576.0).toSeq
+      }.sortBy(_._1)
+    Similarity.assignNearest(e, "embedding", cents)
+      .groupBy(col("label").cast("long").as("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Canonical-representative pick — the dedup pipeline's conclusion:
+    * q98's duplicate clusters joined with q97's quality score, keeping
+    * the HIGHEST-quality doc per cluster (ties → lowest doc_id) instead
+    * of the arbitrary min-id. One window over the component key on top
+    * of the clustering — at scale the per-cluster argmax is a bounded
+    * heap, never a cluster materialization.
+    */
+  def q109_canonical_pick(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bucket = (col("n_chars") / lit(50)).cast("long")
+    def starEdges(key: Column): DataFrame = docs
+      .select(col("doc_id"), key.as("__k"))
+      .withColumn("a", min(col("doc_id")).over(Window.partitionBy(col("__k"))))
+      .select(col("a"), col("doc_id").as("b"))
+      .where(col("a") =!= col("b"))
+    val edges = starEdges(concat_ws("|", col("source"), bucket))
+      .unionByName(starEdges(concat_ws("|", col("lang"), bucket)))
+    val comps = Graph.componentsFor(docs, "doc_id", edges, "a", "b")
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.stopwordCount(col("text")).as("__sc"))
+      .withColumn("quality",
+        least(col("n_tokens").cast("double") / lit(64.0), lit(1.0)) * lit(0.5) +
+          (col("__sc").cast("double") / col("n_tokens")) * lit(0.5))
+    val w = Window.partitionBy("component")
+      .orderBy(col("quality").desc, col("doc_id"))
+    comps.join(scored, comps("id") === scored("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("canonical_id"),
+        col("lang"), col("quality"))
+  }
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -1792,7 +1851,9 @@ object Queries {
     "q104_exact_k_sample" -> (q104_exact_k_sample _),
     "q105_incremental_agg" -> (q105_incremental_agg _),
     "q106_salted_join" -> (q106_salted_join _),
-    "q107_bucketed_join" -> (q107_bucketed_join _))
+    "q107_bucketed_join" -> (q107_bucketed_join _),
+    "q108_centroid_assign" -> (q108_centroid_assign _),
+    "q109_canonical_pick" -> (q109_canonical_pick _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2452,6 +2513,65 @@ object Queries {
                   AS revenue_c
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    // Centroids via the q103 fixed-point math (bit-identical doubles),
+    // assignment by the same sequential-fold cosine as the knn oracle,
+    // ties to the lowest label.
+    "q108_centroid_assign" -> {
+      val dot = dotSql("ev", "cv"); val nc = dotSql("cv", "cv")
+      s"""WITH ex AS (
+           SELECT label, u.i AS dim, e.embedding[u.i + 1] AS v
+           FROM embeddings e, unnest(range(len(e.embedding))) AS u(i)),
+         cent AS (
+           SELECT label AS c_label, dim,
+                  CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT))
+                    AS DOUBLE) / count(*) / 1048576.0 AS m
+           FROM ex GROUP BY label, dim),
+         carr AS (SELECT c_label, list(m ORDER BY dim) AS cv
+                  FROM cent GROUP BY c_label),
+         v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev
+               FROM embeddings),
+         sc AS (SELECT vec_id, label, c_label, ($dot)/sqrt($nc) AS sim
+                FROM v, carr),
+         best AS (SELECT vec_id, label, c_label FROM (
+           SELECT vec_id, label, c_label,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, c_label) AS rn
+           FROM sc) WHERE rn = 1)
+         SELECT CAST(label AS BIGINT) AS label,
+                CAST(c_label AS BIGINT) AS assigned,
+                CAST(count(*) AS BIGINT) AS n
+         FROM best GROUP BY label, c_label""" },
+    // q98's closure + q97's quality formula; best-per-cluster by
+    // (quality DESC, doc_id).
+    "q109_canonical_pick" ->
+      s"""WITH RECURSIVE d AS (
+           SELECT doc_id,
+                  source || '|' || CAST(n_chars // 50 AS VARCHAR) AS k1,
+                  lang   || '|' || CAST(n_chars // 50 AS VARCHAR) AS k2
+           FROM documents),
+         e AS (
+           SELECT a, b FROM (
+             SELECT min(doc_id) OVER (PARTITION BY k1) AS a, doc_id AS b FROM d
+             UNION
+             SELECT min(doc_id) OVER (PARTITION BY k2) AS a, doc_id AS b FROM d)
+           WHERE a <> b),
+         sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(id, x) AS (
+           SELECT doc_id, doc_id FROM d
+           UNION
+           SELECT r.id, s.b FROM reach r JOIN sym s ON s.a = r.x),
+         comp AS (SELECT id, min(x) AS component FROM reach GROUP BY id),
+         scored AS (
+           SELECT doc_id, lang,
+                  least(CAST($tokCountSql AS DOUBLE)/64.0, 1.0)*0.5 +
+                  (CAST($stopSumSql AS DOUBLE)/$tokCountSql)*0.5 AS quality
+           FROM documents)
+         SELECT component, doc_id AS canonical_id, lang, quality FROM (
+           SELECT c.component, s.doc_id, s.lang, s.quality,
+                  row_number() OVER (PARTITION BY c.component
+                    ORDER BY s.quality DESC, s.doc_id) AS rn
+           FROM comp c JOIN scored s ON s.doc_id = c.id)
+         WHERE rn = 1""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,

@@ -98,6 +98,17 @@ object Similarity {
   private def probeCells(vec: Column, cents: Seq[(Long, Seq[Double])], nprobe: Int): Column =
     slice(sort_array(cellSims(vec, cents)), 1, nprobe).getField("cell_id")
 
+  /** Map-only nearest-centroid assignment for externally supplied
+    * centroids (classification / cluster-purity eval): the same
+    * argmax-over-literal-centroids shape as the IVF cell assignment —
+    * one codegen'd dot product per (row, centroid), zero shuffle, ties
+    * to the lowest centroid id.
+    */
+  def assignNearest(df: DataFrame, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], outCol: String = "assigned"): DataFrame =
+    df.withColumn(outCol,
+      bestCell(col(vecCol).cast("array<double>"), cents))
+
   /** Lloyd iterations refining IVF centroids: assign every vector to its
     * best cell (one map-only pass — [[bestCell]]), recompute element-wise
     * means. The model (nlist × dim centroids) lives on the driver between
