@@ -1551,6 +1551,23 @@ object Queries {
         col("lang"), col("quality"))
   }
 
+  /** Edit-distance similarity join ([[FuzzyJoin.editDistanceSelfJoin]],
+    * PassJoin-shaped): the corpus vocabulary self-joined within
+    * distance 2 — segment-pigeonhole blocking keys, one equi-join
+    * shuffle, exact levenshtein verification on candidates only. The
+    * oracle brute-forces the (tiny) vocabulary; the OPERATOR never
+    * does.
+    */
+  def q110_fuzzy_join(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .distinct()
+    FuzzyJoin.editDistanceSelfJoin(vocab, "w", "w", maxDist = 2)
+      .withColumnRenamed("id_a", "word_a")
+      .withColumnRenamed("id_b", "word_b")
+  }
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -1853,7 +1870,8 @@ object Queries {
     "q106_salted_join" -> (q106_salted_join _),
     "q107_bucketed_join" -> (q107_bucketed_join _),
     "q108_centroid_assign" -> (q108_centroid_assign _),
-    "q109_canonical_pick" -> (q109_canonical_pick _))
+    "q109_canonical_pick" -> (q109_canonical_pick _),
+    "q110_fuzzy_join" -> (q110_fuzzy_join _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2572,6 +2590,18 @@ object Queries {
                     ORDER BY s.quality DESC, s.doc_id) AS rn
            FROM comp c JOIN scored s ON s.doc_id = c.id)
          WHERE rn = 1""",
+    // Brute-force all-pairs over the vocabulary — sound as an oracle
+    // because the vocab is tiny; the operator's blocking must find the
+    // exact same set.
+    "q110_fuzzy_join" ->
+      """WITH v AS (
+           SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         v2 AS (SELECT w FROM v WHERE length(w) > 0)
+         SELECT a.w AS word_a, b.w AS word_b,
+                CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+         FROM v2 a, v2 b
+         WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 2""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,

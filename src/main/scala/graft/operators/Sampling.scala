@@ -103,11 +103,15 @@ object Sampling {
     val totals = df
       .where(col(stratumCol).isin(weights.map(_._1): _*))
       .groupBy(col(stratumCol).as("__s"))
-      .agg(sum(tokensCol.cast("long")).as("__t"))
+      .agg(coalesce(sum(tokensCol.cast("long")), lit(0L)).as("__t"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
-    require(totals.nonEmpty, "no rows in any weighted stratum")
+      // a stratum with zero/all-null tokens has no defined rate and
+      // would otherwise become the binding stratum with T*=0 (keeping
+      // nothing anywhere); it contributes no tokens, so drop it
+      .filter(_._2 > 0L)
+    require(totals.nonEmpty, "no tokens in any weighted stratum")
     // Binding stratum: smallest tokens/weight ratio (IEEE-double compare
     // with name tie-break — mirrors the SQL `ORDER BY t/w, s LIMIT 1`
     // an external replayer would write).

@@ -46,6 +46,8 @@ object TimeSeries {
       zeroFill: Seq[String] = Nil,
       ffill: Seq[String] = Nil): DataFrame = {
     require(aggs.nonEmpty, "need at least one aggregate")
+    require(!df.columns.contains("__b") && !df.columns.contains("bucket"),
+      "input already has a __b/bucket column")
     val observed = df.groupBy(col(keyCol), bucket.as("__b")).agg(aggs.head, aggs.tail: _*)
     val spine = df
       .groupBy(col(keyCol))
