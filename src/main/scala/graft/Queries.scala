@@ -1568,6 +1568,28 @@ object Queries {
       .withColumnRenamed("id_b", "word_b")
   }
 
+  /** Ordered-funnel analysis: per user, first `view`, first `click`
+    * AFTER that view, first `purchase` after that click — three
+    * user-keyed min-aggs chained by strict event-time order, reduced to
+    * stage conversion counts. Each stage is one small agg + one join on
+    * user_id; no window over the full event stream.
+    */
+  def q111_funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"))
+  }
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -1871,7 +1893,8 @@ object Queries {
     "q107_bucketed_join" -> (q107_bucketed_join _),
     "q108_centroid_assign" -> (q108_centroid_assign _),
     "q109_canonical_pick" -> (q109_canonical_pick _),
-    "q110_fuzzy_join" -> (q110_fuzzy_join _))
+    "q110_fuzzy_join" -> (q110_fuzzy_join _),
+    "q111_funnel" -> (q111_funnel _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2602,6 +2625,20 @@ object Queries {
                 CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
          FROM v2 a, v2 b
          WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 2""",
+    "q111_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+               JOIN v ON v.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+               JOIN c ON c.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+               GROUP BY e.user_id)
+         SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+                CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+                CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,
