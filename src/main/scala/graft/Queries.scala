@@ -1590,6 +1590,39 @@ object Queries {
         count(col("t_purchase")).as("n_purchase"))
   }
 
+  /** Space-Saving heavy-hitters sketch ([[graft.stats.SpaceSavingAgg]],
+    * k=12 counters) per language over the token stream, gated on its
+    * own contracts (the q95/q96 empty-violation pattern): every
+    * reported item must satisfy est−err ≤ true ≤ est against the exact
+    * counts, and the sketch must report exactly min(k, distinct)
+    * items. Sketch CONTENTS may legally vary with partitioning; the
+    * contract set is empty on every run, so the gate is stable.
+    */
+  def q112_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    val k = 12
+    val words = t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    val sk = words.groupBy("lang")
+      .agg(graft.stats.SpaceSavingAgg.column(col("w"), k).as("__sk"))
+    val items = sk.select(col("lang"), explode(col("__sk")).as("__it"))
+      .select(col("lang"), col("__it._1").as("item"),
+        col("__it._2").as("est"), col("__it._3").as("err"))
+    val exact = words.groupBy("lang", "w").agg(count(lit(1)).as("true_c"))
+    val interval = items
+      .join(exact, items("lang") === exact("lang") && col("item") === col("w"))
+      .where(col("true_c") > col("est") || col("true_c") < col("est") - col("err"))
+      .select(items("lang"), lit("interval").as("kind"), col("item"),
+        col("est").as("got"), col("true_c").as("want"))
+    val card = sk.select(col("lang"), size(col("__sk")).cast("long").as("__n"))
+      .join(exact.groupBy("lang").agg(count(lit(1)).as("__ndv")), "lang")
+      .where(col("__n") =!= least(lit(k.toLong), col("__ndv")))
+      .select(col("lang"), lit("cardinality").as("kind"),
+        lit(null).cast("string").as("item"), col("__n").as("got"),
+        least(lit(k.toLong), col("__ndv")).as("want"))
+    interval.unionByName(card)
+  }
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -1894,7 +1927,8 @@ object Queries {
     "q108_centroid_assign" -> (q108_centroid_assign _),
     "q109_canonical_pick" -> (q109_canonical_pick _),
     "q110_fuzzy_join" -> (q110_fuzzy_join _),
-    "q111_funnel" -> (q111_funnel _))
+    "q111_funnel" -> (q111_funnel _),
+    "q112_heavy_hitters" -> (q112_heavy_hitters _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2639,6 +2673,11 @@ object Queries {
          SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
                 CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
                 CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase""",
+    "q112_heavy_hitters" ->
+      """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS kind,
+                CAST(NULL AS VARCHAR) AS item, CAST(NULL AS BIGINT) AS got,
+                CAST(NULL AS BIGINT) AS want
+         WHERE FALSE""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,
