@@ -50,13 +50,15 @@ object Graph {
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .select(least($"u", $"v").as("lo"), greatest($"u", $"v").as("hi"))
       .distinct()
-      .localCheckpoint(eager = true)
+      // lazy checkpoint: the signature aggregation right after is the
+      // materializing action — one job per round, not two
+      .localCheckpoint(eager = false)
 
     var converged = false
     var iter = 0
     var last = signature(e)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val sig = signature(next)
       converged = sig == last
       last = sig
