@@ -54,17 +54,7 @@ object Bench {
           (-1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
       }
     }
-    // local-iteration filter: SPARK_GRAFT_ONLY=q62_stream_join,q64_...
-    // benches just those queries (the round driver never sets it).
-    // Unknown names fail fast — a typo would otherwise bench an empty
-    // set and print value:0 with n_errors:0, reading as a speedup.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      val unknown = names.diff(SparkEntry.queries.keySet)
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
-    }
+    val only = EnvFilter.only()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val cold = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
@@ -77,14 +67,22 @@ object Bench {
     val streamMedians = streamers.map { case (name, _) =>
       val samples = (cold ++ warm ++ third)
         .collect { case (n, (v, None)) if n == name && v >= 0 => v }.sorted
-      name -> (if (samples.isEmpty) -1.0 else samples(samples.size / 2))
+      // true median: even sample counts (a pass failed) average the two
+      // middles instead of silently reporting the max of two
+      name -> (samples.length match {
+        case 0 => -1.0
+        case n if n % 2 == 1 => samples(n / 2)
+        case n => (samples(n / 2 - 1) + samples(n / 2)) / 2.0
+      })
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => " "
                   case c if c < ' ' => " "; case c => c.toString }
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errors = (cold ++ warm).collect { case (n, (_, Some(e))) => n -> e }
+    // include the third streaming pass: a query that only crashes there
+    // must still surface in errors/n_errors
+    val errors = (cold ++ warm ++ third).collect { case (n, (_, Some(e))) => n -> e }
       .groupBy(_._1).map { case (n, es) => n -> es.head._2 }.toSeq.sortBy(_._1)
     val errJson = errors
       .map { case (n, e) => s"\"" + n + "\":\"" + esc(e) + "\"" }

@@ -37,6 +37,14 @@ object Queries {
   private def cents(c: Column): Column = round(c * lit(100)).cast("long")
   private def centsSql(e: String): String = s"CAST(round(($e)*100) AS BIGINT)"
 
+  /** The corpus quality score (q24/q97/q109 share it — one definition,
+    * mirrored by [[qualitySql]]): length saturation + stopword ratio,
+    * equally weighted.
+    */
+  private def qualityExpr(nTokens: Column, stopCount: Column): Column =
+    least(nTokens.cast("double") / lit(64.0), lit(1.0)) * lit(0.5) +
+      (stopCount.cast("double") / nTokens) * lit(0.5)
+
   // ---------------------------------------------------------------- core
 
   def q01_scan(s: SparkSession, dir: String): DataFrame =
@@ -1287,9 +1295,7 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("text"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.stopwordCount(col("text")).as("__sc"))
-      .withColumn("quality",
-        least(col("n_tokens").cast("double") / lit(64.0), lit(1.0)) * lit(0.5) +
-          (col("__sc").cast("double") / col("n_tokens")) * lit(0.5))
+      .withColumn("quality", qualityExpr(col("n_tokens"), col("__sc")))
       .where(col("quality") >= 0.5)
     val deduped = scored
       .groupBy(col("text"))
@@ -1311,7 +1317,11 @@ object Queries {
     * survives 100 TB. The oracle replays the closure with a recursive
     * CTE over the same edges.
     */
-  def q98_dup_clusters(s: SparkSession, dir: String): DataFrame = {
+  /** Shared by q98/q109: blocking-key star edges over documents →
+    * connected components as (id, component). Key semantics must stay
+    * in lockstep with [[dupClosureCtesSql]].
+    */
+  private def docDupComponents(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val bucket = (col("n_chars") / lit(50)).cast("long")
     def starEdges(key: Column): DataFrame = docs
@@ -1322,9 +1332,12 @@ object Queries {
     val edges = starEdges(concat_ws("|", col("source"), bucket))
       .unionByName(starEdges(concat_ws("|", col("lang"), bucket)))
     Graph.componentsFor(docs, "doc_id", edges, "a", "b")
+  }
+
+  def q98_dup_clusters(s: SparkSession, dir: String): DataFrame =
+    docDupComponents(s, dir)
       .select(col("id").as("doc_id"), col("component"),
         (col("id") === col("component")).cast("long").as("is_canonical"))
-  }
 
   /** Data-mixture resampling ([[Sampling.mixtureSample]]): downsample
     * over-represented languages to a 6:3:1 en:de:zh token mixture. The
@@ -1526,22 +1539,13 @@ object Queries {
     * heap, never a cluster materialization.
     */
   def q109_canonical_pick(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val bucket = (col("n_chars") / lit(50)).cast("long")
-    def starEdges(key: Column): DataFrame = docs
-      .select(col("doc_id"), key.as("__k"))
-      .withColumn("a", min(col("doc_id")).over(Window.partitionBy(col("__k"))))
-      .select(col("a"), col("doc_id").as("b"))
-      .where(col("a") =!= col("b"))
-    val edges = starEdges(concat_ws("|", col("source"), bucket))
-      .unionByName(starEdges(concat_ws("|", col("lang"), bucket)))
-    val comps = Graph.componentsFor(docs, "doc_id", edges, "a", "b")
-    val scored = docs.select(col("doc_id"), col("lang"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-      TextAnalysis.stopwordCount(col("text")).as("__sc"))
+    val comps = docDupComponents(s, dir)
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.stopwordCount(col("text")).as("__sc"))
       .withColumn("quality",
-        least(col("n_tokens").cast("double") / lit(64.0), lit(1.0)) * lit(0.5) +
-          (col("__sc").cast("double") / col("n_tokens")) * lit(0.5))
+        qualityExpr(col("n_tokens"), col("__sc")))
     val w = Window.partitionBy("component")
       .orderBy(col("quality").desc, col("doc_id"))
     comps.join(scored, comps("id") === scored("doc_id"))
@@ -1961,6 +1965,35 @@ object Queries {
     Seq("the", "a", "of", "and", "to", "in", "is")
       .map(w => occSql("text", w)).mkString("(", " + ", ")")
 
+  /** SQL mirror of [[qualityExpr]] — q24/q97/q109 all interpolate THIS. */
+  private lazy val qualitySql: String =
+    s"least(CAST($tokCountSql AS DOUBLE)/64.0, 1.0)*0.5 + " +
+      s"(CAST($stopSumSql AS DOUBLE)/$tokCountSql)*0.5"
+
+  /** Shared CTE chain of the q98/q109 oracles: blocking keys (concat_ws
+    * mirrors Spark's null-skipping), star edges, symmetric closure via
+    * recursive CTE, components as (id, component). Must stay in
+    * lockstep with [[docDupComponents]].
+    */
+  private lazy val dupClosureCtesSql: String =
+    """d AS (
+           SELECT doc_id,
+                  concat_ws('|', source, CAST(n_chars // 50 AS VARCHAR)) AS k1,
+                  concat_ws('|', lang,   CAST(n_chars // 50 AS VARCHAR)) AS k2
+           FROM documents),
+         e AS (
+           SELECT a, b FROM (
+             SELECT min(doc_id) OVER (PARTITION BY k1) AS a, doc_id AS b FROM d
+             UNION
+             SELECT min(doc_id) OVER (PARTITION BY k2) AS a, doc_id AS b FROM d)
+           WHERE a <> b),
+         sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(id, x) AS (
+           SELECT doc_id, doc_id FROM d
+           UNION
+           SELECT r.id, s.b FROM reach r JOIN sym s ON s.a = r.x),
+         comp AS (SELECT id, min(x) AS component FROM reach GROUP BY id)"""
+
   private val dotSql = (a: String, b: String) =>
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,65), i -> $a[i]*$b[i])), (x,y) -> x+y)"
 
@@ -2068,9 +2101,7 @@ object Queries {
          SELECT doc_id, lang, $scoreCols FROM documents)"""
     },
     "q24_quality" ->
-      s"""SELECT doc_id,
-         least(CAST($tokCountSql AS DOUBLE)/64.0, 1.0)*0.5 +
-         (CAST($stopSumSql AS DOUBLE)/$tokCountSql)*0.5 AS quality
+      s"""SELECT doc_id, $qualitySql AS quality
          FROM documents""",
     "q25_fingerprint" ->
       """SELECT doc_id,
@@ -2451,8 +2482,7 @@ object Queries {
     "q97_corpus_pipeline" ->
       s"""WITH scored AS (
            SELECT doc_id, lang, text, $tokCountSql AS n_tokens,
-                  least(CAST($tokCountSql AS DOUBLE)/64.0, 1.0)*0.5 +
-                  (CAST($stopSumSql AS DOUBLE)/$tokCountSql)*0.5 AS quality
+                  $qualitySql AS quality
            FROM documents),
          kept AS (SELECT * FROM scored WHERE quality >= 0.5),
          dedup AS (
@@ -2469,25 +2499,11 @@ object Queries {
     // Closure replay: same star edges, reachability as a recursive CTE
     // (UNION-dedup bounds the state), component = min reachable id.
     "q98_dup_clusters" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id,
-                  source || '|' || CAST(n_chars // 50 AS VARCHAR) AS k1,
-                  lang   || '|' || CAST(n_chars // 50 AS VARCHAR) AS k2
-           FROM documents),
-         e AS (
-           SELECT a, b FROM (
-             SELECT min(doc_id) OVER (PARTITION BY k1) AS a, doc_id AS b FROM d
-             UNION
-             SELECT min(doc_id) OVER (PARTITION BY k2) AS a, doc_id AS b FROM d)
-           WHERE a <> b),
-         sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
-         reach(id, x) AS (
-           SELECT doc_id, doc_id FROM d
-           UNION
-           SELECT r.id, s.b FROM reach r JOIN sym s ON s.a = r.x)
-         SELECT id AS doc_id, CAST(min(x) AS BIGINT) AS component,
-                CAST(CASE WHEN min(x) = id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
-         FROM reach GROUP BY id""",
+      s"""WITH RECURSIVE $dupClosureCtesSql
+         SELECT id AS doc_id, CAST(component AS BIGINT) AS component,
+                CAST(CASE WHEN component = id THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_canonical
+         FROM comp""",
     // Same mixture math declaratively: totals per weighted lang, binding
     // stratum by t/w (double ratio, lang tie-break — same IEEE compare
     // as the operator), integer cross-multiplied keep predicate.
@@ -2499,7 +2515,8 @@ object Queries {
          w(s, wt) AS (VALUES ('en', CAST(6 AS BIGINT)), ('de', CAST(3 AS BIGINT)),
                              ('zh', CAST(1 AS BIGINT))),
          tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
-                 FROM toks GROUP BY lang),
+                 FROM toks GROUP BY lang
+                 HAVING coalesce(sum(n_tokens), 0) > 0),
          tw AS (SELECT tot.lang, t, wt FROM tot JOIN w ON w.s = tot.lang),
          m AS (SELECT t AS tstar, wt AS wstar FROM tw
                ORDER BY CAST(t AS DOUBLE)/wt, lang LIMIT 1)
@@ -2619,27 +2636,9 @@ object Queries {
     // q98's closure + q97's quality formula; best-per-cluster by
     // (quality DESC, doc_id).
     "q109_canonical_pick" ->
-      s"""WITH RECURSIVE d AS (
-           SELECT doc_id,
-                  source || '|' || CAST(n_chars // 50 AS VARCHAR) AS k1,
-                  lang   || '|' || CAST(n_chars // 50 AS VARCHAR) AS k2
-           FROM documents),
-         e AS (
-           SELECT a, b FROM (
-             SELECT min(doc_id) OVER (PARTITION BY k1) AS a, doc_id AS b FROM d
-             UNION
-             SELECT min(doc_id) OVER (PARTITION BY k2) AS a, doc_id AS b FROM d)
-           WHERE a <> b),
-         sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
-         reach(id, x) AS (
-           SELECT doc_id, doc_id FROM d
-           UNION
-           SELECT r.id, s.b FROM reach r JOIN sym s ON s.a = r.x),
-         comp AS (SELECT id, min(x) AS component FROM reach GROUP BY id),
+      s"""WITH RECURSIVE $dupClosureCtesSql,
          scored AS (
-           SELECT doc_id, lang,
-                  least(CAST($tokCountSql AS DOUBLE)/64.0, 1.0)*0.5 +
-                  (CAST($stopSumSql AS DOUBLE)/$tokCountSql)*0.5 AS quality
+           SELECT doc_id, lang, $qualitySql AS quality
            FROM documents)
          SELECT component, doc_id AS canonical_id, lang, quality FROM (
            SELECT c.component, s.doc_id, s.lang, s.quality,

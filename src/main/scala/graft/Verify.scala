@@ -25,15 +25,7 @@ object Verify {
     graft.core.Catalog.statsMany(spark, sfDir,
       graft.core.Catalog.tableNames, withHistograms = true)
     new java.io.File(outDir).mkdirs()
-    // local-iteration filter, same contract as Bench: unknown names fail
-    // fast, the driver never sets it
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      val unknown = names.diff(SparkEntry.queries.keySet)
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
-    }
+    val only = EnvFilter.only()
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -28,9 +28,15 @@ object Compaction {
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    require(new Path(inPath).toUri.getPath != new Path(outPath).toUri.getPath,
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(inPath).getFileSystem(conf)
+    // qualify both sides (scheme + authority + absolute path): a
+    // relative alias of the same directory must not slip past the
+    // in-place guard — overwrite would delete the input before reading
+    val inQ = fs.makeQualified(new Path(inPath))
+    val outQ = new Path(outPath).getFileSystem(conf).makeQualified(new Path(outPath))
+    require(inQ != outQ,
       "refusing in-place compaction — write to a fresh directory and swap")
-    val fs = new Path(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(new Path(inPath))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
     val totalBytes = files.map(_.getLen).sum

@@ -85,20 +85,24 @@ object Sampling {
     * of its tokens. Strata without a weight are dropped.
     *
     * Determinism: the keep predicate is exact integer arithmetic on the
-    * caller's bucket column — bucket·w_s*·T_s < Buckets·w_s·T_s*
-    * (cross-multiplied rationals, no float thresholds), reproducible in
-    * any engine. Caller must keep Buckets·max(w)·max(T) < 2^63 — at
-    * 10^4·10^3 that allows ~9·10^11 tokens per stratum; renormalize
-    * weights or widen to decimal beyond that.
+    * caller's bucket column — bucket·w_s*·T_s < M·w_s·T_s* for a bucket
+    * uniform on [0, M) (cross-multiplied rationals, no float
+    * thresholds), reproducible in any engine. `bucketModulus` MUST be
+    * the modulus of `bucketOf` — a mismatched modulus silently skews
+    * every rate. Caller must keep M·max(w)·max(T) < 2^63 — at 10^4·10^3
+    * that allows ~9·10^11 tokens per stratum; renormalize weights or
+    * widen to decimal beyond that.
     *
     * Scale shape: one small agg (rows = #strata) collected to the
     * driver, then a scan-speed literal predicate — the totals are the
     * only coordination, there is no shuffle of the corpus itself.
     */
   def mixtureSample(df: DataFrame, stratumCol: String, tokensCol: Column,
-      weights: Seq[(String, Long)], bucketOf: Column): DataFrame = {
+      weights: Seq[(String, Long)], bucketOf: Column,
+      bucketModulus: Long = Buckets.toLong): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "weights must be positive")
+    require(bucketModulus > 0, "bucketModulus must be positive")
     val w = weights.toMap
     val totals = df
       .where(col(stratumCol).isin(weights.map(_._1): _*))
@@ -122,7 +126,7 @@ object Sampling {
     val keep = totals.foldLeft(lit(false): Column) {
       case (els, (s, t)) =>
         when(col(stratumCol) === s,
-          bucketOf * lit(wStar) * lit(t) < lit(Buckets.toLong) * lit(w(s)) * lit(tStar))
+          bucketOf * lit(wStar) * lit(t) < lit(bucketModulus) * lit(w(s)) * lit(tStar))
           .otherwise(els)
     }
     df.where(keep)
