@@ -1229,11 +1229,14 @@ object Queries {
     * quantile sketch (percentile_approx — Greenwald-Khanna, O(accuracy)
     * state per group, map-side combine) checked against its own hard
     * rank-error guarantee (±1/accuracy ranks). The query returns the
-    * VIOLATIONS of exact-percentile bounds at q ± 2/accuracy — provably
-    * empty when the sketch honors its contract — and the oracle states
-    * the empty set (the q27 pattern: the invariant is SQL-expressible
-    * even though the sketch isn't). The exact bounds are the CHECK;
-    * production runs the sketch alone.
+    * VIOLATIONS of that guarantee — rows where the sketch answer's exact
+    * rank interval fails to intersect [floor((q−eps)·n) − 1,
+    * ceil((q+eps)·n) + 1] with eps = 1/accuracy (the extra ±1 rank
+    * absorbs boundary-tie discreteness) — provably empty when the sketch
+    * honors its contract — and the oracle states the empty set (the q27
+    * pattern: the invariant is SQL-expressible even though the sketch
+    * isn't). The exact bounds are the CHECK; production runs the sketch
+    * alone.
     */
   def q95_sketch_quantiles(s: SparkSession, dir: String): DataFrame = {
     val acc = 100
@@ -1480,6 +1483,10 @@ object Queries {
     * that pre-pays the shuffle once at write time), then joined — the
     * plan has zero exchanges (BucketingSpec pins that); this query pins
     * the VALUES against the plain-join oracle.
+    *
+    * WRITE-PATH query (PlanAudit.writePathQueries): building the
+    * DataFrame drops/deletes the scratch tables and performs both
+    * bucketed writes — the operator under test.
     */
   def q107_bucketed_join(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -1698,17 +1705,18 @@ object Queries {
 
   /** Inverted index build with the stopword-skew cap LIVE (see
     * [[graft.operators.InvertedIndex]]): tokens appearing in more than
-    * 78% of documents are pruned, and every aggregation buffer is
-    * bounded at maxDf + 1 ids — no corpus-sized collect_list on a
-    * stopword's reducer. Postings serialize as a comma-joined string
+    * 78% of documents are pruned; every aggregation buffer is bounded
+    * by the survivor guarantee — no corpus-sized collect_list on a
+    * stopword's reducer. The 78% threshold is computed IN-PLAN
+    * ([[InvertedIndex.buildRelative]]), so building this query runs no
+    * jobs (plan audits stay plan-only); the single-shuffle capped-heap
+    * form ([[InvertedIndex.build]]) is equivalence-pinned against this
+    * one in OperatorsSpec. Postings serialize as a comma-joined string
     * (the export format — and array-typed columns don't survive the
     * oracle's row sort).
     */
-  def q85_inverted_index(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val maxDf = docs.count() * 78 / 100
-    InvertedIndex.build(docs, "doc_id", "text", maxDf)
-  }
+  def q85_inverted_index(s: SparkSession, dir: String): DataFrame =
+    InvertedIndex.buildRelative(t(s, dir, "documents"), "doc_id", "text", 78, 100)
 
   /** Physical-design layer through the driver gate: write lineitem
     * z-ordered on (l_orderkey, l_partkey) to a scratch dir, read a
@@ -1717,6 +1725,9 @@ object Queries {
     * rows across the write/read round-trip breaks the hash match. The
     * file-SKIPPING benefit of the layout is measured in ZOrderSpec;
     * this pins end-to-end correctness of the write path.
+    *
+    * WRITE-PATH query (PlanAudit.writePathQueries): building the
+    * DataFrame performs the /tmp write — the operator under test.
     */
   def q94_zorder_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")

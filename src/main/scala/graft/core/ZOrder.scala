@@ -97,15 +97,7 @@ object ZOrder {
     // (Murmur3 seed 42 — HashPartitioning's contract) lands in partition
     // b exactly: every file holds exactly ONE whole z-quadrant, every
     // run. The search is driver-side, ~numFiles probes per bucket.
-    val keyFor: Map[Long, Long] = (0 until numFiles).map { b =>
-      var k = 0L
-      while (pmod(org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(k, 42),
-          numFiles) != b) {
-        k += 1
-        require(k < 100000000L, s"no hash preimage found for bucket $b")
-      }
-      b.toLong -> k
-    }.toMap
+    val keyFor = hashPreimages(numFiles)
     df.withColumn("__z", zValue(ranges, bits))
       .withColumn("__zb", shiftright(col("__z"), bucketShift))
       .withColumn("__zp", element_at(typedLit(keyFor), col("__zb")))
@@ -114,6 +106,24 @@ object ZOrder {
       .drop("__z", "__zb", "__zp")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** bucket b -> a long key whose Spark shuffle-hash partition IS b.
+    * This hardcodes HashPartitioning's contract (Murmur3_x86_32.hashLong,
+    * seed 42, pmod) — a Spark upgrade changing shuffle hashing would
+    * silently break the one-quadrant-per-file layout, so ZOrderSpec pins
+    * this map at runtime against Spark's own repartition placement
+    * (spark_partition_id) and the Murmur3Hash expression.
+    */
+  private[graft] def hashPreimages(numFiles: Int): Map[Long, Long] =
+    (0 until numFiles).map { b =>
+      var k = 0L
+      while (pmod(org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(k, 42),
+          numFiles) != b) {
+        k += 1
+        require(k < 100000000L, s"no hash preimage found for bucket $b")
+      }
+      b.toLong -> k
+    }.toMap
 
   private def pmod(a: Int, n: Int): Int = { val r = a % n; if (r < 0) r + n else r }
 }

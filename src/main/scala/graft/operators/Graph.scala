@@ -35,12 +35,20 @@ object Graph {
     * vertex set in yourself — the caller knows it; we don't).
     *
     * Node ids must be non-null longs (or castable to long).
+    *
+    * Throws `IllegalStateException` if the star rounds exhaust `maxIter`
+    * without the edge-set signature converging — a silent return there
+    * would hand the caller PARTIALLY merged clusters indistinguishable
+    * from real ones. Pass `requireConvergence = false` to get the
+    * best-effort components anyway (each reported cluster is a subset of
+    * a true component — star rounds only ever merge, never split).
     */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      requireConvergence: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -65,6 +73,15 @@ object Graph {
       e = next
       iter += 1
     }
+    if (!converged && requireConvergence)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter star " +
+          "rounds (rounds are O(log n) — a legitimate graph hitting this is " +
+          "enormous or maxIter tiny); pass requireConvergence=false for " +
+          "best-effort partial clusters")
+    if (!converged)
+      System.err.println(s"[graft] WARN connectedComponents unconverged at " +
+        s"maxIter=$maxIter — returning partial (under-merged) clusters")
 
     // Post-convergence the edges form stars rooted at component minima;
     // one min-agg per node closes any final one-hop indirection.
@@ -85,8 +102,9 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 50): DataFrame = {
-    val comps = connectedComponents(edges, srcCol, dstCol, maxIter)
+      maxIter: Int = 50,
+      requireConvergence: Boolean = true): DataFrame = {
+    val comps = connectedComponents(edges, srcCol, dstCol, maxIter, requireConvergence)
     vertices.select(col(idCol).cast("long").as("id")).distinct()
       .join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

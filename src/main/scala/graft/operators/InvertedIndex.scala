@@ -115,4 +115,40 @@ object InvertedIndex {
       .select(col("token"), col("df"),
         array_join(transform(col("__postings"), _.cast("string")), ",").as("postings"))
   }
+
+  /** [[build]] with a RELATIVE cap — drop tokens present in more than
+    * num/den of all documents — computed entirely IN-PLAN: constructing
+    * the query runs no Spark jobs (so a plan-only audit stays plan-only),
+    * and the doc count rides along as a broadcast single-row join
+    * instead of a driver-side action.
+    *
+    * The price of not knowing the cap at plan-build time is a second
+    * pass over the exploded token stream (df-filter first, collect
+    * postings for survivors only) instead of [[build]]'s single capped-
+    * heap aggregation. Both are skew-safe: here every collect_list
+    * buffer is bounded by the survivor guarantee df <= cap. With a KNOWN
+    * absolute cap, prefer [[build]] — one shuffle instead of two.
+    */
+  def buildRelative(docs: DataFrame, idCol: String, textCol: String,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0, s"cap fraction must be positive, got $num/$den")
+    val exploded = docs
+      .select(col(idCol).as("__doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("token"))
+    // integer threshold: floor(count * num / den), SQL `div` (never `/`
+    // — Column./ is double division; float-parity discipline)
+    val thresh = docs.agg(expr(s"count(1) * $num div $den").as("__max_df"))
+    val kept = exploded
+      .join(broadcast(thresh)) // 1-row broadcast: lazy scalar "subquery"
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), first(col("__max_df")).as("__max_df"))
+      .where(col("df") <= col("__max_df"))
+      .select("token", "df")
+    exploded.join(kept, Seq("token"))
+      .groupBy("token")
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(col("__doc_id"))).as("__postings"))
+      .select(col("token"), col("df"),
+        array_join(transform(col("__postings"), _.cast("string")), ",").as("postings"))
+  }
 }

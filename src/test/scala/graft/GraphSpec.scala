@@ -63,4 +63,17 @@ object GraphSpec extends Properties("Graph") {
     val es = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L))
     check(6L, es)
   }
+
+  property("exhausting maxIter without convergence fails loudly") = {
+    import spark.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val threw =
+      try { Graph.connectedComponents(chain, "a", "b", maxIter = 1).count(); false }
+      catch { case _: IllegalStateException => true }
+    // and the opt-out returns best-effort partial clusters without throwing
+    val partial = Graph.connectedComponents(chain, "a", "b", maxIter = 1,
+      requireConvergence = false)
+    Prop(threw) :| "maxIter=1 on a 200-chain must throw" &&
+      Prop(partial.count() > 0L) :| "opt-out must return partial clusters"
+  }
 }

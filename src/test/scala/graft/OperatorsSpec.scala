@@ -371,6 +371,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("InvertedIndex.buildRelative equals the capped-heap build at the same cap") {
+    val docs = graft.core.Catalog.table(spark, "/root/testdata/sf0.001", "documents")
+    val maxDf = docs.count() * 78 / 100
+    val viaHeap = InvertedIndex.build(docs, "doc_id", "text", maxDf)
+      .collect().map(_.toSeq).toSet
+    val viaPlan = InvertedIndex.buildRelative(docs, "doc_id", "text", 78, 100)
+      .collect().map(_.toSeq).toSet
+    assert(viaHeap == viaPlan)
+    assert(viaHeap.nonEmpty)
+  }
+
   test("Compaction merges small files without changing content") {
     val src = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
     val dst = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
@@ -388,6 +399,36 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // in-place rewrite refused
       Compaction.compactParquet(spark, src, src, targetBytes = 1L)
     }
+  }
+
+  test("Compaction preserves a Hive-partitioned layout and sizes per partition") {
+    val src = java.nio.file.Files.createTempDirectory("graft-compact-pin").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-compact-pout").toString
+    val orders = graft.core.Catalog.table(spark, "/root/testdata/sf0.001", "orders")
+      // non-numeric partition values: partition-column type inference on
+      // the read side would otherwise turn "1".."5" into ints
+      .withColumn("pri", substring(col("o_orderpriority"), 3, 3))
+    orders.repartition(16).write.mode("overwrite")
+      .partitionBy("pri").parquet(src) // small-file mess inside each pri=X dir
+    def filesUnder(d: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(d)).filter(_.getName.startsWith("part-"))
+    }
+    val inFiles = filesUnder(src)
+    assert(inFiles.length > 16, s"expected a per-partition small-file mess, got ${inFiles.length}")
+    val totalBytes = inFiles.map(_.length).sum
+    val n = Compaction.compactParquet(spark, src, dst, targetBytes = totalBytes)
+    // one file budget per partition dir (each dir is far under targetBytes)
+    val partDirs = new java.io.File(src).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(n == partDirs.size, s"budget $n, partitions ${partDirs.size}")
+    val outDirs = new java.io.File(dst).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(outDirs == partDirs, s"layout lost: $outDirs vs $partDirs")
+    assert(filesUnder(dst).length == partDirs.size, "expected one compacted file per partition")
+    assert(spark.read.parquet(dst).select(orders.columns.map(col): _*)
+      .collect().map(_.toSeq).toSet == orders.collect().map(_.toSeq).toSet)
   }
 
   test("IncrementalAgg: chained delta merges equal the from-scratch aggregate") {

@@ -84,6 +84,28 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("hash preimages pin Spark's shuffle-hash contract at runtime") {
+    import spark.implicits._
+    // hashPreimages hardcodes HashPartitioning's Murmur3(seed 42) + pmod
+    // contract; if a Spark upgrade changes shuffle hashing, this breaks
+    // HERE instead of silently destroying the one-quadrant-per-file
+    // layout. Checked two ways, for each numFiles the writer uses:
+    for (n <- Seq(2, 4, 8, 16)) {
+      val pre = ZOrder.hashPreimages(n)
+      assert(pre.keySet == (0L until n.toLong).toSet)
+      val df = pre.toSeq.toDF("bucket", "key")
+      // (a) against Spark's Murmur3Hash EXPRESSION (the codegen'd form)
+      val viaExpr = df.select($"bucket", pmod(hash($"key"), lit(n)).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(viaExpr.forall { case (b, p) => p.toLong == b }, s"expr mismatch at n=$n: $viaExpr")
+      // (b) against the ACTUAL shuffle placement repartition produces
+      val placed = df.repartition(n, $"key")
+        .select($"bucket", spark_partition_id().as("pid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(placed.forall { case (b, pid) => pid.toLong == b }, s"shuffle mismatch at n=$n: $placed")
+    }
+  }
+
   test("zValue saturates out-of-range inputs instead of aliasing") {
     import spark.implicits._
     val df = Seq(5L, 9L, 10L, 15L, 20L, 21L, 300L).toDF("v")
