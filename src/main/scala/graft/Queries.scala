@@ -1324,17 +1324,25 @@ object Queries {
     * connected components as (id, component). Key semantics must stay
     * in lockstep with [[dupClosureCtesSql]].
     */
-  private def docDupComponents(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  /** Blocking-key star edges over documents (source×size-bucket OR
+    * lang×size-bucket) — the duplicate-evidence graph q98/q109 cluster
+    * and q113 ranks. Key semantics must stay in lockstep with
+    * [[dupClosureCtesSql]]/[[blockingEdgeCtesSql]].
+    */
+  private def docBlockingEdges(docs: DataFrame): DataFrame = {
     val bucket = (col("n_chars") / lit(50)).cast("long")
     def starEdges(key: Column): DataFrame = docs
       .select(col("doc_id"), key.as("__k"))
       .withColumn("a", min(col("doc_id")).over(Window.partitionBy(col("__k"))))
       .select(col("a"), col("doc_id").as("b"))
       .where(col("a") =!= col("b"))
-    val edges = starEdges(concat_ws("|", col("source"), bucket))
+    starEdges(concat_ws("|", col("source"), bucket))
       .unionByName(starEdges(concat_ws("|", col("lang"), bucket)))
-    Graph.componentsFor(docs, "doc_id", edges, "a", "b")
+  }
+
+  private def docDupComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Graph.componentsFor(docs, "doc_id", docBlockingEdges(docs), "a", "b")
   }
 
   def q98_dup_clusters(s: SparkSession, dir: String): DataFrame =
@@ -1632,6 +1640,105 @@ object Queries {
         lit(null).cast("string").as("item"), col("__n").as("got"),
         least(lit(k.toLong), col("__ndv")).as("want"))
     interval.unionByName(card)
+  }
+
+  /** Document centrality over the duplicate-evidence graph
+    * ([[Graph.pageRank]]): 3 damped power-iteration rounds in exact
+    * integer fixed point (2^20 units), so well-connected near-dup hubs
+    * score high — the crawl-quality signal a curation pipeline
+    * prioritizes review queues by. Same blocking edges as q98; the
+    * oracle unrolls the identical integer recurrence as 3 chained CTEs
+    * (fixed iteration count keeps both sides closed-form — no
+    * convergence actions, plan-only to build).
+    */
+  def q113_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Graph.pageRank(docs, "doc_id", docBlockingEdges(docs), "a", "b",
+      iterations = 3)
+      .select(col("id").as("doc_id"), col("rank").as("rank_fp"))
+  }
+
+  /** PII scrubbing ([[TextAnalysis.redactPii]]): a deterministic dirty
+    * column (emails on doc_id%3, phones on %2, IPs on %5 — derived
+    * in-plan from real rows; the corpus tables carry no PII to scrub)
+    * is counted per pattern and redacted by three chained codegen'd
+    * regexp passes. Scan-speed map-only plan — the standard
+    * pre-tokenization cleaning stage at 100 TB. The oracle re-derives
+    * the same dirty text and applies RE2 equivalents (`'g'` flag =
+    * Java's replaceAll).
+    */
+  def q114_pii_scrub(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val dirty = concat(
+      col("text"),
+      when(id % 3 === 0,
+        concat(lit(" contact u"), id.cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(id % 2 === 0,
+        concat(lit(" call 555-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" from 10."), (id % 256).cast("string"), lit(".0."),
+          (id % 100).cast("string")))
+        .otherwise(lit("")))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.piiCount(dirty, TextAnalysis.EmailPattern).as("n_email"),
+      TextAnalysis.piiCount(dirty, TextAnalysis.PhonePattern).as("n_phone"),
+      TextAnalysis.piiCount(dirty, TextAnalysis.IpPattern).as("n_ip"),
+      TextAnalysis.redactPii(dirty).as("clean"))
+  }
+
+  /** Boilerplate detection (C4-style): word trigrams appearing in >30%
+    * of a source's documents are boilerplate; per doc, report distinct
+    * grams vs boilerplate grams. Plan shape: one (source, gram) hash
+    * agg with map-side combine over the exploded grams, the >30%
+    * survivors joined back small (boilerplate vocabularies are tiny by
+    * definition — broadcast), then a per-doc agg. Documents never
+    * shuffle; the gram shuffle carries (source, gram) pairs only.
+    */
+  def q115_boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(Dedup.shingles(col("text"), 3)).as("gram"))
+    val boiler = grams.groupBy("source", "gram")
+      .agg(count(lit(1)).as("df"))
+      .join(nDocs, "source")
+      .where(col("df") * 100 > col("n_docs") * 30)
+      .select(col("source"), col("gram"), lit(1L).as("is_boiler"))
+    grams.join(boiler, Seq("source", "gram"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("is_boiler")).as("n_boiler"))
+  }
+
+  /** Length-band quality filter: keep each language's middle half by
+    * n_chars — exact p25/p75 VALUE thresholds computed from a
+    * cumulative histogram, never a corpus-wide per-language sort. Plan
+    * shape: (lang, n_chars) hash agg (bounded by value ndv), a window
+    * over HISTOGRAM rows only, a #langs-row threshold table broadcast
+    * back, then a scan-speed band predicate — the exact-arithmetic
+    * sibling of the q95 sketch path (at 100 TB you'd trade exactness
+    * for GK thresholds; the shape here already scales because the
+    * window never sees document rows).
+    */
+  def q116_band_filter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val hist = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy("lang").orderBy("n_chars")))
+      .withColumn("cnt", sum(col("c")).over(Window.partitionBy("lang")))
+    // lo = smallest value with cum ≥ ¼·cnt, hi = smallest with cum ≥ ¾·cnt
+    // (integer cross-multiplication — no rounding mode to disagree on);
+    // keep lo < n_chars ≤ hi.
+    val th = cum.groupBy("lang").agg(
+      min(when(col("cum") * 4 >= col("cnt"), col("n_chars"))).as("lo"),
+      min(when(col("cum") * 4 >= col("cnt") * 3, col("n_chars"))).as("hi"))
+    docs.join(broadcast(th), "lang")
+      .where(col("n_chars") > col("lo") && col("n_chars") <= col("hi"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
   // ---------------------------------------------- pipeline: maintenance
@@ -1943,7 +2050,11 @@ object Queries {
     "q109_canonical_pick" -> (q109_canonical_pick _),
     "q110_fuzzy_join" -> (q110_fuzzy_join _),
     "q111_funnel" -> (q111_funnel _),
-    "q112_heavy_hitters" -> (q112_heavy_hitters _))
+    "q112_heavy_hitters" -> (q112_heavy_hitters _),
+    "q113_pagerank" -> (q113_pagerank _),
+    "q114_pii_scrub" -> (q114_pii_scrub _),
+    "q115_boilerplate" -> (q115_boilerplate _),
+    "q116_band_filter" -> (q116_band_filter _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -1986,7 +2097,10 @@ object Queries {
     * recursive CTE, components as (id, component). Must stay in
     * lockstep with [[docDupComponents]].
     */
-  private lazy val dupClosureCtesSql: String =
+  /** The d + e CTEs alone (blocking keys → star edges) — shared by the
+    * dup-closure oracles and the q113 PageRank oracle.
+    */
+  private lazy val blockingEdgeCtesSql: String =
     """d AS (
            SELECT doc_id,
                   concat_ws('|', source, CAST(n_chars // 50 AS VARCHAR)) AS k1,
@@ -1997,13 +2111,44 @@ object Queries {
              SELECT min(doc_id) OVER (PARTITION BY k1) AS a, doc_id AS b FROM d
              UNION
              SELECT min(doc_id) OVER (PARTITION BY k2) AS a, doc_id AS b FROM d)
-           WHERE a <> b),
+           WHERE a <> b)"""
+
+  private lazy val dupClosureCtesSql: String =
+    s"""$blockingEdgeCtesSql,
          sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
          reach(id, x) AS (
            SELECT doc_id, doc_id FROM d
            UNION
            SELECT r.id, s.b FROM reach r JOIN sym s ON s.a = r.x),
          comp AS (SELECT id, min(x) AS component FROM reach GROUP BY id)"""
+
+  /** The q113 oracle: the identical integer PageRank recurrence as
+    * `iterations` chained CTEs (r0 → r1 → …). Every division floors on
+    * nonnegative BIGINTs (DuckDB `//` = Spark `div`); the final CAST
+    * collapses DuckDB's HUGEINT sum widening per the BIGINT-cast rule.
+    */
+  private def pageRankOracleSql(iterations: Int, scale: Long): String = {
+    val base = scale * 15L / 100L
+    val iterCtes = (1 to iterations).map { k =>
+      s"""r$k AS (
+           SELECT n.doc_id,
+                  CAST($base + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+           FROM n LEFT JOIN (
+             SELECT sym.dst AS doc_id, sum(r.r // deg.deg) AS c
+             FROM sym JOIN deg ON deg.src = sym.src
+                      JOIN r${k - 1} r ON r.doc_id = sym.src
+             GROUP BY sym.dst) s ON s.doc_id = n.doc_id)"""
+    }.mkString(",\n         ")
+    s"""WITH $blockingEdgeCtesSql,
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION SELECT b AS src, a AS dst FROM e),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                 FROM sym GROUP BY src),
+         n AS (SELECT doc_id FROM documents),
+         r0 AS (SELECT doc_id, CAST($scale AS BIGINT) AS r FROM n),
+         $iterCtes
+       SELECT doc_id, r AS rank_fp FROM r$iterations"""
+  }
 
   private val dotSql = (a: String, b: String) =>
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1,65), i -> $a[i]*$b[i])), (x,y) -> x+y)"
@@ -2688,6 +2833,71 @@ object Queries {
                 CAST(NULL AS VARCHAR) AS item, CAST(NULL AS BIGINT) AS got,
                 CAST(NULL AS BIGINT) AS want
          WHERE FALSE""",
+    "q113_pagerank" -> pageRankOracleSql(iterations = 3, scale = 1L << 20),
+    // Same dirty-text derivation, RE2 patterns with 'g' (= Java
+    // replaceAll); counts via regexp_extract_all length.
+    "q114_pii_scrub" -> {
+      val email = graft.operators.TextAnalysis.EmailPattern
+      val phone = graft.operators.TextAnalysis.PhonePattern
+      val ip = graft.operators.TextAnalysis.IpPattern
+      s"""WITH dirty AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                     || CAST(doc_id % 100 AS VARCHAR)
+                ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+                CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
+                regexp_replace(regexp_replace(regexp_replace(t,
+                  '$email', '<EMAIL>', 'g'),
+                  '$phone', '<PHONE>', 'g'),
+                  '$ip', '<IP>', 'g') AS clean
+         FROM dirty""" },
+    // q84's gram construction (distinct per doc), per-source df, >30%
+    // integer cross-multiplied threshold, count(b.gram) = non-null.
+    "q115_boilerplate" ->
+      """WITH g AS (
+           SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks)-1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [text] END)) AS gram
+           FROM (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+                 FROM documents)),
+         nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         b AS (SELECT f.source, f.gram
+               FROM (SELECT source, gram, count(*) AS df
+                     FROM g GROUP BY source, gram) f
+               JOIN nd ON nd.source = f.source
+               WHERE f.df * 100 > nd.n_docs * 30)
+         SELECT g.doc_id, g.source, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(count(b.gram) AS BIGINT) AS n_boiler
+         FROM g LEFT JOIN b ON b.source = g.source AND b.gram = g.gram
+         GROUP BY g.doc_id, g.source""",
+    // Cumulative-histogram thresholds (smallest value whose cumulative
+    // count crosses ¼ / ¾ of the stratum), band predicate on values.
+    "q116_band_filter" ->
+      """WITH h AS (SELECT lang, n_chars, count(*) AS c
+                  FROM documents GROUP BY lang, n_chars),
+         cum AS (SELECT lang, n_chars,
+                        sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+                        sum(c) OVER (PARTITION BY lang) AS cnt
+                 FROM h),
+         th AS (SELECT lang,
+                       min(CASE WHEN cum * 4 >= cnt THEN n_chars END) AS lo,
+                       min(CASE WHEN cum * 4 >= cnt * 3 THEN n_chars END) AS hi
+                FROM cum GROUP BY lang)
+         SELECT doc_id, d.lang, n_chars
+         FROM documents d JOIN th ON th.lang = d.lang
+         WHERE n_chars > th.lo AND n_chars <= th.hi""",
     "q68_repetition" ->
       """WITH x AS (
            SELECT doc_id,

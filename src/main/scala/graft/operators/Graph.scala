@@ -64,14 +64,20 @@ object Graph {
 
     var converged = false
     var iter = 0
+    val t0 = System.nanoTime()
     var last = signature(e)
+    if (sys.env.contains("GRAFT_CC_TRACE"))
+      System.err.println(f"[cc] init sig ${(System.nanoTime() - t0) / 1e9}%.2fs")
     while (!converged && iter < maxIter) {
+      val tr = System.nanoTime()
       val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val sig = signature(next)
       converged = sig == last
       last = sig
       e = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        System.err.println(f"[cc] round $iter ${(System.nanoTime() - tr) / 1e9}%.2fs edges=${sig._1}")
     }
     if (!converged && requireConvergence)
       throw new IllegalStateException(
@@ -110,6 +116,77 @@ object Graph {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Fixed-iteration damped PageRank in exact integer fixed point
+    * (rank units of `scale` = 2^20), over the UNDIRECTED graph given by
+    * `edges` (symmetrized, deduplicated, self-loops dropped) — the
+    * crawl-centrality score a corpus-curation pipeline ranks documents
+    * by (Page et al., "The PageRank Citation Ranking", 1999).
+    *
+    * Exact-arithmetic form (floating-point-free, so any ANSI SQL engine
+    * reproduces it bit-for-bit):
+    *
+    *   r_0(u)     = scale
+    *   r_{k+1}(u) = (15*scale) div 100
+    *              + (85 * Σ_{v∈N(u)} (r_k(v) div deg(v))) div 100
+    *
+    * Every term is a nonnegative long and every division floors, so
+    * Spark's `div` and DuckDB's `//` agree. Ranks are unnormalized
+    * (they sum to ≈ N·scale, not 1) — ordering and ratios are what a
+    * ranking consumer uses. Vertices in `vertices` but incident to no
+    * edge hold the dangling base rank (15*scale) div 100 after the
+    * first iteration.
+    *
+    * Scale posture: each iteration is one edge-sized equi-join
+    * (ranks ⋈ adjacency on src), one hash agg keyed by dst (map-side
+    * partial sums), and one left join back to the vertex set — the
+    * shuffle carries a (dst, contrib) long pair per edge, never
+    * adjacency arrays, so a billion-edge iteration is three ordinary
+    * shuffles. `iterations` is fixed (no driver-side convergence
+    * actions): building the query composes a static plan, keeping
+    * plan audits plan-only.
+    */
+  def pageRank(
+      vertices: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3,
+      scale: Long = 1L << 20): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where($"u".isNotNull && $"v".isNotNull && $"u" =!= $"v")
+      .select(least($"u", $"v").as("lo"), greatest($"u", $"v").as("hi"))
+      .distinct()
+    val sym = e.select($"lo".as("src"), $"hi".as("dst"))
+      .union(e.select($"hi".as("src"), $"lo".as("dst")))
+    val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // Lazy checkpoint (same discipline as the CC rounds): the adjacency
+    // feeds every iteration — without the cut, iteration k's plan
+    // re-derives sym+deg k times (46 exchanges in the 3-iteration q113
+    // plan before this). Lazy = no job at build time, plan audits stay
+    // plan-only; materialized once at the first action.
+    val adj = sym.join(deg, "src").localCheckpoint(eager = false) // (src, dst, deg)
+    val nodes = vertices.select(col(idCol).cast("long").as("id")).distinct()
+    val base = scale * 15L / 100L
+    var r = nodes.select($"id", lit(scale).as("rank"))
+    for (k <- 1 to iterations) {
+      val sums = adj.join(r, adj("src") === r("id"))
+        .selectExpr("dst AS id", "rank div deg AS c")
+        .groupBy("id").agg(sum($"c").as("s"))
+      r = nodes.join(sums, Seq("id"), "left")
+        .selectExpr("id",
+          s"CAST($base AS BIGINT) + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS rank")
+      // cut per-iteration lineage (ranks are 2 longs per vertex — far
+      // smaller than the edge lists the CC rounds already cache)
+      if (k < iterations) r = r.localCheckpoint(eager = false)
+    }
+    r
+  }
+
   /** Large-star: every node connects its LARGER neighbors to the minimum
     * of its closed neighborhood. Computed as a min-agg joined back to
     * the symmetric edge list — no neighborhood arrays.
@@ -121,11 +198,14 @@ object Graph {
       .union(e.select($"hi".as("u"), $"lo".as("v")))
     val m = sym.groupBy($"u").agg(min($"v").as("minN"))
       .select($"u", least($"u", $"minN").as("m"))
+    // No distinct here: keeping v > u leaves exactly one row per input
+    // edge (≤|e| rows, no growth), and duplicate (lo,hi) pairs are
+    // min-agg-invariant in smallStar, whose round-ending distinct bounds
+    // the edge set — dropping it saves one full shuffle per CC round.
     sym.join(m, "u")
       .where($"v" > $"u")
       .select($"m".as("lo"), $"v".as("hi"))
       .where($"lo" =!= $"hi")
-      .distinct()
   }
 
   /** Small-star: orient edges large→small; every node connects its

@@ -108,6 +108,34 @@ object TextAnalysis {
     least(tokenCount(text).cast("double") / lit(64.0), lit(1.0)) * lit(0.5) +
       stopwordRatio(text) * lit(0.5)
 
+  /** PII patterns for training-corpus scrubbing. ASCII-only classes and
+    * bounded quantifiers, so Java regex (Spark) and RE2 (the DuckDB
+    * oracle) match identically — same portability rule as
+    * [[BpeishPattern]]. Deliberately simple recall-oriented shapes (the
+    * standard scrubbing pass runs BEFORE tokenization; precision tuning
+    * is a policy knob, not an engine concern).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "555-[0-9]{4}"
+  val IpPattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Count of non-overlapping matches of `pattern` — codegen'd
+    * regexp_count, no UDF.
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  /** Redact emails, then phone numbers, then IPs (email first: its
+    * domain contains dots that the IP pattern must never see). Three
+    * chained codegen'd regexp_replace passes — scan speed, linear in
+    * document length.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
+    regexp_replace(noPhone, IpPattern, "<IP>")
+  }
+
   /** Rolling polynomial hash over the characters of the document:
     * fold acc = (acc * 31 + ascii(c)) mod 1e9+7. Order-sensitive, O(len),
     * codegen'd via the `aggregate` higher-order function.

@@ -47,6 +47,63 @@ object GraphSpec extends Properties("Graph") {
     Prop.forAllNoShrink(edgeGen) { case (n, es) => check(n, es) }
   }
 
+  /** Driver-side replay of [[Graph.pageRank]]'s exact integer
+    * recurrence: r' = base + 85·Σ(r(v) div deg(v)) div 100 over the
+    * symmetrized deduped edge set. Long `/` on nonnegative values is
+    * the same floor division Spark's `div` performs.
+    */
+  private def pageRankRef(n: Long, edges: Seq[(Long, Long)],
+      iters: Int, scale: Long): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val sym = und ++ und.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = scale * 15L / 100L
+    var r = (0L until n).map(i => i -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = r.map { case (id, _) =>
+        id -> (base + 85L * contrib.getOrElse(id, 0L) / 100L)
+      }
+    }
+    r
+  }
+
+  property("pageRank matches the driver-side integer recurrence") = {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(0, 60)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+      iters <- Gen.choose(1, 4)
+    } yield (n.toLong, es, iters)
+    Prop.forAllNoShrink(edgeGen) { case (n, es, iters) =>
+      val vertices = (0L until n).toDF("id")
+      val e = es.toDF("a", "b")
+      val got = Graph.pageRank(vertices, "id", e, "a", "b",
+        iterations = iters).as[(Long, Long)].collect().toMap
+      val want = pageRankRef(n, es, iters, 1L << 20)
+      Prop(got == want) :| s"iters=$iters got ${got.toSeq.sorted.take(10)} want ${want.toSeq.sorted.take(10)}"
+    }
+  }
+
+  property("pageRank: symmetric nodes tie, hubs outrank leaves") = {
+    import spark.implicits._
+    // triangle 0-1-2 plus hub 10 with leaves 11..15, plus isolated 20
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L)) ++
+      (11L to 15L).map(i => (10L, i))
+    val vertices = (Seq(0L, 1L, 2L, 10L, 20L) ++ (11L to 15L)).toDF("id")
+    val r = Graph.pageRank(vertices, "id", es.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val base = (1L << 20) * 15L / 100L
+    Prop(r(0L) == r(1L) && r(1L) == r(2L)) :| "triangle symmetry" &&
+      Prop(r(10L) > r(11L)) :| "hub beats leaf" &&
+      Prop((11L to 15L).map(r).distinct.size == 1) :| "leaves tie" &&
+      Prop(r(20L) == base) :| s"isolated node holds dangling base rank ${r(20L)} vs $base"
+  }
+
   property("long chain collapses to one component") = {
     val n = 200L
     val chain = (0L until n - 1).map(i => (i, i + 1))

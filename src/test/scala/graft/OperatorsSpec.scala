@@ -166,6 +166,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("TextAnalysis.redactPii masks emails then phones then IPs") {
+    val dirty = "mail bob.smith+x@corp.example.org now call 555-0142 " +
+      "from 192.168.0.12 ok"
+    val r = Seq(Tuple1(dirty)).toDF("t").select(
+      TextAnalysis.redactPii(col("t")).as("clean"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.EmailPattern).as("ne"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.PhonePattern).as("np"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.IpPattern).as("ni")).head()
+    assert(r.getString(0) ==
+      "mail <EMAIL> now call <PHONE> from <IP> ok")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L)))
+    // email-first ordering: the email's dotted domain must never be
+    // half-eaten by the IP pattern
+    val clean2 = Seq(Tuple1("x a1.b2.c3.d4@host.example.net y")).toDF("t")
+      .select(TextAnalysis.redactPii(col("t"))).head().getString(0)
+    assert(clean2 == "x <EMAIL> y")
+  }
+
   // -------------------------------------------------------- multimodal
 
   test("Multimodal decode: non-image payloads fall back to raw metadata") {
