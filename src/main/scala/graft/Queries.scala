@@ -1741,6 +1741,18 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Cross-document repeated-substring spans
+    * ([[Dedup.repeatedWindowStats]]): 40-char windows every 10 chars,
+    * counted per doc when shared with another doc — the
+    * suffix-array-dedup surrogate that catches boilerplate spans inside
+    * otherwise-distinct documents. Oracle replays the identical window
+    * arithmetic with substr over an unnested range (raw window strings
+    * here so DuckDB can reproduce them; production flips `hashWindows`).
+    */
+  def q117_window_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedWindowStats(t(s, dir, "documents"), "doc_id", "text",
+      width = 40, stride = 10)
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -2054,7 +2066,8 @@ object Queries {
     "q113_pagerank" -> (q113_pagerank _),
     "q114_pii_scrub" -> (q114_pii_scrub _),
     "q115_boilerplate" -> (q115_boilerplate _),
-    "q116_band_filter" -> (q116_band_filter _))
+    "q116_band_filter" -> (q116_band_filter _),
+    "q117_window_dedup" -> (q117_window_dedup _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2882,6 +2895,20 @@ object Queries {
                 CAST(count(b.gram) AS BIGINT) AS n_boiler
          FROM g LEFT JOIN b ON b.source = g.source AND b.gram = g.gram
          GROUP BY g.doc_id, g.source""",
+    // Same stride-aligned window arithmetic (positions 1 + 10·i, i in
+    // 0..(len-40)//10), distinct per doc, df ≥ 2 = duplicated.
+    "q117_window_dedup" ->
+      """WITH w AS (
+           SELECT DISTINCT doc_id, substr(text, 1 + 10 * CAST(u.i AS INTEGER), 40) AS w
+           FROM documents, unnest(range((length(text) - 40) // 10 + 1)) AS u(i)
+           WHERE length(text) >= 40),
+         dup AS (SELECT w FROM w GROUP BY w HAVING count(*) >= 2),
+         per AS (SELECT doc_id, count(*) AS n_windows, count(dup.w) AS n_dup
+                 FROM w LEFT JOIN dup ON dup.w = w.w GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+                CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup
+         FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""",
     // Cumulative-histogram thresholds (smallest value whose cumulative
     // count crosses ¼ / ¾ of the stratum), band predicate on values.
     "q116_band_filter" ->

@@ -307,4 +307,54 @@ object Dedup {
       .where(col("cosine") >= minCosine)
       .distinct()
   }
+
+  /** Repeated-substring statistics — the distributed surrogate of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022): per document, how
+    * many of its fixed-`width` character windows (taken every `stride`
+    * chars) also occur in at least one OTHER document. High `nDup`
+    * flags boilerplate/licence blocks and cross-page template text that
+    * whole-document dedup can't see.
+    *
+    * Sensitivity note: a shared span is detected when it is
+    * stride-aligned in both documents; stride=1 is exhaustive at
+    * width× the row volume (policy knob, same trade-off as the paper's
+    * suffix-array minimum match length).
+    *
+    * Scale posture: windows explode to (doc_id, window) pairs, dedup +
+    * df-count are two hash-agg shuffles keyed by window content, and
+    * the dup set joins back on the same key — no pairwise comparisons
+    * anywhere. With `hashWindows` the shuffle carries an 8-byte
+    * xxhash64 instead of `width` chars (the 100 TB setting; collisions
+    * ~n²/2⁶⁴ only ever overcount a window as duplicated, never drop
+    * one). Output: (idCol, n_windows, n_dup) for EVERY input document
+    * (short docs have 0 windows — whole-doc dedup covers them).
+    */
+  def repeatedWindowStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 40,
+      stride: Int = 10,
+      hashWindows: Boolean = false): DataFrame = {
+    require(width >= 1 && stride >= 1, s"width/stride must be >= 1")
+    val rawWin = expr(
+      s"transform(sequence(0, (length($textCol) - $width) div $stride), " +
+        s"i -> substring($textCol, 1 + $stride * i, $width))")
+    val wins = df.where(length(col(textCol)) >= width)
+      .select(col(idCol), explode(rawWin).as("__w"))
+      .select(col(idCol),
+        (if (hashWindows) xxhash64(col("__w")) else col("__w")).as("__w"))
+      .distinct()
+    val dup = wins.groupBy("__w").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= 2)
+      .select(col("__w"), lit(1L).as("__d"))
+    val per = wins.join(dup, Seq("__w"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"), count(col("__d")).as("n_dup"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
 }

@@ -166,6 +166,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("Dedup.repeatedWindowStats flags stride-aligned shared spans") {
+    val boiler = "0123456789" * 5 // 50 chars: windows at offsets 0 and 10
+    val a = boiler + "A" * 30 // windows: 2 boiler-aligned + mixed tails
+    val b = boiler + "B" * 30
+    val short = "tiny"
+    val df = Seq((1L, a), (2L, b), (3L, short)).toDF("id", "t")
+    val got = Dedup.repeatedWindowStats(df, "id", "t", width = 40, stride = 10)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    // 80-char docs: positions 1,11,21,31,41 → 5 windows each; the
+    // periodic boiler prefix makes windows@1,11 IDENTICAL (both "0123…"
+    // repeated), so each doc has 4 DISTINCT windows, 1 shared across
+    // docs; short docs report 0 windows.
+    assert(got == Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 0L, 0L)))
+    // hashed form must agree exactly (8-byte shuffle key at scale)
+    val hashed = Dedup.repeatedWindowStats(df, "id", "t", width = 40,
+      stride = 10, hashWindows = true)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(hashed == got)
+  }
+
   test("TextAnalysis.redactPii masks emails then phones then IPs") {
     val dirty = "mail bob.smith+x@corp.example.org now call 555-0142 " +
       "from 192.168.0.12 ok"
