@@ -1753,6 +1753,39 @@ object Queries {
     Dedup.repeatedWindowStats(t(s, dir, "documents"), "doc_id", "text",
       width = 40, stride = 10)
 
+  /** Context-window chunking ([[TextAnalysis.chunkTokens]]): 32-token
+    * chunks advancing by 24 (8-token overlap) — the tokenize-and-pack
+    * preparation stage before shard packing (q83 consumes rows like
+    * these). Pure map + explode, zero shuffle; the oracle replays the
+    * identical integer chunk-count/start/length arithmetic with
+    * list_slice.
+    */
+  def q118_chunking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+      chunkSize = 32, overlap = 8)
+
+  /** Int8 embedding quantization for vector export: per-vector max-abs
+    * scaling in the q103 exact 2^-20 fixed-point discipline —
+    * q8 = sign(v)·((|v_fp|·127) div max_fp) keeps every division on
+    * nonnegative integers (floor = truncate, so Spark `div` and DuckDB
+    * `//` agree; a direct signed division would NOT — DuckDB floors,
+    * Spark truncates). Map-only: the per-vector max runs inside the
+    * array (array_max over transform), no shuffle anywhere.
+    */
+  def q119_int8_quantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
+        .as("__vq"))
+      .withColumn("__mx", expr("array_max(transform(__vq, x -> abs(x)))"))
+      .select(col("vec_id"), col("__mx"),
+        posexplode(col("__vq")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("__mx") === 0, lit(0L)).otherwise(
+          expr("CAST(sign(v) AS BIGINT) * ((abs(v) * 127) div __mx)"))
+          .as("q8"),
+        col("__mx").as("max_q"))
+
   // ---------------------------------------------- pipeline: maintenance
 
   /** CDC upsert ([[Merge.upsert]]): apply a changeset (updates on keys
@@ -2067,7 +2100,9 @@ object Queries {
     "q114_pii_scrub" -> (q114_pii_scrub _),
     "q115_boilerplate" -> (q115_boilerplate _),
     "q116_band_filter" -> (q116_band_filter _),
-    "q117_window_dedup" -> (q117_window_dedup _))
+    "q117_window_dedup" -> (q117_window_dedup _),
+    "q118_chunking" -> (q118_chunking _),
+    "q119_int8_quantize" -> (q119_int8_quantize _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2909,6 +2944,35 @@ object Queries {
                 CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
                 CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup
          FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""",
+    // Identical chunk-count / start / length integer arithmetic over
+    // string_split tokens; list_slice's inclusive end = start + len - 1.
+    "q118_chunking" ->
+      """WITH x AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+                      CAST(u.i AS BIGINT) AS chunk_id,
+                      1 + 24 * CAST(u.i AS INTEGER) AS st,
+                      least(32, len(toks) - (1 + 24 * CAST(u.i AS INTEGER)) + 1) AS l
+               FROM x, unnest(range(CASE WHEN len(toks) <= 32 THEN 1
+                                    ELSE 1 + (len(toks) - 32 + 23) // 24 END)) AS u(i))
+         SELECT doc_id, chunk_id,
+                array_to_string(list_slice(toks, st, st + l - 1), ' ') AS chunk,
+                CAST(l AS BIGINT) AS n_tokens
+         FROM c""",
+    // q103's 2^-20 fixed point, then nonnegative-only floor division:
+    // sign(v)·((|v|·127) // max) — identical in DuckDB and Spark.
+    "q119_int8_quantize" ->
+      """WITH ex AS (
+           SELECT vec_id, u.i AS dim,
+                  CAST(round(CAST(e.embedding[u.i + 1] AS DOUBLE) * 1048576)
+                    AS BIGINT) AS v
+           FROM embeddings e, unnest(range(len(e.embedding))) AS u(i)),
+         mx AS (SELECT vec_id, max(abs(v)) AS m FROM ex GROUP BY vec_id)
+         SELECT ex.vec_id, CAST(ex.dim AS BIGINT) AS dim,
+                CASE WHEN m = 0 THEN 0
+                     ELSE CAST(sign(v) AS BIGINT) * ((abs(v) * 127) // m)
+                END AS q8,
+                CAST(m AS BIGINT) AS max_q
+         FROM ex JOIN mx ON mx.vec_id = ex.vec_id""",
     // Cumulative-histogram thresholds (smallest value whose cumulative
     // count crosses ¼ / ¾ of the stratum), band predicate on values.
     "q116_band_filter" ->

@@ -136,6 +136,42 @@ object TextAnalysis {
     regexp_replace(noPhone, IpPattern, "<IP>")
   }
 
+  /** Overlapping token-window chunking — the context-window preparation
+    * stage: split each document's whitespace tokens into chunks of
+    * `chunkSize` tokens advancing by `chunkSize - overlap`, so
+    * consecutive chunks share `overlap` tokens and no token is dropped
+    * (the final chunk may be shorter; a doc of ≤ chunkSize tokens is one
+    * chunk). All-integer position arithmetic + array slicing — pure
+    * codegen'd map work, zero shuffle at any corpus size.
+    *
+    * Returns one row per chunk: (idCol, chunk_id, chunk, n_tokens).
+    */
+  def chunkTokens(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 32,
+      overlap: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // chunks = 1 + ceil((n - chunkSize) / stride) for n > chunkSize
+      .withColumn("__nc", expr(
+        s"CASE WHEN __n <= $chunkSize THEN 1 " +
+          s"ELSE 1 + (__n - $chunkSize + ${stride - 1}) div $stride END"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(expr("sequence(0, __nc - 1)")).as("__i"))
+      .withColumn("__start", lit(1) + lit(stride) * col("__i"))
+      .withColumn("__len",
+        least(lit(chunkSize), col("__n") - col("__start") + lit(1)))
+      .select(col(idCol), col("__i").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), col("__start"), col("__len")))
+          .as("chunk"),
+        col("__len").cast("long").as("n_tokens"))
+  }
+
   /** Rolling polynomial hash over the characters of the document:
     * fold acc = (acc * 31 + ascii(c)) mod 1e9+7. Order-sensitive, O(len),
     * codegen'd via the `aggregate` higher-order function.

@@ -186,6 +186,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hashed == got)
   }
 
+  test("TextAnalysis.chunkTokens: overlap coverage, short docs, exact tails") {
+    val words = (1 to 80).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "a b c")).toDF("id", "t")
+    val got = TextAnalysis.chunkTokens(df, "id", "t", chunkSize = 32, overlap = 8)
+      .orderBy("id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    // 80 tokens, stride 24: chunks at 1..32, 25..56, 49..80 → 3 chunks
+    assert(got.map(_._1).count(_ == 1L) == 3)
+    assert(got.filter(_._1 == 1L).map(_._4) == Seq(32L, 32L, 32L))
+    assert(got.filter(_._1 == 1L).head._3.startsWith("w1 w2 "))
+    assert(got.filter(_._1 == 1L).last._3.endsWith(" w80"))
+    // consecutive chunks share exactly `overlap` tokens
+    val Seq(c0, c1, _) = got.filter(_._1 == 1L).map(_._3.split(" ").toSeq)
+    assert(c0.takeRight(8) == c1.take(8))
+    // every token appears in some chunk (no token dropped)
+    assert(got.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet == words.toSet)
+    // short doc: one chunk, its own length
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, "a b c", 3L)))
+  }
+
   test("TextAnalysis.redactPii masks emails then phones then IPs") {
     val dirty = "mail bob.smith+x@corp.example.org now call 555-0142 " +
       "from 192.168.0.12 ok"
