@@ -647,6 +647,31 @@ object Queries {
       .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"))
   }
 
+  /** Streaming new-keys filter ([[graft.streaming.Streams.filterKnownKeys]]):
+    * events from users NOT present in the customer dimension — the
+    * stream-static anti join that drops already-ingested keys at the
+    * door, stateless (static side per-microbatch, broadcast-able).
+    * Oracle = the batch anti join.
+    */
+  def q120_stream_antijoin(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = eventsStreamDir(s, dir)
+    val events = graft.streaming.Streams
+      .eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+    // known set = a strict subset (custkey %3 == 0) so the anti join has
+    // real pass-through volume — a full dimension matches every event
+    // and a do-nothing bug would gate green on an empty result
+    val dim = t(s, dir, "customer")
+      .where(col("c_custkey") % 3 === 0).select(col("c_custkey"))
+    val fresh = graft.streaming.Streams
+      .filterKnownKeys(events, dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), cents(col("value")).as("value_c"))
+    graft.streaming.Streams
+      .runToCompletion(s, fresh, s"q120_sink_${System.nanoTime()}", "append")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"))
+  }
+
   def q39_union(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
       .select(col("c_custkey").as("k"), lit("cust").as("src"))
@@ -2102,7 +2127,8 @@ object Queries {
     "q116_band_filter" -> (q116_band_filter _),
     "q117_window_dedup" -> (q117_window_dedup _),
     "q118_chunking" -> (q118_chunking _),
-    "q119_int8_quantize" -> (q119_int8_quantize _))
+    "q119_int8_quantize" -> (q119_int8_quantize _),
+    "q120_stream_antijoin" -> (q120_stream_antijoin _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2644,6 +2670,13 @@ object Queries {
                 CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment""",
+    "q120_stream_antijoin" ->
+      s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c
+         FROM events
+         WHERE user_id NOT IN
+           (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+         GROUP BY user_id""",
     "q93_bpeish_tokens" -> {
       val aug = "text || ' v' || CAST(doc_id % 100 AS VARCHAR) || '.x!'"
       s"""SELECT doc_id,

@@ -137,6 +137,17 @@ object Streams {
       eventKey: String, dimKey: String): DataFrame =
     events.join(dim, events(eventKey) === dim(dimKey))
 
+  /** Stream-static LEFT ANTI join: pass through only events whose key is
+    * absent from the (batch) `known` set — the at-ingest "drop
+    * already-known documents" stage of a streaming dedup pipeline. Like
+    * [[enrichWithDim]] this keeps NO state store: the static side is
+    * re-planned per microbatch (broadcast when small), so the known-set
+    * snapshot can grow between batches without restarting the query.
+    */
+  def filterKnownKeys(events: DataFrame, known: DataFrame,
+      eventKey: String, knownKey: String): DataFrame =
+    events.join(known, events(eventKey) === known(knownKey), "left_anti")
+
   /** Run a stream to completion against the (finite) file source and
     * return the sink table — used by tests and demos; production callers
     * keep the query running with their own trigger/checkpoint config.
