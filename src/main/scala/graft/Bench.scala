@@ -58,6 +58,12 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val cold = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
+    // The iterative queries (CC rounds, PageRank) localCheckpoint
+    // per-round RDDs that only release via ContextCleaner after a GC;
+    // 119 queries of that garbage couples the warm pass to the cold
+    // pass's leftovers. One explicit GC per pass boundary restores the
+    // steady-state a long-lived engine would see.
+    System.gc()
     val warm = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
     // Streaming queries bounce ±25% run-to-run (microbatch scheduling,
     // RocksDB maintenance); a third sample + median gives round-over-round
