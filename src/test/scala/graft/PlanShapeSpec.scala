@@ -76,6 +76,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a shuffle-free scan:\n${plan(df)}")
   }
 
+  test("q114/q118/q119 (scrub, chunking, quantization): zero-exchange map plans") {
+    for (q <- Seq(Queries.q114_pii_scrub _, Queries.q118_chunking _,
+        Queries.q119_int8_quantize _)) {
+      val df = q(spark, dir)
+      assert(shuffles(df).isEmpty && broadcasts(df).isEmpty,
+        s"expected a pure map plan:\n${plan(df)}")
+    }
+  }
+
+  test("q115 (boilerplate): survivors join back as a broadcast, docs never shuffle twice") {
+    val df = Queries.q115_boilerplate(spark, dir)
+    // grams df-agg + per-doc agg = exchanges on gram/doc keys; the
+    // boilerplate set itself must come back as a broadcast, not a
+    // third corpus-scale shuffle
+    assert(broadcasts(df).nonEmpty,
+      s"expected the boilerplate set broadcast:\n${plan(df)}")
+  }
+
+  test("q116 (band filter): thresholds broadcast; windows never see document rows") {
+    val df = Queries.q116_band_filter(spark, dir)
+    val p = plan(df)
+    assert(broadcasts(df).nonEmpty,
+      s"expected the #langs-row threshold table broadcast:\n$p")
+    // every window sits above the histogram aggregate, never directly
+    // over a scan: each WindowExec subtree must contain a hash agg
+    val windows = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.collect {
+      case a: HashAggregateExec => a
+      case a: ObjectHashAggregateExec => a }.nonEmpty),
+      s"expected windows over histogram rows only:\n$p")
+  }
+
   test("no CartesianProduct in ANY batch query plan") {
     // the repo-wide scale invariant: every cross-join-shaped operation
     // (theta join, capped LSH verification, ANN broadcast pass, 1-row
