@@ -67,7 +67,10 @@ object Bench {
     val warm = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
     // Streaming queries bounce ±25% run-to-run (microbatch scheduling,
     // RocksDB maintenance); a third sample + median gives round-over-round
-    // comparisons a stable number instead of noise.
+    // comparisons a stable number instead of noise. Same GC discipline as
+    // the cold→warm boundary: the medians exist for stability, so don't
+    // sample them against the warm pass's checkpoint garbage.
+    System.gc()
     val streamers = ordered.filter { case (n, _) => n.contains("stream") }
     val third = streamers.map { case (name, fn) => name -> runOnce(name, fn) }
     val streamMedians = streamers.map { case (name, _) =>
@@ -123,10 +126,20 @@ object Bench {
       if (v < 0) "-1" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def jsonMap2(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + short(k) + "\":" + fmt2(v) }.mkString("{", ",", "}")
-    val errJson2 = errors
-      .map { case (n, e) => "\"" + short(n) + "\":\"" + esc(e.take(80)) + "\"" }
+    // The compact line must stay under the collector tail even on
+    // error-bearing runs: cap error strings hard (full text is in the
+    // detail file) and spill anything past the first few into a count —
+    // otherwise ~4 errors push the line past 2000 chars and the FRONT
+    // gets truncated, exactly in the degraded runs that most need
+    // n_errors visible.
+    val errJson2 = (errors.take(4)
+      .map { case (n, e) => "\"" + short(n) + "\":\"" + esc(e.take(60)) + "\"" } ++
+      (if (errors.size > 4) Seq("\"_more\":" + (errors.size - 4)) else Nil))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"n_errors":${errors.size},"n_queries":${ordered.size},"sf":"$sfDir","detail":"$detailPath","queries":${jsonMap2(coldTimes)},"stream_median":${jsonMap2(streamMedians)},"warmup_errors":$warmupJson,"errors":$errJson2}""")
+    val warmupJson2 = (warmupErrors.take(2).map(e => "\"" + esc(e.take(60)) + "\"") ++
+      (if (warmupErrors.size > 2) Seq("\"+" + (warmupErrors.size - 2) + " more\"") else Nil))
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"n_errors":${errors.size},"n_queries":${ordered.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(coldTimes)},"stream_median":${jsonMap2(streamMedians)},"warmup_errors":$warmupJson2,"errors":$errJson2}""")
     spark.stop()
   }
 }

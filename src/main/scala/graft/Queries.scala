@@ -730,12 +730,20 @@ object Queries {
     * bigint sums, so both engines divide the same exact integers.
     */
   def q45_variance(s: SparkSession, dir: String): DataFrame = {
+    // n·Σx² and (Σx)² overflow INT64 from sf0.1 volumes up (caught by a
+    // full sf0.1 oracle sweep: DuckDB throws on the overflow, Spark
+    // silently wraps — the worst failure mode). All products run in
+    // decimal(38,0) (Spark) / HUGEINT (oracle): exact integers, and
+    // both engines round the same exact value to the same double.
     val x = round(col("o_totalprice")).cast("long")
+    val dec = "decimal(38,0)"
     t(s, dir, "orders")
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .agg(count(lit(1)).as("n"), sum(x.cast(dec)).as("sx"),
+        sum((x * x).cast(dec)).as("sxx"))
       .select(col("o_orderpriority"), col("n"),
-        ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        ((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+          .cast("double") /
           (col("n") * (col("n") - 1))).as("var_price"))
   }
 
@@ -2673,9 +2681,10 @@ object Queries {
     "q120_stream_antijoin" ->
       s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c
-         FROM events
-         WHERE user_id NOT IN
-           (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+         FROM events e
+         WHERE NOT EXISTS
+           (SELECT 1 FROM customer
+            WHERE c_custkey % 3 = 0 AND c_custkey = e.user_id)
          GROUP BY user_id""",
     "q93_bpeish_tokens" -> {
       val aug = "text || ' v' || CAST(doc_id % 100 AS VARCHAR) || '.x!'"
@@ -3108,12 +3117,15 @@ object Queries {
          CAST(sum(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
          CAST(sum(CASE WHEN l_discount > 0.05 THEN ${centsSql("l_extendedprice")} ELSE 0 END) AS BIGINT) AS disc_price_c
          FROM lineitem GROUP BY l_returnflag""",
+    // Products in HUGEINT (sums already widen there) — n·Σx² overflows
+    // BIGINT from sf0.1 up; exact integer → double rounds identically
+    // to Spark's decimal(38,0) path.
     "q45_variance" ->
       """SELECT o_orderpriority, n,
-           CAST(n*sxx - sx*sx AS DOUBLE) / (n*(n-1)) AS var_price
+           CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE) / (n*(n-1)) AS var_price
          FROM (SELECT o_orderpriority, count(*) AS n,
-                 CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sx,
-                 CAST(sum(CAST(round(o_totalprice) AS BIGINT) * CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sxx
+                 sum(CAST(round(o_totalprice) AS BIGINT)) AS sx,
+                 sum(CAST(round(o_totalprice) AS BIGINT) * CAST(round(o_totalprice) AS BIGINT)) AS sxx
                FROM orders GROUP BY o_orderpriority)""",
     "q46_range_join" ->
       s"""SELECT p_brand, count(*) AS n,

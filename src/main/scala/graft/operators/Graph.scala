@@ -170,7 +170,11 @@ object Graph {
     // plan before this). Lazy = no job at build time, plan audits stay
     // plan-only; materialized once at the first action.
     val adj = sym.join(deg, "src").localCheckpoint(eager = false) // (src, dst, deg)
+    // same cut for the vertex set: it seeds r0 AND anchors every
+    // iteration's left join — without it each iteration re-scans the
+    // vertex source and re-runs the distinct exchange
     val nodes = vertices.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(eager = false)
     val base = scale * 15L / 100L
     var r = nodes.select($"id", lit(scale).as("rank"))
     for (k <- 1 to iterations) {
