@@ -731,10 +731,12 @@ object Queries {
     */
   def q45_variance(s: SparkSession, dir: String): DataFrame = {
     // n·Σx² and (Σx)² overflow INT64 from sf0.1 volumes up (caught by a
-    // full sf0.1 oracle sweep: DuckDB throws on the overflow, Spark
-    // silently wraps — the worst failure mode). All products run in
-    // decimal(38,0) (Spark) / HUGEINT (oracle): exact integers, and
-    // both engines round the same exact value to the same double.
+    // full sf0.1 oracle sweep: both engines fail loudly — Spark
+    // ARITHMETIC_OVERFLOW under its default ANSI mode, DuckDB
+    // OutOfRange; an ANSI-off deployment would silently wrap instead).
+    // All products run in decimal(38,0) (Spark) / HUGEINT (oracle):
+    // exact integers, and both engines round the same exact value to
+    // the same double.
     val x = round(col("o_totalprice")).cast("long")
     val dec = "decimal(38,0)"
     t(s, dir, "orders")
