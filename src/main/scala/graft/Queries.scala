@@ -516,7 +516,12 @@ object Queries {
     * state size. On a cluster this is the same knob you'd size to
     * executor count × state volume.
     */
-  private def streamSession(s: SparkSession, partitions: Int = 8): SparkSession = {
+  // GRAFT_STREAM_PARTS overrides for A/B tuning runs only (driver never
+  // sets it). Measured at sf0.1 on the stream-stream join: 4 parts
+  // median 5.2 s (parallelism-starved), 8 -> 3.2 s, 16 -> 3.2 s with
+  // worse cold — 8 is the knee, re-confirming the state-store sizing
+  // note in SCALE.md.
+  private def streamSession(s: SparkSession, partitions: Int = sys.env.getOrElse("GRAFT_STREAM_PARTS", "8").toInt): SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     // RocksDB state store: measured 1.5-4x faster and far less variant
