@@ -97,6 +97,26 @@ object HashImpls {
     }
   }
 
+  /** Rolling polynomial hash over the code points of a string:
+    * acc = (acc*31 + cp) mod m, left to right. Identical semantics to
+    * the HOF formulation `aggregate(filter(split(text, "")), ...)` with
+    * per-step pmod: Java's empty-regex split yields one string per code
+    * point (never splitting surrogate pairs) and Spark's `ascii` returns
+    * the code point, so iterating codePointAt matches exactly; acc stays
+    * in [0, m) and acc*31 + cp < 2^63, so plain % suffices.
+    */
+  def rollingFingerprint(text: UTF8String, mod: Long): Long = {
+    val str = text.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** Sequential-fold dot product over float/double arrays (sides may
     * differ) — same accumulation order as the `aggregate(zip_with(...))`
     * formulation and the DuckDB oracle's list_reduce.
@@ -196,6 +216,28 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Rolling polynomial hash fingerprint (bigint) of a string column —
+  * the native form of q25's document fingerprint. The HOF formulation
+  * (`aggregate` over `split(text, "")`) evaluates an interpreted
+  * expression tree per CHARACTER; this runs the loop compiled, one
+  * static call per row inside whole-stage codegen.
+  */
+case class RollingFingerprint(child: Expression, mod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.rollingFingerprint(input.asInstanceOf[UTF8String], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashImpls.rollingFingerprint($c, ${mod}L);")
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
 /** Membership probe (boolean) of a long key against a serialized
   * [[org.apache.spark.util.sketch.BloomFilter]] — the fact-side probe of
   * a bloom semi-join reduction. The filter ships as BYTES with the
@@ -247,4 +289,8 @@ object exprs {
   def bloomMightContain(key: Column, filterBytes: Array[Byte]): Column =
     GraftSqlBridge.column(BloomMightContain(
       GraftSqlBridge.expression(key), filterBytes))
+
+  def rollingFingerprint(text: Column, mod: Long): Column =
+    GraftSqlBridge.column(RollingFingerprint(
+      GraftSqlBridge.expression(text), mod))
 }

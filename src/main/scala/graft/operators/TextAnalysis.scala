@@ -173,12 +173,14 @@ object TextAnalysis {
   }
 
   /** Rolling polynomial hash over the characters of the document:
-    * fold acc = (acc * 31 + ascii(c)) mod 1e9+7. Order-sensitive, O(len),
-    * codegen'd via the `aggregate` higher-order function.
+    * fold acc = (acc * 31 + codepoint) mod 1e9+7. Order-sensitive,
+    * O(len). Runs as the native codegen'd
+    * [[graft.functions.RollingFingerprint]] — the original `aggregate`
+    * HOF evaluated an interpreted expression tree per CHARACTER, the
+    * per-row hot loop this file otherwise avoids; semantics unchanged
+    * (OperatorsSpec pins the driver-side replay, q25's oracle pins
+    * DuckDB parity).
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      filter(split(text, ""), c => c =!= lit("")),
-      lit(0L),
-      (acc, c) => pmod(acc * lit(31L) + ascii(c), lit(FingerprintMod)))
+    graft.functions.exprs.rollingFingerprint(text, FingerprintMod)
 }

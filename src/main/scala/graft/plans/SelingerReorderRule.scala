@@ -350,5 +350,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - float/double array dot product"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+
+    ext.injectFunction((FunctionIdentifier("rolling_fingerprint"),
+      info("rolling_fingerprint",
+        "rolling_fingerprint(text) - polynomial rolling-hash document fingerprint"),
+      (args: Seq[Expression]) => RollingFingerprint(args.head,
+        graft.operators.TextAnalysis.FingerprintMod)))
   }
 }

@@ -66,6 +66,22 @@ object Formats {
     maxBytesPerFile.fold(df)(m => df.where(org.apache.spark.sql.functions.col("length") <= m))
   }
 
+  /** XML ingestion (Spark 4 ships the former spark-xml as a native
+    * source): one row per `rowTag` element, explicit schema as
+    * everywhere else. XML is the interchange reality of enterprise
+    * document feeds (patents, legal corpora, Wikipedia dumps) — a
+    * training-data pipeline ingests it at the edge and converts to
+    * parquet immediately; nothing downstream should ever re-read XML.
+    */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).format("xml").load(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String,
+      rootTag: String = "rows"): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag)
+      .option("rootTag", rootTag).format("xml").save(path)
+
   // ORC: the other columnar interchange format warehouses hand us; same
   // pushdown/pruning properties as parquet in Spark's reader
   def readOrc(spark: SparkSession, path: String): DataFrame =

@@ -166,6 +166,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("native fingerprint matches the HOF formulation incl. multibyte") {
+    // the native RollingFingerprint replaced an aggregate-HOF chain;
+    // pin bit parity on ASCII, BMP CJK, an astral (surrogate-pair)
+    // code point, and the empty string
+    val texts = Seq("hello world", "的是了 在我", "mix 的 x", "a𝄞b", "")
+    val df = texts.map(Tuple1(_)).toDF("t")
+    val hof = org.apache.spark.sql.functions.aggregate(
+      filter(split(col("t"), ""), c => c =!= lit("")),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + ascii(c),
+        lit(TextAnalysis.FingerprintMod)))
+    val rows = df.select(TextAnalysis.fingerprint(col("t")).as("native"),
+      hof.as("hof")).as[(Long, Long)].collect()
+    rows.zip(texts).foreach { case ((n, h), t) =>
+      assert(n == h, s"mismatch on '$t': native=$n hof=$h")
+    }
+  }
+
   test("Dedup.repeatedWindowStats flags stride-aligned shared spans") {
     val boiler = "0123456789" * 5 // 50 chars: windows at offsets 0 and 10
     val a = boiler + "A" * 30 // windows: 2 boiler-aligned + mixed tails

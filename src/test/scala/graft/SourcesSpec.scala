@@ -30,6 +30,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(fromJson.collect().map(_.toSeq).toSet == expected)
   }
 
+  test("XML round-trips the nation table through the native Spark 4 source") {
+    val nation = graft.core.Catalog.table(spark, dir, "nation")
+    val expected = nation.collect().map(_.toSeq).toSet
+    val xmlDir = Files.createTempDirectory("graft-xml").toString
+    graft.sources.Formats.writeXml(nation, xmlDir, rowTag = "nation")
+    val back = graft.sources.Formats.readXml(spark, xmlDir, nation.schema,
+      rowTag = "nation")
+    assert(back.collect().map(_.toSeq).toSet == expected)
+  }
+
   test("binaryFile source feeds the multimodal decode pipeline") {
     val binDir = Files.createTempDirectory("graft-bin")
     def be32(v: Int): Array[Byte] =
