@@ -1921,6 +1921,26 @@ object Queries {
     * WRITE-PATH query (PlanAudit.writePathQueries): building the
     * DataFrame performs the /tmp write — the operator under test.
     */
+  /** XML interchange through the driver gate ([[graft.sources.Formats]]
+    * over Spark 4's native XML source): customer → XML files → read
+    * back with explicit schema → aggregate. Any row dropped, duplicated,
+    * or mutated across the serialize/parse round-trip breaks the hash
+    * against the oracle, which reads the SOURCE table. WRITE-PATH query
+    * (PlanAudit.writePathQueries): building the DataFrame performs the
+    * /tmp write.
+    */
+  def q121_xml_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("acctbal_c"))
+    val path = s"/tmp/graft_q121_xml_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.sources.Formats.writeXml(c, path, rowTag = "customer")
+    graft.sources.Formats.readXml(s, path, c.schema, rowTag = "customer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("acctbal_c")).as("sum_acctbal_c"),
+        min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+  }
+
   def q94_zorder_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     val path = s"/tmp/graft_q94_zorder_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -2143,7 +2163,8 @@ object Queries {
     "q117_window_dedup" -> (q117_window_dedup _),
     "q118_chunking" -> (q118_chunking _),
     "q119_int8_quantize" -> (q119_int8_quantize _),
-    "q120_stream_antijoin" -> (q120_stream_antijoin _))
+    "q120_stream_antijoin" -> (q120_stream_antijoin _),
+    "q121_xml_roundtrip" -> (q121_xml_roundtrip _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2693,6 +2714,13 @@ object Queries {
            (SELECT 1 FROM customer
             WHERE c_custkey % 3 = 0 AND c_custkey = e.user_id)
          GROUP BY user_id""",
+    // the oracle reads the SOURCE table: the XML round-trip must be the
+    // identity on rows
+    "q121_xml_roundtrip" ->
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS sum_acctbal_c,
+                min(c_custkey) AS min_key, max(c_custkey) AS max_key
+         FROM customer GROUP BY c_mktsegment""",
     "q93_bpeish_tokens" -> {
       val aug = "text || ' v' || CAST(doc_id % 100 AS VARCHAR) || '.x!'"
       s"""SELECT doc_id,
