@@ -129,15 +129,24 @@ object Bench {
     // The compact line must stay under the collector tail even on
     // error-bearing runs: cap error strings hard (full text is in the
     // detail file) and spill anything past the first few into a count —
-    // otherwise ~4 errors push the line past 2000 chars and the FRONT
-    // gets truncated, exactly in the degraded runs that most need
-    // n_errors visible.
-    val errJson2 = (errors.take(4)
-      .map { case (n, e) => "\"" + short(n) + "\":\"" + esc(e.take(60)) + "\"" } ++
-      (if (errors.size > 4) Seq("\"_more\":" + (errors.size - 4)) else Nil))
+    // otherwise a handful of errors push the line past 2000 chars and
+    // the FRONT gets truncated, exactly in the degraded runs that most
+    // need n_errors visible. Caps apply AFTER esc() (escaping doubles
+    // quotes/backslashes — Spark's ANSI messages quote config names) and
+    // are budgeted jointly: 3 query errors ×40 + 1 warmup ×60 ≈ 220
+    // chars on top of a ~1700-char clean line at the 120-query surface.
+    // truncating AFTER escape may split an escape pair; an odd run of
+    // trailing backslashes means the last one is half of a pair — drop it
+    def capEsc(s: String, n: Int): String = {
+      val t = esc(s).take(n)
+      if (t.reverse.takeWhile(_ == '\\').length % 2 == 1) t.dropRight(1) else t
+    }
+    val errJson2 = (errors.take(3)
+      .map { case (n, e) => "\"" + short(n) + "\":\"" + capEsc(e, 40) + "\"" } ++
+      (if (errors.size > 3) Seq("\"_more\":" + (errors.size - 3)) else Nil))
       .mkString("{", ",", "}")
-    val warmupJson2 = (warmupErrors.take(2).map(e => "\"" + esc(e.take(60)) + "\"") ++
-      (if (warmupErrors.size > 2) Seq("\"+" + (warmupErrors.size - 2) + " more\"") else Nil))
+    val warmupJson2 = (warmupErrors.take(1).map(e => "\"" + capEsc(e, 60) + "\"") ++
+      (if (warmupErrors.size > 1) Seq("\"+" + (warmupErrors.size - 1) + " more\"") else Nil))
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"n_errors":${errors.size},"n_queries":${ordered.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(coldTimes)},"stream_median":${jsonMap2(streamMedians)},"warmup_errors":$warmupJson2,"errors":$errJson2}""")
     spark.stop()

@@ -26,6 +26,12 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
+  /** sfDir → filesystem-safe slug for the write-path queries' scratch
+    * names (one definition; q94/q107/q121 share it).
+    */
+  private def dirSlug(dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]", "_")
+
   /** round(x*100) as long — exact-cents conversion.
     *
     * Oracle-side type discipline: every DuckDB sum (plain OR windowed) that
@@ -521,7 +527,16 @@ object Queries {
   // median 5.2 s (parallelism-starved), 8 -> 3.2 s, 16 -> 3.2 s with
   // worse cold — 8 is the knee, re-confirming the state-store sizing
   // note in SCALE.md.
-  private def streamSession(s: SparkSession, partitions: Int = sys.env.getOrElse("GRAFT_STREAM_PARTS", "8").toInt): SparkSession = {
+  private lazy val streamPartsDefault: Int = {
+    val raw = sys.env.getOrElse("GRAFT_STREAM_PARTS", "8")
+    val n = raw.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"GRAFT_STREAM_PARTS must be a positive int, got '$raw'"))
+    require(n > 0, s"GRAFT_STREAM_PARTS must be > 0, got $n")
+    n
+  }
+
+  private def streamSession(s: SparkSession, partitions: Int = streamPartsDefault): SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     // RocksDB state store: measured 1.5-4x faster and far less variant
@@ -1537,7 +1552,7 @@ object Queries {
     * bucketed writes — the operator under test.
     */
   def q107_bucketed_join(s: SparkSession, dir: String): DataFrame = {
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = dirSlug(dir)
     val (lt, ot) = (s"graft_q107_li_$tag", s"graft_q107_ord_$tag")
     // external tables at explicit paths, pre-cleaned: a managed table's
     // leftover warehouse dir from a PREVIOUS session's run would fail
@@ -1933,7 +1948,7 @@ object Queries {
     val c = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"),
         cents(col("c_acctbal")).as("acctbal_c"))
-    val path = s"/tmp/graft_q121_xml_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val path = s"/tmp/graft_q121_xml_${dirSlug(dir)}"
     graft.sources.Formats.writeXml(c, path, rowTag = "customer")
     graft.sources.Formats.readXml(s, path, c.schema, rowTag = "customer")
       .groupBy("c_mktsegment")
@@ -1943,7 +1958,7 @@ object Queries {
 
   def q94_zorder_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
-    val path = s"/tmp/graft_q94_zorder_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val path = s"/tmp/graft_q94_zorder_${dirSlug(dir)}"
     graft.core.ZOrder.writeZOrdered(li, path, Seq("l_orderkey", "l_partkey"), numFiles = 8)
     s.read.parquet(path)
       .where(col("l_orderkey").between(100, 700) && col("l_partkey").between(50, 150))

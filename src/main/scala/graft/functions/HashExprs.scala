@@ -106,13 +106,27 @@ object HashImpls {
     * in [0, m) and acc*31 + cp < 2^63, so plain % suffices.
     */
   def rollingFingerprint(text: UTF8String, mod: Long): Long = {
-    val str = text.toString
+    // decode code points straight off the UTF-8 bytes — text.toString
+    // would copy the whole document to UTF-16 per row, the exact
+    // per-row allocation this expression exists to avoid
+    val n = text.numBytes
     var acc = 0L
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+    while (i < n) {
+      val b0 = text.getByte(i) & 0xFF
+      val len = UTF8String.numBytesForFirstByte(text.getByte(i))
+      val cp =
+        if (len == 1 || i + len > n) b0 // ASCII, or malformed tail: raw byte
+        else if (len == 2)
+          ((b0 & 0x1F) << 6) | (text.getByte(i + 1) & 0x3F)
+        else if (len == 3)
+          ((b0 & 0x0F) << 12) | ((text.getByte(i + 1) & 0x3F) << 6) |
+            (text.getByte(i + 2) & 0x3F)
+        else
+          ((b0 & 0x07) << 18) | ((text.getByte(i + 1) & 0x3F) << 12) |
+            ((text.getByte(i + 2) & 0x3F) << 6) | (text.getByte(i + 3) & 0x3F)
       acc = (acc * 31L + cp) % mod
-      i += Character.charCount(cp)
+      i += (if (i + len > n) 1 else len)
     }
     acc
   }

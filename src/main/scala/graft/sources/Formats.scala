@@ -75,7 +75,12 @@ object Formats {
     */
   def readXml(spark: SparkSession, path: String, schema: StructType,
       rowTag: String): DataFrame =
-    spark.read.schema(schema).option("rowTag", rowTag).format("xml").load(path)
+    spark.read.schema(schema).option("rowTag", rowTag)
+      // default is true, which TRIMS surrounding whitespace from string
+      // values — corpus text is whitespace-significant and the
+      // write/read round-trip must be the row identity
+      .option("ignoreSurroundingSpaces", "false")
+      .format("xml").load(path)
 
   def writeXml(df: DataFrame, path: String, rowTag: String,
       rootTag: String = "rows"): Unit =

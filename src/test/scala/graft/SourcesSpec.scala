@@ -40,6 +40,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.collect().map(_.toSeq).toSet == expected)
   }
 
+  test("XML round-trip preserves surrounding whitespace in strings") {
+    import spark.implicits._
+    // corpus text is whitespace-significant; the source's
+    // ignoreSurroundingSpaces default would trim these
+    val rows = Seq((1L, "  leading"), (2L, "trailing  "), (3L, " both "),
+      (4L, "inner  kept"))
+    val df = rows.toDF("id", "text")
+    val xmlDir = Files.createTempDirectory("graft-xml-ws").toString
+    graft.sources.Formats.writeXml(df, xmlDir, rowTag = "doc")
+    val back = graft.sources.Formats.readXml(spark, xmlDir, df.schema,
+      rowTag = "doc").as[(Long, String)].collect().toSet
+    assert(back == rows.toSet)
+  }
+
   test("binaryFile source feeds the multimodal decode pipeline") {
     val binDir = Files.createTempDirectory("graft-bin")
     def be32(v: Int): Array[Byte] =
