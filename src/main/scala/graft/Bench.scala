@@ -15,7 +15,13 @@ object Bench {
     // so the first timed query doesn't absorb startup cost, and load the
     // catalog's statistics (the reference loads Catalog.txt at startup) —
     // engine startup work, not per-query work.
+    // The fixed-work probe is TIMED and emitted as calib_sec: identical
+    // work every round, so a contended driver pass (r4 q52/q53, r6's
+    // q52–q85 spikes — neither reproducible minutes later) shows up as
+    // an inflated calib_sec instead of reading as engine regression.
+    val calibT0 = System.nanoTime()
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val calibSec = (System.nanoTime() - calibT0) / 1e9
     // A swallowed warmup failure would silently bench every query
     // cold/unstaged — log it AND carry it in the JSON so degraded totals
     // can never pass as clean numbers.
@@ -57,6 +63,16 @@ object Bench {
     val only = EnvFilter.only()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // The compact stdout line keys by numeric prefix ("q52_tpch_q3" ->
+    // "q52"); two queries sharing a prefix would silently collide into
+    // one JSON key with last-writer-wins timings — fail loudly instead.
+    locally {
+      val collisions = SparkEntry.queries.keys.toSeq
+        .groupBy(n => n.indexOf('_') match { case -1 => n; case i => n.substring(0, i) })
+        .filter(_._2.size > 1)
+      require(collisions.isEmpty,
+        s"bench compact-JSON prefix collision: $collisions — rename the queries")
+    }
     val cold = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
     // The iterative queries (CC rounds, PageRank) localCheckpoint
     // per-round RDDs that only release via ContextCleaner after a GC;
@@ -110,7 +126,7 @@ object Bench {
     // parsed. The compact line uses the stable numeric query prefix
     // ("q52_tpch_q3" -> "q52") and 2-decimal seconds so the whole surface
     // fits in the tail with room to grow; bench_detail.json has everything.
-    val detail = s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"queries_stream_median":${jsonMap(streamMedians)},"warmup_errors":$warmupJson,"errors":$errJson}"""
+    val detail = s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":$calibSec,"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"queries_stream_median":${jsonMap(streamMedians)},"warmup_errors":$warmupJson,"errors":$errJson}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
@@ -148,7 +164,7 @@ object Bench {
     val warmupJson2 = (warmupErrors.take(1).map(e => "\"" + capEsc(e, 60) + "\"") ++
       (if (warmupErrors.size > 1) Seq("\"+" + (warmupErrors.size - 1) + " more\"") else Nil))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"n_errors":${errors.size},"n_queries":${ordered.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(coldTimes)},"stream_median":${jsonMap2(streamMedians)},"warmup_errors":$warmupJson2,"errors":$errJson2}""")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":${fmt2(calibSec)},"n_errors":${errors.size},"n_queries":${ordered.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(coldTimes)},"stream_median":${jsonMap2(streamMedians)},"warmup_errors":$warmupJson2,"errors":$errJson2}""")
     spark.stop()
   }
 }

@@ -1956,6 +1956,42 @@ object Queries {
         min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
   }
 
+  /** Recall contract on the APPROXIMATE IVF operating point: q31/q61
+    * probe every cell (nprobe = nlist), which is provably exact, so
+    * nothing gated what happens when IVF is genuinely approximate.
+    * Here nprobe = 4 of nlist = 16 scans ~1/4 of the corpus per query,
+    * and the contract is recall@10 vs the exact brute-force baseline:
+    * the query returns the queries whose recall falls below the floor —
+    * provably-empty-when-honored, the q95/q96/q112 sketch-gate pattern;
+    * the oracle states the empty set. Floor 0.5 sits a full neighbor
+    * under the measured minimum per-query recall (RecallProbe: min 0.70
+    * mean 0.89 at sf0.001, min 0.60 mean 0.86 at sf0.01, min 0.80 mean
+    * 0.98 at sf0.1) so k-means float jitter can't flap the gate, while
+    * still catching any real probing or assignment regression (a broken
+    * cell argmax scores ~0.1-0.3).
+    */
+  def q122_ann_recall(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val floor = 0.5
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", k)
+    val approx = Similarity.ivfTopK(q, e, "vec_id", "vec_id", "embedding", k,
+      nlist = 16, nprobe = 4, trainIters = 2)
+    // recall@k = |approx ∩ exact| / |exact| per query (|exact| = k unless
+    // the corpus is smaller than k+1); the semi join keys on the pair, so
+    // rank disagreements inside the top-k don't count as misses.
+    val hits = exact
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("__n"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("__hits"), lit(0L)).cast("double") / col("__n")).as("recall"))
+      .where(col("recall") < floor)
+  }
+
   def q94_zorder_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     val path = s"/tmp/graft_q94_zorder_${dirSlug(dir)}"
@@ -2179,7 +2215,8 @@ object Queries {
     "q118_chunking" -> (q118_chunking _),
     "q119_int8_quantize" -> (q119_int8_quantize _),
     "q120_stream_antijoin" -> (q120_stream_antijoin _),
-    "q121_xml_roundtrip" -> (q121_xml_roundtrip _))
+    "q121_xml_roundtrip" -> (q121_xml_roundtrip _),
+    "q122_ann_recall" -> (q122_ann_recall _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2736,6 +2773,10 @@ object Queries {
                 CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS sum_acctbal_c,
                 min(c_custkey) AS min_key, max(c_custkey) AS max_key
          FROM customer GROUP BY c_mktsegment""",
+    // recall contract honored == empty violation set (q95/q96 pattern)
+    "q122_ann_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
+         WHERE FALSE""",
     "q93_bpeish_tokens" -> {
       val aug = "text || ' v' || CAST(doc_id % 100 AS VARCHAR) || '.x!'"
       s"""SELECT doc_id,

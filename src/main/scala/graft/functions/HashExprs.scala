@@ -100,10 +100,17 @@ object HashImpls {
   /** Rolling polynomial hash over the code points of a string:
     * acc = (acc*31 + cp) mod m, left to right. Identical semantics to
     * the HOF formulation `aggregate(filter(split(text, "")), ...)` with
-    * per-step pmod: Java's empty-regex split yields one string per code
-    * point (never splitting surrogate pairs) and Spark's `ascii` returns
-    * the code point, so iterating codePointAt matches exactly; acc stays
-    * in [0, m) and acc*31 + cp < 2^63, so plain % suffices.
+    * per-step pmod — FOR WELL-FORMED UTF-8: Java's empty-regex split
+    * yields one string per code point (never splitting surrogate pairs)
+    * and Spark's `ascii` returns the code point, so iterating
+    * codePointAt matches exactly; acc stays in [0, m) and
+    * acc*31 + cp < 2^63, so plain % suffices. On INVALID UTF-8 (a
+    * malformed lead/continuation sequence — parquet-sourced UTF8Strings
+    * should never contain one) this loop hashes the raw lead byte and
+    * advances 1, where the String-decoding HOF form would hash U+FFFD
+    * replacement characters — a deliberate divergence on inputs outside
+    * the format's contract, pinned by the parity test on well-formed
+    * ASCII/CJK/astral/empty inputs.
     */
   def rollingFingerprint(text: UTF8String, mod: Long): Long = {
     // decode code points straight off the UTF-8 bytes — text.toString

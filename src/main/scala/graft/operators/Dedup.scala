@@ -325,9 +325,11 @@ object Dedup {
     * df-count are two hash-agg shuffles keyed by window content, and
     * the dup set joins back on the same key — no pairwise comparisons
     * anywhere. With `hashWindows` the shuffle carries an 8-byte
-    * xxhash64 instead of `width` chars (the 100 TB setting; collisions
-    * ~n²/2⁶⁴ only ever overcount a window as duplicated, never drop
-    * one). Output: (idCol, n_windows, n_dup) for EVERY input document
+    * xxhash64 instead of `width` chars (the 100 TB setting; a collision
+    * can bias BOTH counts — cross-doc it overcounts a window as
+    * duplicated, intra-doc it merges two distinct windows and shrinks
+    * n_windows — with probability ~n²/2⁶⁴ either way).
+    * Output: (idCol, n_windows, n_dup) for EVERY input document
     * (short docs have 0 windows — whole-doc dedup covers them).
     */
   def repeatedWindowStats(

@@ -108,10 +108,14 @@ object TextAnalysis {
     least(tokenCount(text).cast("double") / lit(64.0), lit(1.0)) * lit(0.5) +
       stopwordRatio(text) * lit(0.5)
 
-  /** PII patterns for training-corpus scrubbing. ASCII-only classes and
-    * bounded quantifiers, so Java regex (Spark) and RE2 (the DuckDB
-    * oracle) match identically — same portability rule as
-    * [[BpeishPattern]]. Deliberately simple recall-oriented shapes (the
+  /** PII patterns for training-corpus scrubbing. ASCII-only classes keep
+    * the patterns portable between Java regex (Spark) and RE2 (the
+    * DuckDB oracle) — same portability rule as [[BpeishPattern]] — but
+    * the unbounded greedy `+` quantifiers mean equivalence is PINNED
+    * EMPIRICALLY by q114's oracle sweep, not guaranteed by construction
+    * (Java is leftmost-first, RE2 leftmost-longest; adversarial text
+    * could in principle split a match differently — the oracle gate is
+    * the authority). Deliberately simple recall-oriented shapes (the
     * standard scrubbing pass runs BEFORE tokenization; precision tuning
     * is a policy knob, not an engine concern).
     */

@@ -53,10 +53,15 @@ object Streams {
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
       n_events: Long)
 
-  /** Custom sessionization with a processing-timeout-free, event-time gap
-    * rule: a session closes when a new event arrives more than `gapMs`
-    * after the previous one (same rule as batch q34_sessionize). Emits
-    * closed sessions; state per user is O(1).
+  /** Custom sessionization with an event-time gap rule: a session closes
+    * when a new event arrives more than `gapMs` after the previous one
+    * (same rule as batch q34_sessionize), OR when the watermark passes
+    * `lastTs + gapMs` with no new event — the event-time-timeout path
+    * that (a) emits each user's FINAL session instead of holding it open
+    * forever and (b) evicts the user's state, so the state store is
+    * bounded by the set of users active inside the watermark horizon,
+    * not by every user ever seen. Emits closed sessions; state per user
+    * is O(1) while it lives.
     */
   /** Timestamp ↔ epoch-microseconds (Timestamp.getTime alone is millis
     * and silently truncates the µs precision the events carry).
@@ -70,32 +75,56 @@ object Streams {
   }
 
   def sessionize(spark: SparkSession, events: Dataset[Event],
-      gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+      gapMs: Long = 30L * 60 * 1000,
+      lateness: String = "30 minutes"): Dataset[Session] = {
     import spark.implicits._
     val gapUs = gapMs * 1000L
     events
+      // EventTimeTimeout requires a watermark; it also gives sessionize
+      // the standard late-data contract (events > lateness behind the
+      // max seen ts are dropped before they can corrupt closed sessions).
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var cur = state.getOption
-          val closed = Vector.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = micros(e.ts)
-            cur match {
-              case Some(s) if t - s.lastTs <= gapUs =>
-                cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
-              case Some(s) =>
-                closed += Session(userId, tsFromMicros(s.start),
-                  tsFromMicros(s.lastTs), s.nEvents)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            // Watermark passed lastTs + gap with no newer event: no
+            // in-horizon event can extend this session (anything later
+            // would start a new one), so emit it and free the state —
+            // the eviction that keeps per-user state watermark-bounded
+            // on an unbounded stream.
+            val out = state.getOption.map(s => Session(userId,
+              tsFromMicros(s.start), tsFromMicros(s.lastTs), s.nEvents))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Vector.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              cur match {
+                case Some(s) if t - s.lastTs <= gapUs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += Session(userId, tsFromMicros(s.start),
+                    tsFromMicros(s.lastTs), s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // Ceil to ms so the timeout never fires before the gap has
+              // truly elapsed in µs event time. Always > current watermark:
+              // every event reaching here has ts >= watermark (late rows
+              // are filtered), so lastTs + gap clears it by a full gap.
+              state.setTimeoutTimestamp((s.lastTs + gapUs + 999L) / 1000L)
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 
@@ -160,6 +189,20 @@ object Streams {
       .outputMode(outputMode)
       .start()
     q.processAllAvailable()
+    // GRAFT_STREAM_TRACE=1: dump per-trigger progress (planning, addBatch,
+    // state-store commit, per-operator state metrics) to stderr — the
+    // instrumentation behind SCALE.md's stream-cost floor breakdown.
+    if (sys.env.contains("GRAFT_STREAM_TRACE"))
+      q.recentProgress.foreach { p =>
+        val d = p.durationMs
+        def ms(k: String) = Option(d.get(k)).map(_.toString).getOrElse("-")
+        System.err.println(s"[stream $name] batch=${p.batchId} rows=${p.numInputRows} " +
+          s"triggerMs=${ms("triggerExecution")} planMs=${ms("queryPlanning")} " +
+          s"addBatchMs=${ms("addBatch")} offsetsMs=${ms("latestOffset")}/${ms("walCommit")} " +
+          s"commitMs=${ms("commitOffsets")} stateOps=[" +
+          p.stateOperators.map(so => s"${so.operatorName}:rows=${so.numRowsTotal}," +
+            s"commitMs=${so.commitTimeMs},mem=${so.memoryUsedBytes}").mkString(" ") + "]")
+      }
     q.stop()
     spark.table(name)
   }

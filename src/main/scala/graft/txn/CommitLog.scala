@@ -176,6 +176,13 @@ final class TxnTable(spark: SparkSession, val dir: String) {
   /** Committed-visible snapshot: checkpoint base (if any) + batches of
     * committed txns. `asTxn` additionally sees its own uncommitted writes
     * (read-your-writes).
+    *
+    * All visible dirs go into ONE multi-path `spark.read.parquet` call —
+    * one scan node however many batches are live. (Batches share a schema
+    * by construction: every insert targets the same logical table. The
+    * earlier per-batch `unionByName` chain built an O(#batches)-deep plan
+    * tree — thousands of small txns between checkpoints meant driver-side
+    * planning blowup for a plan the scan expresses natively.)
     */
   def read(asTxn: Option[Long] = None): DataFrame = {
     val (base, committed, batchMap) = log.committedState
@@ -187,9 +194,8 @@ final class TxnTable(spark: SparkSession, val dir: String) {
       case None => batchMap.values.flatten.toVector
     }
     val dirs = base.toVector ++ visible
-    val frames = dirs.map(b => spark.read.parquet(root.resolve(b).toString))
-    frames.reduceOption(_ unionByName _)
-      .getOrElse(spark.emptyDataFrame)
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs.map(b => root.resolve(b).toString): _*)
   }
 
   // All UPDATE records of t from the full durable tape (committedState

@@ -149,7 +149,10 @@ class StreamingSpec extends AnyFunSuite {
   test("sessionize: event-time gap rule matches batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    def ts(min: Long) = new Timestamp(min * 60_000L)
+    // a day past epoch: the initial watermark is 0 and rows at-or-before
+    // it would be dropped as late now that sessionize watermarks its input
+    val day = 86_400_000L
+    def ts(min: Long) = new Timestamp(day + min * 60_000L)
 
     val src = MemoryStream[Event]
     val sessions = Streams.sessionize(spark, src.toDS(), gapMs = 30 * 60_000L)
@@ -167,9 +170,51 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
 
     val closed = spark.table("sessions").as[Session].collect()
-      .map(s => (s.user_id, s.start.getTime / 60000, s.end.getTime / 60000, s.n_events))
+      .map(s => (s.user_id, (s.start.getTime - day) / 60000,
+        (s.end.getTime - day) / 60000, s.n_events))
       .toSet
-    // closed sessions only (the ones at 60/200 are still open in state)
-    assert(closed == Set((1L, 0L, 20L, 3L), (2L, 5L, 5L, 1L)))
+    // arrival-closed sessions PLUS the timeout path: after the last batch
+    // the watermark is 200 - 30(lateness) = 170, past user 1's open
+    // session's 60 + 30(gap) = 90 — it emits via timeout. User 2's open
+    // session (timeout 200 + 30 = 230) stays in state.
+    assert(closed == Set((1L, 0L, 20L, 3L), (2L, 5L, 5L, 1L), (1L, 60L, 60L, 1L)))
+  }
+
+  test("sessionize timeout: idle user's final session emits and state is evicted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86_400_000L
+    def ts(min: Long) = new Timestamp(day + min * 60_000L)
+
+    val src = MemoryStream[Event]
+    val sessions = Streams.sessionize(spark, src.toDS(), gapMs = 30 * 60_000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_evict")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1 goes idle after minute 10 and NEVER sends another event
+    src.addData(Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "a", 0))
+    q.processAllAvailable()
+    // another user advances the watermark to 100 - 30 = 70, past user 1's
+    // 10 + 30 = 40 timeout: the idle session must emit WITHOUT any further
+    // user-1 event — the exact case NoTimeout() held open forever
+    src.addData(Event(3, ts(100), 2, "a", 0))
+    q.processAllAvailable()
+    def rows() = spark.table("sessions_evict").as[Session].collect()
+      .map(s => (s.user_id, (s.start.getTime - day) / 60000,
+        (s.end.getTime - day) / 60000, s.n_events)).toSeq
+    assert(rows().count(_ == (1L, 0L, 10L, 2L)) == 1,
+      "idle user's session must emit via event-time timeout")
+
+    // a LATER user-1 event must open a fresh session against EMPTY state:
+    // if eviction failed, the stale state would close-and-emit
+    // (0, 10, 2) a second time here
+    src.addData(Event(4, ts(200), 1, "a", 0), Event(5, ts(300), 2, "a", 0))
+    q.processAllAvailable()
+    q.stop()
+    val finalRows = rows()
+    assert(finalRows.count(_ == (1L, 0L, 10L, 2L)) == 1,
+      "evicted state must not re-emit the timed-out session")
+    // user 2's session at 100 closed by the arrival-gap rule at 300
+    assert(finalRows.count(_ == (2L, 100L, 100L, 1L)) == 1)
   }
 }

@@ -135,6 +135,26 @@ class TxnSpec extends AnyFunSuite {
     assert(t3 > t2)
   }
 
+  // Scale contract: N committed batches read through ONE scan node, not
+  // an N-deep union chain (thousands of small txns between checkpoints
+  // must not mean O(N) driver-side plan depth).
+  test("read plans one scan over many committed batches") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val t = freshTable()
+    (1 to 50).foreach { i =>
+      val txn = t.txns.startTxn()
+      insertValues(t, txn, i.toLong)
+      t.txns.commitTxn(txn)
+    }
+    val df = t.read()
+    val plan = df.queryExecution.optimizedPlan
+    val scans = plan.collect { case r: LogicalRelation => r }
+    assert(scans.length == 1, s"expected one scan node, got:\n$plan")
+    assert(plan.collect { case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }.isEmpty,
+      "multi-batch read must not union per-batch frames")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (1L to 50L))
+  }
+
   // log_manager_test.cc:517-550 — checkpoint then crash.
   test("TestOpenCommitCheckpointOpenCrash") {
     val t = freshTable()
