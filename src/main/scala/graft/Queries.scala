@@ -566,6 +566,12 @@ object Queries {
     // process otherwise accumulate maintenance work that steals cycles
     // from the next query's batch.
     s2.conf.set("spark.sql.streaming.stateStore.unloadOnCommit", "true")
+    // A/B knob for the stream floor analysis (SCALE.md): default keeps
+    // Spark's row tracking; set GRAFT_STREAM_NOTRACK=1 to skip per-put
+    // total-row maintenance in RocksDB.
+    if (sys.env.contains("GRAFT_STREAM_NOTRACK"))
+      s2.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
     s2
   }
 
@@ -1992,6 +1998,76 @@ object Queries {
       .where(col("recall") < floor)
   }
 
+  /** TF-IDF term scoring — the retrieval-relevance companion to q85's
+    * inverted index: each document's top term by tf·idf. IDF is EXACT
+    * FIXED POINT, (10^6 · N) div df (nonneg integer division both
+    * engines floor identically), and the tf·idf product runs in
+    * decimal(38,0)/HUGEINT — corpus-scale N times per-doc tf overflows
+    * INT64 (N=1e13, df=1, tf=1e5 → 1e24), the q45/q99 envelope rule.
+    * The output CASTs the winning score to BIGINT (gate format; ANSI
+    * throws loudly if a deployment ever breaches it — production keeps
+    * the decimal). One token explode + two hash aggs + a broadcast-sized
+    * df join; ties resolve (score desc, token asc) so the winner is
+    * deterministic cross-engine.
+    */
+  def q123_tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("__n"))
+    val scored = tf.join(df, "token").crossJoin(n)
+      // idf in long (≤1e6·N, holds to N ≤ 9e12 docs); tf·idf in decimal
+      .withColumn("__idf", expr("(1000000 * __n) div df"))
+      .withColumn("score",
+        col("tf").cast("decimal(38,0)") * col("__idf").cast("decimal(38,0)"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("token").as("top_token"),
+        col("score").cast("long").as("score_fp"))
+  }
+
+  /** Per-source document cap — crawl curation's "no domain dominates
+    * the corpus" rule: keep the k highest-quality docs per source
+    * (quality = q24's bit-parity-proven formula; ties doc_id asc).
+    * Runs through the custom TopKPerGroup physical operator: bounded
+    * per-partition heaps shuffle ≤ k rows/source/partition — a skewed
+    * mega-domain costs its k survivors in shuffle volume, never its
+    * full document list (the q85 df-cap argument, applied to ranking).
+    */
+  def q124_source_cap(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("__tc"),
+        TextAnalysis.stopwordCount(col("text")).as("__sc"))
+      .select(col("doc_id"), col("source"),
+        qualityExpr(col("__tc"), col("__sc")).as("quality"))
+    graft.plans.TopK.perGroup(scored, Seq("source"),
+      Seq("quality" -> false, "doc_id" -> true), k = 25)
+      .select("source", "doc_id", "quality")
+  }
+
+  /** Spark's NATIVE session_window in batch mode — the declarative
+    * counterpart of q34's window-lag formulation and q63's custom
+    * stateful stream (all three state the same gap rule; session_window
+    * merges events strictly less than the gap apart, so the oracle's
+    * flag is `diff >= gap`). One shuffle on user_id; the same expression
+    * runs unchanged under readStream with a watermark at scale.
+    */
+  def q125_session_window(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"))
+
   def q94_zorder_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     val path = s"/tmp/graft_q94_zorder_${dirSlug(dir)}"
@@ -2216,7 +2292,10 @@ object Queries {
     "q119_int8_quantize" -> (q119_int8_quantize _),
     "q120_stream_antijoin" -> (q120_stream_antijoin _),
     "q121_xml_roundtrip" -> (q121_xml_roundtrip _),
-    "q122_ann_recall" -> (q122_ann_recall _))
+    "q122_ann_recall" -> (q122_ann_recall _),
+    "q123_tfidf" -> (q123_tfidf _),
+    "q124_source_cap" -> (q124_source_cap _),
+    "q125_session_window" -> (q125_session_window _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2777,6 +2856,58 @@ object Queries {
     "q122_ann_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall
          WHERE FALSE""",
+    // exact fixed-point idf, tf·idf in HUGEINT (the decimal rule), top
+    // term per doc by (score desc, token asc)
+    "q123_tfidf" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tk2 AS (SELECT doc_id, token FROM tk WHERE length(token) > 0),
+         tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM tk2 GROUP BY doc_id, token),
+         df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tk2 GROUP BY token),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.token,
+                  CAST(tf.tf AS HUGEINT) * ((1000000 * n.n) // df.df) AS score
+           FROM tf JOIN df ON df.token = tf.token CROSS JOIN n)
+         SELECT doc_id, token AS top_token, CAST(score AS BIGINT) AS score_fp
+         FROM (SELECT doc_id, token, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, token) AS rn
+               FROM scored) WHERE rn = 1""",
+    // top-25 quality docs per source, ties doc_id asc (quality formula
+    // bit-parity proven by q24)
+    "q124_source_cap" ->
+      s"""SELECT source, doc_id, quality FROM (
+           SELECT source, doc_id, $qualitySql AS quality,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY $qualitySql DESC, doc_id) AS rn
+           FROM documents) WHERE rn <= 25""",
+    // native session_window merges events strictly less than the gap
+    // apart, so the new-session flag is diff >= gap (vs q34's > gap for
+    // the inclusive custom rule); end = last ts + gap
+    "q125_session_window" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events),
+         y AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN pts IS NULL
+                       OR (epoch_us(ts) - epoch_us(pts)) >= 1800000000
+                       THEN 1 ELSE 0 END AS ns
+           FROM x),
+         z AS (
+           SELECT user_id, ts,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM y)
+         SELECT user_id, min(ts) AS s_start,
+                max(ts) + INTERVAL 30 MINUTE AS s_end,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM z GROUP BY user_id, sid""",
     "q93_bpeish_tokens" -> {
       val aug = "text || ' v' || CAST(doc_id % 100 AS VARCHAR) || '.x!'"
       s"""SELECT doc_id,
@@ -2859,7 +2990,8 @@ object Queries {
                ORDER BY CAST(t AS DOUBLE)/wt, lang LIMIT 1)
          SELECT d.doc_id, d.lang, d.n_tokens, d.bucket
          FROM toks d JOIN tw ON tw.lang = d.lang CROSS JOIN m
-         WHERE d.bucket * m.wstar * tw.t < 10000 * tw.wt * m.tstar""",
+         WHERE d.bucket * CAST(m.wstar AS HUGEINT) * tw.t
+               < CAST(10000 AS HUGEINT) * tw.wt * m.tstar""",
     // Per-user hourly spine via generate_series (inclusive, like Spark's
     // sequence); IGNORE NULLS last_value = the forward fill.
     "q100_ts_gapfill" ->

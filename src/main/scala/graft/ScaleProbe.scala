@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic N× scale probe for the heaviest iterative/stateful
+  * operators (SCALE.md §Scale-probe): no sf1 testdata exists, so this
+  * re-keys self-unions of the sf0.1 tables into a ~N× corpus and times
+  * the five operators whose 100 TB posture rests on iteration/state
+  * arguments — checking wall time scales ~linearly and no plan flips to
+  * a broadcast-OOM or single-reducer shape at the step-up.
+  *
+  *   sbt -batch "runMain graft.ScaleProbe 1"    # baseline, same builder
+  *   sbt -batch "runMain graft.ScaleProbe 10"   # the 10x step
+  *
+  * Scaling semantics (documented, deliberate): document copies get
+  * fresh doc_ids AND a per-copy alphabet rotation over the text
+  * (length-preserving bijection) — so the distinct vocabulary, shingle
+  * space, and signature buckets all genuinely grow ~×N instead of
+  * collapsing into N-deep duplicate cliques, while blocking keys
+  * (source, lang, n_chars) keep their group structure so CC/PageRank
+  * edges grow exactly ×N. events re-key both event_id and user_id per
+  * copy, so per-user stream-join density stays constant and state
+  * volume grows ×N.
+  */
+object ScaleProbe {
+  private val Offset = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = s"/tmp/graft-scaleprobe-${copies}x"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions()(_))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warm the session
+
+    def scaled(name: String, reKey: (DataFrame, Int) => DataFrame): Unit = {
+      val path = s"$dir/$name.parquet"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
+        val base = graft.core.Catalog.table(spark, baseDir, name)
+        (0 until copies).map(i => reKey(base, i)).reduce(_ unionByName _)
+          .repartition(32).write.mode("overwrite").parquet(path)
+      }
+    }
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    scaled("documents", (df, i) => df
+      .withColumn("doc_id", col("doc_id") + lit(i * Offset))
+      .withColumn("text",
+        translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26))))
+    scaled("events", (df, i) => df
+      .withColumn("event_id", col("event_id") + lit(i * Offset))
+      .withColumn("user_id", col("user_id") + lit(i * Offset))
+      // Catalog.table("events") expects the testdata layout (raw ns
+      // longs it converts to µs timestamps); write ts back as ns longs
+      .withColumn("ts", expr("unix_micros(ts) * 1000")))
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    time("cc_q98") { Queries.q98_dup_clusters(spark, dir).count() }
+    time("pagerank_q113") { Queries.q113_pagerank(spark, dir).count() }
+    time("minhash_candidates") {
+      graft.operators.Dedup.minHashCandidates(docs, "doc_id", "text",
+        numHashes = 64, bands = 32, shingleWidth = 3).count()
+    }
+    time("fuzzy_join_q110") { Queries.q110_fuzzy_join(spark, dir).count() }
+    time("stream_join_q62") { Queries.q62_stream_join(spark, dir).count() }
+    spark.stop()
+  }
+}

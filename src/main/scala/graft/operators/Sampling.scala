@@ -123,10 +123,18 @@ object Sampling {
       (t.toDouble / w(s), s)
     }
     val wStar = w(sStar)
+    // Exact integer cross-multiplication in decimal(38,0): the long form
+    // bucket*wStar*t overflows INT64 once a stratum holds > ~2^63/(10^4·w)
+    // ≈ 1e14 tokens — inside 100 TB corpus range. wStar·t and the whole
+    // RHS are driver-side constants, so the per-row cost is ONE decimal
+    // multiply + compare at scan speed (values ≤ ~1e24 ≪ 10^38).
     val keep = totals.foldLeft(lit(false): Column) {
       case (els, (s, t)) =>
+        val lhsFactor = new java.math.BigDecimal((BigInt(wStar) * BigInt(t)).bigInteger)
+        val rhs = new java.math.BigDecimal(
+          (BigInt(bucketModulus) * BigInt(w(s)) * BigInt(tStar)).bigInteger)
         when(col(stratumCol) === s,
-          bucketOf * lit(wStar) * lit(t) < lit(bucketModulus) * lit(w(s)) * lit(tStar))
+          bucketOf.cast("decimal(38,0)") * lit(lhsFactor) < lit(rhs))
           .otherwise(els)
     }
     df.where(keep)
