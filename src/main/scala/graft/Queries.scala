@@ -491,6 +491,47 @@ object Queries {
     new graft.txn.TxnTable(s, tmp).read()
   }
 
+  /** Time-travel read of the transaction layer ([[graft.txn.TxnTable
+    * .readAsOf]]): a tape with TWO committed slices (t1: keys %3==0,
+    * t2: %3==1) and one aborted (t3), read AS OF t1's commit — the
+    * snapshot must be exactly t1's slice even though the current
+    * committed state also holds t2's. Immutability makes the historical
+    * snapshot a tape-prefix fold over the same parquet batches (zero
+    * data copies — the table-format time-travel design); the oracle
+    * states t1's slice declaratively. Same per-process tape-caching
+    * discipline as q37 (marker file, pid + dir key); later invocations
+    * exercise the cold-open recovery path.
+    */
+  def q126_txn_timetravel(s: SparkSession, dir: String): DataFrame = {
+    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tmp = s"/tmp/graft-q126-${ProcessHandle.current().pid()}-$sanitized"
+    val root = java.nio.file.Paths.get(tmp)
+    val marker = root.resolve("_graft_built")
+    if (!java.nio.file.Files.exists(marker)) {
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+      }
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val table = new graft.txn.TxnTable(s, tmp)
+      val t1 = table.txns.startTxn()
+      table.insert(t1, orders.where(col("o_orderkey") % 3 === 0))
+      table.txns.commitTxn(t1)
+      val t2 = table.txns.startTxn()
+      table.insert(t2, orders.where(col("o_orderkey") % 3 === 1))
+      table.txns.commitTxn(t2) // in the CURRENT state, not the t1 snapshot
+      val t3 = table.txns.startTxn()
+      table.insert(t3, orders.where(col("o_orderkey") % 3 === 2))
+      table.txns.abortTxn(t3)
+      java.nio.file.Files.createFile(marker)
+    }
+    // t1 is always txn id 1 on a fresh tape (monotonic from 1)
+    new graft.txn.TxnTable(s, tmp).readAsOf(1L)
+  }
+
   /** The file-stream copy of `events` shared by the streaming queries
     * (q38/q62/q63/q64): the file source needs a directory, and
     * re-materializing the table per invocation would dominate every
@@ -2016,8 +2057,10 @@ object Queries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per (doc, token) already) — no second
+    // corpus explode; ReuseExchange shares the tf shuffle between the
+    // two consumers
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("__n"))
     val scored = tf.join(df, "token").crossJoin(n)
       // idf in long (≤1e6·N, holds to N ≤ 9e12 docs); tf·idf in decimal
@@ -2295,7 +2338,8 @@ object Queries {
     "q122_ann_recall" -> (q122_ann_recall _),
     "q123_tfidf" -> (q123_tfidf _),
     "q124_source_cap" -> (q124_source_cap _),
-    "q125_session_window" -> (q125_session_window _))
+    "q125_session_window" -> (q125_session_window _),
+    "q126_txn_timetravel" -> (q126_txn_timetravel _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3304,6 +3348,10 @@ object Queries {
          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type""",
     "q37_txn_visibility" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0",
+    // the t1 snapshot: %3==0 only (t2's %3==1 slice is committed in the
+    // CURRENT state but not as of t1 — a read() here would see both)
+    "q126_txn_timetravel" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0",
     "q38_stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,

@@ -90,10 +90,29 @@ final class LogManager(val logPath: Path) {
   /** Committed txn ids whose batches are NOT subsumed by the latest
     * checkpoint, plus the latest checkpoint base (if any).
     */
-  def committedState: (Option[String], Set[Long], Map[Long, Vector[String]]) = {
-    val lastCkpt = records.lastIndexWhere(_._1 == LogRecord.Checkpoint)
-    val base = if (lastCkpt >= 0) Some(records(lastCkpt)._3) else None
-    val after = if (lastCkpt >= 0) records.drop(lastCkpt + 1) else records
+  def committedState: (Option[String], Set[Long], Map[Long, Vector[String]]) =
+    foldCommitted(records)
+
+  /** Snapshot semantics for time travel: the committed state as it was
+    * the moment `txn`'s COMMIT record landed — i.e. fold only the tape
+    * PREFIX ending at that record. Immutability makes this free: old
+    * batches are never rewritten, so any historical snapshot is just a
+    * shorter prefix of the same metadata tape (the mechanism behind
+    * table-format time travel). Throws if `txn` never committed —
+    * an aborted or in-flight txn has no snapshot to read.
+    */
+  def committedStateAsOf(txn: Long): (Option[String], Set[Long], Map[Long, Vector[String]]) = {
+    val at = records.indexWhere { case (tpe, t, _) =>
+      tpe == LogRecord.Commit && t == txn }
+    require(at >= 0, s"txn $txn has no COMMIT record — no snapshot exists")
+    foldCommitted(records.take(at + 1))
+  }
+
+  private def foldCommitted(tape: Vector[(String, Long, String)]):
+      (Option[String], Set[Long], Map[Long, Vector[String]]) = {
+    val lastCkpt = tape.lastIndexWhere(_._1 == LogRecord.Checkpoint)
+    val base = if (lastCkpt >= 0) Some(tape(lastCkpt)._3) else None
+    val after = if (lastCkpt >= 0) tape.drop(lastCkpt + 1) else tape
     val committed = after.collect { case (LogRecord.Commit, t, _) => t }.toSet
     val batches = after.collect {
       case (LogRecord.Update, t, dir) if committed(t) => (t, dir)
@@ -194,6 +213,17 @@ final class TxnTable(spark: SparkSession, val dir: String) {
       case None => batchMap.values.flatten.toVector
     }
     val dirs = base.toVector ++ visible
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs.map(b => root.resolve(b).toString): _*)
+  }
+
+  /** Time-travel read: the committed snapshot as of `txn`'s commit —
+    * exactly what read() returned the moment that COMMIT landed. Same
+    * single multi-path scan as [[read]].
+    */
+  def readAsOf(txn: Long): DataFrame = {
+    val (base, _, batchMap) = log.committedStateAsOf(txn)
+    val dirs = base.toVector ++ batchMap.values.flatten.toVector
     if (dirs.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(dirs.map(b => root.resolve(b).toString): _*)
   }

@@ -155,6 +155,31 @@ class TxnSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == (1L to 50L))
   }
 
+  // Time travel: a snapshot as of txn N is the tape-prefix fold — later
+  // commits invisible, and the snapshot survives a crash/recover (it is
+  // pure metadata over immutable batches).
+  test("readAsOf returns the historical snapshot, stable across recovery") {
+    val t = freshTable()
+    val t1 = t.txns.startTxn()
+    insertValues(t, t1, 1L, 2L)
+    t.txns.commitTxn(t1)
+    val t2 = t.txns.startTxn()
+    insertValues(t, t2, 3L)
+    t.txns.commitTxn(t2)
+    assert(values(t) == Seq(1L, 2L, 3L))
+    def asOf(txn: Long) =
+      t.readAsOf(txn).collect().map(_.getLong(0)).toSeq.sorted
+    assert(asOf(t1) == Seq(1L, 2L), "as-of t1 must not see t2's commit")
+    assert(asOf(t2) == Seq(1L, 2L, 3L))
+    // aborted txns have no snapshot
+    val t3 = t.txns.startTxn()
+    insertValues(t, t3, 9L)
+    t.txns.abortTxn(t3)
+    intercept[IllegalArgumentException](t.readAsOf(t3))
+    t.crash(); t.recover()
+    assert(asOf(t1) == Seq(1L, 2L), "snapshot survives crash recovery")
+  }
+
   // log_manager_test.cc:517-550 — checkpoint then crash.
   test("TestOpenCommitCheckpointOpenCrash") {
     val t = freshTable()
