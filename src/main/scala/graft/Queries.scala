@@ -577,7 +577,8 @@ object Queries {
     n
   }
 
-  private def streamSession(s: SparkSession, partitions: Int = streamPartsDefault): SparkSession = {
+  private def streamSession(s: SparkSession, partitions: Int = streamPartsDefault,
+      noDataBatches: Boolean = false): SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     // RocksDB state store: measured 1.5-4x faster and far less variant
@@ -598,9 +599,12 @@ object Queries {
     // (append-mode inner joins and flatMapGroups emit on arrival;
     // windowed agg runs complete-mode), so the trailing no-data
     // microbatch Spark schedules to advance eviction only adds ~1 s of
-    // fixed cost per query — skip it. Long-lived incremental streams
+    // fixed cost per query — skip it, EXCEPT where the query under test
+    // IS the eviction path (q127 session timeouts need the post-data
+    // batch that fires them). Long-lived incremental streams
     // (StreamingSpec) keep the default.
-    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatches.toString)
     // Finite runs: unload each store (and stop its maintenance thread)
     // as soon as its commit lands, instead of leaving every stopped
     // query's providers cached — back-to-back streaming queries in one
@@ -674,6 +678,34 @@ object Queries {
     val sessions = graft.streaming.Streams.sessionize(s, events).toDF()
     graft.streaming.Streams
       .runToCompletion(s, sessions, s"q63_sink_${System.nanoTime()}", "append")
+      .select(col("user_id"), col("start").as("s_start"), col("end").as("s_end"),
+        col("n_events"))
+  }
+
+  /** The session TIMEOUT path through the oracle gate — q63's twin with
+    * no-data microbatches ENABLED: after the single data batch the
+    * watermark advances to max(ts) − 30 min (lateness) and the trailing
+    * no-data batch fires EventTimeTimeout for every open session whose
+    * ceil-ms timeout (lastTs + 30 min gap) sits strictly below it —
+    * those final sessions EMIT and their state is evicted. The oracle
+    * states both populations declaratively: arrival-closed sessions
+    * (every non-last session per user) plus last sessions old enough to
+    * time out, replaying Spark's exact integer boundary arithmetic
+    * (ms-floored watermark, ceil-ms timeout, strict <) so the gate
+    * pins the timeout-firing rule, not just "roughly idle users".
+    */
+  def q127_stream_session_timeout(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0, noDataBatches = true)
+    val streamDir = eventsStreamDir(s, dir)
+    import s.implicits._
+    val events = graft.streaming.Streams
+      .eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.Streams.Event]
+    val sessions = graft.streaming.Streams.sessionize(s, events).toDF()
+    graft.streaming.Streams
+      .runToCompletion(s, sessions, s"q127_sink_${System.nanoTime()}", "append")
       .select(col("user_id"), col("start").as("s_start"), col("end").as("s_end"),
         col("n_events"))
   }
@@ -2339,7 +2371,8 @@ object Queries {
     "q123_tfidf" -> (q123_tfidf _),
     "q124_source_cap" -> (q124_source_cap _),
     "q125_session_window" -> (q125_session_window _),
-    "q126_txn_timetravel" -> (q126_txn_timetravel _))
+    "q126_txn_timetravel" -> (q126_txn_timetravel _),
+    "q127_stream_session_timeout" -> (q127_stream_session_timeout _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2630,6 +2663,34 @@ object Queries {
          WHERE sid < (SELECT max(sid) FROM se s2 WHERE s2.user_id = se.user_id)""",
     "q64_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type, ts FROM events",
+    // q63's session chain + the timeout population: last sessions whose
+    // ceil-ms timeout (end + gap) sits strictly below the ms-floored
+    // final watermark (max ts - lateness) — Spark's exact boundary rule
+    "q127_stream_session_timeout" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events),
+         y AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN pts IS NULL
+                       OR (epoch_us(ts) - epoch_us(pts)) > 1800000000
+                       THEN 1 ELSE 0 END AS ns
+           FROM x),
+         z AS (
+           SELECT user_id, ts,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM y),
+         se AS (
+           SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM z GROUP BY user_id, sid),
+         wm AS (SELECT (epoch_us(max(ts)) // 1000) - 1800000 AS w FROM events)
+         SELECT user_id, s_start, s_end, n_events
+         FROM se CROSS JOIN wm
+         WHERE sid < (SELECT max(sid) FROM se s2 WHERE s2.user_id = se.user_id)
+            OR ((epoch_us(s_end) + 1800000000 + 999) // 1000) < wm.w""",
     "q65_multimodal_audio" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'wav' AS format,
          CAST(44 AS BIGINT) AS n_bytes,
