@@ -362,6 +362,21 @@ object Queries {
       .where(col("cosine") >= 0.45)
   }
 
+  /** A SECOND duplicate-evidence graph through the same clustering
+    * machinery: q28's exact cosine near-dup pairs as edges,
+    * [[Graph.componentsFor]] over the capped vec set — the embedding
+    * analogue of q98's blocking-key clusters (pipeline stage: merge
+    * semantic near-dups, keep the min-id canonical). The oracle replays
+    * the transitive closure with a recursive CTE over the identical
+    * pair predicate (cosine SQL bit-parity proven by q28's gate).
+    */
+  def q128_embed_clusters(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").where(col("vec_id") < 500)
+    Graph.componentsFor(e, "vec_id", q28_embed_neardup(s, dir), "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("component"),
+        (col("id") === col("component")).cast("long").as("is_canonical"))
+  }
+
   /** Exact n-gram Jaccard pairs (brute-force verification form over a
     * capped id range so the DuckDB oracle can replicate it; the
     * production path uses LSH candidates — see Dedup.ngramJaccardPairs).
@@ -425,6 +440,28 @@ object Queries {
       .where(col("o_orderkey").isNotNull)
       .select(col("event_id"), col("user_id"),
         col("o_orderdate").as("asof_date"), col("o_orderkey").as("asof_orderkey"))
+  }
+
+  /** Forward as-of join ([[AsOfJoin]] `direction = "forward"`) — the
+    * attribution lookup: each click's NEXT purchase by the same user
+    * (smallest purchase ts >= click ts, ties to the smallest event_id).
+    * Same union + one-window shape as q33 with the scan time-reversed;
+    * the oracle replays it as min-aggregations.
+    */
+  def q129_asof_forward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+    AsOfJoin(clicks, purchases, "user_id", "ts", "p_user", "p_ts",
+      tieBreak = "p_event", payloadCols = Seq("p_ts", "p_event"),
+      direction = "forward")
+      .where(col("p_event").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("p_ts").as("next_purchase_ts"),
+        col("p_event").as("next_purchase_id"))
   }
 
   def q34_sessionize(s: SparkSession, dir: String): DataFrame = {
@@ -2372,7 +2409,9 @@ object Queries {
     "q124_source_cap" -> (q124_source_cap _),
     "q125_session_window" -> (q125_session_window _),
     "q126_txn_timetravel" -> (q126_txn_timetravel _),
-    "q127_stream_session_timeout" -> (q127_stream_session_timeout _))
+    "q127_stream_session_timeout" -> (q127_stream_session_timeout _),
+    "q128_embed_clusters" -> (q128_embed_clusters _),
+    "q129_asof_forward" -> (q129_asof_forward _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2616,6 +2655,45 @@ object Queries {
          JOIN (SELECT vec_id, v AS vb FROM e) b ON a.vec_id < b.vec_id
          WHERE ($dot)/(sqrt($na)*sqrt($nb)) >= 0.45"""
     },
+    // q28's pair predicate + recursive closure; every capped vec appears,
+    // isolated ones as their own component (componentsFor contract)
+    "q128_embed_clusters" -> {
+      val dot = dotSql("va", "vb")
+      val na = dotSql("va", "va"); val nb = dotSql("vb", "vb")
+      s"""WITH RECURSIVE
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 500),
+         p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+               FROM (SELECT vec_id, v AS va FROM e) a
+               JOIN (SELECT vec_id, v AS vb FROM e) b ON a.vec_id < b.vec_id
+               WHERE ($dot)/(sqrt($na)*sqrt($nb)) >= 0.45),
+         sym AS (SELECT ia, ib FROM p UNION SELECT ib AS ia, ia AS ib FROM p),
+         reach(id, x) AS (
+           SELECT vec_id, vec_id FROM e
+           UNION
+           SELECT r.id, s.ib FROM reach r JOIN sym s ON s.ia = r.x),
+         comp AS (SELECT id, min(x) AS component FROM reach GROUP BY id)
+         SELECT id AS vec_id, CAST(component AS BIGINT) AS component,
+                CAST(CASE WHEN component = id THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_canonical
+         FROM comp"""
+    },
+    // forward as-of replayed as min-aggs (q33's shape with >= and min)
+    "q129_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT event_id AS p_event, user_id AS p_user, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT c.event_id, min(p.p_ts) AS next_ts
+           FROM c JOIN p ON p.p_user = c.user_id AND p.p_ts >= c.ts
+           GROUP BY c.event_id)
+         SELECT c.event_id, c.user_id, m.next_ts AS next_purchase_ts,
+                CAST(min(p.p_event) AS BIGINT) AS next_purchase_id
+         FROM c
+         JOIN m ON m.event_id = c.event_id
+         JOIN p ON p.p_user = c.user_id AND p.p_ts = m.next_ts
+         GROUP BY c.event_id, c.user_id, m.next_ts""",
     "q29_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3

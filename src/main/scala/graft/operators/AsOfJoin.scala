@@ -5,16 +5,20 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-/** As-of (point-in-time) join: for each left row, attach the right row
-  * with the greatest `rightTs <= leftTs` for the same key; ties on
-  * `rightTs` resolve to the greatest `tieBreak` value.
+/** As-of (point-in-time) join. `direction = "backward"` (default): for
+  * each left row, attach the right row with the greatest
+  * `rightTs <= leftTs` for the same key; ties on `rightTs` resolve to
+  * the greatest `tieBreak`. `direction = "forward"`: the right row with
+  * the SMALLEST `rightTs >= leftTs`; ties resolve to the smallest
+  * `tieBreak` (the "next scheduled event" lookup — e.g. each user
+  * event's next order).
   *
   * Implementation is the union + window trick, NOT a range join: tag both
   * sides, union, and take `last(ignoreNulls)` of the right-side payload
-  * struct over (key) ordered by (ts, side, tieBreak). One shuffle on the
-  * key, one sort within partitions — the shape that survives 100 TB,
-  * where a `leftTs >= rightTs` theta join would explode to O(|L|·|R|)
-  * per key.
+  * struct over (key) ordered by (ts, side, tieBreak) — time-reversed for
+  * forward. One shuffle on the key, one sort within partitions — the
+  * shape that survives 100 TB, where a `leftTs >= rightTs` theta join
+  * would explode to O(|L|·|R|) per key.
   *
   * (Spark has no built-in as-of join; composed from built-ins per the
   * custom-operator preference order.)
@@ -28,7 +32,10 @@ object AsOfJoin {
       rightKey: String,
       rightTs: String,
       tieBreak: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
 
     val payload = (rightTs +: tieBreak +: payloadCols).distinct
     val payloadType = StructType(payload.map(c => right.schema(c)))
@@ -47,8 +54,19 @@ object AsOfJoin {
         struct(payload.map(col): _*).as("__payload")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    val w = Window.partitionBy("__key")
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc_nulls_first)
+    // Backward scans time ascending: the last right payload seen at or
+    // before the left row is the greatest rightTs <= leftTs, and among
+    // equal rightTs the greatest tie (tie asc => scanned last). Forward
+    // scans time DESCENDING: the last right seen is the smallest
+    // rightTs >= leftTs, and tie desc makes the smallest tie scan last.
+    // Both orders put rights before lefts at equal ts (side asc), so an
+    // exactly-equal timestamp matches in either direction.
+    val w = (if (direction == "backward")
+      Window.partitionBy("__key")
+        .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc_nulls_first)
+    else
+      Window.partitionBy("__key")
+        .orderBy(col("__ts").desc, col("__side").asc, col("__tie").desc_nulls_first))
       .rowsBetween(Window.unboundedPreceding, 0)
 
     taggedLeft.unionByName(taggedRight)
