@@ -386,6 +386,60 @@ object Queries {
       t(s, dir, "documents").where(col("doc_id") < 200),
       "doc_id", "text", shingleWidth = 3, threshold = 0.3, bruteForce = true)
 
+  /** One-sided shingle CONTAINMENT — the asymmetric dedup rule that
+    * catches quotes/subsets symmetric Jaccard misses: C(A,B) =
+    * |A∩B| / |A| ≥ 0.6 means most of A's shingles appear in B even if
+    * B is much longer (Jaccard divides by the union and stays small).
+    * Brute-force verification form over the q28-style id cap (500 — populated at every SF); the exact
+    * containment ratio is an integer-cardinality quotient, so both
+    * engines compute it bit-identically. Production path: the same
+    * MinHash-LSH candidates (bucketed, never all-pairs) feeding this
+    * verify predicate instead of the Jaccard one.
+    */
+  def q130_containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"), 3)).as("__s"))
+    val a = docs.select(col("doc_id").as("id_a"), col("__s").as("sa"))
+    val b = docs.select(col("doc_id").as("id_b"), col("__s").as("sb"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa"))).as("containment"))
+      .where(col("containment") >= 0.6)
+  }
+
+  /** Robust outlier gate — median/MAD instead of mean/stddev (one wild
+    * value cannot drag the threshold): per-priority order prices more
+    * than 2 MADs from the median are flagged (totalprice is a bounded
+    * sum — its max |dev|/MAD is ~2.05-2.23 across SFs, so 2 keeps the
+    * gate populated at every scale while 3 would be vacuously empty;
+    * production tunes the knob per distribution). Exact integer
+    * cents + q91's bit-parity percentile make both medians and the
+    * comparison reproducible cross-engine. Two grouped percentile
+    * passes + one broadcast of #groups rows — the corpus never
+    * shuffles twice.
+    */
+  def q131_mad_outliers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_c"))
+    // Work on DOUBLED values so the deviation stays integer: the median
+    // of integers is at worst a .5 midpoint, exactly representable once
+    // doubled (2·med ≤ 1e8 ≪ 2^53) — every percentile input both here
+    // and in the MAD pass is then BIGINT, the exact parity class q91
+    // pins (quantile_cont == percentile bit-for-bit on integer input).
+    val med = o.groupBy("o_orderpriority")
+      .agg(round(expr("percentile(price_c, 0.5)") * 2).cast("long").as("__med_x2"))
+    val mad = o.join(broadcast(med), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(abs(2*price_c - __med_x2), 0.5)").as("__mad_x2"),
+        first(col("__med_x2")).as("__m2"))
+    o.join(broadcast(mad), "o_orderpriority")
+      .where(abs(col("price_c") * 2 - col("__m2")).cast("double") >
+        lit(2.0) * col("__mad_x2"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("price_c"))
+  }
+
   // ------------------------------------------- pipeline: similarity/ANN
 
   def q30_knn_brute(s: SparkSession, dir: String): DataFrame = {
@@ -2411,7 +2465,9 @@ object Queries {
     "q126_txn_timetravel" -> (q126_txn_timetravel _),
     "q127_stream_session_timeout" -> (q127_stream_session_timeout _),
     "q128_embed_clusters" -> (q128_embed_clusters _),
-    "q129_asof_forward" -> (q129_asof_forward _))
+    "q129_asof_forward" -> (q129_asof_forward _),
+    "q130_containment" -> (q130_containment _),
+    "q131_mad_outliers" -> (q131_mad_outliers _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2694,6 +2750,36 @@ object Queries {
          JOIN m ON m.event_id = c.event_id
          JOIN p ON p.p_user = c.user_id AND p.p_ts = m.next_ts
          GROUP BY c.event_id, c.user_id, m.next_ts""",
+    // asymmetric containment |A∩B|/|A| — integer-cardinality quotient,
+    // bit-identical cross-engine; shingle CTE shared with q26's form
+    "q130_containment" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [text] END) AS s
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                 FROM documents WHERE doc_id < 500))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+                  AS containment
+         FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.6""",
+    // doubled-median MAD gate: every percentile input is BIGINT (the
+    // q91 parity class); 2*med is exact once rounded
+    "q131_mad_outliers" ->
+      s"""WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  ${centsSql("o_totalprice")} AS price_c FROM orders),
+         med AS (SELECT o_orderpriority,
+                        CAST(round(quantile_cont(price_c, 0.5) * 2) AS BIGINT) AS med_x2
+                 FROM o GROUP BY o_orderpriority),
+         mad AS (SELECT o.o_orderpriority,
+                        quantile_cont(abs(2*price_c - med_x2), 0.5) AS mad_x2,
+                        any_value(med_x2) AS m2
+                 FROM o JOIN med USING (o_orderpriority)
+                 GROUP BY o.o_orderpriority)
+         SELECT o_orderkey, o_orderpriority, price_c
+         FROM o JOIN mad USING (o_orderpriority)
+         WHERE CAST(abs(2*price_c - m2) AS DOUBLE) > 2.0 * mad_x2""",
     "q29_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
