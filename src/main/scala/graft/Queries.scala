@@ -752,6 +752,30 @@ object Queries {
       .select("l_user", "l_ts", "l_event", "r_ts", "r_event")
   }
 
+  /** Stream-stream LEFT OUTER join through the oracle gate — the
+    * watermark-gated null-emission semantics q62's inner join can't
+    * exercise: matches emit as they arrive (batch 1, watermark still
+    * 0); an unmatched left row emits with nulls only when the final
+    * watermark (max ts − 30 min lateness, ms-floored) passes its state
+    * value watermark (l_ts + 15 min maxGap — no future right can
+    * match), fired here by the trailing no-data batch. The oracle
+    * states both populations: the batch left join's matched rows, plus
+    * null rows exactly for lefts with no match whose eviction bound
+    * sits below the final watermark — pinning the eviction arithmetic
+    * empirically (q127's discipline, applied to join state).
+    */
+  def q132_stream_outer_join(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0, noDataBatches = true)
+    val streamDir = eventsStreamDir(s, dir)
+    val src = graft.streaming.Streams
+      .eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+    val joined = graft.streaming.Streams
+      .streamStreamJoin(src, src, joinType = "left_outer")
+    graft.streaming.Streams
+      .runToCompletion(s, joined, s"q132_sink_${System.nanoTime()}", "append")
+      .select("l_user", "l_ts", "l_event", "r_ts", "r_event")
+  }
+
   /** Custom stateful sessionization (flatMapGroupsWithState), oracle-
     * checked: emits CLOSED sessions (the per-user trailing session stays
     * open in state), which the oracle states declaratively by dropping
@@ -2467,7 +2491,8 @@ object Queries {
     "q128_embed_clusters" -> (q128_embed_clusters _),
     "q129_asof_forward" -> (q129_asof_forward _),
     "q130_containment" -> (q130_containment _),
-    "q131_mad_outliers" -> (q131_mad_outliers _))
+    "q131_mad_outliers" -> (q131_mad_outliers _),
+    "q132_stream_outer_join" -> (q132_stream_outer_join _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -2802,6 +2827,23 @@ object Queries {
          FROM events a JOIN events b
            ON a.user_id = b.user_id AND a.event_id < b.event_id
           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE""",
+    // matched rows = the batch left join's inner part (watermark 0 in
+    // the data batch drops nothing); null rows = unmatched lefts whose
+    // state value watermark l_ts + 15min (ms) sits strictly below the
+    // final ms-floored watermark max(ts) - 30min — the eviction moment
+    "q132_stream_outer_join" ->
+      """WITH wm AS (SELECT (epoch_us(max(ts)) // 1000) - 1800000 AS w
+                     FROM events),
+         cand AS (
+           SELECT a.user_id AS l_user, a.ts AS l_ts, a.event_id AS l_event,
+                  b.ts AS r_ts, b.event_id AS r_event
+           FROM events a LEFT JOIN events b
+             ON a.user_id = b.user_id AND a.event_id < b.event_id
+            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE)
+         SELECT l_user, l_ts, l_event, r_ts, r_event
+         FROM cand CROSS JOIN wm
+         WHERE r_event IS NOT NULL
+            OR (epoch_us(l_ts) // 1000) + 900000 < wm.w""",
     "q63_stream_sessions" ->
       """WITH x AS (
            SELECT user_id, ts, event_id,

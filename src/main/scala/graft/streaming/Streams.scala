@@ -137,13 +137,19 @@ object Streams {
     events.withWatermark("ts", lateness)
       .dropDuplicates(keyCols :+ "ts")
 
-  /** Stream-stream inner join with both sides watermarked and a join
-    * range condition — Spark buffers only the watermark-bounded window
-    * of each side, so the join state is bounded at any scale.
+  /** Stream-stream join with both sides watermarked and a join range
+    * condition — Spark buffers only the watermark-bounded window of
+    * each side, so the join state is bounded at any scale. `joinType`
+    * "inner" (default) emits matches as they arrive; "left_outer"
+    * additionally emits an unmatched left row with nulls once the
+    * watermark proves no future right can match it (left state value
+    * watermark = wm − maxGap), which is also the moment its state is
+    * evicted.
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
       lateness: String = "30 minutes",
-      maxGap: String = "15 minutes"): DataFrame = {
+      maxGap: String = "15 minutes",
+      joinType: String = "inner"): DataFrame = {
     import org.apache.spark.sql.functions.expr
     val l = left.withWatermark("ts", lateness)
       .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
@@ -153,7 +159,7 @@ object Streams {
         col("event_id").as("r_event"))
     l.join(r, expr(
       s"""l_user = r_user AND l_event < r_event AND
-          r_ts BETWEEN l_ts AND l_ts + INTERVAL $maxGap"""))
+          r_ts BETWEEN l_ts AND l_ts + INTERVAL $maxGap"""), joinType)
   }
 
   /** Stream-static enrichment: join each arriving event against a batch
