@@ -2267,6 +2267,27 @@ object Queries {
       .select("l_orderkey", "l_partkey", "l_quantity")
   }
 
+  /** Hive-style partitioned layout through the gate: documents written
+    * `partitionBy(lang)` to a scratch dir, read back with a lang
+    * filter — partition PRUNING serves the predicate from the directory
+    * listing (the read plan's PartitionFilters, zero row-level work for
+    * the pruned languages; PartitionPruningSpec pins the file-skip),
+    * and the round-trip must be the identity on the surviving rows,
+    * which the oracle states from the SOURCE table. The partition
+    * column round-trips through directory names (value → path → value),
+    * so any escaping/typing bug breaks the hash. WRITE-PATH query
+    * (PlanAudit.writePathQueries).
+    */
+  def q133_partitioned_write(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    val path = s"/tmp/graft_q133_part_${dirSlug(dir)}"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    s.read.parquet(path)
+      .where(col("lang") === "en")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** The custom TopKPerGroup physical operator (partial per-partition
     * heaps -> one shuffle of ≤ k rows/group/partition -> final heaps);
     * oracle = the window row_number formulation it replaces.
@@ -2492,7 +2513,8 @@ object Queries {
     "q129_asof_forward" -> (q129_asof_forward _),
     "q130_containment" -> (q130_containment _),
     "q131_mad_outliers" -> (q131_mad_outliers _),
-    "q132_stream_outer_join" -> (q132_stream_outer_join _))
+    "q132_stream_outer_join" -> (q132_stream_outer_join _),
+    "q133_partitioned_write" -> (q133_partitioned_write _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3250,6 +3272,10 @@ object Queries {
     "q94_zorder_roundtrip" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
          WHERE l_orderkey BETWEEN 100 AND 700 AND l_partkey BETWEEN 50 AND 150""",
+    // the oracle reads the SOURCE: the partitioned write + pruned read
+    // must be the identity on the lang='en' slice
+    "q133_partitioned_write" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'",
     "q95_sketch_quantiles" ->
       """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS q_idx,
                 CAST(NULL AS DOUBLE) AS approx

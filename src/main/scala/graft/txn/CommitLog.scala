@@ -237,12 +237,19 @@ final class TxnTable(spark: SparkSession, val dir: String) {
 
   /** Compact all currently-committed data into a single base dir and log
     * a CHECKPOINT; recovery after this never replays older batches.
+    * A checkpoint with NOTHING visible is a no-op (found by the tape
+    * fuzz: parquet refuses an empty-schema write, and an empty base dir
+    * would poison every later read) — there are no batches to subsume,
+    * so skipping loses no recovery bounding.
     */
   def checkpoint(): Unit = {
-    batchSeq += 1
-    val base = s"ckpt-$batchSeq"
-    read().write.mode("errorifexists").parquet(root.resolve(base).toString)
-    log.logCheckpoint(base)
+    val snapshot = read()
+    if (snapshot.columns.nonEmpty) {
+      batchSeq += 1
+      val base = s"ckpt-$batchSeq"
+      snapshot.write.mode("errorifexists").parquet(root.resolve(base).toString)
+      log.logCheckpoint(base)
+    }
   }
 
   /** Simulate a crash: all in-memory state gone. */

@@ -1,0 +1,94 @@
+package graft
+
+import graft.txn.TxnTable
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import java.nio.file.Files
+
+/** Randomized-tape fuzz for the transaction layer: on ANY interleaving
+  * of begin/insert/commit/abort/checkpoint/crash+recover, the
+  * committed-visible read must equal a driver-side model of the same
+  * tape, and [[TxnTable.readAsOf]] must reproduce the model's snapshot
+  * at every commit point (time travel = tape-prefix fold). Parquet
+  * writes make each op expensive, so the suite runs few-but-deep
+  * cases rather than ScalaCheck's default 100.
+  */
+object TxnPropertySpec extends Properties("TxnTape") {
+  private lazy val spark = SharedSpark.spark
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  // An op tape: per active txn decide insert/commit/abort, sprinkled
+  // with checkpoints and crash+recover. Encoded as ints for shrinking.
+  private sealed trait Op
+  private case object Begin extends Op
+  private case class Insert(slot: Int) extends Op
+  private case class Commit(slot: Int) extends Op
+  private case class Abort(slot: Int) extends Op
+  private case object Checkpoint extends Op
+  private case object CrashRecover extends Op
+
+  private val opGen: Gen[Op] = Gen.frequency(
+    3 -> Gen.const(Begin),
+    4 -> Gen.choose(0, 2).map(Insert(_)),
+    3 -> Gen.choose(0, 2).map(Commit(_)),
+    2 -> Gen.choose(0, 2).map(Abort(_)),
+    1 -> Gen.const(Checkpoint),
+    1 -> Gen.const(CrashRecover))
+
+  private val tapeGen: Gen[List[Op]] = Gen.listOfN(14, opGen)
+
+  property("read and readAsOf equal the sequential model on any tape") =
+    Prop.forAll(tapeGen) { tape =>
+      import spark.implicits._
+      val t = new TxnTable(spark, Files.createTempDirectory("graft-txn-fuzz").toString)
+      // model state
+      var active = Vector.empty[Long]                 // open txns (slot-addressable)
+      var pending = Map.empty[Long, Vector[Long]]     // txn -> its uncommitted values
+      var committedVals = Vector.empty[Long]          // visible set, in commit order
+      var snapshots = Map.empty[Long, Vector[Long]]   // txn -> visible set at its commit
+      var nextVal = 0L
+
+      tape.foreach {
+        case Begin =>
+          val id = t.txns.startTxn()
+          active :+= id
+          pending += id -> Vector.empty
+        case Insert(slot) if active.nonEmpty =>
+          val id = active(slot % active.size)
+          nextVal += 1
+          t.insert(id, Seq(nextVal).toDF("value"))
+          pending += id -> (pending(id) :+ nextVal)
+        case Commit(slot) if active.nonEmpty =>
+          val id = active(slot % active.size)
+          t.txns.commitTxn(id)
+          active = active.filterNot(_ == id)
+          committedVals ++= pending(id)
+          snapshots += id -> committedVals
+        case Abort(slot) if active.nonEmpty =>
+          val id = active(slot % active.size)
+          t.txns.abortTxn(id)
+          active = active.filterNot(_ == id)
+          pending -= id
+        case Checkpoint =>
+          t.checkpoint()
+        case CrashRecover =>
+          t.crash(); t.recover()
+          // open txns die with the crash; their batches stay invisible
+          active = Vector.empty
+        case _ => () // Insert/Commit/Abort with no active txn: no-op
+      }
+
+      def readVals(): Seq[Long] = {
+        val df = t.read()
+        if (df.columns.isEmpty) Seq.empty
+        else df.collect().map(_.getLong(0)).toSeq.sorted
+      }
+      val visibleOk = readVals() == committedVals.sorted
+      val asOfOk = snapshots.forall { case (txn, snap) =>
+        t.readAsOf(txn).collect().map(_.getLong(0)).toSeq.sorted == snap.sorted
+      }
+      visibleOk && asOfOk
+    }
+}
