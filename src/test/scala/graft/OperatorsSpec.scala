@@ -134,6 +134,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Set((1L, 102L), (2L, -1L), (3L, 200L)))
   }
 
+  test("AsOfJoin forward attaches smallest right ts >= left ts per key") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-03 00:00:00")),
+      (2L, 10L, ts("2024-01-07 00:00:00")), // after any right row
+      (3L, 20L, ts("2024-06-01 12:00:00"))).toDF("eid", "k", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-02 00:00:00"), 100L), // before left ts 1 -> ignored
+      (10L, ts("2024-01-04 00:00:00"), 101L),
+      (10L, ts("2024-01-04 00:00:00"), 102L), // tie -> SMALLER tieBreak wins
+      (10L, ts("2024-01-06 00:00:00"), 103L),
+      (20L, ts("2024-06-01 12:00:00"), 200L)).toDF("k", "rts", "oid") // equal ts matches
+    val out = AsOfJoin(left, right, "k", "ts", "k", "rts",
+      tieBreak = "oid", payloadCols = Seq("oid"), direction = "forward")
+      .select("eid", "oid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(out == Set((1L, 101L), (2L, -1L), (3L, 200L)))
+  }
+
+  test("AsOfJoin forward/backward agree with a brute-force model on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1L to 60L).map(i => (i, rnd.nextInt(4).toLong,
+      new Timestamp(86400000L + rnd.nextInt(1000) * 1000L)))
+    val right = (1L to 80L).map(i => (rnd.nextInt(4).toLong,
+      new Timestamp(86400000L + rnd.nextInt(1000) * 1000L), i))
+    val lDf = left.toDF("eid", "k", "ts")
+    val rDf = right.toDF("k", "rts", "oid")
+    def run(dir: String) = AsOfJoin(lDf, rDf, "k", "ts", "k", "rts",
+      tieBreak = "oid", payloadCols = Seq("oid"), direction = dir)
+      .select("eid", "oid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val fwd = run("forward"); val bwd = run("backward")
+    left.foreach { case (eid, k, t) =>
+      val cands = right.filter(_._1 == k)
+      val fModel = cands.filter(!_._2.before(t))
+        .sortBy(c => (c._2.getTime, c._3)).headOption.map(_._3).getOrElse(-1L)
+      val bModel = cands.filter(!_._2.after(t))
+        .sortBy(c => (-c._2.getTime, -c._3)).headOption.map(_._3).getOrElse(-1L)
+      assert(fwd(eid) == fModel, s"forward mismatch for eid=$eid")
+      assert(bwd(eid) == bModel, s"backward mismatch for eid=$eid")
+    }
+  }
+
   // ------------------------------------------------------ text analysis
 
   test("TextAnalysis token count / mean length / stopword ratio") {
