@@ -2267,6 +2267,27 @@ object Queries {
       .select("l_orderkey", "l_partkey", "l_quantity")
   }
 
+  /** Tolerant JSON field extraction — the JSON analogue of the
+    * tolerant-CSV path: JSON records derived in-plan from orders
+    * (deterministic), every 7th truncated mid-object; `from_json` in
+    * its default PERMISSIVE mode yields null for the malformed rows,
+    * which the query surfaces as an is_corrupt flag instead of failing
+    * the batch (a 100 TB crawl ingest NEVER dies on one bad record).
+    * The oracle states the outcome straight from the corruption rule.
+    */
+  def q134_json_permissive(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val js = when(col("o_orderkey") % 7 === 0,
+        concat(lit("{\"k\":"), col("o_custkey"))) // truncated — invalid
+      .otherwise(concat(lit("{\"k\":"), col("o_custkey"), lit("}")))
+    t(s, dir, "orders").select(col("o_orderkey"), js.as("__js"))
+      .select(col("o_orderkey"),
+        from_json(col("__js"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k_val"))
+      .select(col("o_orderkey"), col("k_val"),
+        col("k_val").isNull.cast("long").as("is_corrupt"))
+  }
+
   /** Hive-style partitioned layout through the gate: documents written
     * `partitionBy(lang)` to a scratch dir, read back with a lang
     * filter — partition PRUNING serves the predicate from the directory
@@ -2514,7 +2535,8 @@ object Queries {
     "q130_containment" -> (q130_containment _),
     "q131_mad_outliers" -> (q131_mad_outliers _),
     "q132_stream_outer_join" -> (q132_stream_outer_join _),
-    "q133_partitioned_write" -> (q133_partitioned_write _))
+    "q133_partitioned_write" -> (q133_partitioned_write _),
+    "q134_json_permissive" -> (q134_json_permissive _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3276,6 +3298,13 @@ object Queries {
     // must be the identity on the lang='en' slice
     "q133_partitioned_write" ->
       "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'",
+    // the corruption rule IS the expected outcome
+    "q134_json_permissive" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k_val,
+                CAST(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_corrupt
+         FROM orders""",
     "q95_sketch_quantiles" ->
       """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS q_idx,
                 CAST(NULL AS DOUBLE) AS approx
