@@ -767,8 +767,14 @@ object Queries {
   def q132_stream_outer_join(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0, noDataBatches = true)
     val streamDir = eventsStreamDir(s, dir)
+    // a third of the users: q62 already measures uncapped stream-join
+    // THROUGHPUT; this query gates the outer-join null-emission
+    // SEMANTICS, which the slice exercises in full (matched rows,
+    // evicted unmatched, retained-in-state tail) at a third of the
+    // state-store cost per bench run
     val src = graft.streaming.Streams
       .eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+      .where(col("user_id") % 3 === 0)
     val joined = graft.streaming.Streams
       .streamStreamJoin(src, src, joinType = "left_outer")
     graft.streaming.Streams
@@ -2876,12 +2882,13 @@ object Queries {
     // state value watermark l_ts + 15min (ms) sits strictly below the
     // final ms-floored watermark max(ts) - 30min — the eviction moment
     "q132_stream_outer_join" ->
-      """WITH wm AS (SELECT (epoch_us(max(ts)) // 1000) - 1800000 AS w
-                     FROM events),
+      """WITH ev AS (SELECT * FROM events WHERE user_id % 3 = 0),
+         wm AS (SELECT (epoch_us(max(ts)) // 1000) - 1800000 AS w
+                FROM ev),
          cand AS (
            SELECT a.user_id AS l_user, a.ts AS l_ts, a.event_id AS l_event,
                   b.ts AS r_ts, b.event_id AS r_event
-           FROM events a LEFT JOIN events b
+           FROM ev a LEFT JOIN ev b
              ON a.user_id = b.user_id AND a.event_id < b.event_id
             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE)
          SELECT l_user, l_ts, l_event, r_ts, r_event
