@@ -67,6 +67,7 @@ object ScaleProbe {
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     time("cc_q98") { Queries.q98_dup_clusters(spark, dir).count() }
+    time("tfidf_q123") { Queries.q123_tfidf(spark, dir).count() }
     time("pagerank_q113") { Queries.q113_pagerank(spark, dir).count() }
     time("minhash_candidates") {
       graft.operators.Dedup.minHashCandidates(docs, "doc_id", "text",
