@@ -2250,10 +2250,13 @@ object Queries {
 
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
-    * stateful stream (all three state the same gap rule; session_window
-    * merges events strictly less than the gap apart, so the oracle's
-    * flag is `diff >= gap`). One shuffle on user_id; the same expression
-    * runs unchanged under readStream with a watermark at scale.
+    * stateful stream. All three share the INCLUSIVE gap rule: an event
+    * exactly `gap` after the previous one still merges (pinned by the
+    * boundary unit test in OperatorsSpec — the window is [ts, ts+gap]
+    * and windows merge when the next start is at-or-before the previous
+    * end), so the oracle's new-session flag is `diff > gap`, same as
+    * q34's. One shuffle on user_id; the same expression runs unchanged
+    * under readStream with a watermark at scale.
     */
   def q125_session_window(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -3247,9 +3250,9 @@ object Queries {
                   row_number() OVER (PARTITION BY source
                                      ORDER BY $qualitySql DESC, doc_id) AS rn
            FROM documents) WHERE rn <= 25""",
-    // native session_window merges events strictly less than the gap
-    // apart, so the new-session flag is diff >= gap (vs q34's > gap for
-    // the inclusive custom rule); end = last ts + gap
+    // native session_window merges INCLUSIVELY at the gap boundary
+    // (pinned by OperatorsSpec), so the new-session flag is diff > gap —
+    // identical to q34's custom rule; end = last ts + gap
     "q125_session_window" ->
       """WITH x AS (
            SELECT user_id, ts, event_id,
@@ -3258,7 +3261,7 @@ object Queries {
          y AS (
            SELECT user_id, ts, event_id,
                   CASE WHEN pts IS NULL
-                       OR (epoch_us(ts) - epoch_us(pts)) >= 1800000000
+                       OR (epoch_us(ts) - epoch_us(pts)) > 1800000000
                        THEN 1 ELSE 0 END AS ns
            FROM x),
          z AS (

@@ -177,6 +177,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------- native session_window
+
+  test("session_window merges INCLUSIVELY at the exact gap boundary") {
+    // load-bearing for q125's oracle: the corpus has µs-random
+    // timestamps, so the gate data can never contain an exact-gap pair
+    // — this pins the boundary the oracle's `diff > gap` rule assumes.
+    val day = 86_400_000L
+    val df = Seq(
+      (1L, new Timestamp(day)),
+      (1L, new Timestamp(day + 30 * 60_000L)),     // exactly gap later
+      (2L, new Timestamp(day)),
+      (2L, new Timestamp(day + 30 * 60_000L + 1))  // 1 ms past the gap
+    ).toDF("user_id", "ts")
+    val sessions = df
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select("user_id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(sessions(1L) == Seq(2L), "exact-gap pair must MERGE (inclusive)")
+    assert(sessions(2L) == Seq(1L, 1L), "past-gap pair must split")
+  }
+
   // ------------------------------------------------------ text analysis
 
   test("TextAnalysis token count / mean length / stopword ratio") {
