@@ -180,6 +180,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed == Set((1L, 0L, 20L, 3L), (2L, 5L, 5L, 1L), (1L, 60L, 60L, 1L)))
   }
 
+  test("sessionize timeout boundary: equality with the watermark does NOT fire") {
+    // load-bearing for q127's oracle (strict <): the corpus's µs-random
+    // timestamps essentially never land a timeout EXACTLY on the
+    // watermark, so the gate can't pin the boundary — this does.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86_400_000L
+    def ts(min: Long) = new Timestamp(day + min * 60_000L)
+    val src = MemoryStream[Event]
+    // gap 30 min, lateness 30 min (default): u1 idle since minute 0 →
+    // timeout at day+30 min exactly (ms-aligned input, ceil is exact)
+    val sessions = Streams.sessionize(spark, src.toDS(), gapMs = 30 * 60_000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_boundary")
+      .outputMode(OutputMode.Append()).start()
+    def u1Rows() = spark.table("sess_boundary").as[Session]
+      .collect().count(_.user_id == 1L)
+
+    src.addData(Event(1, ts(0), 1, "a", 0))
+    q.processAllAvailable()
+    src.addData(Event(2, ts(60), 2, "a", 0)) // watermark -> day+30min == u1 timeout
+    q.processAllAvailable()
+    assert(u1Rows() == 0,
+      "timeout equal to the watermark must NOT fire (strict <)")
+    src.addData(Event(3, ts(61), 2, "a", 0)) // watermark -> day+31min > timeout
+    q.processAllAvailable()
+    q.stop()
+    assert(u1Rows() == 1, "timeout strictly below the watermark must fire")
+  }
+
+  test("stream outer join boundary: null emits only strictly past l_ts + maxGap") {
+    // load-bearing for q132's oracle: pins the eviction comparison for
+    // unmatched-left null emission at the exact ms boundary.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86_400_000L
+    def ts(min: Long) = new Timestamp(day + min * 60_000L)
+    val src = MemoryStream[Event]
+    val joined = Streams.streamStreamJoin(src.toDF(), src.toDF(),
+      lateness = "10 minutes", maxGap = "15 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("oj_boundary")
+      .outputMode(OutputMode.Append()).start()
+    def u1Nulls() = spark.table("oj_boundary")
+      .where(col("l_user") === 1L && col("r_event").isNull).count()
+
+    src.addData(Event(1, ts(0), 1, "a", 0)) // unmatched left, bound = day+15min
+    q.processAllAvailable()
+    src.addData(Event(2, ts(25), 2, "a", 0)) // watermark -> day+15min == bound
+    q.processAllAvailable()
+    val atBoundary = u1Nulls()
+    src.addData(Event(3, ts(26), 2, "a", 0)) // watermark -> day+16min > bound
+    q.processAllAvailable()
+    q.stop()
+    assert(atBoundary == 0,
+      "null row must NOT emit while the watermark only EQUALS l_ts + maxGap")
+    assert(u1Nulls() == 1,
+      "null row must emit once the watermark strictly passes l_ts + maxGap")
+  }
+
   test("sessionize timeout: idle user's final session emits and state is evicted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
