@@ -831,6 +831,29 @@ object Queries {
         col("n_events"))
   }
 
+  /** Native session_window under readStream through the oracle gate —
+    * the streaming form of batch q125, closing the trio: q125 (native,
+    * batch), q63/q127 (custom stateful stream), q135 (native stream).
+    * One data trigger, then the trailing no-data batch advances the
+    * watermark to max(ts) − 30 min lateness (ms-floored) and the
+    * session-window state operator emits (and evicts) every merged
+    * session whose END (last event ts + 30 min gap, µs) sits
+    * at-or-below it — the INCLUSIVE eviction boundary pinned by
+    * StreamingSpec, the opposite comparison from q127's strict
+    * timeout rule. The oracle replays q125's inclusive-gap session
+    * chain and keeps exactly that emitted population.
+    */
+  def q135_stream_session_window(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0, noDataBatches = true)
+    val streamDir = eventsStreamDir(s, dir)
+    val src = graft.streaming.Streams
+      .eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+    val sessions = graft.streaming.Streams.sessionWindowAgg(src)
+    graft.streaming.Streams
+      .runToCompletion(s, sessions, s"q135_sink_${System.nanoTime()}", "append")
+      .select("user_id", "s_start", "s_end", "n_events")
+  }
+
   /** Watermarked streaming dedup, oracle-checked: exactly-once per
     * (user_id, event_type, ts) — projected to the key columns so the
     * surviving-row choice can't differ from the oracle's DISTINCT.
@@ -2545,7 +2568,8 @@ object Queries {
     "q131_mad_outliers" -> (q131_mad_outliers _),
     "q132_stream_outer_join" -> (q132_stream_outer_join _),
     "q133_partitioned_write" -> (q133_partitioned_write _),
-    "q134_json_permissive" -> (q134_json_permissive _))
+    "q134_json_permissive" -> (q134_json_permissive _),
+    "q135_stream_session_window" -> (q135_stream_session_window _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3273,6 +3297,37 @@ object Queries {
                 max(ts) + INTERVAL 30 MINUTE AS s_end,
                 CAST(count(*) AS BIGINT) AS n_events
          FROM z GROUP BY user_id, sid""",
+    // q125's inclusive-gap session chain + the append-mode emission
+    // population: sessions whose µs end (last ts + gap) sits at-or-below
+    // the ms-floored final watermark × 1000 — the INCLUSIVE <= pinned by
+    // StreamingSpec (vs q127's strict < timeout rule)
+    "q135_stream_session_window" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events),
+         y AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN pts IS NULL
+                       OR (epoch_us(ts) - epoch_us(pts)) > 1800000000
+                       THEN 1 ELSE 0 END AS ns
+           FROM x),
+         z AS (
+           SELECT user_id, ts,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM y),
+         se AS (
+           SELECT user_id, min(ts) AS s_start,
+                  max(ts) + INTERVAL 30 MINUTE AS s_end,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  max(ts) AS s_last
+           FROM z GROUP BY user_id, sid),
+         wm AS (SELECT ((epoch_us(max(ts)) // 1000) - 1800000) * 1000 AS w_us
+                FROM events)
+         SELECT user_id, s_start, s_end, n_events
+         FROM se CROSS JOIN wm
+         WHERE epoch_us(s_last) + 1800000000 <= wm.w_us""",
     "q93_bpeish_tokens" -> {
       val aug = "text || ' v' || CAST(doc_id % 100 AS VARCHAR) || '.x!'"
       s"""SELECT doc_id,

@@ -128,6 +128,29 @@ object Streams {
       }
   }
 
+  /** Spark's NATIVE session_window under readStream — the declarative
+    * streaming counterpart of batch q125 and the custom stateful
+    * [[sessionize]]. The state-store operator merges overlapping
+    * [ts, ts+gap] windows per user (inclusive at exactly the gap, same
+    * rule as batch — pinned by OperatorsSpec), and append mode emits a
+    * session only once the watermark passes its END (= last event ts +
+    * gap), which is also when its state is evicted — so state is
+    * watermark-bounded by construction, with none of the hand-rolled
+    * timeout bookkeeping sessionize needs. Output end = last ts + gap
+    * (the window end), not last ts as sessionize emits.
+    */
+  def sessionWindowAgg(events: DataFrame,
+      gap: String = "30 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"))
+
   /** Watermarked streaming deduplication: exactly-once per key within
     * the watermark horizon; state for a key is dropped once the
     * watermark passes, so state size tracks the horizon, not the stream.

@@ -209,6 +209,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1Rows() == 1, "timeout strictly below the watermark must fire")
   }
 
+  test("native session_window emission boundary vs the watermark") {
+    // load-bearing for q135's oracle: pins that an append-mode session
+    // emits as soon as the watermark EQUALS its end (last ts + gap) —
+    // INCLUSIVE eviction (end <= wm), the opposite boundary from the
+    // custom sessionize timeout's strict <. Random-µs corpus data can't
+    // land the equality, so the oracle gate alone can't pin this.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86_400_000L
+    def ts(min: Long) = new Timestamp(day + min * 60_000L)
+    val src = MemoryStream[Event]
+    // gap 30 min, lateness 30 min: u1's single event at minute 0 forms
+    // a session with end = day+30min exactly (ms-aligned input)
+    val sessions = Streams.sessionWindowAgg(src.toDF())
+    val q = sessions.writeStream.format("memory").queryName("sw_boundary")
+      .outputMode(OutputMode.Append()).start()
+    def u1Rows() = spark.table("sw_boundary")
+      .where(col("user_id") === 1L).count()
+
+    src.addData(Event(1, ts(0), 1, "a", 0))
+    q.processAllAvailable()
+    src.addData(Event(2, ts(59), 2, "a", 0)) // watermark -> day+29min < end
+    q.processAllAvailable()
+    val belowEnd = u1Rows()
+    src.addData(Event(3, ts(60), 2, "a", 0)) // watermark -> day+30min == end
+    q.processAllAvailable()
+    q.stop()
+    assert(belowEnd == 0,
+      "session must NOT emit while the watermark is below its end")
+    assert(u1Rows() == 1,
+      "session whose end EQUALS the watermark must emit (inclusive <=)")
+  }
+
   test("stream outer join boundary: null emits only strictly past l_ts + maxGap") {
     // load-bearing for q132's oracle: pins the eviction comparison for
     // unmatched-left null emission at the exact ms boundary.
