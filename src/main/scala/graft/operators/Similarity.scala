@@ -98,6 +98,18 @@ object Similarity {
   private def probeCells(vec: Column, cents: Seq[(Long, Seq[Double])], nprobe: Int): Column =
     slice(sort_array(cellSims(vec, cents)), 1, nprobe).getField("cell_id")
 
+  /** Query-side IVF probe assignment: one row per (query, probed cell),
+    * nprobe best cells by centroid similarity (ties cell_id asc) — the
+    * index-inspection surface behind [[ivfTopK]], and what RecallProbe
+    * uses to measure the scanned-candidate fraction of an operating
+    * point. Map-only explode, zero shuffle.
+    */
+  def probeAssignments(queries: DataFrame, queryIdCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame =
+    queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        explode(probeCells(col("__qv"), cents, nprobe)).as("cell_id"))
+
   /** Map-only nearest-centroid assignment for externally supplied
     * centroids (classification / cluster-purity eval): the same
     * argmax-over-literal-centroids shape as the IVF cell assignment —
@@ -170,10 +182,7 @@ object Similarity {
       .select("cell_id", "neighbor_id", "__cv")
 
     // Each query probes its nprobe closest cells — map-only explode.
-    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
-    val probes = q
-      .select(col("query_id"), col("__qv"),
-        explode(probeCells(col("__qv"), cents, nprobe)).as("cell_id"))
+    val probes = probeAssignments(queries, queryIdCol, vecCol, cents, nprobe)
 
     val scored = broadcast(probes).join(assigned, Seq("cell_id"))
       .where(col("neighbor_id") =!= col("query_id"))
