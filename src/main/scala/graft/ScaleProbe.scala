@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Synthetic N× scale probe for the heaviest iterative/stateful
   * operators (SCALE.md §Scale-probe): no sf1 testdata exists, so this
   * re-keys self-unions of the sf0.1 tables into a ~N× corpus and times
-  * the five operators whose 100 TB posture rests on iteration/state
+  * the operators whose 100 TB posture rests on iteration/state/buffer
   * arguments — checking wall time scales ~linearly and no plan flips to
   * a broadcast-OOM or single-reducer shape at the step-up.
   *
@@ -58,11 +58,21 @@ object ScaleProbe {
       // Catalog.table("events") expects the testdata layout (raw ns
       // longs it converts to µs timestamps); write ts back as ns longs
       .withColumn("ts", expr("unix_micros(ts) * 1000")))
+    // orders: fresh keys per copy, priorities unchanged — the 5 percentile
+    // GROUPS stay fixed while each group's value count grows ×N, which is
+    // exactly what stresses q131's exact-percentile buffers
+    scaled("orders", (df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * Offset)))
 
+    // GRAFT_SCALE_ONLY=mad_q131,... times just those ops (local iteration)
+    val only = sys.env.get("GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+      }
     }
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -74,6 +84,7 @@ object ScaleProbe {
         numHashes = 64, bands = 32, shingleWidth = 3).count()
     }
     time("fuzzy_join_q110") { Queries.q110_fuzzy_join(spark, dir).count() }
+    time("mad_q131") { Queries.q131_mad_outliers(spark, dir).count() }
     time("stream_join_q62") { Queries.q62_stream_join(spark, dir).count() }
     spark.stop()
   }
