@@ -2271,6 +2271,22 @@ object Queries {
       .select("source", "doc_id", "quality")
   }
 
+  /** OOV-rate vocabulary filter ([[TextAnalysis.oovStats]]) — keep
+    * documents whose token occurrences fall at least 98% inside the
+    * corpus-derived reference vocabulary (tokens with df >= 10% of
+    * docs). The vocab is provably model-sized at any corpus scale
+    * (<= avg-distinct-tokens-per-doc · 100/10 entries), so both joins
+    * broadcast; the corpus streams through one explode and one per-doc
+    * aggregation. Exact integer gate: n_oov·50 <= n_tokens. Thresholds
+    * sized to the corpus so BOTH populations are live at every SF
+    * (~97–98% keep, 11–117 dropped — a gate that drops nothing gates
+    * nothing).
+    */
+  def q136_oov_filter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovStats(t(s, dir, "documents"), "doc_id", "text", vocabPct = 10)
+      .where(col("n_oov") * 50 <= col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"))
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -2569,7 +2585,8 @@ object Queries {
     "q132_stream_outer_join" -> (q132_stream_outer_join _),
     "q133_partitioned_write" -> (q133_partitioned_write _),
     "q134_json_permissive" -> (q134_json_permissive _),
-    "q135_stream_session_window" -> (q135_stream_session_window _))
+    "q135_stream_session_window" -> (q135_stream_session_window _),
+    "q136_oov_filter" -> (q136_oov_filter _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3328,6 +3345,23 @@ object Queries {
          SELECT user_id, s_start, s_end, n_events
          FROM se CROSS JOIN wm
          WHERE epoch_us(s_last) + 1800000000 <= wm.w_us""",
+    // vocab = tokens in >= 10% of docs; n_oov counts occurrences (with
+    // multiplicity) outside it; survivors pass n_oov*50 <= n_tokens
+    "q136_oov_filter" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         n AS (SELECT count(*) AS n FROM documents),
+         df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+         vocab AS (SELECT tok FROM df, n WHERE df * 100 >= n * 10),
+         st AS (
+           SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_oov
+           FROM t LEFT JOIN vocab v USING (tok)
+           GROUP BY t.doc_id)
+         SELECT doc_id, n_tokens, n_oov
+         FROM st WHERE n_oov * 50 <= n_tokens""",
     "q93_bpeish_tokens" -> {
       val aug = "text || ' v' || CAST(doc_id % 100 AS VARCHAR) || '.x!'"
       s"""SELECT doc_id,

@@ -176,6 +176,43 @@ object TextAnalysis {
         col("__len").cast("long").as("n_tokens"))
   }
 
+  /** Per-document out-of-vocabulary stats against a corpus-derived
+    * reference vocabulary — the OOV-rate curation filter (drop docs
+    * whose tokens mostly fall outside the common vocabulary: boilerplate
+    * codes, mangled encodings, wrong-domain text).
+    *
+    * Vocabulary = tokens whose document frequency reaches `vocabPct` %
+    * of the corpus, computed IN-PLAN (one distinct + one agg + a 1-row
+    * count join, the q85 buildRelative shape). The vocab is
+    * corpus-size-INDEPENDENT by construction: tokens with df >=
+    * p%·N number at most (avg distinct tokens/doc)·100/p, so the
+    * broadcast stays model-sized at 100 TB while the corpus only ever
+    * streams through one explode + one per-doc aggregation.
+    *
+    * Returns (idCol, n_tokens, n_oov) — n_oov counts occurrences (with
+    * multiplicity) outside the vocabulary. Callers gate with exact
+    * integer cross-multiplication, e.g. n_oov·5 <= n_tokens for a 20%
+    * ceiling.
+    */
+  def oovStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabPct: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(vocabPct > 0 && vocabPct <= 100, s"vocabPct in (0,100], got $vocabPct")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val vocab = toks.select(col(idCol), col("__tok")).distinct()
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+      .join(broadcast(nDocs))
+      .where(col("__df") * 100 >= col("__n") * vocabPct)
+      .select(col("__tok"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** Rolling polynomial hash over the characters of the document:
     * fold acc = (acc * 31 + codepoint) mod 1e9+7. Order-sensitive,
     * O(len). Runs as the native codegen'd

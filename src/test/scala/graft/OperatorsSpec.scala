@@ -213,6 +213,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 2.0 / 6.0) < 1e-12) // "the" twice
   }
 
+  test("TextAnalysis.oovStats: multiplicity OOV counts vs a df-threshold vocab") {
+    // 4 docs: "a" in 4/4 (df 100%), "b" in 2/4 (50%), "x"/"y"/"z" in 1/4
+    // (25%). vocabPct 50 -> vocab = {a, b}; OOV counts carry multiplicity.
+    val df = Seq(
+      (1L, "a b a"),        // 0 oov / 3
+      (2L, "a b x x"),      // 2 oov / 4 (x twice: multiplicity)
+      (3L, "a y"),          // 1 oov / 2
+      (4L, "a z")           // 1 oov / 2
+    ).toDF("id", "t")
+    val out = TextAnalysis.oovStats(df, "id", "t", vocabPct = 50)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0L), (2L, 4L, 2L), (3L, 2L, 1L), (4L, 2L, 1L)))
+    // boundary: df*100 >= n*vocabPct is INCLUSIVE — "b" at exactly 50%
+    // is in-vocab (asserted by doc 2's n_oov counting only the x's)
+  }
+
   test("TextAnalysis.langId picks marker-majority language") {
     val df = Seq(
       (1L, "the house of the king and to the north in winter"),
