@@ -2287,6 +2287,19 @@ object Queries {
       .where(col("n_oov") * 50 <= col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"))
 
+  /** Winnowing fingerprint extraction ([[Dedup.winnowingFingerprints]],
+    * SIGMOD'03) through the oracle gate: the FULL (doc_id, fp) relation
+    * — every k-gram rolling hash, every window minimum, every distinct
+    * fingerprint — hash-compared against DuckDB replaying the identical
+    * arithmetic (the q25 rolling-hash parity, lifted from whole-doc to
+    * every gram). The pair-join stage on top is the q26 bucket shape;
+    * its shared-substring guarantee is property-tested in OperatorsSpec
+    * (this synthetic corpus's template sentences make pair thresholds
+    * scale-dependent, so the extraction is the right gate surface).
+    */
+  def q137_winnowing(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingFingerprints(t(s, dir, "documents"), "doc_id", "text")
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -2586,7 +2599,8 @@ object Queries {
     "q133_partitioned_write" -> (q133_partitioned_write _),
     "q134_json_permissive" -> (q134_json_permissive _),
     "q135_stream_session_window" -> (q135_stream_session_window _),
-    "q136_oov_filter" -> (q136_oov_filter _))
+    "q136_oov_filter" -> (q136_oov_filter _),
+    "q137_winnowing" -> (q137_winnowing _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3362,6 +3376,24 @@ object Queries {
            GROUP BY t.doc_id)
          SELECT doc_id, n_tokens, n_oov
          FROM st WHERE n_oov * 50 <= n_tokens""",
+    // winnowing (k=8, w=16): per-gram q25 rolling hash, window minima,
+    // distinct per doc — bit-identical integer arithmetic both engines
+    "q137_winnowing" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_transform(range(1, greatest(len(text)-7, 1)+1),
+               i -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(substr(text, CAST(i AS INT), 8), ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+                      (acc, c) -> (acc*31 + c) % 1000000007)) AS gh
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(gh)-15, 1)+1),
+               j -> list_min(gh[CAST(j AS INT):CAST(j+15 AS INT)]))) AS fps
+           FROM g)
+         SELECT doc_id, unnest(fps) AS fp FROM w""",
     "q93_bpeish_tokens" -> {
       val aug = "text || ' v' || CAST(doc_id % 100 AS VARCHAR) || '.x!'"
       s"""SELECT doc_id,

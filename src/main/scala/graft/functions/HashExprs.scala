@@ -138,6 +138,83 @@ object HashImpls {
     acc
   }
 
+  /** Winnowing window minima (SIGMOD'03) in ONE pass over the text:
+    * k-gram rolling hashes (identical arithmetic to
+    * [[rollingFingerprint]] applied to each char-based k-substring —
+    * pinned by the parity spec) and a monotonic deque for the sliding
+    * window minimum, O(n) total vs the O(n·k) transform+substr
+    * formulation it replaces. Texts shorter than k chars yield one
+    * whole-text gram; output length = max(#grams − w + 1, 1), minima
+    * may repeat (callers distinct as needed).
+    */
+  def winnowingMinima(text: UTF8String, k: Int, w: Int, mod: Long): ArrayData = {
+    // decode code points once (same byte-level loop + malformed-byte
+    // fallback as rollingFingerprint)
+    val nb = text.numBytes
+    var cps = new Array[Int](math.max(nb, 1))
+    var n = 0
+    var i = 0
+    while (i < nb) {
+      val b0 = text.getByte(i) & 0xFF
+      val len = UTF8String.numBytesForFirstByte(text.getByte(i))
+      val cp =
+        if (len == 1 || i + len > nb) b0
+        else if (len == 2)
+          ((b0 & 0x1F) << 6) | (text.getByte(i + 1) & 0x3F)
+        else if (len == 3)
+          ((b0 & 0x0F) << 12) | ((text.getByte(i + 1) & 0x3F) << 6) |
+            (text.getByte(i + 2) & 0x3F)
+        else
+          ((b0 & 0x07) << 18) | ((text.getByte(i + 1) & 0x3F) << 12) |
+            ((text.getByte(i + 2) & 0x3F) << 6) | (text.getByte(i + 3) & 0x3F)
+      cps(n) = cp; n += 1
+      i += (if (i + len > nb) 1 else len)
+    }
+    // gram hashes
+    val ng = math.max(n - k + 1, 1)
+    val gh = new Array[Long](ng)
+    if (n < k) { // one whole-text gram (empty text hashes to 0)
+      var acc = 0L
+      var j = 0
+      while (j < n) { acc = (acc * 31L + cps(j)) % mod; j += 1 }
+      gh(0) = acc
+    } else {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = (acc * 31L + cps(j)) % mod; j += 1 }
+      gh(0) = acc
+      // pow = 31^(k-1) mod m, to roll the leading code point off
+      var pow = 1L
+      var e = 0
+      while (e < k - 1) { pow = (pow * 31L) % mod; e += 1 }
+      var g = 1
+      while (g < ng) {
+        val dropped = (cps(g - 1) * pow) % mod
+        acc = (((acc - dropped) % mod + mod) * 31L + cps(g + k - 1)) % mod
+        gh(g) = acc
+        g += 1
+      }
+    }
+    // sliding-window minima via monotonic (increasing) index deque
+    val nw = math.max(ng - w + 1, 1)
+    val out = new Array[Long](nw)
+    val dq = new Array[Int](ng)
+    var head = 0
+    var tail = 0 // [head, tail) holds candidate indices, values increasing
+    var x = 0
+    while (x < ng) {
+      while (tail > head && gh(dq(tail - 1)) >= gh(x)) tail -= 1
+      dq(tail) = x; tail += 1
+      if (x >= w && dq(head) <= x - w) head += 1
+      if (x >= w - 1 || x == ng - 1) {
+        val o = if (x < w - 1) 0 else x - w + 1
+        if (o < nw) out(o) = gh(dq(head))
+      }
+      x += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sequential-fold dot product over float/double arrays (sides may
     * differ) — same accumulation order as the `aggregate(zip_with(...))`
     * formulation and the DuckDB oracle's list_reduce.
@@ -259,6 +336,29 @@ case class RollingFingerprint(child: Expression, mod: Long)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint window minima (array<bigint>) of a string
+  * column — the native single-pass form of the k-gram-hash +
+  * sliding-window-minimum selection (one static call per row inside
+  * whole-stage codegen; the transform+substr formulation it replaces
+  * re-extracted and re-hashed every k-char slice, O(n·k) with an
+  * interpreted lambda per gram).
+  */
+case class WinnowingMinima(child: Expression, k: Int, w: Int, mod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnowing_minima"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.winnowingMinima(input.asInstanceOf[UTF8String], k, w, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashImpls.winnowingMinima($c, $k, $w, ${mod}L);")
+  override protected def withNewChildInternal(newChild: Expression): WinnowingMinima =
+    copy(child = newChild)
+}
+
 /** Membership probe (boolean) of a long key against a serialized
   * [[org.apache.spark.util.sketch.BloomFilter]] — the fact-side probe of
   * a bloom semi-join reduction. The filter ships as BYTES with the
@@ -314,4 +414,8 @@ object exprs {
   def rollingFingerprint(text: Column, mod: Long): Column =
     GraftSqlBridge.column(RollingFingerprint(
       GraftSqlBridge.expression(text), mod))
+
+  def winnowingMinima(text: Column, k: Int, w: Int, mod: Long): Column =
+    GraftSqlBridge.column(WinnowingMinima(
+      GraftSqlBridge.expression(text), k, w, mod))
 }

@@ -332,6 +332,91 @@ object Dedup {
     * Output: (idCol, n_windows, n_dup) for EVERY input document
     * (short docs have 0 windows — whole-doc dedup covers them).
     */
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-gram of the
+    * document with the q25 rolling hash, slide a window of `w`
+    * consecutive gram hashes, keep each window's MINIMUM, output the
+    * distinct minima as the document's fingerprint set.
+    *
+    * The published guarantee this buys over stride sampling
+    * ([[repeatedWindowStats]]): any substring shared between two
+    * documents of length >= w + k - 1 contributes at least one
+    * IDENTICAL fingerprint to both (the shared span contains a full
+    * hash window, and min-selection is position-independent), while
+    * expected density is only ~2/(w+1) of the grams — position-robust
+    * plagiarism/overlap detection at a fraction of the gram volume.
+    * Documents shorter than k chars hash as one whole-text gram.
+    *
+    * All selection is per-row array arithmetic (transform + slice +
+    * array_min over the codegen'd native rolling hash) — ZERO shuffle
+    * until the caller aggregates fingerprints; the explode emits
+    * (id, 8-byte fp) pairs, never text.
+    *
+    * Returns (idCol, fp), distinct per document.
+    */
+  def winnowingFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 16): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val mod = graft.operators.TextAnalysis.FingerprintMod
+    // the native one-pass expression; equivalence with the
+    // transform+substr+array_min formulation is pinned by
+    // [[winnowingMinimaHof]]'s parity spec
+    df.select(col(idCol),
+      explode(array_distinct(graft.functions.exprs.winnowingMinima(
+        col(textCol), k, w, mod))).as("fp"))
+  }
+
+  /** The declarative HOF formulation of the winnowing window minima —
+    * O(n·k) re-hash per gram, superseded by the native one-pass
+    * [[graft.functions.WinnowingMinima]] but kept as the independent
+    * reference the parity spec checks the native expression against
+    * (same role as the HOF fingerprint form for q25).
+    */
+  def winnowingMinimaHof(textCol: Column, k: Int, w: Int): Column = {
+    val mod = graft.operators.TextAnalysis.FingerprintMod
+    val nGrams = greatest(length(textCol) - lit(k - 1), lit(1))
+    val grams = transform(sequence(lit(1), nGrams),
+      i => graft.functions.exprs.rollingFingerprint(textCol.substr(i, lit(k)), mod))
+    val nWins = greatest(size(grams) - lit(w - 1), lit(1))
+    transform(sequence(lit(0), nWins - 1),
+      j => array_min(slice(grams, j + lit(1), lit(w))))
+  }
+
+  /** Winnowing near-dup candidate pairs: fingerprint-bucket self-join
+    * (the minhash-band shape — shuffles carry (fp, id) pairs, never
+    * documents, and never go all-pairs), counting shared fingerprints
+    * per pair. `maxDf` prunes fingerprints present in more than that
+    * many documents BEFORE the join — corpus-wide boilerplate spans
+    * would otherwise fan out quadratically (the q85 stopword-cap
+    * argument); pruning costs recall only on content that many
+    * documents already share. Output: (id_a, id_b, n_shared) with
+    * id_a < id_b and n_shared >= minShared.
+    */
+  def winnowingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 16,
+      maxDf: Int = 50,
+      minShared: Int = 2): DataFrame = {
+    val fps = winnowingFingerprints(df, idCol, textCol, k, w)
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("fp")
+    val pruned = fps.join(keep, Seq("fp"))
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   def repeatedWindowStats(
       df: DataFrame,
       idCol: String,

@@ -213,6 +213,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 2.0 / 6.0) < 1e-12) // "the" twice
   }
 
+  test("winnowing guarantee: a shared span of w+k-1 chars yields a shared fingerprint") {
+    // k=8, w=16: any shared substring of length >= 23 contains a full
+    // window of gram hashes, and min-selection is position-independent
+    // — so the pair MUST share that window's minimum (SIGMOD'03 §2).
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val span = randStr(23)
+    val docs = Seq(
+      (1L, randStr(40) + span + randStr(40)),   // span at different offsets
+      (2L, randStr(7) + span + randStr(90)),
+      (3L, randStr(80)), (4L, randStr(80))      // unrelated noise docs
+    ).toDF("id", "t")
+    val pairs = graft.operators.Dedup
+      .winnowingPairs(docs, "id", "t", minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      "planted 23-char shared span must produce a shared fingerprint")
+    // fuzz: 50 random corpora, the planted pair is ALWAYS found
+    for (trial <- 1 to 50) {
+      val sp = randStr(23)
+      val d = Seq(
+        (1L, randStr(rnd.nextInt(60)) + sp + randStr(rnd.nextInt(60))),
+        (2L, randStr(rnd.nextInt(60)) + sp + randStr(rnd.nextInt(60)))
+      ).toDF("id", "t")
+      val p = graft.operators.Dedup.winnowingPairs(d, "id", "t", minShared = 1)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(p.contains((1L, 2L)), s"trial $trial lost the planted span")
+    }
+  }
+
+  test("native winnowing minima match the HOF formulation incl. multibyte/short/empty") {
+    val rnd = new scala.util.Random(11)
+    def randAscii(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val cases = Seq(
+      "", "x", "shorter", "exactly8", randAscii(23), randAscii(100),
+      randAscii(500),
+      "日本語のテキストです、これは複数バイト文字の列",  // 3-byte CJK
+      "mixed 日本語 and ascii with 🚀 astral 🎯 chars",   // 4-byte astral
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"             // all-equal hashes (tie storm)
+    ) ++ (1 to 20).map(_ => randAscii(1 + rnd.nextInt(200)))
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for ((k, w) <- Seq((8, 16), (3, 4), (1, 1), (5, 30))) {
+      val got = df.select(col("id"),
+        graft.functions.exprs.winnowingMinima(col("t"), k, w,
+          graft.operators.TextAnalysis.FingerprintMod).as("m"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val want = df.select(col("id"),
+        graft.operators.Dedup.winnowingMinimaHof(col("t"), k, w).as("m"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(got == want, s"native/HOF divergence at k=$k w=$w")
+    }
+  }
+
+  test("winnowing density: fingerprints are a subset of gram hashes, bounded by windows") {
+    val df = Seq((1L, "x" * 5), (2L, ('a' to 'z').mkString * 10)).toDF("id", "t")
+    val fps = graft.operators.Dedup.winnowingFingerprints(df, "id", "t")
+      .groupBy("id").agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    // doc 1: shorter than k -> one whole-text gram, exactly one fp
+    assert(fps(1L) == 1L)
+    // doc 2: 260 chars -> 253 grams, 238 windows; distinct minima in
+    // [1, 238], and the 26-char period makes most windows repeat
+    assert(fps(2L) >= 1L && fps(2L) <= 238L)
+    // maxDf prune: a fp present in 3 docs is dropped at maxDf=2
+    val tri = Seq((1L, "z" * 30), (2L, "z" * 30), (3L, "z" * 30)).toDF("id", "t")
+    assert(graft.operators.Dedup.winnowingPairs(tri, "id", "t", maxDf = 2,
+      minShared = 1).count() == 0)
+    assert(graft.operators.Dedup.winnowingPairs(tri, "id", "t", maxDf = 3,
+      minShared = 1).count() == 3)
+  }
+
   test("TextAnalysis.oovStats: multiplicity OOV counts vs a df-threshold vocab") {
     // 4 docs: "a" in 4/4 (df 100%), "b" in 2/4 (50%), "x"/"y"/"z" in 1/4
     // (25%). vocabPct 50 -> vocab = {a, b}; OOV counts carry multiplicity.
