@@ -2300,6 +2300,19 @@ object Queries {
   def q137_winnowing(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowingFingerprints(t(s, dir, "documents"), "doc_id", "text")
 
+  /** The winnowing candidate-pair stage ([[Dedup.winnowingPairs]])
+    * through the oracle gate: df-capped fingerprint-bucket self-join +
+    * shared-count threshold, replayed exactly by DuckDB — every stage
+    * (extraction, the df <= 50 prune, the bucket join, n_shared >= 3)
+    * is integer-deterministic, so the full pair relation hash-matches
+    * whatever the corpus. (Threshold CALIBRATION on this template-heavy
+    * synthetic corpus is scale-dependent — SCALE.md §Winnowing — but
+    * the gate checks the computation, not the calibration.)
+    */
+  def q138_winnowing_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingPairs(t(s, dir, "documents"), "doc_id", "text",
+      maxDf = 50, minShared = 3)
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -2600,7 +2613,8 @@ object Queries {
     "q134_json_permissive" -> (q134_json_permissive _),
     "q135_stream_session_window" -> (q135_stream_session_window _),
     "q136_oov_filter" -> (q136_oov_filter _),
-    "q137_winnowing" -> (q137_winnowing _))
+    "q137_winnowing" -> (q137_winnowing _),
+    "q138_winnowing_pairs" -> (q138_winnowing_pairs _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3394,6 +3408,30 @@ object Queries {
                j -> list_min(gh[CAST(j AS INT):CAST(j+15 AS INT)]))) AS fps
            FROM g)
          SELECT doc_id, unnest(fps) AS fp FROM w""",
+    // q137's extraction + df<=50 prune + bucket self-join + n_shared>=3
+    "q138_winnowing_pairs" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_transform(range(1, greatest(len(text)-7, 1)+1),
+               i -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(substr(text, CAST(i AS INT), 8), ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+                      (acc, c) -> (acc*31 + c) % 1000000007)) AS gh
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(gh)-15, 1)+1),
+               j -> list_min(gh[CAST(j AS INT):CAST(j+15 AS INT)]))) AS fps
+           FROM g),
+         f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+         pr AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING count(*) >= 3""",
     "q93_bpeish_tokens" -> {
       val aug = "text || ' v' || CAST(doc_id % 100 AS VARCHAR) || '.x!'"
       s"""SELECT doc_id,
