@@ -854,6 +854,72 @@ object Queries {
       .select("user_id", "s_start", "s_end", "n_events")
   }
 
+  /** At-ingest OOV filtering on a document STREAM — the streaming form
+    * of q136 and the "curation at ingest" shape: the reference
+    * vocabulary is computed batch-side (model-sized by q136's
+    * pigeonhole bound, so collecting it is the kmeansCentroids
+    * pattern), then applied per microbatch as ONE codegen'd
+    * regexp_count — the trailing token boundary is a zero-width
+    * lookahead `(?= |$)`, so consecutive identical tokens count
+    * exactly (the space-delimited replace trick undercounts them; 78%
+    * of corpus docs contain such runs). Zero state, zero shuffle, no
+    * watermark: a crawl-ingest filter that runs at source speed on any
+    * cluster. The oracle replays q136's exact explode-join arithmetic,
+    * pinning the regex formulation empirically against it.
+    */
+  def q139_stream_oov_filter(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    import s.implicits._
+    // batch side: the df >= 10% vocabulary, collected (model-sized)
+    val d = t(s, dir, "documents")
+    val nDocs = d.count()
+    val vocab = d
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("__tok"))
+      .distinct()
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+      .where(col("__df") * 100 >= lit(nDocs * 10))
+      .select("__tok").as[String].collect().toSeq.sorted
+    require(vocab.nonEmpty, "empty vocabulary: corpus has no common tokens")
+    val pattern = vocab.map(java.util.regex.Pattern.quote)
+      .mkString("(?:^| )(?:", "|", ")(?= |$)")
+    // stream side: documents consumed incrementally, filtered per batch
+    val streamDir = docsStreamDir(s, dir)
+    val schema = s.read.parquet(streamDir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4).parquet(streamDir)
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    val scored = stream.select(col("doc_id"), nTok.as("n_tokens"),
+      (nTok - regexp_count(col("text"), lit(pattern))).as("n_oov"))
+      .where(col("n_oov") * 50 <= col("n_tokens"))
+    graft.streaming.Streams
+      .runToCompletion(s, scored, s"q139_sink_${System.nanoTime()}", "append")
+      .select("doc_id", "n_tokens", "n_oov")
+  }
+
+  private val oovOracleSql: String =
+    """WITH t AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       n AS (SELECT count(*) AS n FROM documents),
+       df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+       vocab AS (SELECT tok FROM df, n WHERE df * 100 >= n * 10),
+       st AS (
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov
+         FROM t LEFT JOIN vocab v USING (tok)
+         GROUP BY t.doc_id)
+       SELECT doc_id, n_tokens, n_oov
+       FROM st WHERE n_oov * 50 <= n_tokens"""
+
+  private def docsStreamDir(s: SparkSession, dir: String): String = {
+    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val streamDir = s"/tmp/graft-docstream-src-${ProcessHandle.current().pid()}-$sanitized"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$streamDir/_SUCCESS")))
+      t(s, dir, "documents").repartition(4).write.mode("overwrite").parquet(streamDir)
+    streamDir
+  }
+
   /** Watermarked streaming dedup, oracle-checked: exactly-once per
     * (user_id, event_type, ts) — projected to the key columns so the
     * surviving-row choice can't differ from the oracle's DISTINCT.
@@ -2614,7 +2680,8 @@ object Queries {
     "q135_stream_session_window" -> (q135_stream_session_window _),
     "q136_oov_filter" -> (q136_oov_filter _),
     "q137_winnowing" -> (q137_winnowing _),
-    "q138_winnowing_pairs" -> (q138_winnowing_pairs _))
+    "q138_winnowing_pairs" -> (q138_winnowing_pairs _),
+    "q139_stream_oov_filter" -> (q139_stream_oov_filter _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3375,21 +3442,12 @@ object Queries {
          WHERE epoch_us(s_last) + 1800000000 <= wm.w_us""",
     // vocab = tokens in >= 10% of docs; n_oov counts occurrences (with
     // multiplicity) outside it; survivors pass n_oov*50 <= n_tokens
-    "q136_oov_filter" ->
-      """WITH t AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-           FROM documents),
-         n AS (SELECT count(*) AS n FROM documents),
-         df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
-         vocab AS (SELECT tok FROM df, n WHERE df * 100 >= n * 10),
-         st AS (
-           SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                    AS n_oov
-           FROM t LEFT JOIN vocab v USING (tok)
-           GROUP BY t.doc_id)
-         SELECT doc_id, n_tokens, n_oov
-         FROM st WHERE n_oov * 50 <= n_tokens""",
+    "q136_oov_filter" -> oovOracleSql,
+    // the streaming at-ingest form computes the SAME relation (static
+    // vocab, stateless per-batch filter), so it shares q136's oracle —
+    // which also pins the Spark-side regexp_count formulation against
+    // the explode-join arithmetic
+    "q139_stream_oov_filter" -> oovOracleSql,
     // winnowing (k=8, w=16): per-gram q25 rolling hash, window minima,
     // distinct per doc — bit-identical integer arithmetic both engines
     "q137_winnowing" ->
