@@ -2379,6 +2379,22 @@ object Queries {
     Dedup.winnowingPairs(t(s, dir, "documents"), "doc_id", "text",
       maxDf = 50, minShared = 3)
 
+  /** Deterministic systematic PPS sample ([[Sampling.ppsSystematic]]):
+    * up to 25 docs per language drawn proportional to token count —
+    * long documents proportionally more likely, the
+    * curriculum/eval-set draw that plain uniform sampling can't
+    * express. Exact prefix-sum + cross-multiplied boundary arithmetic
+    * (all-nonnegative div), replayed verbatim by the oracle's window
+    * chain; one window shuffle keyed by lang.
+    */
+  def q140_pps_sample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Sampling.ppsSystematic(d, col("n_tokens"), col("doc_id"), k = 25,
+      stratumCols = Seq(col("lang")))
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -2681,7 +2697,8 @@ object Queries {
     "q136_oov_filter" -> (q136_oov_filter _),
     "q137_winnowing" -> (q137_winnowing _),
     "q138_winnowing_pairs" -> (q138_winnowing_pairs _),
-    "q139_stream_oov_filter" -> (q139_stream_oov_filter _))
+    "q139_stream_oov_filter" -> (q139_stream_oov_filter _),
+    "q140_pps_sample" -> (q140_pps_sample _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3448,6 +3465,19 @@ object Queries {
     // which also pins the Spark-side regexp_count formulation against
     // the explode-join arithmetic
     "q139_stream_oov_filter" -> oovOracleSql,
+    // exclusive per-lang prefix sums + exact cross-multiplied systematic
+    // boundaries: keep iff (k*(cum+w)) // tot > (k*cum) // tot, k=25
+    "q140_pps_sample" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang, $tokCountSql AS n_tokens FROM documents),
+          c AS (
+            SELECT doc_id, lang, n_tokens,
+                   coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+                   sum(n_tokens) OVER (PARTITION BY lang) AS tot
+            FROM d)
+          SELECT doc_id, lang, n_tokens FROM c
+          WHERE (25 * (cum + n_tokens)) // tot > (25 * cum) // tot""",
     // winnowing (k=8, w=16): per-gram q25 rolling hash, window minima,
     // distinct per doc — bit-identical integer arithmetic both engines
     "q137_winnowing" ->

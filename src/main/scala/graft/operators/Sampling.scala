@@ -139,4 +139,41 @@ object Sampling {
     }
     df.where(keep)
   }
+
+  /** Systematic probability-proportional-to-size (PPS) sampling: lay
+    * the rows out on a weight line in `orderCol` order (exclusive
+    * prefix sums), then keep every row whose weight interval
+    * [cum, cum + w) crosses a multiple of total/k — the classic
+    * systematic PPS design, made deterministic by replacing the random
+    * start with 0 and EXACT by cross-multiplication
+    * (floor(k·(cum+w)/total) > floor(k·cum/total), all-nonnegative
+    * `div` arithmetic both engines agree on). Telescoping gives exactly
+    * k boundary crossings per stratum, so the sample size is ≤ k with
+    * equality unless a single row's weight spans multiple boundaries
+    * (its selection "probability" saturates — standard PPS behavior);
+    * zero-weight rows are never selected.
+    *
+    * One window shuffle per stratum (the [[graft.operators.Packing]]
+    * running-sum shape; strata bound the partitions at scale — for one
+    * global sequence use the Packing distributed-prefix-sum form).
+    * Overflow envelope: k·total < 2^63 (SCALE.md) — at k 10^3 and
+    * 10^13 total tokens that is 10^16 ≪ 9.2·10^18.
+    */
+  def ppsSystematic(df: DataFrame, weightCol: Column, orderCol: Column,
+      k: Long, stratumCols: Seq[Column] = Seq.empty): DataFrame = {
+    require(k > 0, "sample size k must be positive")
+    val w0 = if (stratumCols.isEmpty)
+      org.apache.spark.sql.expressions.Window.partitionBy()
+    else org.apache.spark.sql.expressions.Window.partitionBy(stratumCols: _*)
+    val cumW = w0.orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val totW = w0.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.withColumn("__w", weightCol.cast("long"))
+      .withColumn("__cum", coalesce(sum(col("__w")).over(cumW), lit(0L)))
+      .withColumn("__tot", sum(col("__w")).over(totW))
+      .where(expr(s"(${k}L * (__cum + __w)) div __tot > (${k}L * __cum) div __tot"))
+      .drop("__w", "__cum", "__tot")
+  }
 }

@@ -283,6 +283,30 @@ class OperatorsSpec extends AnyFunSuite {
       minShared = 1).count() == 3)
   }
 
+  test("Sampling.ppsSystematic: k crossings, weight-proportional, saturation, zero weights") {
+    import graft.operators.Sampling
+    // uniform weights: exactly k sampled, evenly spaced
+    val uni = (1L to 100L).map(i => (i, 10L)).toDF("id", "w")
+    val s1 = Sampling.ppsSystematic(uni, col("w"), col("id"), k = 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s1.size == 10)
+    // a heavy row spanning multiple boundaries is kept ONCE -> < k rows
+    val heavy = ((1L to 9L).map(i => (i, 1L)) :+ (10L, 991L)).toDF("id", "w")
+    val s2 = Sampling.ppsSystematic(heavy, col("w"), col("id"), k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(s2.contains(10L) && s2.size < 10,
+      s"heavy row saturates: got $s2")
+    // zero-weight rows are never selected; sample is ALWAYS <= k
+    val zeros = (1L to 50L).map(i => (i, if (i % 2 == 0) 0L else 7L)).toDF("id", "w")
+    val s3 = Sampling.ppsSystematic(zeros, col("w"), col("id"), k = 5)
+      .select("id").as[Long].collect().toSeq
+    assert(s3.forall(_ % 2 == 1) && s3.size <= 5)
+    // layout-independence: same result after an adversarial repartition
+    val s1b = Sampling.ppsSystematic(uni.repartition(7, col("w")),
+      col("w"), col("id"), k = 10).select("id").as[Long].collect().sorted.toSeq
+    assert(s1b == s1)
+  }
+
   test("TextAnalysis.oovStats: multiplicity OOV counts vs a df-threshold vocab") {
     // 4 docs: "a" in 4/4 (df 100%), "b" in 2/4 (50%), "x"/"y"/"z" in 1/4
     // (25%). vocabPct 50 -> vocab = {a, b}; OOV counts carry multiplicity.
