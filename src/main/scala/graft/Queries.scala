@@ -896,6 +896,38 @@ object Queries {
       .select("doc_id", "n_tokens", "n_oov")
   }
 
+  /** Shared by q141 (batch) and q143 (streaming at-ingest): DuckDB
+    * replays the span-corruption mix — h = (doc_id mod 1e9)·2654435761
+    * mod 1e9+7, span masked iff (h + span)·2654435761 ≡ 0 (mod 5) —
+    * and reassembles input/target with ordered string_agg (NULL pieces
+    * skipped, exactly array_join's rule).
+    */
+  private val spanCorruptOracleSql: String =
+    """WITH tk AS (
+         SELECT doc_id,
+                unnest(string_split(text, ' ')) AS tok,
+                generate_subscripts(string_split(text, ' '), 1) - 1 AS i,
+                ((doc_id % 1000000000) * 2654435761) % 1000000007 AS h
+         FROM documents),
+       f AS (
+         SELECT doc_id, tok, i, i // 3 AS sp,
+                ((h + i // 3) * 2654435761) % 5 = 0 AS masked
+         FROM tk)
+       SELECT doc_id,
+              coalesce(string_agg(CASE
+                  WHEN NOT masked THEN tok
+                  WHEN i % 3 = 0 THEN '<extra_' || CAST(sp AS VARCHAR) || '>'
+                END, ' ' ORDER BY i), '') AS input,
+              coalesce(string_agg(CASE
+                  WHEN masked AND i % 3 = 0
+                    THEN '<extra_' || CAST(sp AS VARCHAR) || '> ' || tok
+                  WHEN masked THEN tok
+                END, ' ' ORDER BY i), '') AS target,
+              count(*) AS n_tokens,
+              CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_masked
+       FROM f GROUP BY doc_id"""
+
   private val oovOracleSql: String =
     """WITH t AS (
          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -2395,6 +2427,44 @@ object Queries {
       stratumCols = Seq(col("lang")))
   }
 
+  /** Deterministic T5-style span corruption
+    * ([[TextAnalysis.spanCorrupt]]): spans of 3 tokens, one span in 5
+    * masked by the RNG-free multiplicative mix, (input, target)
+    * denoising pairs with `<extra_N>` sentinels. Pure codegen'd
+    * higher-order functions — ZERO shuffles at any corpus size; the
+    * oracle replays the identical mix + string assembly in SQL.
+    */
+  def q141_span_corrupt(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanCorrupt(t(s, dir, "documents"), "doc_id", "text",
+      spanWidth = 3, maskOneIn = 5)
+
+  /** Per-source unigram drift vs the corpus blend
+    * ([[TextAnalysis.unigramDrift]]): exact total-variation distance
+    * over cross-multiplied integer counts — one (source, token) hash
+    * aggregation, exchange-reused totals, broadcast rejoins.
+    */
+  def q142_unigram_drift(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramDrift(t(s, dir, "documents"), "source", "text")
+
+  /** Span corruption AT INGEST: the q141 transform applied inside a
+    * `readStream` microbatch pipeline (the q139/q120 stateless-map
+    * shape) — denoising-pair generation as documents arrive, no state
+    * store, no shuffle; the batch oracle is the authority because the
+    * transform is per-row deterministic.
+    */
+  def q143_stream_span_corrupt(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = docsStreamDir(s, dir)
+    val schema = s.read.parquet(streamDir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4).parquet(streamDir)
+    val pairs = TextAnalysis.spanCorrupt(stream, "doc_id", "text",
+      spanWidth = 3, maskOneIn = 5)
+    graft.streaming.Streams
+      .runToCompletion(s, pairs, s"q143_sink_${System.nanoTime()}", "append")
+      .select("doc_id", "input", "target", "n_tokens", "n_masked")
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -2698,7 +2768,10 @@ object Queries {
     "q137_winnowing" -> (q137_winnowing _),
     "q138_winnowing_pairs" -> (q138_winnowing_pairs _),
     "q139_stream_oov_filter" -> (q139_stream_oov_filter _),
-    "q140_pps_sample" -> (q140_pps_sample _))
+    "q140_pps_sample" -> (q140_pps_sample _),
+    "q141_span_corrupt" -> (q141_span_corrupt _),
+    "q142_unigram_drift" -> (q142_unigram_drift _),
+    "q143_stream_span_corrupt" -> (q143_stream_span_corrupt _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3478,6 +3551,38 @@ object Queries {
             FROM d)
           SELECT doc_id, lang, n_tokens FROM c
           WHERE (25 * (cum + n_tokens)) // tot > (25 * cum) // tot""",
+    // deterministic span corruption: identical (doc_id, span) mix, span
+    // width 3, 1-in-5 masked; string_agg(ORDER BY i) skips NULLs exactly
+    // like Spark's array_join over a transform that yields them
+    "q141_span_corrupt" -> spanCorruptOracleSql,
+    // streaming at-ingest variant of q141 — per-row deterministic map, so
+    // the batch oracle is the authority (the q139/q120 pattern)
+    "q143_stream_span_corrupt" -> spanCorruptOracleSql,
+    // exact cross-multiplied total-variation drift per source; sums cast
+    // back to BIGINT (DuckDB widens to HUGEINT)
+    "q142_unigram_drift" ->
+      """WITH tk AS (
+           SELECT source AS g, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         cnt AS (SELECT g, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         gcnt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cgl FROM cnt GROUP BY 1),
+         tg AS (SELECT g, CAST(sum(c) AS BIGINT) AS t_g FROM cnt GROUP BY 1),
+         tall AS (SELECT CAST(sum(cgl) AS BIGINT) AS t_all FROM gcnt),
+         agg AS (
+           SELECT cnt.g, tg.t_g, tall.t_all,
+                  CAST(sum(abs(cnt.c * tall.t_all - gcnt.cgl * tg.t_g)) AS BIGINT) AS main,
+                  CAST(sum(gcnt.cgl) AS BIGINT) AS present
+           FROM cnt
+           JOIN gcnt USING (tok)
+           JOIN tg USING (g)
+           CROSS JOIN tall
+           GROUP BY 1, 2, 3)
+         SELECT g AS source,
+                main + t_g * (t_all - present) AS tv_num,
+                t_g AS n_group, t_all AS n_total,
+                (500 * (main + t_g * (t_all - present))) // (t_g * t_all)
+                  AS tv_permille
+         FROM agg""",
     // winnowing (k=8, w=16): per-gram q25 rolling hash, window minima,
     // distinct per doc — bit-identical integer arithmetic both engines
     "q137_winnowing" ->

@@ -213,6 +213,104 @@ object TextAnalysis {
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** Deterministic T5-style span corruption — the denoising-objective
+    * pair generator: group each document's whitespace tokens into
+    * consecutive spans of `spanWidth`, mask one span in `maskOneIn`
+    * (selected by a deterministic multiplicative mix over (doc id, span
+    * index) — the q82 RNG-free pattern, so the DuckDB oracle replays
+    * the selection bit-for-bit), and emit the (input, target) pair:
+    * input keeps unmasked tokens with each masked span collapsed to its
+    * `<extra_N>` sentinel; target carries the masked spans, each
+    * prefixed by its sentinel.
+    *
+    * All work is `transform`/`filter` higher-order functions over the
+    * token array plus one hash per row — pure codegen'd map work, ZERO
+    * shuffles at any corpus size. Overflow envelope: the doc-id mix
+    * reduces mod 1e9+7 before the span mix, so every intermediate stays
+    * under (1e9+7 + n_spans)·2654435761 < 2^63 for any document below
+    * ~3.4e9 spans (SCALE.md §Integer-overflow envelope).
+    *
+    * Returns (idCol, input, target, n_tokens, n_masked); a document
+    * with no masked span keeps input = text, target = ''.
+    */
+  def spanCorrupt(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      spanWidth: Int = 3,
+      maskOneIn: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(spanWidth > 0 && maskOneIn > 1,
+      s"need spanWidth > 0 and maskOneIn > 1, got $spanWidth / $maskOneIn")
+    val w = spanWidth
+    val m = maskOneIn
+    // per-doc hash, reduced mod 1e9+7 so the per-span remix can't overflow
+    val h = pmod((col(idCol) % lit(1000000000L)) * lit(2654435761L),
+      lit(1000000007L))
+    val masked = s"((__h + i div $w) * 2654435761) % $m = 0"
+    df.select(col(idCol), col(textCol).as("__text"))
+      .withColumn("__h", h)
+      .withColumn("__toks", split(col("__text"), " "))
+      .select(col(idCol),
+        expr(s"""array_join(transform(__toks, (t, i) -> CASE
+              WHEN NOT ($masked) THEN t
+              WHEN i % $w = 0 THEN concat('<extra_', CAST(i div $w AS STRING), '>')
+            END), ' ')""").as("input"),
+        expr(s"""array_join(transform(__toks, (t, i) -> CASE
+              WHEN ($masked) AND i % $w = 0
+                THEN concat('<extra_', CAST(i div $w AS STRING), '> ', t)
+              WHEN ($masked) THEN t
+            END), ' ')""").as("target"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        expr(s"size(filter(__toks, (t, i) -> $masked))").cast("long")
+          .as("n_masked"))
+  }
+
+  /** Per-group unigram distribution drift vs the whole corpus, as EXACT
+    * total-variation distance over cross-multiplied integer counts —
+    * the corpus-mixture monitor (is one source's token distribution
+    * diverging from the blend it feeds?). With per-group count c, group
+    * total t_g, global count c_gl and global total t_all:
+    *
+    *   tv_num = Σ_{tok∈g} |c·t_all − c_gl·t_g| + t_g·(t_all − Σ_{tok∈g} c_gl)
+    *
+    * (the second term is the mass of tokens the group never emits),
+    * and TV = tv_num / (2·t_g·t_all) ∈ [0,1]. All integer arithmetic —
+    * both engines agree bit-for-bit; `tv_permille` = (500·tv_num) div
+    * (t_g·t_all) is the human-readable projection.
+    *
+    * Shuffle shape: ONE hash aggregation on (group, token); the global
+    * and per-group totals are re-aggregations of that same relation
+    * (exchange-reused at physical planning, the q123 tf/df shape), the
+    * token-level rejoin rides the same token key, and both totals
+    * broadcast. Overflow envelope: c·t_all < 2^63 — beyond ~10^12
+    * total tokens, downscale counts to fixed-point probabilities first
+    * (SCALE.md).
+    */
+  def unigramDrift(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val cnt = df
+      .select(col(groupCol).as("__g"), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy("__g", "__tok").agg(count(lit(1)).as("__c"))
+    val glob = cnt.groupBy("__tok").agg(sum("__c").as("__cgl"))
+    val totG = cnt.groupBy("__g").agg(sum("__c").as("__tg"))
+    val totAll = glob.agg(sum("__cgl").as("__tall"))
+    cnt.join(glob, "__tok")
+      .join(broadcast(totG), "__g")
+      .join(broadcast(totAll))
+      .groupBy(col("__g"), col("__tg"), col("__tall"))
+      .agg(sum(abs(col("__c") * col("__tall") - col("__cgl") * col("__tg")))
+          .as("__main"),
+        sum(col("__cgl")).as("__present"))
+      .select(col("__g").as(groupCol),
+        (col("__main") + col("__tg") * (col("__tall") - col("__present")))
+          .as("tv_num"),
+        col("__tg").as("n_group"), col("__tall").as("n_total"))
+      .withColumn("tv_permille",
+        expr("(500 * tv_num) div (n_group * n_total)"))
+  }
+
   /** Rolling polynomial hash over the characters of the document:
     * fold acc = (acc * 31 + codepoint) mod 1e9+7. Order-sensitive,
     * O(len). Runs as the native codegen'd

@@ -283,6 +283,61 @@ class OperatorsSpec extends AnyFunSuite {
       minShared = 1).count() == 3)
   }
 
+  test("TextAnalysis.spanCorrupt: lossless round-trip, sentinel structure, determinism") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m"),
+      (2L, "x"),
+      (3L, (1 to 40).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorrupt(docs, "doc_id", "text",
+      spanWidth = 3, maskOneIn = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, (input, target, nTok, nMask)) <- out) {
+      assert(nTok == orig(id).split(" ").length.toLong)
+      // n_masked = tokens reachable from target (strip sentinels)
+      val targetToks = target.split(" ").filterNot(_.startsWith("<extra_"))
+      assert(targetToks.count(_.nonEmpty).toLong == nMask)
+      // round-trip: substitute each target span back at its sentinel
+      val spans = "<extra_(\\d+)> ((?:(?!<extra_)\\S+ ?)*)".r
+        .findAllMatchIn(target)
+        .map(m => m.group(1).toInt -> m.group(2).trim).toMap
+      val rebuilt = input.split(" ").flatMap { t =>
+        if (t.startsWith("<extra_"))
+          spans(t.stripPrefix("<extra_").stripSuffix(">").toInt).split(" ")
+        else Array(t)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id round-trip")
+    }
+    // maskOneIn = 2 actually masks something across 3 docs
+    assert(out.values.map(_._4).sum > 0)
+    // map-only determinism under repartition
+    val again = TextAnalysis.spanCorrupt(docs.repartition(5), "doc_id",
+      "text", spanWidth = 3, maskOneIn = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again == out)
+  }
+
+  test("TextAnalysis.unigramDrift: exact TV arithmetic, single-group zero") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(("g1", "a a b"), ("g2", "b c")).toDF("src", "text")
+    val out = TextAnalysis.unigramDrift(docs, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // hand-computed: t_all = 5; g1 (a:2 b:1, t=3): |2*5-2*3|+|1*5-2*3| = 5,
+    // present 4, missing 3*(5-4) = 3 -> 8; g2 (b:1 c:1, t=2):
+    // |1*5-2*2|+|1*5-1*2| = 4, present 3, missing 2*(5-3) = 4 -> 8
+    assert(out("g1") == (8L, 3L, 5L, (500L * 8) / (3 * 5)))
+    assert(out("g2") == (8L, 2L, 5L, (500L * 8) / (2 * 5)))
+    // a lone group IS the blend: drift is exactly zero
+    val solo = TextAnalysis.unigramDrift(
+      Seq(("g", "p q r p")).toDF("src", "text"), "src", "text").collect()
+    assert(solo.length == 1 && solo(0).getLong(1) == 0L &&
+      solo(0).getLong(4) == 0L)
+  }
+
   test("Sampling.ppsSystematic: k crossings, weight-proportional, saturation, zero weights") {
     import graft.operators.Sampling
     // uniform weights: exactly k sampled, evenly spaced
