@@ -2465,6 +2465,58 @@ object Queries {
       .select("doc_id", "input", "target", "n_tokens", "n_masked")
   }
 
+  /** Frequency-ranked dictionary encoding
+    * ([[TextAnalysis.vocabEncode]]): corpus vocabulary by
+    * (count DESC, token ASC) rank, every document re-emitted as its
+    * token-id sequence — model-sized vocab broadcast, corpus streams
+    * through one explode + one per-doc aggregation.
+    */
+  def q144_vocab_encode(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabEncode(t(s, dir, "documents"), "doc_id", "text")
+
+  /** Interval-overlap join with NO equi key
+    * ([[IntervalJoin.overlapJoin]]): signup activity windows × purchase
+    * activity windows on the time axis, grid-bucketed to a plain
+    * equi-join on cell ids with the counting-cell dedup rule — no
+    * cross join, no bnlj, no distinct. Interval widths vary per row
+    * (120 + id mod 300 seconds) so cells genuinely multi-cover.
+    */
+  def q145_interval_overlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def side(kind: String, idName: String, sName: String, eName: String) =
+      ev.where(col("event_type") === kind)
+        .select(col("event_id").as(idName),
+          unix_timestamp(col("ts")).as(sName))
+        .withColumn(eName,
+          col(sName) + lit(120L) + pmod(col(idName), lit(300L)))
+    val a = side("signup", "a_id", "s_a", "e_a")
+    val b = side("purchase", "b_id", "s_b", "e_b")
+    IntervalJoin.overlapJoin(a, b,
+        col("s_a"), col("e_a"), col("s_b"), col("e_b"), binWidth = 512L)
+      .groupBy("a_id")
+      .agg(count(lit(1)).as("n_overlap"), min(col("b_id")).as("first_b"))
+  }
+
+  /** Schema evolution across parquet generations: generation 1 writes
+    * (doc_id, lang), generation 2 adds n_chars; `mergeSchema` reads
+    * both through one scan with the missing column null-filled — the
+    * lakehouse column-add path. The oracle derives the same blend from
+    * the source table (even ids are gen-1, odd gen-2).
+    */
+  def q146_schema_evolution(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = s"/tmp/graft_q146_evo_${dirSlug(dir)}"
+    docs.where(col("doc_id") % 2 === 0).select("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$root/gen=1")
+    docs.where(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$root/gen=2")
+    s.read.option("mergeSchema", "true").parquet(s"$root/gen=1", s"$root/gen=2")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_v2"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -2771,7 +2823,10 @@ object Queries {
     "q140_pps_sample" -> (q140_pps_sample _),
     "q141_span_corrupt" -> (q141_span_corrupt _),
     "q142_unigram_drift" -> (q142_unigram_drift _),
-    "q143_stream_span_corrupt" -> (q143_stream_span_corrupt _))
+    "q143_stream_span_corrupt" -> (q143_stream_span_corrupt _),
+    "q144_vocab_encode" -> (q144_vocab_encode _),
+    "q145_interval_overlap" -> (q145_interval_overlap _),
+    "q146_schema_evolution" -> (q146_schema_evolution _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3583,6 +3638,45 @@ object Queries {
                 (500 * (main + t_g * (t_all - present))) // (t_g * t_all)
                   AS tv_permille
          FROM agg""",
+    // identical (count DESC, token ASC) vocabulary rank; position order
+    // restored via ordered string_agg on both sides
+    "q144_vocab_encode" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+           FROM documents),
+         cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+         vocab AS (
+           SELECT tok, row_number() OVER (ORDER BY c DESC, tok) - 1 AS tid
+           FROM cnt)
+         SELECT doc_id, count(*) AS n_tokens,
+                string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
+         FROM tk JOIN vocab USING (tok) GROUP BY doc_id""",
+    // the oracle states overlap directly as an inequality join — tiny at
+    // verify SF; the Spark side is the grid-bucketed rewrite
+    "q145_interval_overlap" ->
+      """WITH a AS (
+           SELECT event_id AS a_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS s_a,
+                  CAST(floor(epoch(ts)) AS BIGINT) + 120 + event_id % 300 AS e_a
+           FROM events WHERE event_type = 'signup'),
+         b AS (
+           SELECT event_id AS b_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS s_b,
+                  CAST(floor(epoch(ts)) AS BIGINT) + 120 + event_id % 300 AS e_b
+           FROM events WHERE event_type = 'purchase')
+         SELECT a_id, count(*) AS n_overlap, min(b_id) AS first_b
+         FROM a JOIN b ON s_a <= e_b AND s_b <= e_a
+         GROUP BY a_id""",
+    // gen-1 rows (even ids) carry no n_chars; mergeSchema null-fills
+    "q146_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+              CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_v2,
+              CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang""",
     // winnowing (k=8, w=16): per-gram q25 rolling hash, window minima,
     // distinct per doc — bit-identical integer arithmetic both engines
     "q137_winnowing" ->

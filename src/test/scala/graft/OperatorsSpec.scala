@@ -338,6 +338,52 @@ class OperatorsSpec extends AnyFunSuite {
       solo(0).getLong(4) == 0L)
   }
 
+  test("IntervalJoin.overlapJoin: fuzz vs brute force, duplicate-free, bin widths") {
+    import graft.operators.IntervalJoin
+    val rnd = new scala.util.Random(42)
+    val aIv = (1L to 60L).map(i =>
+      { val s = rnd.nextInt(1000).toLong; (i, s, s + rnd.nextInt(90)) })
+    val bIv = (1L to 60L).map(i =>
+      { val s = rnd.nextInt(1000).toLong; (i, s, s + rnd.nextInt(90)) })
+    val a = aIv.toDF("a_id", "s_a", "e_a")
+    val b = bIv.toDF("b_id", "s_b", "e_b")
+    val expected = (for {
+      (ai, as_, ae) <- aIv; (bi, bs, be) <- bIv
+      if as_ <= be && bs <= ae
+    } yield (ai, bi)).toSet
+    for (w <- Seq(1L, 7L, 64L, 4096L)) {
+      val got = IntervalJoin.overlapJoin(a, b,
+          col("s_a"), col("e_a"), col("s_b"), col("e_b"), binWidth = w)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // duplicate-free WITHOUT distinct: list size == set size
+      assert(got.length == got.toSet.size, s"dupes at binWidth=$w")
+      assert(got.toSet == expected, s"mismatch at binWidth=$w")
+    }
+    // touching endpoints overlap (closed intervals)
+    val t1 = Seq((1L, 0L, 10L)).toDF("a_id", "s_a", "e_a")
+    val t2 = Seq((2L, 10L, 20L)).toDF("b_id", "s_b", "e_b")
+    assert(IntervalJoin.overlapJoin(t1, t2, col("s_a"), col("e_a"),
+      col("s_b"), col("e_b"), binWidth = 8L).count() == 1)
+  }
+
+  test("TextAnalysis.vocabEncode: rank order, position order, determinism") {
+    import graft.operators.TextAnalysis
+    // counts: b=4, a=3, c=1 -> ids b=0, a=1, c=2; ties broken by token
+    val docs = Seq((1L, "a b b"), (2L, "b a c b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabEncode(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (3L, "1 0 0"))
+    assert(out(2L) == (5L, "0 1 2 0 1"))
+    // tie on count -> lexicographic token order pins ids
+    val ties = Seq((1L, "z y x")).toDF("doc_id", "text")
+    val t = TextAnalysis.vocabEncode(ties, "doc_id", "text").collect()(0)
+    assert(t.getString(2) == "2 1 0")
+    // partition-layout independence
+    val again = TextAnalysis.vocabEncode(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again == out)
+  }
+
   test("Sampling.ppsSystematic: k crossings, weight-proportional, saturation, zero weights") {
     import graft.operators.Sampling
     // uniform weights: exactly k sampled, evenly spaced
