@@ -2517,6 +2517,35 @@ object Queries {
         sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
   }
 
+  /** Sparse all-pairs TF-cosine similarity
+    * ([[Similarity.sparseCosinePairs]]): the AP-SS similarity join —
+    * candidates from df-capped inverted-index postings, dot products
+    * in one pair aggregation, cosine threshold applied squared and
+    * cross-multiplied so everything stays in exact integers (no sqrt,
+    * no floats, per-document overflow envelope).
+    *
+    * The synthetic corpus draws every document from one 31-token
+    * template vocabulary (every df scales with the corpus — no
+    * rare-token structure for postings to exploit), so the gate runs
+    * on a CONSTRUCTED near-dup overlay, the q93 augmentation
+    * precedent: every 20th document gains a near-copy, and each
+    * (original, copy) pair shares a unique `pt<id>` pairing token
+    * (df = 2 at every SF) — candidates must flow through the df-capped
+    * postings and survive the exact cosine verify; output scales
+    * linearly with the corpus.
+    */
+  def q147_cosine_pairs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val tagged = d.select(col("doc_id"),
+      concat(col("text"), lit(" pt"), col("doc_id").cast("string")).as("text"))
+    val copies = d.where(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + lit(1099511627776L)).as("doc_id"),
+        concat(col("text"), lit(" pt"), col("doc_id").cast("string"),
+          lit(" zz")).as("text"))
+    Similarity.sparseCosinePairs(tagged.unionByName(copies),
+      "doc_id", "text", maxDf = 20, minCos2Permille = 900)
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -2826,7 +2855,8 @@ object Queries {
     "q143_stream_span_corrupt" -> (q143_stream_span_corrupt _),
     "q144_vocab_encode" -> (q144_vocab_encode _),
     "q145_interval_overlap" -> (q145_interval_overlap _),
-    "q146_schema_evolution" -> (q146_schema_evolution _))
+    "q146_schema_evolution" -> (q146_schema_evolution _),
+    "q147_cosine_pairs" -> (q147_cosine_pairs _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3669,6 +3699,43 @@ object Queries {
          SELECT a_id, count(*) AS n_overlap, min(b_id) AS first_b
          FROM a JOIN b ON s_a <= e_b AND s_b <= e_a
          GROUP BY a_id""",
+    // same near-dup overlay (copies at doc_id + 2^40 with a df-2 pairing
+    // token), same df cap, same pair accumulation, same squared
+    // cross-multiplied threshold — integer-exact in both engines
+    "q147_cosine_pairs" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text || ' pt' || CAST(doc_id AS VARCHAR) AS text
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 1099511627776,
+                  text || ' pt' || CAST(doc_id AS VARCHAR) || ' zz' AS text
+           FROM documents WHERE doc_id % 20 = 0),
+         tk AS (
+           SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+           FROM aug),
+         tf AS (SELECT id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         norms AS (SELECT id, CAST(sum(tf * tf) AS BIGINT) AS n2
+                   FROM tf GROUP BY 1),
+         rare AS (
+           SELECT id, tok, tf FROM tf
+           WHERE tok NOT IN (
+             SELECT tok FROM tf GROUP BY tok HAVING count(*) > 20)),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM rare a JOIN rare b ON a.tok = b.tok AND a.id < b.id),
+         pairs AS (
+           SELECT id_a, id_b, CAST(sum(fa.tf * fb.tf) AS BIGINT) AS dot
+           FROM cand
+           JOIN tf fa ON fa.id = cand.id_a
+           JOIN tf fb ON fb.id = cand.id_b AND fb.tok = fa.tok
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+                (1000 * dot * dot) // (na.n2 * nb.n2) AS cos2_permille
+         FROM pairs
+         JOIN norms na ON na.id = id_a
+         JOIN norms nb ON nb.id = id_b
+         WHERE 1000 * dot * dot >= 900 * na.n2 * nb.n2""",
     // gen-1 rows (even ids) carry no n_chars; mergeSchema null-fills
     "q146_schema_evolution" ->
       """SELECT lang, count(*) AS n_docs,

@@ -190,4 +190,85 @@ object Similarity {
         cosine(col("__qv"), col("__cv")).as("cos"))
     rankTopK(scored, k)
   }
+
+  /** Sparse all-pairs cosine similarity over TERM-FREQUENCY vectors —
+    * the classic AP-SS / similarity-join shape, third leg of the
+    * near-dup family (set-based MinHash q26, bit-based SimHash q27,
+    * dense-embedding q28): pairs of documents whose tf vectors point
+    * the same way, found WITHOUT an all-pairs comparison.
+    *
+    * Candidates ride the inverted index: tf postings self-join on the
+    * token key, with tokens above `maxDf` document frequency dropped
+    * from PAIRING ONLY (the q85/q138 df-cap contract — ubiquitous
+    * tokens generate quadratic candidates and carry no signal; recall
+    * loss is the documented trade-off, identical in the oracle). The
+    * dot product then re-runs over the FULL tf vectors of surviving
+    * candidate pairs — the minHashPairs verification-rejoin pattern —
+    * so the similarity itself is exact, only candidate recall is
+    * capped.
+    *
+    * All-integer arithmetic end-to-end: tf counts, dot = Σ tf_a·tf_b,
+    * n2 = Σ tf², and the cosine threshold is applied SQUARED and
+    * cross-multiplied — 1000·dot² ≥ minCos2Permille·n2_a·n2_b — so
+    * both engines agree bit-for-bit with no sqrt anywhere. Overflow
+    * envelope is PER-DOCUMENT and corpus-size-free: dot² ≤ n2_a·n2_b
+    * by Cauchy–Schwarz, so 1000·(max Σtf²)² < 2^63 holds for any
+    * document under ~55M occurrence-weighted tokens.
+    *
+    * Returns (id_a, id_b, dot, n2_a, n2_b, cos2_permille), id_a < id_b.
+    */
+  def sparseCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Int = 20,
+      minCos2Permille: Int = 500): DataFrame = {
+    require(maxDf > 1 && minCos2Permille >= 0 && minCos2Permille <= 1000)
+    // The tf relation feeds FIVE consumers (norms, the frequent-vocab
+    // cap, both candidate sides, both dot-rejoin sides); persist the
+    // compact (id, tok, tf) form once rather than re-exploding the
+    // corpus per consumer — the minHashPairs signature-cache pattern
+    val tf = df
+      .select(col(idCol).as("__id"),
+        explode(split(col(textCol), " ")).as("__tok"))
+      .groupBy("__id", "__tok").agg(count(lit(1)).as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = tf.groupBy("__id").agg(sum(col("__tf") * col("__tf")).as("__n2"))
+    // df cap: (id, tok) is distinct post-agg, so count == document
+    // frequency. Keep sub-cap postings by ANTI-joining the broadcast
+    // FREQUENT vocab — under Zipf the head (df > maxDf) is the small
+    // side while the rare tail grows with the corpus, so this is the
+    // broadcastable direction; the aggregation itself map-side-combines,
+    // no count-over-window hot partition
+    val frequentVocab = tf.groupBy("__tok").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select("__tok")
+    val rare = tf.join(broadcast(frequentVocab), Seq("__tok"), "left_anti")
+    val cand = rare.as("a")
+      .join(rare.as("b"),
+        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    // exact dot over FULL tf vectors, candidate-bounded rejoin
+    val pairs = cand
+      .join(tf.select(col("__id").as("id_a"), col("__tok"),
+        col("__tf").as("__tf_a")), "id_a")
+      .join(tf.select(col("__id").as("id_b"), col("__tok"),
+        col("__tf").as("__tf_b")), Seq("id_b", "__tok"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("__tf_a") * col("__tf_b")).as("dot"))
+    val result = pairs
+      .join(norms.select(col("__id").as("id_a"), col("__n2").as("n2_a")), "id_a")
+      .join(norms.select(col("__id").as("id_b"), col("__n2").as("n2_b")), "id_b")
+      .where(lit(1000L) * col("dot") * col("dot") >=
+        lit(minCos2Permille.toLong) * col("n2_a") * col("n2_b"))
+      .select(col("id_a"), col("id_b"), col("dot"), col("n2_a"), col("n2_b"),
+        expr("(1000 * dot * dot) div (n2_a * n2_b)").as("cos2_permille"))
+    // Materialize the surviving-pair set (ids + four longs — small) so
+    // the tf cache can be released NOW rather than leaking blocks for
+    // the session lifetime — the minHashPairs lifecycle.
+    val out = result.localCheckpoint(true)
+    tf.unpersist(false)
+    out
+  }
 }

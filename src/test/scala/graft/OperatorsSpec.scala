@@ -384,6 +384,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("Similarity.sparseCosinePairs: exact arithmetic, df cap, full-vector verify") {
+    import graft.operators.Similarity
+    // docs 1/2 share rare token "q" (df 2); doc 3 shares only the
+    // ubiquitous "x" (df 3 > maxDf 2) with them -> no candidate
+    val docs = Seq(
+      (1L, "x x q a"), (2L, "x q a"), (3L, "x b")).toDF("id", "t")
+    val out = Similarity.sparseCosinePairs(docs, "id", "t",
+      maxDf = 2, minCos2Permille = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // dot over FULL vectors: 2*1 (x) + 1*1 (q) + 1*1 (a) = 4;
+    // n2_1 = 4+1+1 = 6, n2_2 = 3; cos2 permille = 16000/18 = 888
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == (4L, 6L, 3L, 888L))
+    // threshold prunes: 889 permille excludes the pair, 888 keeps it
+    assert(Similarity.sparseCosinePairs(docs, "id", "t", 2, 889).count() == 0)
+    assert(Similarity.sparseCosinePairs(docs, "id", "t", 2, 888).count() == 1)
+    // a pair sharing TWO rare tokens is still one output row
+    val two = Seq((1L, "q r"), (2L, "q r")).toDF("id", "t")
+    val p2 = Similarity.sparseCosinePairs(two, "id", "t", 2, 900).collect()
+    assert(p2.length == 1 && p2(0).getLong(2) == 2L &&
+      p2(0).getLong(5) == 1000L)
+  }
+
   test("Sampling.ppsSystematic: k crossings, weight-proportional, saturation, zero weights") {
     import graft.operators.Sampling
     // uniform weights: exactly k sampled, evenly spaced
