@@ -2546,6 +2546,47 @@ object Queries {
       "doc_id", "text", maxDf = 20, minCos2Permille = 900)
   }
 
+  /** Streaming CDC merge: the events stream consumed as a changelog
+    * through `foreachBatch`, each microbatch compacted per key and
+    * merged into the accumulated snapshot with
+    * [[graft.operators.Merge.upsertLatest]] — survivor chosen by
+    * (ts, event_id), NOT batch order, so the final state equals the
+    * batch argmax no matter how the file source slices triggers (the
+    * Delta-style `MERGE ... WHEN MATCHED AND s.ts > t.ts` loop,
+    * expressed Spark-first). Snapshot lineage is truncated per batch
+    * via localCheckpoint — state stays distributed; the driver holds
+    * only a handle.
+    */
+  def q148_stream_cdc_merge(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = eventsStreamDir(s, dir)
+    val stream = graft.streaming.Streams
+      .eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        cents(col("value")).as("value_c"))
+    val orderCols = Seq(col("ts").desc, col("event_id").desc)
+    var state = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        cents(col("value")).as("value_c"))
+      .limit(0).localCheckpoint(true)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(orderCols: _*)
+        val compacted = batch
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+        state = graft.operators.Merge
+          .upsertLatest(state, compacted, Seq("user_id"), orderCols)
+          .localCheckpoint(true)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    state
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -2856,7 +2897,8 @@ object Queries {
     "q144_vocab_encode" -> (q144_vocab_encode _),
     "q145_interval_overlap" -> (q145_interval_overlap _),
     "q146_schema_evolution" -> (q146_schema_evolution _),
-    "q147_cosine_pairs" -> (q147_cosine_pairs _))
+    "q147_cosine_pairs" -> (q147_cosine_pairs _),
+    "q148_stream_cdc_merge" -> (q148_stream_cdc_merge _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3736,6 +3778,14 @@ object Queries {
          JOIN norms na ON na.id = id_a
          JOIN norms nb ON nb.id = id_b
          WHERE 1000 * dot * dot >= 900 * na.n2 * nb.n2""",
+    // final CDC state = per-user argmax by (ts, event_id) — equal to the
+    // merged stream state because upsertLatest orders by value, not batch
+    "q148_stream_cdc_merge" -> s"""
+      SELECT user_id, event_id, ts, ${centsSql("value")} AS value_c
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1""",
     // gen-1 rows (even ids) carry no n_chars; mergeSchema null-fills
     "q146_schema_evolution" ->
       """SELECT lang, count(*) AS n_docs,

@@ -68,4 +68,37 @@ object Merge {
 
   private def unionCols(snapshot: DataFrame, opCol: String): Seq[String] =
     snapshot.columns.toSeq :+ opCol
+
+  /** VALUE-ordered upsert: the survivor per key is chosen by
+    * `orderCols` (pass already-directed columns, e.g.
+    * `Seq(col("ts").desc, col("event_id").desc)`), NOT by which input
+    * the row came from. This is the CDC-merge form that stays correct
+    * under out-of-order delivery — `upsert`'s change-wins-over-snapshot
+    * priority assumes the changeset is strictly newer, which microbatch
+    * replays and multi-source feeds don't guarantee; ordering by the
+    * event's own timestamp makes the result independent of batch
+    * boundaries and arrival order (associative + commutative over
+    * batches, the property q148's streaming loop leans on).
+    *
+    * Same ONE-shuffle shape as `upsert`; `orderCols` must totally order
+    * rows within a key (include a unique id as the last column) or ties
+    * fall to Spark's sort, not a deterministic rule.
+    */
+  def upsertLatest(snapshot: DataFrame, changes: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(keyCols.nonEmpty, "upsertLatest needs at least one key column")
+    require(orderCols.nonEmpty, "upsertLatest needs at least one order column")
+    require(!snapshot.columns.contains("__rn"),
+      "snapshot column '__rn' collides with upsertLatest bookkeeping")
+    keyCols.foreach { k =>
+      require(snapshot.columns.contains(k) && changes.columns.contains(k),
+        s"key column '$k' missing from snapshot or changes")
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    snapshot.unionByName(changes)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

@@ -408,6 +408,26 @@ class OperatorsSpec extends AnyFunSuite {
       p2(0).getLong(5) == 1000L)
   }
 
+  test("Merge.upsertLatest: value-ordered survivor is batch-order independent") {
+    import graft.operators.Merge
+    val snap = Seq((1L, 10L, 5L)).toDF("k", "ord", "v")
+    val b1 = Seq((1L, 20L, 7L), (2L, 5L, 1L)).toDF("k", "ord", "v")
+    val b2 = Seq((1L, 15L, 6L), (2L, 8L, 2L)).toDF("k", "ord", "v")
+    def run(batches: Seq[org.apache.spark.sql.DataFrame]) =
+      batches.foldLeft(snap) { (st, b) =>
+        Merge.upsertLatest(st, b, Seq("k"), Seq(col("ord").desc))
+      }.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = Set((1L, 20L, 7L), (2L, 8L, 2L))
+    assert(run(Seq(b1, b2)) == expect)
+    // REVERSED batch order: same state — the property upsert (which
+    // gives the last-applied change priority) cannot provide
+    assert(run(Seq(b2, b1)) == expect)
+    val viaPrio = Seq(b2, b1).foldLeft(snap) { (st, b) =>
+      Merge.upsert(st, b.withColumn("op", lit("U")), Seq("k"))
+    }.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaPrio != expect, "prio-based upsert is batch-order dependent here")
+  }
+
   test("Sampling.ppsSystematic: k crossings, weight-proportional, saturation, zero weights") {
     import graft.operators.Sampling
     // uniform weights: exactly k sampled, evenly spaced
