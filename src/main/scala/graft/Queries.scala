@@ -2587,6 +2587,17 @@ object Queries {
     state
   }
 
+  /** Temperature-rebalanced multilingual sampling
+    * ([[Sampling.temperatureSample]], α = 0.5): per-language quotas
+    * ∝ √count over a 10%-of-corpus budget — low-resource languages
+    * keep a larger share than raw frequency. Integer-sqrt quota
+    * arithmetic + the q82 id mix; oracle replays quotas and ranks
+    * verbatim.
+    */
+  def q149_temperature_sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(t(s, dir, "documents"), "lang", "doc_id",
+      budgetDiv = 10L)
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -2898,7 +2909,8 @@ object Queries {
     "q145_interval_overlap" -> (q145_interval_overlap _),
     "q146_schema_evolution" -> (q146_schema_evolution _),
     "q147_cosine_pairs" -> (q147_cosine_pairs _),
-    "q148_stream_cdc_merge" -> (q148_stream_cdc_merge _))
+    "q148_stream_cdc_merge" -> (q148_stream_cdc_merge _),
+    "q149_temperature_sample" -> (q149_temperature_sample _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3786,6 +3798,26 @@ object Queries {
               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
             FROM events)
       WHERE rn = 1""",
+    // same √count quotas (floor(sqrt()) is bit-identical IEEE in both
+    // engines below 2^52), same multiplicative id-mix rank
+    "q149_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+         q AS (SELECT lang, CAST(floor(sqrt(c)) AS BIGINT) AS isq FROM c),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                        (SELECT CAST(sum(isq) AS BIGINT) FROM q) AS sum_isq
+                 FROM c),
+         quota AS (
+           SELECT lang, ((n // 10) * isq) // sum_isq AS quota
+           FROM q CROSS JOIN tot),
+         r AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang ORDER BY
+                    ((doc_id % 1000000000) * 2654435761) % 1000000007,
+                    doc_id) AS samp_rank
+           FROM documents)
+         SELECT doc_id, lang, CAST(samp_rank AS BIGINT) AS samp_rank
+         FROM r JOIN quota USING (lang)
+         WHERE samp_rank <= quota""",
     // gen-1 rows (even ids) carry no n_chars; mergeSchema null-fills
     "q146_schema_evolution" ->
       """SELECT lang, count(*) AS n_docs,

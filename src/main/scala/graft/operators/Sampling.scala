@@ -140,6 +140,58 @@ object Sampling {
     df.where(keep)
   }
 
+  /** Temperature-rebalanced multilingual sampling (α = 0.5, the
+    * XLM-R / UniMax quota shape): stratum quotas proportional to
+    * √count instead of count, so low-resource strata keep a larger
+    * share of the budget than their raw frequency while high-resource
+    * strata are flattened. All-integer quota arithmetic:
+    * isq_s = floor(√c_s) (IEEE sqrt is correctly rounded, so floor of
+    * it is bit-identical in any engine for c < 2^52), budget = N div
+    * budgetDiv, quota_s = (budget · isq_s) div Σ isq.
+    *
+    * Selection inside each stratum is by the q82 multiplicative id mix
+    * (content order — same rows win on any layout, any engine). Scale
+    * shape: the stratum counts (rows = #strata) are the only driver
+    * coordination, the per-stratum pre-cut runs through the
+    * TopKPerGroup physical operator (bounded heaps, never a full
+    * stratum sort), and the exact-rank window that applies per-stratum
+    * quotas only ever sees ≤ maxQuota rows per stratum — budget-sized
+    * data, not corpus-sized.
+    *
+    * Returns (idCol, stratumCol, samp_rank), samp_rank ≤ quota_s.
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+      budgetDiv: Long = 10L): DataFrame = {
+    require(budgetDiv > 0, "budgetDiv must be positive")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty input")
+    val n = counts.values.sum
+    val budget = n / budgetDiv
+    val isq = counts.map { case (s, c) => s -> math.sqrt(c.toDouble).toLong }
+    val sumIsq = isq.values.sum
+    require(sumIsq > 0, "all strata empty")
+    val quotas = isq.map { case (s, q) => s -> budget * q / sumIsq }
+    val kMax = quotas.values.max
+    require(kMax > 0,
+      s"budget $budget too small for any quota: raise it or cut strata")
+    val mix = pmod((col(idCol) % lit(1000000000L)) * lit(2654435761L),
+      lit(1000000007L))
+    val preCut = graft.plans.TopK.perGroup(
+      df.select(col(idCol), col(stratumCol)).withColumn("__b", mix),
+      Seq(stratumCol), Seq("__b" -> true, idCol -> true), kMax.toInt)
+    val quotaCol = quotas.foldLeft(lit(0L)) { case (els, (s, q)) =>
+      when(col(stratumCol) === s, lit(q)).otherwise(els)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__b").asc, col(idCol).asc)
+    preCut
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= quotaCol)
+      .select(col(idCol), col(stratumCol),
+        col("__rk").cast("long").as("samp_rank"))
+  }
+
   /** Systematic probability-proportional-to-size (PPS) sampling: lay
     * the rows out on a weight line in `orderCol` order (exclusive
     * prefix sums), then keep every row whose weight interval

@@ -428,6 +428,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaPrio != expect, "prio-based upsert is batch-order dependent here")
   }
 
+  test("Sampling.temperatureSample: sqrt flattening, exact quotas, layout independence") {
+    import graft.operators.Sampling
+    // 900 "en" + 100 "de": raw shares 90/10; sqrt shares 30/10 -> de
+    // gets 25% of the budget instead of 10%
+    val docs = ((1L to 900L).map(i => (i, "en")) ++
+      (1001L to 1100L).map(i => (i, "de"))).toDF("id", "lang")
+    val out = Sampling.temperatureSample(docs, "lang", "id", budgetDiv = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // budget = 100; isq: en 30, de 10; quotas: 100*30/40 = 75, 100*10/40 = 25
+    assert(byLang == Map("en" -> 75, "de" -> 25))
+    // ranks are exactly 1..quota per stratum
+    assert(out.filter(_._2 == "de").map(_._3).sorted.toSeq == (1L to 25L))
+    // same winners under adversarial repartition
+    val again = Sampling.temperatureSample(docs.repartition(13, col("id")),
+      "lang", "id", budgetDiv = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("Sampling.ppsSystematic: k crossings, weight-proportional, saturation, zero weights") {
     import graft.operators.Sampling
     // uniform weights: exactly k sampled, evenly spaced
