@@ -2598,6 +2598,27 @@ object Queries {
     Sampling.temperatureSample(t(s, dir, "documents"), "lang", "doc_id",
       budgetDiv = 10L)
 
+  /** Snapshot reconciliation ([[TableDiff.diff]]): events vs a
+    * deterministically mutated rebuild — deletes at id ≡ 0 (mod 101),
+    * value updates at id ≡ 0 (mod 97), inserts at id ≡ 0 (mod 103) —
+    * emitting only the delta. The shuffle carries (key, 8-byte hash)
+    * regardless of row width; the oracle diffs by direct column
+    * comparison (agrees with the hash form except on ~2⁻⁶⁴
+    * collisions).
+    */
+  def q150_table_diff(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), cents(col("value")).as("value_c"))
+    val b = ev.where(col("event_id") % 101 =!= 0)
+      .withColumn("value_c",
+        when(col("event_id") % 97 === 0, col("value_c") + 1L)
+          .otherwise(col("value_c")))
+      .unionByName(ev.where(col("event_id") % 103 === 0)
+        .select((col("event_id") + lit(1000000000L)).as("event_id"),
+          col("user_id"), col("value_c")))
+    TableDiff.diff(ev, b, Seq("event_id"))
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -2910,7 +2931,8 @@ object Queries {
     "q146_schema_evolution" -> (q146_schema_evolution _),
     "q147_cosine_pairs" -> (q147_cosine_pairs _),
     "q148_stream_cdc_merge" -> (q148_stream_cdc_merge _),
-    "q149_temperature_sample" -> (q149_temperature_sample _))
+    "q149_temperature_sample" -> (q149_temperature_sample _),
+    "q150_table_diff" -> (q150_table_diff _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3818,6 +3840,26 @@ object Queries {
          SELECT doc_id, lang, CAST(samp_rank AS BIGINT) AS samp_rank
          FROM r JOIN quota USING (lang)
          WHERE samp_rank <= quota""",
+    // direct-comparison diff of the same deterministic mutation; agrees
+    // with Spark's hash-compressed form except on ~2^-64 collisions
+    "q150_table_diff" -> s"""
+      WITH a AS (
+        SELECT event_id, user_id, ${centsSql("value")} AS value_c FROM events),
+      b AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_id % 97 = 0 THEN value_c + 1 ELSE value_c END
+                 AS value_c
+        FROM a WHERE event_id % 101 <> 0
+        UNION ALL
+        SELECT event_id + 1000000000, user_id, value_c
+        FROM a WHERE event_id % 103 = 0)
+      SELECT coalesce(a.event_id, b.event_id) AS event_id,
+             CASE WHEN b.event_id IS NULL THEN 'only_a'
+                  WHEN a.event_id IS NULL THEN 'only_b'
+                  ELSE 'changed' END AS diff_status
+      FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+      WHERE b.event_id IS NULL OR a.event_id IS NULL
+         OR a.user_id <> b.user_id OR a.value_c <> b.value_c""",
     // gen-1 rows (even ids) carry no n_chars; mergeSchema null-fills
     "q146_schema_evolution" ->
       """SELECT lang, count(*) AS n_docs,

@@ -448,6 +448,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.toSet == out.toSet)
   }
 
+  test("TableDiff.diff: only_a / only_b / changed, unchanged absent, null-safe") {
+    import graft.operators.TableDiff
+    val a = Seq((1L, "x", 5L), (2L, "y", 6L), (3L, "z", 7L),
+      (4L, null.asInstanceOf[String], 8L)).toDF("k", "s", "v")
+    val b = Seq((2L, "y", 6L), (3L, "z", 9L), (5L, "w", 1L),
+      (4L, null.asInstanceOf[String], 8L)).toDF("k", "s", "v")
+    val out = TableDiff.diff(a, b, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 2 unchanged, 4 unchanged (null content equal on both sides)
+    assert(out == Map(1L -> "only_a", 3L -> "changed", 5L -> "only_b"))
+    // schema mismatch rejected
+    intercept[IllegalArgumentException] {
+      TableDiff.diff(a, b.withColumnRenamed("v", "w"), Seq("k"))
+    }
+  }
+
   test("Sampling.ppsSystematic: k crossings, weight-proportional, saturation, zero weights") {
     import graft.operators.Sampling
     // uniform weights: exactly k sampled, evenly spaced
