@@ -2619,6 +2619,31 @@ object Queries {
     TableDiff.diff(ev, b, Seq("event_id"))
   }
 
+  /** Bounded BFS ([[graft.operators.Graph.bfsHops]]): minimum hop
+    * distance from low-key customers over the REPEAT-BUSINESS
+    * customer–supplier graph — an edge needs ≥ 2 orders between the
+    * pair, which keeps the graph frontier-sized instead of saturating
+    * (the raw bipartite graph has average degree ~73 at sf0.1; the
+    * repeat graph is ~45× sparser). Customer ids even, supplier ids
+    * odd so the key spaces can't collide. Level-synchronous frontier
+    * expansion, (dst, hop) shuffles only; the oracle replays it as a
+    * DuckDB recursive CTE with UNION dedup.
+    */
+  def q151_bfs_hops(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+      .select("src", "dst")
+    val seeds = t(s, dir, "customer").where(col("c_custkey") <= 5)
+      .select((col("c_custkey") * 2).as("seed"))
+    graft.operators.Graph.bfsHops(edges, "src", "dst", seeds, "seed",
+      maxHops = 3)
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -2932,7 +2957,8 @@ object Queries {
     "q147_cosine_pairs" -> (q147_cosine_pairs _),
     "q148_stream_cdc_merge" -> (q148_stream_cdc_merge _),
     "q149_temperature_sample" -> (q149_temperature_sample _),
-    "q150_table_diff" -> (q150_table_diff _))
+    "q150_table_diff" -> (q150_table_diff _),
+    "q151_bfs_hops" -> (q151_bfs_hops _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3860,6 +3886,27 @@ object Queries {
       FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
       WHERE b.event_id IS NULL OR a.event_id IS NULL
          OR a.user_id <> b.user_id OR a.value_c <> b.value_c""",
+    // recursive-CTE replay of the level-synchronous BFS: UNION (not ALL)
+    // dedups (id, hop) states so paths never explode; min(hop) per id
+    "q151_bfs_hops" ->
+      """WITH RECURSIVE
+         raw AS (
+           SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         ed AS (
+           SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+           FROM raw WHERE src <> dst),
+         adj AS (SELECT lo AS src, hi AS dst FROM ed
+                 UNION ALL SELECT hi, lo FROM ed),
+         walk(id, hops) AS (
+           SELECT DISTINCT c_custkey * 2, 0 FROM customer WHERE c_custkey <= 5
+           UNION
+           SELECT adj.dst, w.hops + 1
+           FROM walk w JOIN adj ON adj.src = w.id
+           WHERE w.hops < 3)
+         SELECT id, CAST(min(hops) AS BIGINT) AS hops
+         FROM walk GROUP BY id""",
     // gen-1 rows (even ids) carry no n_chars; mergeSchema null-fills
     "q146_schema_evolution" ->
       """SELECT lang, count(*) AS n_docs,

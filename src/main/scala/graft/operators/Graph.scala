@@ -227,6 +227,54 @@ object Graph {
       .distinct()
   }
 
+  /** Bounded multi-hop BFS: minimum hop distance from a seed set over
+    * the UNDIRECTED graph, up to `maxHops`. Level-synchronous frontier
+    * expansion — iteration k joins the hop-(k−1) frontier to the
+    * checkpointed adjacency (one shuffle carrying (dst, hop) pairs,
+    * never neighborhood arrays) and folds it into the distance table
+    * with a min-aggregation, so visited vertices are never re-expanded
+    * and each round's work is frontier-sized. Same lazy-localCheckpoint
+    * discipline as [[pageRank]]/CC: adjacency cut once, per-round
+    * distance lineage cut, static plan (fixed `maxHops`, no driver
+    * convergence actions).
+    *
+    * Returns (id, hops) for every vertex within `maxHops` of a seed —
+    * seeds themselves at hops = 0. O(diameter) rounds; the 100 TB
+    * posture is the CC argument: shuffles carry two longs per frontier
+    * edge.
+    */
+  def bfsHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where($"u".isNotNull && $"v".isNotNull && $"u" =!= $"v")
+      .select(least($"u", $"v").as("lo"), greatest($"u", $"v").as("hi"))
+      .distinct()
+    val adj = e.select($"lo".as("src"), $"hi".as("dst"))
+      .union(e.select($"hi".as("src"), $"lo".as("dst")))
+      .localCheckpoint(eager = false)
+    var dist = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(eager = false)
+    for (k <- 1 to maxHops) {
+      val frontier = dist.where($"hops" === (k - 1))
+      val next = adj.join(frontier, adj("src") === frontier("id"))
+        .select($"dst".as("id"), lit(k.toLong).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy("id").agg(min($"hops").as("hops"))
+      if (k < maxHops) dist = dist.localCheckpoint(eager = false)
+    }
+    dist
+  }
+
   /** Cheap convergence fingerprint: (edge count, order-independent
     * checksum). Collision odds over ≤50 iterations are negligible; a
     * false "converged" would need two DIFFERENT consecutive edge sets

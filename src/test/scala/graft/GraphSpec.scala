@@ -121,6 +121,53 @@ object GraphSpec extends Properties("Graph") {
     check(6L, es)
   }
 
+  /** Driver-side BFS model: min hop distance from seeds, ≤ maxHops. */
+  private def bfsRef(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxHops: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (und ++ und.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var dist = seeds.distinct.map(_ -> 0L).toMap
+    var frontier = seeds.distinct
+    for (k <- 1 to maxHops) {
+      val next = frontier.flatMap(adj.getOrElse(_, Nil))
+        .distinct.filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> k.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  property("bfsHops matches driver-side BFS on random graphs") = {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 50)
+      m <- Gen.choose(0, 70)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+      nSeeds <- Gen.choose(1, 3)
+      seeds <- Gen.listOfN(nSeeds, Gen.choose(0L, n - 1L))
+      hops <- Gen.choose(1, 4)
+    } yield (es, seeds, hops)
+    Prop.forAllNoShrink(gen) { case (es, seeds, hops) =>
+      val got = Graph.bfsHops(es.toDF("a", "b"), "a", "b",
+        seeds.toDF("s"), "s", hops)
+        .as[(Long, Long)].collect().toMap
+      val want = bfsRef(es, seeds, hops)
+      Prop(got == want) :| s"got ${got.toSeq.sorted} want ${want.toSeq.sorted}"
+    }
+  }
+
+  property("bfsHops chain: exact distances, bound respected") = {
+    import spark.implicits._
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val d = Graph.bfsHops(chain.toDF("a", "b"), "a", "b",
+      Seq(0L).toDF("s"), "s", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    Prop(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L)) :|
+      s"chain distances $d"
+  }
+
   property("exhausting maxIter without convergence fails loudly") = {
     import spark.implicits._
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
