@@ -86,6 +86,15 @@ object ScaleProbe {
     time("fuzzy_join_q110") { Queries.q110_fuzzy_join(spark, dir).count() }
     time("mad_q131") { Queries.q131_mad_outliers(spark, dir).count() }
     time("stream_join_q62") { Queries.q62_stream_join(spark, dir).count() }
+    // round-7 block: map-only span corruption should scale embarrassingly
+    // (zero shuffles); drift/vocab-encode ride one token agg; cosine
+    // pairs' overlay grows pairs exactly ×N; the CDC merge loop's state
+    // grows ×N users
+    time("span_corrupt_q141") { Queries.q141_span_corrupt(spark, dir).count() }
+    time("unigram_drift_q142") { Queries.q142_unigram_drift(spark, dir).count() }
+    time("vocab_encode_q144") { Queries.q144_vocab_encode(spark, dir).count() }
+    time("cosine_pairs_q147") { Queries.q147_cosine_pairs(spark, dir).count() }
+    time("cdc_merge_q148") { Queries.q148_stream_cdc_merge(spark, dir).count() }
     spark.stop()
   }
 }
