@@ -2644,6 +2644,27 @@ object Queries {
       maxHops = 3)
   }
 
+  /** Declarative data-quality validation ([[Validate.validate]], the
+    * Delta-constraint / dbt-test surface): all row-level checks fold
+    * into ONE scan aggregation; uniqueness is one keyed agg; each
+    * referential check is one anti-join. Mixed live populations by
+    * construction: `unique(l_orderkey)` counts real multi-line orders
+    * (non-zero), the quantity/price checks and both FKs hold (zero) —
+    * zero rows are EMITTED, not absent, so a silent scan-drop can't
+    * read as "all valid".
+    */
+  def q152_validate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate._
+    val li = t(s, dir, "lineitem")
+    validate(li, Seq(
+      NotNull("l_orderkey"),
+      Check("qty_range", col("l_quantity") >= 1 && col("l_quantity") <= 50),
+      Check("price_positive", col("l_extendedprice") > 0),
+      Unique(Seq("l_orderkey")),
+      ForeignKey("l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+      ForeignKey("l_partkey", t(s, dir, "part"), "p_partkey")))
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -2958,7 +2979,8 @@ object Queries {
     "q148_stream_cdc_merge" -> (q148_stream_cdc_merge _),
     "q149_temperature_sample" -> (q149_temperature_sample _),
     "q150_table_diff" -> (q150_table_diff _),
-    "q151_bfs_hops" -> (q151_bfs_hops _))
+    "q151_bfs_hops" -> (q151_bfs_hops _),
+    "q152_validate" -> (q152_validate _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3907,6 +3929,36 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // one SELECT per declared constraint, names matching the Scala
+    // Constraint.name strings exactly
+    "q152_validate" ->
+      """SELECT 'not_null(l_orderkey)' AS check_name,
+              CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
+         FROM lineitem
+         UNION ALL
+         SELECT 'qty_range',
+              CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1
+                AND l_quantity <= 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'price_positive',
+              CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+                THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'unique(l_orderkey)',
+              CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+         FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey
+               HAVING count(*) > 1)
+         UNION ALL
+         SELECT 'fk(l_orderkey)', CAST(count(*) AS BIGINT)
+         FROM lineitem WHERE l_orderkey IS NOT NULL
+           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+         UNION ALL
+         SELECT 'fk(l_partkey)', CAST(count(*) AS BIGINT)
+         FROM lineitem WHERE l_partkey IS NOT NULL
+           AND l_partkey NOT IN (SELECT p_partkey FROM part)""",
     // gen-1 rows (even ids) carry no n_chars; mergeSchema null-fills
     "q146_schema_evolution" ->
       """SELECT lang, count(*) AS n_docs,

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation — the Delta-constraint /
+  * dbt-test surface: declare per-column expectations, get violation
+  * counts back in ONE aggregation pass over the table (every row-level
+  * predicate becomes a conditional count in the same scan — no
+  * per-constraint jobs). Two constraint classes need their own shape
+  * and are costed separately:
+  *
+  *   - `Unique`: a groupBy on the key counting groups with >1 row —
+  *     one shuffle, map-side-combined.
+  *   - `ForeignKey`: a left-anti join against the referenced key set —
+  *     broadcast when the dimension is small, shuffled otherwise
+  *     (Spark's stats decide; at 100 TB fact scale the FK check is THE
+  *     dominant cost and rides one equi-join like any other).
+  *
+  * Returns (check_name, n_violations) — one row per declared
+  * constraint, always present even at zero violations, so a silent
+  * scan-drop can't read as "all valid".
+  */
+object Validate {
+
+  sealed trait Constraint { def name: String }
+
+  /** Row-level predicate that must hold (violations = rows where it is
+    * false OR null — SQL's CHECK semantics count unknown as pass, but
+    * a curation gate wants nulls surfaced; pass an explicit isNull
+    * disjunct if SQL CHECK semantics are needed).
+    */
+  final case class Check(name: String, predicate: Column) extends Constraint
+
+  final case class NotNull(colName: String) extends Constraint {
+    val name = s"not_null($colName)"
+  }
+
+  final case class Unique(colNames: Seq[String]) extends Constraint {
+    val name = s"unique(${colNames.mkString(",")})"
+  }
+
+  /** Every non-null value of `colName` must exist in `refCol` of
+    * `ref`.
+    */
+  final case class ForeignKey(colName: String, ref: DataFrame,
+      refCol: String) extends Constraint {
+    val name = s"fk($colName)"
+  }
+
+  def validate(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "declare at least one constraint")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val rowLevel: Seq[(String, Column)] = constraints.collect {
+      case Check(n, p) => n -> (!coalesce(p, lit(false))).cast("long")
+      case nn: NotNull => nn.name -> col(nn.colName).isNull.cast("long")
+    }
+    val scanCounts: Seq[DataFrame] =
+      if (rowLevel.isEmpty) Seq.empty
+      else {
+        val agg = df.agg(
+          sum(rowLevel.head._2).as(rowLevel.head._1),
+          rowLevel.tail.map { case (n, c) => sum(c).as(n) }: _*)
+        // unpivot the single result row into (constraint, n_violations)
+        Seq(agg.selectExpr(
+          s"stack(${rowLevel.size}, " +
+            rowLevel.map { case (n, _) => s"'${n.replace("'", "")}', coalesce(`$n`, 0L)" }
+              .mkString(", ") + ") AS (check_name, n_violations)"))
+      }
+
+    val uniques = constraints.collect { case u: Unique =>
+      df.groupBy(u.colNames.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1)
+        .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("n_violations"))
+        .select(lit(u.name).as("check_name"), col("n_violations"))
+    }
+
+    val fks = constraints.collect { case f: ForeignKey =>
+      df.where(col(f.colName).isNotNull)
+        .join(f.ref.select(col(f.refCol).as(f.colName)).distinct(),
+          Seq(f.colName), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(f.name).as("check_name"), col("n_violations"))
+    }
+
+    (scanCounts ++ uniques ++ fks).reduce(_ unionByName _)
+  }
+}

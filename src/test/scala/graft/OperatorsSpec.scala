@@ -464,6 +464,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Validate: every constraint class counts its violations exactly") {
+    import graft.operators.Validate
+    import graft.operators.Validate._
+    val df = Seq(
+      (1L, Some(5L), "a"), (2L, Some(-1L), "b"), (2L, Some(7L), null),
+      (3L, None, "c"), (9L, Some(3L), "d")).toDF("k", "v", "s")
+    val ref = Seq(1L, 2L, 3L).toDF("rk")
+    val out = Validate.validate(df, Seq(
+      NotNull("s"),                                  // 1 null
+      Check("v_pos", col("v") > 0),                  // -1 fails, null v fails
+      Unique(Seq("k")),                              // k=2 twice -> 1 extra
+      ForeignKey("k", ref, "rk")))                   // k=9 dangling
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "not_null(s)" -> 1L, "v_pos" -> 2L,
+      "unique(k)" -> 1L, "fk(k)" -> 1L))
+    // all-clean table: every declared constraint still emits a zero row
+    val clean = Validate.validate(
+      Seq((1L, Some(1L), "x")).toDF("k", "v", "s"),
+      Seq(NotNull("s"), Unique(Seq("k")), ForeignKey("k", ref, "rk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.values.forall(_ == 0L) && clean.size == 3)
+  }
+
   test("Sampling.ppsSystematic: k crossings, weight-proportional, saturation, zero weights") {
     import graft.operators.Sampling
     // uniform weights: exactly k sampled, evenly spaced
