@@ -212,8 +212,10 @@ object Similarity {
     * cross-multiplied — 1000·dot² ≥ minCos2Permille·n2_a·n2_b — so
     * both engines agree bit-for-bit with no sqrt anywhere. Overflow
     * envelope is PER-DOCUMENT and corpus-size-free: dot² ≤ n2_a·n2_b
-    * by Cauchy–Schwarz, so 1000·(max Σtf²)² < 2^63 holds for any
-    * document under ~55M occurrence-weighted tokens.
+    * by Cauchy–Schwarz, so 1000·(max Σtf²)² < 2^63 holds whenever a
+    * document's Σtf² stays under ~9.6×10^7 — ~96M tokens if tf is
+    * mostly 1, ~9.8k occurrences of a SINGLE repeated token at the
+    * degenerate extreme.
     *
     * Returns (id_a, id_b, dot, n2_a, n2_b, cos2_permille), id_a < id_b.
     */

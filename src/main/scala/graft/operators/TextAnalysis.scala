@@ -228,7 +228,8 @@ object TextAnalysis {
     * shuffles at any corpus size. Overflow envelope: the doc-id mix
     * reduces mod 1e9+7 before the span mix, so every intermediate stays
     * under (1e9+7 + n_spans)·2654435761 < 2^63 for any document below
-    * ~3.4e9 spans (SCALE.md §Integer-overflow envelope).
+    * ~2.4e9 spans (2^63/2654435761 ≈ 3.47e9 minus the 1e9+7 hash
+    * headroom — SCALE.md §Integer-overflow envelope).
     *
     * Returns (idCol, input, target, n_tokens, n_masked); a document
     * with no masked span keeps input = text, target = ''.
@@ -282,9 +283,12 @@ object TextAnalysis {
     * and per-group totals are re-aggregations of that same relation
     * (exchange-reused at physical planning, the q123 tf/df shape), the
     * token-level rejoin rides the same token key, and both totals
-    * broadcast. Overflow envelope: c·t_all < 2^63 — beyond ~10^12
-    * total tokens, downscale counts to fixed-point probabilities first
-    * (SCALE.md).
+    * broadcast. Overflow envelope: the binding product is
+    * (max per-group token count)·t_all < 2^63 — a token holding a
+    * constant fraction f of the corpus binds at t_all ~ sqrt(2^63/f),
+    * ~10^10 tokens at f = 0.1; past that, downscale counts to
+    * fixed-point probabilities first (the distance is scale-invariant
+    * — SCALE.md).
     */
   def unigramDrift(
       df: org.apache.spark.sql.DataFrame,
