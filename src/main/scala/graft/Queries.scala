@@ -2665,6 +2665,35 @@ object Queries {
       ForeignKey("l_partkey", t(s, dir, "part"), "p_partkey")))
   }
 
+  /** Streaming windowed NDV sketch under its error contract: per-day
+    * HLL approx-distinct users computed INSIDE the microbatch engine
+    * (watermarked tumbling windows, append mode — only finalized
+    * windows emit), then joined to the batch exact counts; rows emit
+    * ONLY where the estimate breaks the 15% contract (rsd 0.05 — the
+    * q96 violations-as-rows pattern, streaming edition). HLL merge is
+    * commutative/order-independent, so the stream's estimate is
+    * reproducible across trigger slicings; the unemitted tail window
+    * drops in the join.
+    */
+  def q153_stream_window_ndv(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = eventsStreamDir(s, dir)
+    val est = graft.streaming.Streams.runToCompletion(s,
+      graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_ndv")),
+      s"q153_sink_${System.nanoTime()}", "append")
+      .select(col("w.start").as("w_start"), col("approx_ndv"))
+    val exact = t(s, dir, "events")
+      .groupBy(date_trunc("DAY", col("ts")).as("w_start"))
+      .agg(countDistinct(col("user_id")).as("exact_ndv"))
+    est.join(exact, "w_start")
+      .where(abs(col("approx_ndv") - col("exact_ndv")) >
+        col("exact_ndv") * lit(0.15))
+      .select(col("w_start"), col("exact_ndv"), col("approx_ndv"))
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -2980,7 +3009,8 @@ object Queries {
     "q149_temperature_sample" -> (q149_temperature_sample _),
     "q150_table_diff" -> (q150_table_diff _),
     "q151_bfs_hops" -> (q151_bfs_hops _),
-    "q152_validate" -> (q152_validate _))
+    "q152_validate" -> (q152_validate _),
+    "q153_stream_window_ndv" -> (q153_stream_window_ndv _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3929,6 +3959,13 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // violations-only contract (q96 pattern): the gate passes when the
+    // sketch honors its error bound, i.e. both sides are empty
+    "q153_stream_window_ndv" ->
+      """SELECT CAST(NULL AS TIMESTAMP) AS w_start,
+              CAST(NULL AS BIGINT) AS exact_ndv,
+              CAST(NULL AS BIGINT) AS approx_ndv
+         WHERE FALSE""",
     // one SELECT per declared constraint, names matching the Scala
     // Constraint.name strings exactly
     "q152_validate" ->

@@ -39,6 +39,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming windowed HLL: estimates are LIVE and inside the q153 contract") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.core.Catalog.table(spark, dir, "events")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ndv").toString
+    events.repartition(4).write.mode("overwrite").parquet(streamDir)
+    val est = Streams.runToCompletion(spark,
+      Streams.eventsStream(spark, streamDir, maxFilesPerTrigger = 2)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_ndv")),
+      "ndv_live", "append")
+      .collect().map(r => r.getStruct(0).getTimestamp(0) -> r.getLong(1)).toMap
+    // append mode on the finite source must still finalize real windows —
+    // q153's empty result must mean "contract held", not "nothing emitted"
+    assert(est.size >= 5, s"only ${est.size} windows emitted")
+    val exact = events
+      .groupBy(date_trunc("DAY", col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    est.foreach { case (w, a) =>
+      val e = exact(w)
+      assert(math.abs(a - e) <= e * 0.15, s"window $w: approx $a exact $e")
+    }
+  }
+
   test("watermark drops events later than the allowed lateness") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
