@@ -2694,6 +2694,17 @@ object Queries {
       .select(col("w_start"), col("exact_ndv"), col("approx_ndv"))
   }
 
+  /** UniMax epoch repetition ([[Sampling.epochRepeat]]): √count quotas
+    * over a 1.5×-corpus budget, so high-resource languages emit a
+    * subset while low-resource languages REPEAT (epochs ≥ 2) — each
+    * language contributes exactly its quota of training appearances,
+    * with the repeat factor derived from the quota arithmetic rather
+    * than hand-tuned.
+    */
+  def q154_epoch_repeat(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochRepeat(t(s, dir, "documents"), "lang", "doc_id",
+      budgetNum = 3L, budgetDen = 2L)
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3010,7 +3021,8 @@ object Queries {
     "q150_table_diff" -> (q150_table_diff _),
     "q151_bfs_hops" -> (q151_bfs_hops _),
     "q152_validate" -> (q152_validate _),
-    "q153_stream_window_ndv" -> (q153_stream_window_ndv _))
+    "q153_stream_window_ndv" -> (q153_stream_window_ndv _),
+    "q154_epoch_repeat" -> (q154_epoch_repeat _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3959,6 +3971,32 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // same sqrt quotas over a 3/2-corpus budget; every lang emits exactly
+    // quota rows: full repeats (quota // c) + the first (quota % c) docs
+    // by mix rank once more
+    "q154_epoch_repeat" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+         q AS (SELECT lang, c, CAST(floor(sqrt(c)) AS BIGINT) AS isq FROM c),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                        (SELECT CAST(sum(isq) AS BIGINT) FROM q) AS sum_isq
+                 FROM c),
+         quota AS (
+           SELECT lang, c, ((n * 3 // 2) * isq) // sum_isq AS quota
+           FROM q CROSS JOIN tot),
+         r AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang ORDER BY
+                    ((doc_id % 1000000000) * 2654435761) % 1000000007,
+                    doc_id) AS rk
+           FROM documents),
+         p AS (
+           SELECT doc_id, r.lang,
+                  (quota // c) +
+                    (CASE WHEN rk <= quota % c THEN 1 ELSE 0 END) AS eps
+           FROM r JOIN quota ON r.lang = quota.lang)
+         SELECT doc_id, lang, CAST(unnest(generate_series(1, eps)) AS BIGINT)
+                  AS epoch
+         FROM p WHERE eps >= 1""",
     // violations-only contract (q96 pattern): the gate passes when the
     // sketch honors its error bound, i.e. both sides are empty
     "q153_stream_window_ndv" ->

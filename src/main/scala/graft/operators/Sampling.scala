@@ -192,6 +192,54 @@ object Sampling {
         col("__rk").cast("long").as("samp_rank"))
   }
 
+  /** Epoch repetition (the UniMax upsampling leg, generalizing
+    * [[temperatureSample]]): √count quotas over a budget that may
+    * EXCEED the corpus, so low-resource strata repeat — every doc of a
+    * stratum appears `quota div n` times and the first `quota mod n`
+    * docs (by the q82 mix rank) once more, so each stratum emits
+    * EXACTLY quota rows. With quota < n this degenerates to
+    * temperatureSample's subset at epoch 1; with quota > n a stratum's
+    * docs carry epochs 1..r(+1) — the "repeat low-resource data ~r
+    * times" curriculum, with the repeat factor derived, not guessed.
+    *
+    * Budget = N·budgetNum div budgetDen. Scale note: the remainder
+    * rank runs in a per-stratum window (the q140 posture — strata
+    * bound the partitions); the repetition itself is a map-side
+    * sequence explode, no shuffle.
+    *
+    * Returns (idCol, stratumCol, epoch), epoch ≥ 1.
+    */
+  def epochRepeat(df: DataFrame, stratumCol: String, idCol: String,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty input")
+    val n = counts.values.sum
+    val budget = n * budgetNum / budgetDen
+    val isq = counts.map { case (s, c) => s -> math.sqrt(c.toDouble).toLong }
+    val sumIsq = isq.values.sum
+    require(sumIsq > 0, "all strata empty")
+    val quotas = isq.map { case (s, q) => s -> budget * q / sumIsq }
+    def perStratum(f: String => Long): Column =
+      counts.keys.foldLeft(lit(0L)) { (els, s) =>
+        when(col(stratumCol) === s, lit(f(s))).otherwise(els)
+      }
+    val mix = pmod((col(idCol) % lit(1000000000L)) * lit(2654435761L),
+      lit(1000000007L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(mix.asc, col(idCol).asc)
+    df.select(col(idCol), col(stratumCol))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__eps",
+        perStratum(s => quotas(s) / counts(s)) +
+          when(col("__rk") <= perStratum(s => quotas(s) % counts(s)), 1L)
+            .otherwise(0L))
+      .where(col("__eps") >= 1)
+      .select(col(idCol), col(stratumCol),
+        explode(expr("sequence(1L, __eps)")).as("epoch"))
+  }
+
   /** Systematic probability-proportional-to-size (PPS) sampling: lay
     * the rows out on a weight line in `orderCol` order (exclusive
     * prefix sums), then keep every row whose weight interval

@@ -488,6 +488,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clean.values.forall(_ == 0L) && clean.size == 3)
   }
 
+  test("Sampling.epochRepeat: exact quota appearances, repeat factors, subset degeneracy") {
+    import graft.operators.Sampling
+    val docs = ((1L to 900L).map(i => (i, "en")) ++
+      (1001L to 1100L).map(i => (i, "de"))).toDF("id", "lang")
+    // budget 2N = 2000; isq en 30, de 10; quotas 1500, 500
+    val out = Sampling.epochRepeat(docs, "lang", "id", 2L, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = out.groupBy(_._2)
+    // EXACTLY quota appearances per stratum
+    assert(byLang("en").length == 1500 && byLang("de").length == 500)
+    // de: 500 = 5*100 -> every doc exactly 5 epochs, no remainder
+    assert(byLang("de").groupBy(_._1).values.forall(_.length == 5))
+    // en: 1500 = 1*900 + 600 -> epochs 1 or 2, 600 docs get the extra
+    val enEpochs = byLang("en").groupBy(_._1).view.mapValues(_.length)
+    assert(enEpochs.values.forall(e => e == 1 || e == 2))
+    assert(enEpochs.values.count(_ == 2) == 600)
+    // quota < n degenerates to temperatureSample's subset at epoch 1
+    val sub = Sampling.epochRepeat(docs, "lang", "id", 1L, 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(sub.forall(_._3 == 1L))
+    val ts = Sampling.temperatureSample(docs, "lang", "id", budgetDiv = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sub.map(t => (t._1, t._2)).toSet == ts)
+  }
+
   test("Sampling.ppsSystematic: k crossings, weight-proportional, saturation, zero weights") {
     import graft.operators.Sampling
     // uniform weights: exactly k sampled, evenly spaced
