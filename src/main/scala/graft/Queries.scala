@@ -2705,6 +2705,19 @@ object Queries {
     Sampling.epochRepeat(t(s, dir, "documents"), "lang", "doc_id",
       budgetNum = 3L, budgetDen = 2L)
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for each
+    * anchor, the 3 most-similar DIFFERENT-label vectors — the
+    * contrastive-training pair generator, q30's broadcast/TopK shape
+    * with the label-mismatch predicate on the join. Rank-only output
+    * (both engines rank the identical sequential-fold cosine).
+    */
+  def q155_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.hardNegatives(e.where(col("vec_id") < 32), e,
+      "vec_id", "embedding", "label", k = 3)
+      .withColumnRenamed("rank", "rnk")
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3022,7 +3035,8 @@ object Queries {
     "q151_bfs_hops" -> (q151_bfs_hops _),
     "q152_validate" -> (q152_validate _),
     "q153_stream_window_ndv" -> (q153_stream_window_ndv _),
-    "q154_epoch_repeat" -> (q154_epoch_repeat _))
+    "q154_epoch_repeat" -> (q154_epoch_repeat _),
+    "q155_hard_negatives" -> (q155_hard_negatives _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -3350,6 +3364,27 @@ object Queries {
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3""",
     "q30_knn_brute" -> knnOracleSql,
     "q31_knn_ivf" -> knnOracleSql,
+    // knn oracle with the label-mismatch predicate; rank-only output so
+    // no float crosses the compare
+    "q155_hard_negatives" -> {
+      val dot = dotSql("qv", "cv")
+      val na = dotSql("qv", "qv"); val nb = dotSql("cv", "cv")
+      s"""WITH q AS (SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+                     FROM embeddings WHERE vec_id < 32),
+         c AS (SELECT vec_id AS neighbor_id,
+                 CAST(embedding AS DOUBLE[]) AS cv, label AS cl
+               FROM embeddings),
+         sc AS (SELECT query_id, neighbor_id,
+                       ($dot)/(sqrt($na)*sqrt($nb)) AS cos
+                FROM q, c
+                WHERE neighbor_id <> query_id AND cl <> ql)
+         SELECT query_id, rn AS rnk, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rn
+           FROM sc) WHERE rn <= 3"""
+    },
     "q61_knn_ivf_trained" -> knnOracleSql,
     "q62_stream_join" ->
       """SELECT a.user_id AS l_user, a.ts AS l_ts, a.event_id AS l_event,

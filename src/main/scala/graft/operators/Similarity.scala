@@ -57,6 +57,36 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining — the contrastive-training pair generator:
+    * for each anchor, the k most cosine-similar corpus vectors with a
+    * DIFFERENT label (the negatives most likely to confuse the model,
+    * which is exactly what makes them worth training on). Same shape
+    * as [[bruteForceTopK]]: anchors broadcast, corpus streams, the
+    * label-mismatch predicate rides the broadcast join, selection
+    * through the bounded-heap TopKPerGroup — the corpus-sized score
+    * stream is never fully shuffled. For anchor sets too large to
+    * broadcast, the IVF path composes the same way (probe cells, then
+    * filter labels in-cell) at the documented recall trade.
+    */
+  def hardNegatives(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(anchors.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), col(labelCol).as("__ql")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(labelCol).as("__cl"))
+    val scored = c.crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id") &&
+        col("__cl") =!= col("__ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** Per-query top-k + rank. Selection runs through the custom
     * TopKPerGroup operator (bounded map-side heaps: the corpus-sized
     * score stream never gets fully shuffled or sorted); the final

@@ -513,6 +513,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sub.map(t => (t._1, t._2)).toSet == ts)
   }
 
+  test("Similarity.hardNegatives: skips same-label neighbors however close") {
+    import graft.operators.Similarity
+    // anchor 1 (label A) is nearly identical to 2 (label A) — the
+    // hard NEGATIVE must be 3 (label B), not the closer same-label 2
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.14f, 0.0f), 0),
+      (3L, Array(0.8f, 0.6f, 0.0f), 1),
+      (4L, Array(0.0f, 1.0f, 0.0f), 1),
+      (5L, Array(0.0f, 0.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+      vecs.where(col("vec_id") === 1L), vecs,
+      "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L), (2L, 4L), (3L, 5L)),
+      s"got ${out.toSeq}")
+  }
+
   test("Sampling.ppsSystematic: k crossings, weight-proportional, saturation, zero weights") {
     import graft.operators.Sampling
     // uniform weights: exactly k sampled, evenly spaced
