@@ -273,7 +273,12 @@ object Sampling {
     df.withColumn("__w", weightCol.cast("long"))
       .withColumn("__cum", coalesce(sum(col("__w")).over(cumW), lit(0L)))
       .withColumn("__tot", sum(col("__w")).over(totW))
-      .where(expr(s"(${k}L * (__cum + __w)) div __tot > (${k}L * __cum) div __tot"))
+      // nullif: an ALL-zero-weight stratum has __tot = 0, and a raw
+      // `div 0` throws under ANSI mode — null makes the keep predicate
+      // null, which `where` drops (selecting nothing from a weightless
+      // stratum, the right answer)
+      .where(expr(s"(${k}L * (__cum + __w)) div nullif(__tot, 0L) > " +
+        s"(${k}L * __cum) div nullif(__tot, 0L)"))
       .drop("__w", "__cum", "__tot")
   }
 }

@@ -95,4 +95,175 @@ object CorpusOpsPropertySpec extends Properties("CorpusOps") {
         Prop(got.flatMap(_._2.split(" ")).toSet == toks.toSet) :| "token coverage"
     }
   }
+
+  // --------------------------------------------------- spanCorrupt
+
+  /** Sequential replay of the (doc id, span) mix and sentinel
+    * assembly.
+    */
+  private def spanRef(id: Long, toks: Seq[String], w: Int, m: Int)
+      : (String, String, Long, Long) = {
+    val h = ((id % 1000000000L) * 2654435761L) % 1000000007L
+    def masked(i: Int) = ((h + i / w) * 2654435761L) % m == 0
+    val in = toks.zipWithIndex.flatMap { case (t, i) =>
+      if (!masked(i)) Some(t)
+      else if (i % w == 0) Some(s"<extra_${i / w}>")
+      else None
+    }.mkString(" ")
+    val tg = toks.zipWithIndex.flatMap { case (t, i) =>
+      if (!masked(i)) None
+      else if (i % w == 0) Some(s"<extra_${i / w}> $t")
+      else Some(t)
+    }.mkString(" ")
+    (in, tg, toks.size.toLong, toks.indices.count(masked).toLong)
+  }
+
+  property("spanCorrupt matches the sequential replay") = {
+    import spark.implicits._
+    val gen = for {
+      id <- Gen.choose(0L, 3000000000L)
+      n <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "c1", "dd"))
+      w <- Gen.choose(1, 5)
+      m <- Gen.choose(2, 6)
+    } yield (id, toks, w, m)
+    Prop.forAllNoShrink(gen) { case (id, toks, w, m) =>
+      val df = Seq((id, toks.mkString(" "))).toDF("id", "t")
+      val got = TextAnalysis.spanCorrupt(df, "id", "t", w, m)
+        .as[(Long, String, String, Long, Long)].collect().head
+      val (in, tg, nt, nm) = spanRef(id, toks, w, m)
+      Prop((got._2, got._3, got._4, got._5) == ((in, tg, nt, nm))) :|
+        s"id=$id w=$w m=$m got $got want ($in, $tg, $nt, $nm)"
+    }
+  }
+
+  // -------------------------------------------------- unigramDrift
+
+  property("unigramDrift matches the exact TV formula") = {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("g1", "g2", "g3")
+        len <- Gen.choose(1, 10)
+        ts <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      } yield (g, ts))
+    } yield docs
+    Prop.forAllNoShrink(gen) { docs =>
+      val tf = docs.flatMap { case (g, ts) => ts.map(g -> _) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tAll = tf.values.sum
+      val glob = tf.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      val want = docs.map(_._1).distinct.map { g =>
+        val mine = tf.collect { case ((gg, t), c) if gg == g => t -> c }
+        val tg = mine.values.sum
+        val main = mine.map { case (t, c) =>
+          math.abs(c * tAll - glob(t) * tg)
+        }.sum
+        // .toSeq first: mapping glob over the KEY SET would collapse
+        // equal global counts before summing
+        val present = mine.keys.toSeq.map(glob).sum
+        g -> (main + tg * (tAll - present))
+      }.toMap
+      val got = graft.operators.TextAnalysis.unigramDrift(
+        docs.map { case (g, ts) => (g, ts.mkString(" ")) }.toDF("src", "t"),
+        "src", "t")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Prop(got == want) :| s"got $got want $want"
+    }
+  }
+
+  // ------------------------------------------------- ppsSystematic
+
+  property("ppsSystematic matches the sequential crossing rule") = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.oneOf("x", "y")
+        w <- Gen.choose(0L, 20L)   // zero weights AND all-zero strata legal
+      } yield (s, w))
+      k <- Gen.choose(1L, 8L)
+    } yield (rows.zipWithIndex.map { case ((s, w), i) => (i.toLong, s, w) }, k)
+    Prop.forAllNoShrink(gen) { case (rows, k) =>
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(_._1)
+        val tot = sorted.map(_._3).sum
+        if (tot == 0) Nil
+        else {
+          var cum = 0L
+          sorted.flatMap { case (id, _, w) =>
+            val keep = (k * (cum + w)) / tot > (k * cum) / tot
+            cum += w
+            if (keep) Some(id) else None
+          }
+        }
+      }.toSet
+      val got = graft.operators.Sampling.ppsSystematic(
+        rows.toDF("id", "s", "w"), col("w"), col("id"), k,
+        stratumCols = Seq(col("s")))
+        .select("id").as[Long].collect().toSet
+      Prop(got == want) :| s"k=$k got $got want $want"
+    }
+  }
+
+  // -------------------------------------------------- vocabEncode
+
+  property("vocabEncode matches the sequential rank + encode") = {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 12)
+        ts <- Gen.listOfN(len, Gen.oneOf("p", "q", "r", "s"))
+      } yield ts)
+    } yield docs.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+    Prop.forAllNoShrink(gen) { docs =>
+      val counts = docs.flatMap(_._2).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val rank = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+        .zipWithIndex.map { case ((t, _), i) => t -> i.toLong }.toMap
+      val want = docs.map { case (id, ts) =>
+        id -> (ts.size.toLong, ts.map(rank).mkString(" "))
+      }.toMap
+      val got = graft.operators.TextAnalysis.vocabEncode(
+        docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("id", "t"),
+        "id", "t")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+      Prop(got == want) :| s"got $got want $want"
+    }
+  }
+
+  // -------------------------------------------------- epochRepeat
+
+  property("epochRepeat emits exactly quota appearances per stratum") = {
+    import spark.implicits._
+    val gen = for {
+      nx <- Gen.choose(1, 40)
+      ny <- Gen.choose(1, 40)
+      num <- Gen.choose(1L, 4L)
+      den <- Gen.choose(1L, 4L)
+    } yield (nx, ny, num, den)
+    Prop.forAllNoShrink(gen) { case (nx, ny, num, den) =>
+      val docs = ((1 to nx).map(i => (i.toLong, "x")) ++
+        (101 to 100 + ny).map(i => (i.toLong, "y"))).toDF("id", "s")
+      val n = (nx + ny).toLong
+      val budget = n * num / den
+      val isq = Map("x" -> math.sqrt(nx.toDouble).toLong,
+        "y" -> math.sqrt(ny.toDouble).toLong)
+      val sumIsq = isq.values.sum
+      val quota = isq.view.mapValues(budget * _ / sumIsq).toMap
+      val out = graft.operators.Sampling.epochRepeat(docs, "s", "id", num, den)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val byS = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      (Prop(Seq("x", "y").forall(s =>
+        byS.getOrElse(s, 0L) == quota(s))) :| s"quota $quota got $byS") &&
+        // epochs per doc are contiguous 1..e (no gaps, no dupes)
+        Prop(out.groupBy(t => (t._1, t._2)).values.forall { rs =>
+          rs.map(_._3).sorted.toSeq == (1L to rs.length)
+        }) :| "contiguous epochs"
+    }
+  }
 }
