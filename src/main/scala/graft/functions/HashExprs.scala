@@ -50,6 +50,35 @@ object HashImpls {
     new GenericArrayData(sig)
   }
 
+  /** LSH band keys from a minhash signature: one 64-bit mixed key per
+    * band of `len/bands` consecutive signature values. Replaces the
+    * `xxhash64(concat_ws(",", slice(sig, ...)))` formulation, which
+    * rendered every signature long to a STRING per band before hashing
+    * — this mixes the raw longs (xor-multiply-shift avalanche, band
+    * index as the seed). Any deterministic key preserves LSH semantics:
+    * equal bands always collide; unequal bands colliding merely adds a
+    * candidate pair the verification stage re-checks.
+    */
+  def minHashBandKeys(sig: ArrayData, bands: Int): ArrayData = {
+    val k = sig.numElements()
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0x9E3779B97F4A7C15L * (b + 1)
+      var j = b * rows
+      val end = j + rows
+      while (j < end) {
+        acc = (acc ^ sig.getLong(j)) * 0xC2B2AE3D27D4EB4FL
+        acc ^= (acc >>> 29)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over the token array: bit j of the result is set iff
     * the count of tokens whose xxhash64 has bit j set exceeds half.
     */
@@ -276,6 +305,25 @@ case class MinHashSignature(child: Expression, coeffs: Array[Long], prime: Long)
     copy(child = newChild)
 }
 
+/** Per-band LSH bucket keys (array<bigint>) from a minhash signature
+  * array — the fused banding stage (no per-band string rendering).
+  */
+case class MinHashBandKeys(child: Expression, bands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_band_keys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.minHashBandKeys(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashImpls.minHashBandKeys($c, $bands);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
 /** 64-bit simhash (bigint) of an array<string> of tokens. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -399,6 +447,10 @@ object exprs {
     GraftSqlBridge.column(MinHashSignature(
       GraftSqlBridge.expression(shingles),
       coeffs.flatMap { case (a, b) => Seq(a, b) }.toArray, prime))
+
+  def minhashBandKeys(sig: Column, bands: Int): Column =
+    GraftSqlBridge.column(MinHashBandKeys(
+      GraftSqlBridge.expression(sig), bands))
 
   def simhash64(tokens: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))

@@ -88,13 +88,16 @@ object Dedup {
     * per band, shuffle on (band index, band hash), join within buckets.
     * Only (id, band key) rides the shuffle — signatures (numHashes
     * longs, duplicated per band) would multiply shuffle volume ~bands×.
+    * Band keys come from the fused native
+    * [[graft.functions.MinHashBandKeys]] expression — the earlier
+    * `xxhash64(concat_ws(slice(...)))` form rendered every signature
+    * long to a string per band before hashing.
     */
   private def bandedCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
     val banded = sigs.select(
       col("__id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",",
-          slice(col("__sig"), b * rows + 1, rows)))): _*)).as(Seq("__band", "__bkey")))
+      posexplode(graft.functions.exprs.minhashBandKeys(col("__sig"), bands))
+        .as(Seq("__band", "__bkey")))
     banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"))
       .join(banded.select(col("__band"), col("__bkey"), col("__id").as("id_b")),
         Seq("__band", "__bkey"))
