@@ -95,6 +95,8 @@ object ScaleProbe {
     time("vocab_encode_q144") { Queries.q144_vocab_encode(spark, dir).count() }
     time("cosine_pairs_q147") { Queries.q147_cosine_pairs(spark, dir).count() }
     time("cdc_merge_q148") { Queries.q148_stream_cdc_merge(spark, dir).count() }
+    time("interval_join_q145") { Queries.q145_interval_overlap(spark, dir).count() }
+    time("table_diff_q150") { Queries.q150_table_diff(spark, dir).count() }
     spark.stop()
   }
 }
