@@ -2718,6 +2718,33 @@ object Queries {
       .withColumnRenamed("rank", "rnk")
   }
 
+  /** Streaming windowed top-k: per-(hour, event type) counts computed
+    * INSIDE the microbatch engine (complete mode, the q38 contract),
+    * then the custom [[graft.plans.TopKPerGroup]] physical operator
+    * ranks the 3 busiest types per window — a streaming aggregation
+    * feeding a custom bounded-heap operator in one pipeline (the
+    * "trending now" leaderboard shape). Keyed by type, not user: the
+    * leaderboard dimension should be category-sized (state = windows ×
+    * types); per-user leaderboards belong to the q124 batch cap or a
+    * sketch, not complete-mode streaming state.
+    */
+  def q156_stream_window_topk(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = eventsStreamDir(s, dir)
+    val stream = graft.streaming.Streams
+      .eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+    val counts = stream
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    val all = graft.streaming.Streams
+      .runToCompletion(s, counts, s"q156_sink_${System.nanoTime()}", "complete")
+    graft.plans.TopK.perGroup(all, Seq("w_start"),
+      Seq("n" -> false, "event_type" -> true), 3)
+      .select("w_start", "event_type", "n")
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3036,7 +3063,8 @@ object Queries {
     "q152_validate" -> (q152_validate _),
     "q153_stream_window_ndv" -> (q153_stream_window_ndv _),
     "q154_epoch_repeat" -> (q154_epoch_repeat _),
-    "q155_hard_negatives" -> (q155_hard_negatives _))
+    "q155_hard_negatives" -> (q155_hard_negatives _),
+    "q156_stream_window_topk" -> (q156_stream_window_topk _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4006,6 +4034,18 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // complete-mode stream equals the batch agg (q38 contract); top 3 by
+    // (n DESC, user_id) replayed with row_number
+    "q156_stream_window_topk" ->
+      """WITH c AS (
+           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+                  event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT w_start, event_type, n FROM (
+           SELECT w_start, event_type, n,
+                  row_number() OVER (PARTITION BY w_start
+                    ORDER BY n DESC, event_type) AS rn
+           FROM c) WHERE rn <= 3""",
     // same sqrt quotas over a 3/2-corpus budget; every lang emits exactly
     // quota rows: full repeats (quota // c) + the first (quota % c) docs
     // by mix rank once more
