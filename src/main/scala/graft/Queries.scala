@@ -2745,6 +2745,39 @@ object Queries {
       .select("w_start", "event_type", "n")
   }
 
+  /** Winsorization — the robust-stats APPLICATION step (q131 detects
+    * outliers; this clamps them): per event type, values clip to the
+    * exact 5th/95th ORDER STATISTICS (k = 1 + (n−1)·p div 100, the
+    * k-th smallest value — no interpolation, so both engines agree on
+    * integer cents without float percentile semantics). One rank
+    * window per type (the q140 per-stratum posture), threshold rows
+    * broadcast back, one final aggregation. Output per type: n,
+    * thresholds, raw vs winsorized sums, clip count.
+    */
+  def q157_winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("v").asc, col("event_id").asc)
+    val ranked = ev.withColumn("__rk", row_number().over(w))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("__n"))
+    val thresholds = ranked
+      .join(broadcast(counts), "event_type")
+      .where(col("__rk") === expr("1 + ((__n - 1) * 5) div 100") ||
+        col("__rk") === expr("1 + ((__n - 1) * 95) div 100"))
+      .groupBy("event_type")
+      .agg(min(col("v")).as("p_lo"), max(col("v")).as("p_hi"))
+    ev.join(broadcast(thresholds), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("p_lo")).as("p_lo"), min(col("p_hi")).as("p_hi"),
+        sum(col("v")).as("sum_raw"),
+        sum(greatest(least(col("v"), col("p_hi")), col("p_lo")))
+          .as("sum_wins"),
+        sum(when(col("v") < col("p_lo") || col("v") > col("p_hi"), 1L)
+          .otherwise(0L)).as("n_clipped"))
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3064,7 +3097,8 @@ object Queries {
     "q153_stream_window_ndv" -> (q153_stream_window_ndv _),
     "q154_epoch_repeat" -> (q154_epoch_repeat _),
     "q155_hard_negatives" -> (q155_hard_negatives _),
-    "q156_stream_window_topk" -> (q156_stream_window_topk _))
+    "q156_stream_window_topk" -> (q156_stream_window_topk _),
+    "q157_winsorize" -> (q157_winsorize _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4034,6 +4068,27 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // same k-th-order-statistic thresholds (k = 1 + (n-1)p//100, exact
+    // cents, no interpolation) and the same clamp arithmetic
+    "q157_winsorize" -> s"""
+      WITH ev AS (
+        SELECT event_type, event_id, ${centsSql("value")} AS v FROM events),
+      c AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
+      r AS (SELECT ev.*, row_number() OVER (PARTITION BY event_type
+              ORDER BY v, event_id) AS rk FROM ev),
+      th AS (
+        SELECT r.event_type, min(v) AS p_lo, max(v) AS p_hi
+        FROM r JOIN c USING (event_type)
+        WHERE rk = 1 + ((n - 1) * 5) // 100
+           OR rk = 1 + ((n - 1) * 95) // 100
+        GROUP BY 1)
+      SELECT ev.event_type, count(*) AS n,
+             min(p_lo) AS p_lo, min(p_hi) AS p_hi,
+             CAST(sum(v) AS BIGINT) AS sum_raw,
+             CAST(sum(greatest(least(v, p_hi), p_lo)) AS BIGINT) AS sum_wins,
+             CAST(sum(CASE WHEN v < p_lo OR v > p_hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clipped
+      FROM ev JOIN th USING (event_type) GROUP BY 1""",
     // complete-mode stream equals the batch agg (q38 contract); top 3 by
     // (n DESC, user_id) replayed with row_number
     "q156_stream_window_topk" ->

@@ -532,6 +532,29 @@ class OperatorsSpec extends AnyFunSuite {
       s"got ${out.toSeq}")
   }
 
+  test("q157 winsorize: exact order-statistic thresholds and clamp arithmetic") {
+    // write a tiny deterministic events table and run the query on it:
+    // values 1..100 in one type -> k_lo = 1+99*5/100 = 5, k_hi = 1+99*95/100
+    // = 95 -> thresholds are the 5th and 95th smallest values
+    val dir = java.nio.file.Files.createTempDirectory("graft-winsor").toString
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (1 to 100).map(i => (i.toLong, ts0, i.toLong, "t", i.toDouble / 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", unix_timestamp(col("ts")) * 1000000000L)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // cents(value) = i; order statistics of 1..100
+    val out = graft.Queries.q157_winsorize(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 100L)              // n
+    assert(r.getLong(2) == 5L && r.getLong(3) == 95L)  // p_lo, p_hi
+    assert(r.getLong(4) == 5050L)             // sum_raw = sum 1..100
+    // winsorized: 1..4 -> 5 (adds 4+3+2+1 = 10), 96..100 -> 95 (subtracts
+    // 1+2+3+4+5 = 15): 5050 + 10 - 15 = 5045
+    assert(r.getLong(5) == 5045L)
+    assert(r.getLong(6) == 9L)                // 4 below + 5 above
+  }
+
   test("Sampling.ppsSystematic: k crossings, weight-proportional, saturation, zero weights") {
     import graft.operators.Sampling
     // uniform weights: exactly k sampled, evenly spaced
