@@ -2778,6 +2778,29 @@ object Queries {
           .otherwise(0L)).as("n_clipped"))
   }
 
+  /** Time-decayed engagement score — recency weighting with EXACT
+    * arithmetic: weight = 2^20 div 2^age_days (a power-of-two decay,
+    * so fixed-point division is exact in both engines — float
+    * exp(-λt) would never hash-match). Age anchors to the corpus max
+    * timestamp (1-row broadcast, the q123 count-literal shape);
+    * weights zero out past 20 days — the natural horizon of a halving
+    * decay. Map-only scoring + one aggregation per user.
+    */
+  def q158_time_decay(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), cents(col("value")).as("v"))
+    val anchor = ev.agg(max(to_date(col("ts"))).as("__d0"))
+    ev.join(broadcast(anchor))
+      .withColumn("__age", datediff(col("__d0"), to_date(col("ts"))))
+      .withColumn("__wt",
+        expr("CASE WHEN __age > 20 THEN 0L " +
+          "ELSE 1048576L div shiftleft(1L, __age) END"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v") * col("__wt")).as("decayed_c"),
+        sum(when(col("__wt") > 0, 1L).otherwise(0L)).as("n_in_horizon"))
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3098,7 +3121,8 @@ object Queries {
     "q154_epoch_repeat" -> (q154_epoch_repeat _),
     "q155_hard_negatives" -> (q155_hard_negatives _),
     "q156_stream_window_topk" -> (q156_stream_window_topk _),
-    "q157_winsorize" -> (q157_winsorize _))
+    "q157_winsorize" -> (q157_winsorize _),
+    "q158_time_decay" -> (q158_time_decay _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4068,6 +4092,24 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // same power-of-two decay: 2^20 // (1 << age), zero past 20 days —
+    // exact integers, no float exponentials
+    "q158_time_decay" -> s"""
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, ${centsSql("value")} AS v
+        FROM events),
+      a AS (SELECT max(d) AS d0 FROM ev),
+      w AS (
+        SELECT user_id, v,
+               date_diff('day', d, d0) AS age,
+               CASE WHEN date_diff('day', d, d0) > 20 THEN 0
+                 ELSE 1048576 // (1 << date_diff('day', d, d0)) END AS wt
+        FROM ev CROSS JOIN a)
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(v * wt) AS BIGINT) AS decayed_c,
+             CAST(sum(CASE WHEN wt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_in_horizon
+      FROM w GROUP BY 1""",
     // same k-th-order-statistic thresholds (k = 1 + (n-1)p//100, exact
     // cents, no interpolation) and the same clamp arithmetic
     "q157_winsorize" -> s"""

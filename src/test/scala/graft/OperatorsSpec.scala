@@ -532,6 +532,23 @@ class OperatorsSpec extends AnyFunSuite {
       s"got ${out.toSeq}")
   }
 
+  test("q158 time decay: exact halving weights, horizon cutoff") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-decay").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // user 1: events on the anchor day, 1 day back, 2 back, 25 back (past
+    // horizon); all value 1.00 -> v = 100 cents
+    Seq((1L, ts(26), 1L, "t", 1.0), (2L, ts(25), 1L, "t", 1.0),
+      (3L, ts(24), 1L, "t", 1.0), (4L, ts(1), 1L, "t", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", unix_timestamp(col("ts")) * 1000000000L)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.Queries.q158_time_decay(spark, dir).collect()(0)
+    assert(r.getLong(1) == 4L)
+    // 100*(2^20 + 2^19 + 2^18) + 0 = 100 * 1835008
+    assert(r.getLong(2) == 183500800L)
+    assert(r.getLong(3) == 3L)
+  }
+
   test("q157 winsorize: exact order-statistic thresholds and clamp arithmetic") {
     // write a tiny deterministic events table and run the query on it:
     // values 1..100 in one type -> k_lo = 1+99*5/100 = 5, k_hi = 1+99*95/100
