@@ -2801,6 +2801,20 @@ object Queries {
         sum(when(col("__wt") > 0, 1L).otherwise(0L)).as("n_in_horizon"))
   }
 
+  /** k-anonymity audit — the privacy complement of q114's PII scrub:
+    * group documents by their quasi-identifier tuple (lang, source,
+    * length band) and surface every equivalence class smaller than
+    * k = 5 — the classes where a scrubbed document could still be
+    * re-identified by its metadata. One map-side-combined aggregation;
+    * output is bounded by the quasi-identifier domain, not the corpus.
+    */
+  def q159_k_anonymity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_band"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") < 5)
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3122,7 +3136,8 @@ object Queries {
     "q155_hard_negatives" -> (q155_hard_negatives _),
     "q156_stream_window_topk" -> (q156_stream_window_topk _),
     "q157_winsorize" -> (q157_winsorize _),
-    "q158_time_decay" -> (q158_time_decay _))
+    "q158_time_decay" -> (q158_time_decay _),
+    "q159_k_anonymity" -> (q159_k_anonymity _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4092,6 +4107,11 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // identical quasi-identifier banding and k threshold
+    "q159_k_anonymity" ->
+      """SELECT lang, source, n_chars // 100 AS len_band, count(*) AS n
+         FROM documents
+         GROUP BY 1, 2, 3 HAVING count(*) < 5""",
     // same power-of-two decay: 2^20 // (1 << age), zero past 20 days —
     // exact integers, no float exponentials
     "q158_time_decay" -> s"""
