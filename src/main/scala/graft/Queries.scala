@@ -2411,6 +2411,29 @@ object Queries {
     Dedup.winnowingPairs(t(s, dir, "documents"), "doc_id", "text",
       maxDf = 50, minShared = 3)
 
+  /** Bitext-mining candidates — parallel-corpus discovery: q138's
+    * winnowing fingerprint pairs restricted to CROSS-LANGUAGE document
+    * pairs (the shared-span evidence that two documents in different
+    * languages carry the same content — template reuse, translations,
+    * transcluded passages). Same df-capped bucket join; the lang join
+    * rides the id keys of the (small) surviving pair set, so the
+    * cross-language filter costs two broadcast-joinable lookups, not a
+    * corpus shuffle.
+    */
+  def q160_bitext_candidates(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.winnowingPairs(t(s, dir, "documents"), "doc_id",
+      "text", maxDf = 50, minShared = 3)
+    val langs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    pairs
+      .join(langs.select(col("doc_id").as("id_a"), col("lang").as("lang_a")),
+        "id_a")
+      .join(langs.select(col("doc_id").as("id_b"), col("lang").as("lang_b")),
+        "id_b")
+      .where(col("lang_a") =!= col("lang_b"))
+      .select(col("id_a"), col("id_b"), col("lang_a"), col("lang_b"),
+        col("n_shared"))
+  }
+
   /** Deterministic systematic PPS sample ([[Sampling.ppsSystematic]]):
     * up to 25 docs per language drawn proportional to token count —
     * long documents proportionally more likely, the
@@ -3137,7 +3160,8 @@ object Queries {
     "q156_stream_window_topk" -> (q156_stream_window_topk _),
     "q157_winsorize" -> (q157_winsorize _),
     "q158_time_decay" -> (q158_time_decay _),
-    "q159_k_anonymity" -> (q159_k_anonymity _))
+    "q159_k_anonymity" -> (q159_k_anonymity _),
+    "q160_bitext_candidates" -> (q160_bitext_candidates _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4107,6 +4131,36 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // q138's winnowing pair chain + the cross-language restriction
+    "q160_bitext_candidates" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_transform(range(1, greatest(len(text)-7, 1)+1),
+               i -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(substr(text, CAST(i AS INT), 8), ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+                      (acc, c) -> (acc*31 + c) % 1000000007)) AS gh
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(gh)-15, 1)+1),
+               j -> list_min(gh[CAST(j AS INT):CAST(j+15 AS INT)]))) AS fps
+           FROM g),
+         f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+         pr AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+           FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*) >= 3)
+         SELECT id_a, id_b, da.lang AS lang_a, db.lang AS lang_b, n_shared
+         FROM pairs
+         JOIN documents da ON da.doc_id = id_a
+         JOIN documents db ON db.doc_id = id_b
+         WHERE da.lang <> db.lang""",
     // identical quasi-identifier banding and k threshold
     "q159_k_anonymity" ->
       """SELECT lang, source, n_chars // 100 AS len_band, count(*) AS n
