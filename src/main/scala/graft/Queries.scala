@@ -2838,6 +2838,23 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .where(col("n") < 5)
 
+  /** Deterministic per-epoch training order: each epoch gets a
+    * DECORRELATED, reproducible shuffle of the corpus — order_key =
+    * the q82 multiplicative mix over (doc_id, epoch), so epoch 2's
+    * order shares nothing with epoch 1's beyond the seed, yet every
+    * re-run (and every straggler retry) produces the identical
+    * permutation. Map-only + a 3-way epoch explode, ZERO shuffles —
+    * the training sink sorts on order_key at write time
+    * (repartitionByRange), which is where a total order belongs at
+    * 100 TB, not in a driver-side rank.
+    */
+  def q161_epoch_order(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("sequence(1L, 3L)")).as("epoch"))
+      .withColumn("order_key",
+        pmod((col("doc_id") % lit(1000000000L) + col("epoch") * lit(131L))
+          * lit(2654435761L), lit(1000000007L)))
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3161,7 +3178,8 @@ object Queries {
     "q157_winsorize" -> (q157_winsorize _),
     "q158_time_decay" -> (q158_time_decay _),
     "q159_k_anonymity" -> (q159_k_anonymity _),
-    "q160_bitext_candidates" -> (q160_bitext_candidates _))
+    "q160_bitext_candidates" -> (q160_bitext_candidates _),
+    "q161_epoch_order" -> (q161_epoch_order _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4131,6 +4149,15 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // identical (doc_id, epoch) mix; overflow: (1e9 + 3*131)*2654435761
+    // < 2^63
+    "q161_epoch_order" ->
+      """SELECT doc_id,
+              CAST(unnest(generate_series(1, 3)) AS BIGINT) AS epoch,
+              ((doc_id % 1000000000
+                + CAST(unnest(generate_series(1, 3)) AS BIGINT) * 131)
+                * 2654435761) % 1000000007 AS order_key
+         FROM documents""",
     // q138's winnowing pair chain + the cross-language restriction
     "q160_bitext_candidates" ->
       """WITH g AS (
