@@ -2855,6 +2855,36 @@ object Queries {
         pmod((col("doc_id") % lit(1000000000L) + col("epoch") * lit(131L))
           * lit(2654435761L), lit(1000000007L)))
 
+  /** Dynamic partition pruning — the star-join runtime optimization
+    * q133's STATIC pruning can't express: the fact side (events
+    * partitioned by day) carries no literal date predicate; the
+    * pruning values only exist after filtering the DIM side (a derived
+    * date dimension filtered to Mondays), so Catalyst injects a
+    * runtime `dynamicpruning` subquery into the fact scan and whole
+    * partitions skip AT EXECUTION. At 100 TB this is the difference
+    * between scanning 1/7th and scanning everything — for free, from
+    * the declarative plan. WRITE-PATH query (the partitioned layout is
+    * built in-query, the q133 pattern); the oracle states the join
+    * result from the source table.
+    */
+  def q162_dynamic_pruning(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), cents(col("value")).as("v"),
+        to_date(col("ts")).as("d"))
+    val path = s"/tmp/graft_q162_dpp_${dirSlug(dir)}"
+    ev.write.mode("overwrite").partitionBy("d").parquet(path)
+    val fact = s.read.parquet(path)
+    // derived date dimension; dayofweek is the dim attribute the fact
+    // side knows nothing about
+    val dim = ev.select(col("d")).distinct()
+      .withColumn("dow", dayofweek(col("d")))
+      .where(col("dow") === 2) // Mondays
+    fact.join(dim, "d")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      .select(col("d").cast("timestamp").as("d"), col("n"), col("sum_v"))
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3179,7 +3209,8 @@ object Queries {
     "q158_time_decay" -> (q158_time_decay _),
     "q159_k_anonymity" -> (q159_k_anonymity _),
     "q160_bitext_candidates" -> (q160_bitext_candidates _),
-    "q161_epoch_order" -> (q161_epoch_order _))
+    "q161_epoch_order" -> (q161_epoch_order _),
+    "q162_dynamic_pruning" -> (q162_dynamic_pruning _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4149,6 +4180,14 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // the oracle states the pruned star join from the source table;
+    // isodow 1 = Monday (Spark dayofweek: Sunday=1, Monday=2)
+    "q162_dynamic_pruning" -> s"""
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d, count(*) AS n,
+             CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_v
+      FROM events
+      WHERE isodow(CAST(ts AS DATE)) = 1
+      GROUP BY 1""",
     // identical (doc_id, epoch) mix; overflow: (1e9 + 3*131)*2654435761
     // < 2^63
     "q161_epoch_order" ->

@@ -549,6 +549,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 3L)
   }
 
+  test("q162: dynamic partition pruning fires on the fact scan") {
+    val df = graft.Queries.q162_dynamic_pruning(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the fact scan must carry the runtime pruning subquery — static
+    // PartitionFilters alone would mean the dim filter was constant-folded
+    // and the demo proves nothing
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamicpruning in plan:\n${plan.take(2000)}")
+    assert(df.count() > 0)
+  }
+
   test("q157 winsorize: exact order-statistic thresholds and clamp arithmetic") {
     // write a tiny deterministic events table and run the query on it:
     // values 1..100 in one type -> k_lo = 1+99*5/100 = 5, k_hi = 1+99*95/100
