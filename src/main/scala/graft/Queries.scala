@@ -2885,6 +2885,50 @@ object Queries {
       .select(col("d").cast("timestamp").as("d"), col("n"), col("sum_v"))
   }
 
+  /** Time-interval RANGE window frame — the frame class q57's
+    * rows-based frames can't express: each event's trailing-hour
+    * activity (sum + count over `RANGE BETWEEN INTERVAL 1 HOUR
+    * PRECEDING AND CURRENT ROW` ordered by event TIME, so the frame
+    * adapts to event density instead of counting rows). One window
+    * shuffle on user_id; exact integer cents inside the frame.
+    */
+  def q163_time_range_frame(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        cents(col("value")).as("v"))
+    ev.createOrReplaceTempView("__q163_ev")
+    s.sql("""
+      SELECT event_id, user_id,
+             sum(v) OVER w AS hour_sum_c,
+             count(*) OVER w AS hour_n
+      FROM __q163_ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """)
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the join
+    * semantics a naive `=` silently breaks on nullable keys (NULL = NULL
+    * is NULL, so null-keyed rows vanish). Keys are NULLified
+    * deterministically (the q134 corruption rule); the null-safe join
+    * matches the NULL group to itself, and the output counts prove both
+    * populations: real keys match 1:1, the null bucket matches
+    * n_null × n_null.
+    */
+  def q164_nullsafe_join(s: SparkSession, dir: String): DataFrame = {
+    // NULLify sparsely (mod 997): the null bucket self-matches
+    // quadratically BY DESIGN, so its population must stay small while
+    // remaining live at every SF
+    val o = t(s, dir, "orders")
+      .select(when(col("o_orderkey") % 997 === 0, lit(null))
+        .otherwise(col("o_orderkey")).as("k"))
+    val a = o.select(col("k").as("ka"))
+    val b = o.select(col("k").as("kb"))
+    a.join(b, col("ka") <=> col("kb"))
+      .groupBy(col("ka").isNull.as("is_null_bucket"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3210,7 +3254,9 @@ object Queries {
     "q159_k_anonymity" -> (q159_k_anonymity _),
     "q160_bitext_candidates" -> (q160_bitext_candidates _),
     "q161_epoch_order" -> (q161_epoch_order _),
-    "q162_dynamic_pruning" -> (q162_dynamic_pruning _))
+    "q162_dynamic_pruning" -> (q162_dynamic_pruning _),
+    "q163_time_range_frame" -> (q163_time_range_frame _),
+    "q164_nullsafe_join" -> (q164_nullsafe_join _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4180,6 +4226,26 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // identical time-interval RANGE frame semantics in both engines
+    "q163_time_range_frame" -> s"""
+      WITH ev AS (
+        SELECT event_id, user_id, ts, ${centsSql("value")} AS v FROM events)
+      SELECT event_id, user_id,
+             CAST(sum(v) OVER w AS BIGINT) AS hour_sum_c,
+             count(*) OVER w AS hour_n
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+    // IS NOT DISTINCT FROM = Spark's <=>; the null bucket matches itself
+    // quadratically, real keys 1:1
+    "q164_nullsafe_join" ->
+      """WITH o AS (
+           SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL
+                       ELSE o_orderkey END AS k
+           FROM orders)
+         SELECT a.k IS NULL AS is_null_bucket, count(*) AS n_matches
+         FROM o a JOIN o b ON a.k IS NOT DISTINCT FROM b.k
+         GROUP BY 1""",
     // the oracle states the pruned star join from the source table;
     // isodow 1 = Monday (Spark dayofweek: Sunday=1, Monday=2)
     "q162_dynamic_pruning" -> s"""
