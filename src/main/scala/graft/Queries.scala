@@ -2929,6 +2929,23 @@ object Queries {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Spark 4 VARIANT ingestion — the semi-structured path BESIDE
+    * schema-on-read (q36's from_json needs the schema up front;
+    * VARIANT defers it to access time, the open-schema lakehouse
+    * pattern): `parse_json` the props payload once, extract typed
+    * fields lazily with `variant_get`, aggregate. The oracle replays
+    * with DuckDB's JSON extraction — same values, schema-free on both
+    * sides.
+    */
+  def q165_variant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3256,7 +3273,8 @@ object Queries {
     "q161_epoch_order" -> (q161_epoch_order _),
     "q162_dynamic_pruning" -> (q162_dynamic_pruning _),
     "q163_time_range_frame" -> (q163_time_range_frame _),
-    "q164_nullsafe_join" -> (q164_nullsafe_join _))
+    "q164_nullsafe_join" -> (q164_nullsafe_join _),
+    "q165_variant" -> (q165_variant _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4226,6 +4244,14 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // DuckDB's JSON extraction replays the variant_get field access
+    "q165_variant" ->
+      """SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+              CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+         FROM events GROUP BY 1""",
     // identical time-interval RANGE frame semantics in both engines
     "q163_time_range_frame" -> s"""
       WITH ev AS (
