@@ -2946,6 +2946,29 @@ object Queries {
         sum(col("k")).as("sum_k"),
         max(col("k")).as("max_k"))
 
+  /** LATERAL correlated subquery — the per-row subquery surface
+    * (Spark 3.4+): each low-key customer drives its own ordered+limited
+    * scan of orders ("this customer's top 2 orders"), expressed exactly
+    * as the SQL standard writes it. Catalyst decorrelates the lateral
+    * into a ranked join under the hood — same plan family as q56's
+    * TopKPerGroup, arrived at from declarative SQL.
+    */
+  def q166_lateral_topk(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("__q166_c")
+    t(s, dir, "orders").createOrReplaceTempView("__q166_o")
+    s.sql(s"""
+      SELECT c.c_custkey, o.o_orderkey, o.price_c
+      FROM __q166_c c
+      JOIN LATERAL (
+        SELECT o_orderkey, ${"CAST(round(o_totalprice*100) AS BIGINT)"} AS price_c
+        FROM __q166_o
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2) o
+      WHERE c.c_custkey <= 50
+    """)
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3274,7 +3297,8 @@ object Queries {
     "q162_dynamic_pruning" -> (q162_dynamic_pruning _),
     "q163_time_range_frame" -> (q163_time_range_frame _),
     "q164_nullsafe_join" -> (q164_nullsafe_join _),
-    "q165_variant" -> (q165_variant _))
+    "q165_variant" -> (q165_variant _),
+    "q166_lateral_topk" -> (q166_lateral_topk _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4244,6 +4268,18 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // DuckDB runs the identical LATERAL shape natively
+    "q166_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.price_c
+         FROM customer c
+         JOIN LATERAL (
+           SELECT o_orderkey,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+           FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2) o ON TRUE
+         WHERE c.c_custkey <= 50""",
     // DuckDB's JSON extraction replays the variant_get field access
     "q165_variant" ->
       """SELECT event_type, count(*) AS n,
