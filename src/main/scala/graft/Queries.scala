@@ -2969,6 +2969,24 @@ object Queries {
     """)
   }
 
+  /** Spark 4 COLLATION-aware grouping: the lang code is re-cased
+    * deterministically (even doc ids upper-case it), then grouped
+    * under `UTF8_LCASE` collation — case-insensitive semantics from
+    * the TYPE, not from wrapping every expression in lower() (the
+    * collation survives joins/sorts/aggregations wherever the column
+    * flows). The oracle states the same groups via lower().
+    */
+  def q167_collation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("lang_cased",
+        when(col("doc_id") % 2 === 0, upper(col("lang")))
+          .otherwise(col("lang")))
+      .groupBy(expr("collate(lang_cased, 'UTF8_LCASE')").as("lang_ci"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang_cased")).as("n_casings"))
+      .select(lower(col("lang_ci")).cast("string").as("lang"),
+        col("n_docs"), col("n_casings"))
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3298,7 +3316,8 @@ object Queries {
     "q163_time_range_frame" -> (q163_time_range_frame _),
     "q164_nullsafe_join" -> (q164_nullsafe_join _),
     "q165_variant" -> (q165_variant _),
-    "q166_lateral_topk" -> (q166_lateral_topk _))
+    "q166_lateral_topk" -> (q166_lateral_topk _),
+    "q167_collation" -> (q167_collation _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4268,6 +4287,15 @@ object Queries {
            WHERE w.hops < 3)
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
+    // collation-insensitive groups restated via lower(); same re-casing
+    "q167_collation" ->
+      """WITH d AS (
+           SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+                    AS lang_cased
+           FROM documents)
+         SELECT lower(lang_cased) AS lang, count(*) AS n_docs,
+                CAST(count(DISTINCT lang_cased) AS BIGINT) AS n_casings
+         FROM d GROUP BY 1""",
     // DuckDB runs the identical LATERAL shape natively
     "q166_lateral_topk" ->
       """SELECT c.c_custkey, o.o_orderkey, o.price_c
