@@ -2987,6 +2987,62 @@ object Queries {
       .select(lower(col("lang_ci")).cast("string").as("lang"),
         col("n_docs"), col("n_casings"))
 
+  /** Gopher-style quality-rule audit (Rae et al. 2021 §A1.1): four
+    * integer-exact document rules ([[TextAnalysis.gopherFlags]] — word
+    * count, distinct-token repetition, mean word length, stopword
+    * presence) evaluated per doc and rolled up per source. The entire
+    * rule battery folds into ONE scan + one 20-group aggregate: zero
+    * extra shuffles, every rule a codegen'd HOF over the token array.
+    * Every rule's fail branch is live at every SF (probed).
+    */
+  def q168_gopher_quality(s: SparkSession, dir: String): DataFrame = {
+    val flag = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    t(s, dir, "documents")
+      .select(col("source"),
+        TextAnalysis.gopherFlags(col("text")).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        flag(col("g.too_short")).as("n_short"),
+        flag(col("g.repetitive")).as("n_repetitive"),
+        flag(col("g.long_words")).as("n_long_words"),
+        flag(col("g.low_stopword")).as("n_low_stopword"),
+        flag(!col("g.too_short") && !col("g.repetitive") &&
+          !col("g.long_words") && !col("g.low_stopword")).as("n_pass"))
+  }
+
+  /** Gopher's REPETITION rule family: fraction of characters covered by
+    * the most frequent word 2-gram per document (the "top n-gram
+    * fraction" filter — catches boilerplate loops n-gram-level dedup
+    * misses). Coverage is `max over bigrams of count*strlen(bigram)` —
+    * taking the max of the PRODUCT (not the max count with a tiebreak)
+    * keeps the result deterministic under count ties with no ordering
+    * dependence. Flag when coverage > 15% of chars, cross-multiplied.
+    * Two keyed shuffles — (doc_id, bigram) counts with map-side
+    * combine, then doc_id — both carrying counts, never documents; at
+    * 100 TB the bigram key could be hashed to 8 bytes (q117's trick)
+    * but is kept raw here because strlen(bigram) rides the same row.
+    */
+  def q169_top_bigram(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), length(col("text")).as("nc"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+    val bigrams = docs.select(col("doc_id"), col("source"), col("nc"),
+      explode(zip_with(
+        slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+        slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    bigrams
+      .groupBy("doc_id", "source", "nc", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "source", "nc")
+      .agg(max(col("c") * length(col("bg"))).as("covered"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("covered") * 20 > col("nc") * 3, 1L).otherwise(0L))
+          .as("n_repetitive"),
+        max(expr("covered * 1000000 div nc")).as("max_cov_ppm"))
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3317,7 +3373,9 @@ object Queries {
     "q164_nullsafe_join" -> (q164_nullsafe_join _),
     "q165_variant" -> (q165_variant _),
     "q166_lateral_topk" -> (q166_lateral_topk _),
-    "q167_collation" -> (q167_collation _))
+    "q167_collation" -> (q167_collation _),
+    "q168_gopher_quality" -> (q168_gopher_quality _),
+    "q169_top_bigram" -> (q169_top_bigram _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4288,6 +4346,47 @@ object Queries {
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
     // collation-insensitive groups restated via lower(); same re-casing
+    // same integer rule battery: split/list_distinct/replace arithmetic
+    "q168_gopher_quality" -> s"""
+      WITH st AS (
+        SELECT source,
+               $tokCountSql AS n,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+               CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS sumlen,
+               $stopSumSql AS stop
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN n < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+             CAST(sum(CASE WHEN nd*100 < n*45 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+             CAST(sum(CASE WHEN sumlen*2 > n*9 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_words,
+             CAST(sum(CASE WHEN stop*20 < n THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopword,
+             CAST(sum(CASE WHEN NOT (n < 30) AND NOT (nd*100 < n*45)
+                            AND NOT (sumlen*2 > n*9) AND NOT (stop*20 < n)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM st GROUP BY source""",
+    // max of count*strlen(bigram) — the same tie-independent product
+    "q169_top_bigram" ->
+      """WITH toks AS (
+           SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS nc,
+                  string_split(text, ' ') AS tk
+           FROM documents),
+         bg AS (
+           SELECT doc_id, source, nc,
+                  unnest(list_transform(range(1, len(tk)),
+                                        i -> tk[i] || ' ' || tk[i+1])) AS bg
+           FROM toks),
+         cnt AS (
+           SELECT doc_id, source, nc, bg, count(*) AS c
+           FROM bg GROUP BY ALL),
+         top AS (
+           SELECT doc_id, any_value(source) AS source, any_value(nc) AS nc,
+                  CAST(max(c*strlen(bg)) AS BIGINT) AS covered
+           FROM cnt GROUP BY doc_id)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN covered*20 > nc*3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_repetitive,
+                CAST(max((covered*1000000)//nc) AS BIGINT) AS max_cov_ppm
+         FROM top GROUP BY source""",
     "q167_collation" ->
       """WITH d AS (
            SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END

@@ -104,6 +104,37 @@ object TextAnalysis {
   def stopwordRatio(text: Column): Column =
     stopwordCount(text).cast("double") / tokenCount(text)
 
+  /** Gopher-style (Rae et al. 2021, "Scaling Language Models") document
+    * quality rules, each in exact cross-multiplied integer arithmetic so
+    * the oracle matches bit-for-bit — no float ratios anywhere:
+    *
+    *   - `too_short`     n_tokens < 30 (the word-count floor)
+    *   - `repetitive`    distinct/total token ratio < 0.45
+    *                     (the duplicate-content analogue of Gopher's
+    *                     duplicate-line fraction; this corpus has no
+    *                     newlines, so the unit is the token)
+    *   - `long_words`    mean token length > 4.5 (as `sum_len*2 > n*9`)
+    *   - `low_stopword`  stopword ratio < 0.05 (Gopher's "no stop words"
+    *                     rule, against [[stopwords]])
+    *
+    * Thresholds sit inside this corpus's observed spread so BOTH branch
+    * populations stay live at every SF (probed at sf0.001/0.01/0.1).
+    * Pure codegen'd HOF arithmetic — zero shuffles until the caller
+    * aggregates.
+    */
+  def gopherFlags(text: Column): Column = {
+    val tk = tokens(text)
+    val n = size(tk).cast("long")
+    val nd = size(array_distinct(tk)).cast("long")
+    val sumLen = length(strReplace(text, " ", "")).cast("long")
+    val stop = stopwordCount(text)
+    struct(
+      (n < 30).as("too_short"),
+      (nd * 100 < n * 45).as("repetitive"),
+      (sumLen * 2 > n * 9).as("long_words"),
+      (stop * 20 < n).as("low_stopword"))
+  }
+
   def qualityScore(text: Column): Column =
     least(tokenCount(text).cast("double") / lit(64.0), lit(1.0)) * lit(0.5) +
       stopwordRatio(text) * lit(0.5)
