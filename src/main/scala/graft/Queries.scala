@@ -3043,6 +3043,83 @@ object Queries {
         max(expr("covered * 1000000 div nc")).as("max_cov_ppm"))
   }
 
+  /** Spark 4 LISTAGG — ordered string aggregation `WITHIN GROUP
+    * (ORDER BY ...)`, the SQL:2016 surface (DuckDB replays it as
+    * `string_agg(... ORDER BY ...)`). The explicit ORDER BY inside the
+    * aggregate is what makes a concatenated string deterministic and
+    * therefore hash-checkable — an unordered listagg would be
+    * partition-order-dependent. Keyed to a bounded slice so the output
+    * strings stay row-sized at every SF.
+    */
+  def q170_listagg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").where(col("o_orderkey") <= 300)
+      .createOrReplaceTempView("__q170_o")
+    s.sql("""
+      SELECT o_orderstatus,
+             listagg(CAST(o_orderkey AS STRING), ',')
+               WITHIN GROUP (ORDER BY o_orderkey) AS keys,
+             count(*) AS n
+      FROM __q170_o GROUP BY o_orderstatus""")
+  }
+
+  /** UNPIVOT — wide-to-long relational reshaping (the inverse of q103's
+    * pivot): per-nation metrics computed once as a wide row, then
+    * unpivoted with Spark's native UNPIVOT clause into (key, metric,
+    * value) triples. The oracle states the same reshape as a UNION ALL
+    * so the semantics are pinned engine-independently. All metrics are
+    * BIGINT (exact cents) — UNPIVOT requires a common value type.
+    */
+  def q171_unpivot(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(cents(col("c_acctbal"))).as("sum_bal_c"),
+        max(cents(col("c_acctbal"))).as("max_bal_c"))
+      .createOrReplaceTempView("__q171_w")
+    s.sql("""
+      SELECT c_nationkey, metric, val
+      FROM __q171_w
+      UNPIVOT (val FOR metric IN (n_cust, sum_bal_c, max_bal_c))""")
+  }
+
+  /** l-diversity audit — the companion privacy gate to q159's
+    * k-anonymity: a quasi-identifier class can be large (k-anonymous)
+    * yet still leak if its SENSITIVE attribute is near-constant.
+    * Classes = (nation, account-balance band in exact cents — banding
+    * on cents avoids the double→bigint cast, which ROUNDS in DuckDB
+    * but TRUNCATES in Spark; the +100000 shift keeps the dividend
+    * nonnegative, where Spark `div` and DuckDB `//` agree — balances
+    * go down to -1000.00); sensitive = market segment; report
+    * classes with fewer than 4 distinct segment values. One keyed agg;
+    * output is audit-sized.
+    */
+  def q172_l_diversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("__c", cents(col("c_acctbal")) + lit(100000L))
+      .groupBy(col("c_nationkey"), expr("__c div 100000").as("bal_band"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_mktsegment")).as("l"))
+      .where(col("l") < 4)
+
+  /** URL/domain-level corpus statistics — the curation axis web-scale
+    * pipelines filter on (domain blocklists, per-host caps). URLs are
+    * derived deterministically in-plan (the corpus carries none — same
+    * convention as q114's PII derivation), then round-tripped through
+    * Spark's native `parse_url` HOST/PATH extraction; the oracle
+    * rebuilds host/lang directly from the source columns, so the gate
+    * verifies parse_url actually inverts the construction. Map-only +
+    * one 20-group agg, zero extra shuffles.
+    */
+  def q173_domain_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(concat(lit("https://"), col("source"), lit(".example.com/"),
+        col("lang"), lit("/doc-"), col("doc_id")).as("url"))
+      .select(expr("parse_url(url, 'HOST')").as("host"),
+        expr("split_part(parse_url(url, 'PATH'), '/', 2)").as("lang"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3375,7 +3452,11 @@ object Queries {
     "q166_lateral_topk" -> (q166_lateral_topk _),
     "q167_collation" -> (q167_collation _),
     "q168_gopher_quality" -> (q168_gopher_quality _),
-    "q169_top_bigram" -> (q169_top_bigram _))
+    "q169_top_bigram" -> (q169_top_bigram _),
+    "q170_listagg" -> (q170_listagg _),
+    "q171_unpivot" -> (q171_unpivot _),
+    "q172_l_diversity" -> (q172_l_diversity _),
+    "q173_domain_stats" -> (q173_domain_stats _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4346,6 +4427,41 @@ object Queries {
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
     // collation-insensitive groups restated via lower(); same re-casing
+    // DuckDB's ordered string_agg is the same SQL:2016 aggregate
+    "q170_listagg" ->
+      """SELECT o_orderstatus,
+                string_agg(CAST(o_orderkey AS VARCHAR), ','
+                           ORDER BY o_orderkey) AS keys,
+                count(*) AS n
+         FROM orders WHERE o_orderkey <= 300
+         GROUP BY o_orderstatus""",
+    // the reshape stated engine-independently as a UNION ALL
+    "q171_unpivot" -> s"""
+      WITH w AS (
+        SELECT c_nationkey, count(*) AS n_cust,
+               CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS sum_bal_c,
+               CAST(max(${centsSql("c_acctbal")}) AS BIGINT) AS max_bal_c
+        FROM customer GROUP BY c_nationkey)
+      SELECT c_nationkey, 'n_cust' AS metric, n_cust AS val FROM w
+      UNION ALL
+      SELECT c_nationkey, 'sum_bal_c', sum_bal_c FROM w
+      UNION ALL
+      SELECT c_nationkey, 'max_bal_c', max_bal_c FROM w""",
+    // same cents-banded classes; l = distinct sensitive values
+    "q172_l_diversity" -> s"""
+      SELECT c_nationkey,
+             (${centsSql("c_acctbal")} + 100000) // 100000 AS bal_band,
+             count(*) AS n,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+      FROM customer
+      GROUP BY 1, 2
+      HAVING count(DISTINCT c_mktsegment) < 4""",
+    // host/lang rebuilt directly from the construction inputs
+    "q173_domain_stats" ->
+      """SELECT source || '.example.com' AS host,
+                count(*) AS n_docs,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM documents GROUP BY 1""",
     // same integer rule battery: split/list_distinct/replace arithmetic
     "q168_gopher_quality" -> s"""
       WITH st AS (
