@@ -3120,6 +3120,55 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"))
 
+  /** BM25 ranked retrieval (Robertson-Spärck Jones) in EXACT integer
+    * arithmetic — the search-side counterpart of q123's TF-IDF and the
+    * q85 inverted index. Log-free rational variant: idf is the raw RSJ
+    * odds ratio (2N−2df+1)/(2df+1) (doubled to stay integral; monotone
+    * in the classic log idf, so per-term ordering is preserved), and
+    * the k1=1.2 / b=0.75 saturation term is cross-multiplied to the
+    * common denominator 20·T:
+    *
+    *   tf_part = 44·tf·T / (20·tf·T + 6·T + 18·dl·N)     (T = Σ dl)
+    *
+    * Scores scale by 10⁶ and divide in decimal(38,0)/HUGEINT (the
+    * overflow envelope: the numerator reaches ~2.6e20 at sf1). Query
+    * terms are literals, so scoring is MAP-ONLY over a 1-row broadcast
+    * stats join (the q123 count-literal shape) — no inverted-index
+    * shuffle for a 3-term query; top-10 via TakeOrderedAndProject
+    * (per-partition heaps, never a full sort).
+    */
+  def q174_bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("dup", "vector", "merge")
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("dl"))
+    val dfAggs = terms.zipWithIndex.map { case (w, i) =>
+      sum(when(TextAnalysis.wordOccurrences(col("text"), w) > 0, 1L)
+        .otherwise(0L)).as(s"__df_$i")
+    }
+    val stats = docs.agg(count(lit(1)).as("__n"),
+      (sum(col("dl")).as("__t") +: dfAggs): _*)
+    val withTf = terms.zipWithIndex
+      .foldLeft(docs.crossJoin(broadcast(stats))) { case (d, (w, i)) =>
+        d.withColumn(s"__tf_$i",
+          TextAnalysis.wordOccurrences(col("text"), w))
+      }
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    val scoreTerms = terms.indices.map { i =>
+      s"""CAST((${dec("1000000")} * ${dec(s"2*__n - 2*__df_$i + 1")}
+           * ${dec("44")} * ${dec(s"__tf_$i")} * ${dec("__t")})
+          div (${dec(s"2*__df_$i + 1")}
+           * (${dec("20")} * ${dec(s"__tf_$i")} * ${dec("__t")}
+              + ${dec("6")} * ${dec("__t")}
+              + ${dec("18")} * ${dec("dl")} * ${dec("__n")})) AS BIGINT)"""
+    }
+    withTf
+      .withColumn("score", expr(scoreTerms.mkString("(", " + ", ")")))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .select("doc_id", "score")
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3456,7 +3505,8 @@ object Queries {
     "q170_listagg" -> (q170_listagg _),
     "q171_unpivot" -> (q171_unpivot _),
     "q172_l_diversity" -> (q172_l_diversity _),
-    "q173_domain_stats" -> (q173_domain_stats _))
+    "q173_domain_stats" -> (q173_domain_stats _),
+    "q174_bm25" -> (q174_bm25 _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4427,6 +4477,31 @@ object Queries {
          SELECT id, CAST(min(hops) AS BIGINT) AS hops
          FROM walk GROUP BY id""",
     // collation-insensitive groups restated via lower(); same re-casing
+    // identical rational-BM25 arithmetic in HUGEINT; same floor division
+    "q174_bm25" -> {
+      val terms = Seq("dup", "vector", "merge")
+      def h(e: String) = s"CAST(($e) AS HUGEINT)"
+      val dfs = terms.zipWithIndex.map { case (w, i) =>
+        s"CAST(sum(CASE WHEN ${occSql("text", w)} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+      }.mkString(", ")
+      val sc = terms.zipWithIndex.map { case (w, i) =>
+        val tf = occSql("text", w)
+        s"""CAST((${h("1000000")} * ${h(s"2*n - 2*df$i + 1")} * ${h("44")}
+             * ${h(tf)} * ${h("t")})
+            // (${h(s"2*df$i + 1")}
+             * (${h("20")} * ${h(tf)} * ${h("t")}
+                + ${h("6")} * ${h("t")}
+                + ${h("18")} * ${h("dl")} * ${h("n")})) AS BIGINT)"""
+      }.mkString("(", " + ", ")")
+      s"""WITH d AS (
+            SELECT doc_id, text, $tokCountSql AS dl FROM documents),
+          st AS (
+            SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t, $dfs
+            FROM d)
+          SELECT doc_id, $sc AS score
+          FROM d, st
+          ORDER BY score DESC, doc_id LIMIT 10"""
+    },
     // DuckDB's ordered string_agg is the same SQL:2016 aggregate
     "q170_listagg" ->
       """SELECT o_orderstatus,
