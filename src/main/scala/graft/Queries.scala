@@ -3169,6 +3169,58 @@ object Queries {
       .select("doc_id", "score")
   }
 
+  /** Spark 4 RECURSIVE CTE (`WITH RECURSIVE`, the UnionLoop plan) —
+    * iterative SQL without leaving the declarative surface. The
+    * hierarchy is the implicit binary heap over customer keys
+    * (parent(k) = k div 2, root = 1), so the recursion is data-driven
+    * (each level joins the full customer table against the previous
+    * frontier) but its result is analytically checkable: level d holds
+    * exactly the customer keys in [2^d, 2^(d+1)). ~log2(|customer|)
+    * iterations; each iteration is one equi-join shuffle of the
+    * frontier — the same level-synchronous shape as
+    * [[graft.operators.Graph.bfsHops]], here expressed entirely in SQL
+    * and driven by Catalyst's UnionLoop execution rather than a
+    * hand-rolled driver loop. DuckDB runs the identical recursion.
+    */
+  def q175_recursive_cte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("__q175_c")
+    s.sql("""
+      WITH RECURSIVE h(ck, depth) AS (
+        SELECT CAST(1 AS BIGINT) AS ck, CAST(0 AS BIGINT) AS depth
+        UNION ALL
+        SELECT c.c_custkey, h.depth + 1
+        FROM __q175_c c JOIN h ON c.c_custkey DIV 2 = h.ck)
+      SELECT depth, count(*) AS n_nodes,
+             min(ck) AS min_key, max(ck) AS max_key
+      FROM h GROUP BY depth""")
+  }
+
+  /** Exact triangle counting ([[Graph.triangleCounts]]) over the
+    * supplier co-purchase graph: suppliers are adjacent when they
+    * appear together in >= 8 distinct orders — the cohesive-community
+    * signal (a triangle = three suppliers who each pairwise share
+    * repeat business). Degree-oriented wedge counting bounds the
+    * out-degree at O(sqrt m) after orientation, so no hub vertex owns a
+    * quadratic wedge set at any scale; the per-order supplier pair
+    * expansion is bounded by order size (~4 lineitems). The oracle
+    * replays the canonical a<b<c three-way self-join — a different
+    * algorithm (id-oriented enumeration) that must produce the
+    * identical per-vertex counts.
+    */
+  def q176_triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val pairs = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sa"))
+      .join(li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sb")), "ok")
+      .where(col("sa") < col("sb"))
+      .select(col("ok"), col("sa").as("lo"), col("sb").as("hi"))
+      .distinct()
+    val edges = pairs.groupBy("lo", "hi").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 8)
+      .select("lo", "hi")
+    Graph.triangleCounts(edges, "lo", "hi")
+      .select(col("id").as("s_suppkey"), col("n_tri"))
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3506,7 +3558,9 @@ object Queries {
     "q171_unpivot" -> (q171_unpivot _),
     "q172_l_diversity" -> (q172_l_diversity _),
     "q173_domain_stats" -> (q173_domain_stats _),
-    "q174_bm25" -> (q174_bm25 _))
+    "q174_bm25" -> (q174_bm25 _),
+    "q175_recursive_cte" -> (q175_recursive_cte _),
+    "q176_triangles" -> (q176_triangles _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4502,6 +4556,38 @@ object Queries {
           FROM d, st
           ORDER BY score DESC, doc_id LIMIT 10"""
     },
+    // the identical recursion (DuckDB's // is Spark's DIV on BIGINTs)
+    "q175_recursive_cte" ->
+      """WITH RECURSIVE h(ck, depth) AS (
+           SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+           UNION ALL
+           SELECT c.c_custkey, h.depth + 1
+           FROM customer c JOIN h ON c.c_custkey // 2 = h.ck)
+         SELECT depth, count(*) AS n_nodes,
+                min(ck) AS min_key, max(ck) AS max_key
+         FROM h GROUP BY depth""",
+    // id-oriented a<b<c enumeration — a DIFFERENT triangle algorithm
+    // than the engine's degree-oriented wedges; counts must agree
+    "q176_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+         pairs AS (
+           SELECT DISTINCT a.l_orderkey AS ok,
+                  a.l_suppkey AS lo, b.l_suppkey AS hi
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+         ed AS (
+           SELECT lo, hi FROM (
+             SELECT lo, hi, count(*) AS n FROM pairs GROUP BY 1, 2)
+           WHERE n >= 8),
+         tri AS (
+           SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+           FROM ed e1
+           JOIN ed e2 ON e1.hi = e2.lo
+           JOIN ed e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         m AS (SELECT a AS id FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+         SELECT id AS s_suppkey, count(*) AS n_tri FROM m GROUP BY 1""",
     // DuckDB's ordered string_agg is the same SQL:2016 aggregate
     "q170_listagg" ->
       """SELECT o_orderstatus,

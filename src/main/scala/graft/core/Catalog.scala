@@ -14,16 +14,24 @@ object Catalog {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
-    // read as a raw long; convert nanos -> microsecond TimestampType here
-    // so downstream operators see a normal timestamp column. The legacy
-    // conf is only needed (and only set) for that one table — session
-    // state isn't mutated for the other nine lookups.
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    // generations (Spark 4 rejects it unless read as a raw long) and as
+    // TIMESTAMP(MICROS, NTZ) in others. Normalize BOTH to a session-local
+    // TimestampType column so downstream operators always see the same
+    // schema. The legacy conf is only needed (and only set) for that one
+    // table — session state isn't mutated for the other nine lookups.
     if (name == "events") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // nanos-as-long generation: nanos -> micros
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => // micros NTZ generation: same wall-clock
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -168,6 +168,57 @@ object GraphSpec extends Properties("Graph") {
       s"chain distances $d"
   }
 
+  /** Driver-side brute-force triangle reference: all id-ordered vertex
+    * triples with all three edges present.
+    */
+  private def triRef(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val verts = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      a <- verts; b <- verts if a < b && und((a, b))
+      c <- verts if b < c && und((b, c)) && und((a, c))
+    } yield (a, b, c)
+    tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+  }
+
+  property("triangleCounts matches brute force on random graphs") = {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(4, 24)
+      m <- Gen.choose(0, n * 3)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield es
+    Prop.forAll(gen) { es =>
+      val got =
+        if (es.isEmpty) Map.empty[Long, Long]
+        else Graph.triangleCounts(es.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+      val want = triRef(es)
+      Prop(got == want) :| s"got ${got.toSeq.sorted} want ${want.toSeq.sorted}"
+    }
+  }
+
+  property("triangleCounts shapes: K4, square, square+diagonal") = {
+    import spark.implicits._
+    def counts(es: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.triangleCounts(es.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+    // K4: every vertex in C(3,2)=3 triangles
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    // 4-cycle: no triangles at all
+    val square = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    // square + one diagonal: two triangles sharing the diagonal
+    val diag = square :+ (0L, 2L)
+    Prop(counts(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L)) :| "K4" &&
+      Prop(counts(square) == Map.empty[Long, Long]) :| "square" &&
+      Prop(counts(diag) == Map(0L -> 2L, 2L -> 2L, 1L -> 1L, 3L -> 1L)) :| "square+diag"
+  }
+
   property("exhausting maxIter without convergence fails loudly") = {
     import spark.implicits._
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
