@@ -3221,6 +3221,58 @@ object Queries {
       .select(col("id").as("s_suppkey"), col("n_tri"))
   }
 
+  /** PMI collocation mining — the corpus-linguistics signal behind
+    * phrase vocabularies and tokenizer merge rules: bigrams whose
+    * observed frequency beats the independence expectation. Ranked by
+    * the EXACT pointwise-mutual-information ratio
+    * p(w1 w2) / (p(w1)·p(w2)) = (c12/N) / ((c1/T)(c2/T)), scaled to
+    * ppm and evaluated entirely in decimal(38,0) cross-multiplication
+    * (log is monotone — ranking by the ratio IS ranking by PMI, with
+    * no float in sight). One bigram agg + one unigram agg; the unigram
+    * table joins back twice as a broadcast (vocab-sized), corpus
+    * totals ride 1-row broadcast joins. Floor 5 occurrences kills
+    * hapax-pair noise.
+    */
+  def q177_pmi_bigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bg = toks.where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk)-1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val tTok = uni.agg(sum(col("c")).as("t_tok"))
+    val nBig = bg.agg(sum(col("n_pair")).as("n_big"))
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    bg.where(col("n_pair") >= 5)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .join(broadcast(tTok)).join(broadcast(nBig))
+      .withColumn("score_ppm", expr(
+        s"""CAST((${dec("1000000")} * ${dec("n_pair")} * ${dec("t_tok")} * ${dec("t_tok")})
+            div (${dec("n_big")} * ${dec("c1")} * ${dec("c2")}) AS BIGINT)"""))
+      .orderBy(col("score_ppm").desc, col("w1"), col("w2"))
+      .limit(20)
+      .select("w1", "w2", "n_pair", "score_ppm")
+  }
+
+  /** Positional phrase search ([[InvertedIndex.phraseMatches]]): every
+    * document containing the exact consecutive phrase "table hash",
+    * with its occurrence count and first 0-based hit position. The
+    * engine answers it the INDEX way — per-token positional postings
+    * intersected by (doc, pos + offset) equi-joins, corpus never
+    * shuffles — while the oracle answers it the SCAN way (per-doc list
+    * arithmetic); the two must agree row-for-row.
+    */
+  def q178_phrase_search(s: SparkSession, dir: String): DataFrame =
+    InvertedIndex.phraseMatches(
+        t(s, dir, "documents"), "doc_id", "text", Seq("table", "hash"))
+      .groupBy(col("__doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("__pos")).cast("long").as("first_pos"))
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3560,7 +3612,9 @@ object Queries {
     "q173_domain_stats" -> (q173_domain_stats _),
     "q174_bm25" -> (q174_bm25 _),
     "q175_recursive_cte" -> (q175_recursive_cte _),
-    "q176_triangles" -> (q176_triangles _))
+    "q176_triangles" -> (q176_triangles _),
+    "q177_pmi_bigrams" -> (q177_pmi_bigrams _),
+    "q178_phrase_search" -> (q178_phrase_search _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4588,6 +4642,43 @@ object Queries {
                UNION ALL SELECT b FROM tri
                UNION ALL SELECT c FROM tri)
          SELECT id AS s_suppkey, count(*) AS n_tri FROM m GROUP BY 1""",
+    // identical cross-multiplied PMI ratio in HUGEINT; same floor div
+    "q177_pmi_bigrams" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         uc AS (
+           SELECT w, count(*) AS c
+           FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+         bc AS (
+           SELECT string_split(b, ' ')[1] AS w1,
+                  string_split(b, ' ')[2] AS w2, count(*) AS n_pair
+           FROM (SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i+1])) AS b
+                 FROM toks)
+           GROUP BY 1, 2),
+         st AS (
+           SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS t_tok,
+                  (SELECT CAST(sum(n_pair) AS BIGINT) FROM bc) AS n_big)
+         SELECT w1, w2, n_pair,
+                CAST((CAST(1000000 AS HUGEINT) * CAST(n_pair AS HUGEINT)
+                      * CAST(t_tok AS HUGEINT) * CAST(t_tok AS HUGEINT))
+                     // (CAST(n_big AS HUGEINT) * CAST(u1.c AS HUGEINT)
+                        * CAST(u2.c AS HUGEINT)) AS BIGINT) AS score_ppm
+         FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w, st
+         WHERE n_pair >= 5
+         ORDER BY score_ppm DESC, w1, w2 LIMIT 20""",
+    // the SCAN formulation: per-doc list arithmetic, 1-based -> 0-based
+    "q178_phrase_search" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         h AS (
+           SELECT doc_id,
+                  list_filter(range(1, len(tk)),
+                              i -> tk[i] = 'table' AND tk[i+1] = 'hash') AS hits
+           FROM d)
+         SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+                CAST(hits[1] - 1 AS BIGINT) AS first_pos
+         FROM h WHERE len(hits) > 0""",
     // DuckDB's ordered string_agg is the same SQL:2016 aggregate
     "q170_listagg" ->
       """SELECT o_orderstatus,

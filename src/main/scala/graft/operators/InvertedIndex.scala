@@ -151,4 +151,38 @@ object InvertedIndex {
       .select(col("token"), col("df"),
         array_join(transform(col("__postings"), _.cast("string")), ",").as("postings"))
   }
+
+  /** Positional phrase matching — the POSITIONAL-index query the plain
+    * df/postings index can't answer: every occurrence of the exact
+    * consecutive token sequence `phrase`, as one (id, pos) row per hit
+    * (pos = 0-based position of the phrase's first token).
+    *
+    * The token stream is filtered to the phrase's own tokens BEFORE any
+    * shuffle, so the joins move per-phrase-token postings (two longs a
+    * row), never the corpus: a k-token phrase is k−1 equi-joins on
+    * (doc, pos + offset) — the standard positional-postings
+    * intersection, with AQE free to broadcast the rarest token's side.
+    * Adjacency lives in the join KEY (pos arithmetic), so there is no
+    * per-document array materialization and a 100 TB corpus shuffles
+    * only its occurrences of the phrase tokens.
+    */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    require(phrase.forall(w => w.nonEmpty && !w.contains(" ")),
+      s"phrase tokens must be non-empty and space-free, got $phrase")
+    val p = docs
+      .select(col(idCol).as("__doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+      .where(col("__w").isin(phrase.distinct: _*))
+    val first = p.where(col("__w") === phrase.head)
+      .select(col("__doc_id"), col("__pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, k)) =>
+      val nxt = p.where(col("__w") === w)
+        .select(col("__doc_id").as("__d2"), col("__pos").as("__p2"))
+      acc.join(nxt, acc("__doc_id") === nxt("__d2") &&
+          nxt("__p2") === acc("__pos") + k)
+        .select(acc("__doc_id"), acc("__pos"))
+    }
+  }
 }

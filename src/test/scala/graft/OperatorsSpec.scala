@@ -934,6 +934,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaHeap.nonEmpty)
   }
 
+  test("InvertedIndex.phraseMatches: overlaps, 3-token phrases, boundaries") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b a" overlaps: pos 0 and 2
+      (2L, "a b"),         // too short for "a b a"
+      (3L, "x a b a"),     // hit at pos 1, phrase ends at doc end
+      (4L, "a a b a b"),   // "a b a" at pos 1 only
+      (5L, "c c c")        // no phrase tokens at all
+    ).toDF("id", "t")
+    def hits(phrase: String*): Set[(Long, Int)] =
+      InvertedIndex.phraseMatches(docs, "id", "t", phrase)
+        .as[(Long, Int)].collect().toSet
+    assert(hits("a", "b", "a") == Set((1L, 0), (1L, 2), (3L, 1), (4L, 1)))
+    assert(hits("a", "b") == Set((1L, 0), (1L, 2), (2L, 0), (3L, 1), (4L, 1), (4L, 3)))
+    assert(hits("c") == Set((5L, 0), (5L, 1), (5L, 2)))
+    assert(hits("b", "b").isEmpty)
+  }
+
   test("Compaction merges small files without changing content") {
     val src = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
     val dst = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
