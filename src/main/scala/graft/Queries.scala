@@ -3273,6 +3273,123 @@ object Queries {
       .agg(count(lit(1)).as("n_hits"),
         min(col("__pos")).cast("long").as("first_pos"))
 
+  /** File-level zone-map pruning ([[graft.core.ZoneMap]]) — the
+    * lakehouse data-skipping layer: lineitem range-clustered on
+    * l_shipdate into 16 files with a per-file (lo, hi) sidecar, then a
+    * 6-month probe reads ONLY the files whose zone intersects (the
+    * prune consults the files-sized stats table, never data;
+    * ZoneMapSpec pins that most files skip). The row-level predicate
+    * still applies after the pruned read — zones are file-granular.
+    * WRITE-PATH query (the write is the operator, like q94/q107/q133);
+    * the oracle states the identity on the source slice.
+    */
+  def q179_zonemap_prune(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    val path = s"/tmp/graft_q179_zonemap_${dirSlug(dir)}"
+    graft.core.ZoneMap.write(li, path, "l_shipdate", numFiles = 16)
+    val lo = lit("1997-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-06-30 23:59:59").cast("timestamp")
+    graft.core.ZoneMap.prunedRead(s, path, lo, hi)
+      .where(col("l_shipdate").between(lo, hi))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+  }
+
+  /** Snapshot-to-snapshot diff through the txn layer: what did txn 2
+    * change? [[graft.txn.TxnTable.readAsOf]] reconstructs both
+    * immutable tape prefixes (q126's time travel) and
+    * [[TableDiff.diff]] reconciles them by (key, row-hash) — the
+    * map-side hash projection means the diff of two 100 TB snapshots
+    * shuffles ~16 bytes/row. On this tape txn 2 appends the
+    * o_orderkey % 3 == 1 slice, so every diff row is an `only_b`
+    * arrival; the oracle replays the tape algebra directly from the
+    * construction rule.
+    */
+  def q180_txn_diff(s: SparkSession, dir: String): DataFrame = {
+    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tmp = s"/tmp/graft-q180-${ProcessHandle.current().pid()}-$sanitized"
+    val root = java.nio.file.Paths.get(tmp)
+    val marker = root.resolve("_graft_built")
+    if (!java.nio.file.Files.exists(marker)) {
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+      }
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val table = new graft.txn.TxnTable(s, tmp)
+      val t1 = table.txns.startTxn()
+      table.insert(t1, orders.where(col("o_orderkey") % 3 === 0))
+      table.txns.commitTxn(t1)
+      val t2 = table.txns.startTxn()
+      table.insert(t2, orders.where(col("o_orderkey") % 3 === 1))
+      table.txns.commitTxn(t2)
+      java.nio.file.Files.createFile(marker)
+    }
+    val table = new graft.txn.TxnTable(s, tmp)
+    TableDiff.diff(table.readAsOf(1L), table.readAsOf(2L),
+      Seq("o_orderkey"))
+  }
+
+  /** Linear multi-touch attribution — the marketing/credit-assignment
+    * pipeline: each purchase splits 10^6 ppm of credit EQUALLY (integer
+    * floor division; both engines floor identically) across the same
+    * user's clicks in the strictly-preceding 7 days. The join is
+    * user-keyed with the time window as a post-filter, so it shuffles
+    * by user exactly once; per-user event counts bound the pair
+    * expansion (the q145 grid-bucketed interval join is the path for
+    * heavy-tailed users). Output: per-click totals — the content of a
+    * "which touchpoints earn credit" report.
+    */
+  def q181_attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pe"), col("user_id"), col("ts").as("pts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("ce"), col("user_id"), col("ts").as("cts"))
+    val pair = p.join(c, "user_id")
+      .where(col("cts") < col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+    val perPurchase = pair.groupBy("pe").agg(count(lit(1)).as("n_touch"))
+    pair.join(perPurchase, "pe")
+      .withColumn("credit", expr("1000000 div n_touch"))
+      .groupBy(col("ce").as("click_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("credit")).as("credit_ppm"))
+  }
+
+  /** Chi-square association between lang and source — the dataset-audit
+    * statistic ("is language independent of crawl source?") computed as
+    * exact per-cell contributions: contrib_ppm =
+    * (10^6 · (O·N − R·C)²) div (R·C·N) in decimal(38,0)/HUGEINT (the
+    * χ² term (O−E)²/E cross-multiplied to integers; no float ever).
+    * One cells aggregation, then margins via window sums OVER THE CELLS
+    * TABLE (vocab-sized, |langs|×|sources| rows) — the corpus is
+    * touched exactly once.
+    */
+  def q182_chi2_assoc(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_obs"))
+    val wl = Window.partitionBy("lang")
+    val ws = Window.partitionBy("source")
+    val wAll = Window.partitionBy()
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    cells
+      .withColumn("r_tot", sum(col("n_obs")).over(wl))
+      .withColumn("c_tot", sum(col("n_obs")).over(ws))
+      .withColumn("n_tot", sum(col("n_obs")).over(wAll))
+      .withColumn("__d", expr(
+        s"${dec("n_obs")} * ${dec("n_tot")} - ${dec("r_tot")} * ${dec("c_tot")}"))
+      .withColumn("contrib_ppm", expr(
+        s"""CAST((${dec("1000000")} * __d * __d)
+                div (${dec("r_tot")} * ${dec("c_tot")} * ${dec("n_tot")})
+             AS BIGINT)"""))
+      .select("lang", "source", "n_obs", "contrib_ppm")
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3614,7 +3731,11 @@ object Queries {
     "q175_recursive_cte" -> (q175_recursive_cte _),
     "q176_triangles" -> (q176_triangles _),
     "q177_pmi_bigrams" -> (q177_pmi_bigrams _),
-    "q178_phrase_search" -> (q178_phrase_search _))
+    "q178_phrase_search" -> (q178_phrase_search _),
+    "q179_zonemap_prune" -> (q179_zonemap_prune _),
+    "q180_txn_diff" -> (q180_txn_diff _),
+    "q181_attribution" -> (q181_attribution _),
+    "q182_chi2_assoc" -> (q182_chi2_assoc _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4679,6 +4800,54 @@ object Queries {
          SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
                 CAST(hits[1] - 1 AS BIGINT) AS first_pos
          FROM h WHERE len(hits) > 0""",
+    // identity on the source slice: zone pruning must not change rows
+    "q179_zonemap_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                              AND TIMESTAMP '1997-06-30 23:59:59'""",
+    // tape algebra replayed from the construction rule: txn 2 appended
+    // exactly the %3 == 1 slice, so the diff is that slice as only_b
+    "q180_txn_diff" ->
+      """SELECT o_orderkey, 'only_b' AS diff_status
+         FROM orders WHERE o_orderkey % 3 = 1""",
+    // same user-keyed pairing and integer floor credit split
+    "q181_attribution" ->
+      """WITH p AS (
+           SELECT event_id AS pe, user_id, ts AS pts
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT event_id AS ce, user_id, ts AS cts
+           FROM events WHERE event_type = 'click'),
+         pair AS (
+           SELECT pe, ce
+           FROM p JOIN c USING (user_id)
+           WHERE cts < pts AND cts >= pts - INTERVAL 7 DAY),
+         n AS (SELECT pe, count(*) AS n_touch FROM pair GROUP BY 1)
+         SELECT ce AS click_id, count(*) AS n_purchases,
+                CAST(sum(1000000 // n_touch) AS BIGINT) AS credit_ppm
+         FROM pair JOIN n USING (pe)
+         GROUP BY 1""",
+    // identical cross-multiplied chi-square cell terms in HUGEINT
+    "q182_chi2_assoc" ->
+      """WITH cells AS (
+           SELECT lang, source, count(*) AS n_obs
+           FROM documents GROUP BY 1, 2),
+         m AS (
+           SELECT lang, source, n_obs,
+                  CAST(sum(n_obs) OVER (PARTITION BY lang) AS BIGINT) AS r_tot,
+                  CAST(sum(n_obs) OVER (PARTITION BY source) AS BIGINT) AS c_tot,
+                  CAST(sum(n_obs) OVER () AS BIGINT) AS n_tot
+           FROM cells)
+         SELECT lang, source, n_obs,
+                CAST((CAST(1000000 AS HUGEINT)
+                      * (CAST(n_obs AS HUGEINT) * CAST(n_tot AS HUGEINT)
+                         - CAST(r_tot AS HUGEINT) * CAST(c_tot AS HUGEINT))
+                      * (CAST(n_obs AS HUGEINT) * CAST(n_tot AS HUGEINT)
+                         - CAST(r_tot AS HUGEINT) * CAST(c_tot AS HUGEINT)))
+                     // (CAST(r_tot AS HUGEINT) * CAST(c_tot AS HUGEINT)
+                        * CAST(n_tot AS HUGEINT)) AS BIGINT) AS contrib_ppm
+         FROM m""",
     // DuckDB's ordered string_agg is the same SQL:2016 aggregate
     "q170_listagg" ->
       """SELECT o_orderstatus,
