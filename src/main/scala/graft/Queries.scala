@@ -3390,6 +3390,114 @@ object Queries {
       .select("lang", "source", "n_obs", "contrib_ppm")
   }
 
+  /** MinHash estimation-error contract — the q95/q96/q122 pattern
+    * applied to the dedup sketch itself: for every LSH candidate pair,
+    * the 128-permutation signature estimate m/128 must sit within 0.35
+    * of the EXACT shingle Jaccard i/u (≈8σ at 128 perms — a real
+    * permutation-hash bug, not noise, is what breaks it). The
+    * comparison is all-integer cross-multiplication
+    * (|100·m·u − 12800·i| vs 35·128·u); violations return as rows and
+    * the oracle states the contract holds (empty relation). Exact set
+    * arithmetic runs ONLY inside candidate pairs — the certification
+    * cost scales with candidates, never n².
+    */
+  def q183_minhash_error(s: SparkSession, dir: String): DataFrame = {
+    val numHashes = 128
+    val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text",
+      numHashes = numHashes, bands = 32, shingleWidth = 3)
+    val sigs = docs.select(col("doc_id").as("__id"),
+      Dedup.minHashSignature(Dedup.shingles(col("text"), 3), numHashes).as("__sig"),
+      array_distinct(Dedup.shingles(col("text"), 3)).as("__sh"))
+    cands
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a"),
+        col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sig_b"),
+        col("__sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("m"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("i"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("ab"))
+      .withColumn("u", col("ab") - col("i"))
+      .where(abs(col("m") * col("u") * 100 - lit(12800L) * col("i")) >
+        lit(35L * 128L) * col("u"))
+      .select("id_a", "id_b")
+  }
+
+  /** Pareto frontier ([[Skyline.skyline2D]]): the price/size-efficient
+    * parts — no other part is both cheaper and at-least-as-big (or
+    * as-cheap and strictly bigger). The engine runs the DISTRIBUTIVE
+    * two-phase sweep (per-partition spillable sort + streaming pass,
+    * then the same pass over the union of frontier-sized local
+    * skylines — no global sort anywhere); the oracle states dominance
+    * directly as NOT EXISTS. Points are pre-aggregated to distinct
+    * (price_c, size) with multiplicity, per the operator contract.
+    */
+  def q184_skyline(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "part")
+      .groupBy(cents(col("p_retailprice")).as("price_c"),
+        col("p_size").cast("long").as("size"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_partkey"))
+    Skyline.skyline2D(pts, "price_c", "size")
+  }
+
+  /** Exact quantile-rank normalization — the rank-based feature
+    * transform (quantile scaling) with NO global sort: per-value counts
+    * aggregate once, the "how many rows are strictly smaller" table is
+    * a window over DISTINCT VALUES (values-sized, the q116 histogram
+    * discipline), and rows join back to their rank by value.
+    * pr_ppm = #smaller · 10⁶ div (n − 1) is percent_rank in exact
+    * integer arithmetic — bit-identical across engines, which
+    * float percent_rank() could never guarantee.
+    */
+  def q185_rank_normalize(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+    val counts = v.groupBy("price_c").agg(count(lit(1)).as("__c"))
+    val wv = Window.orderBy("price_c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = counts
+      .withColumn("__smaller", coalesce(sum(col("__c")).over(wv), lit(0L)))
+    val n = v.agg(count(lit(1)).as("__n"))
+    v.where(col("o_orderkey") <= 1000)
+      .join(ranks.select(col("price_c"), col("__smaller")), "price_c")
+      .join(broadcast(n))
+      .withColumn("pr_ppm", expr("__smaller * 1000000 div (__n - 1)"))
+      .select("o_orderkey", "price_c", "pr_ppm")
+  }
+
+  /** Per-group least-squares regression slope in EXACT arithmetic:
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) over (quantity → price
+    * cents) per return flag — one scan, one aggregation, the classic
+    * sufficient-statistics form (each executor combines partial sums;
+    * nothing but five longs per group crosses the wire). The division
+    * runs as sign(num) · (10⁶·|num| div den): Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors, so negative slopes are
+    * routed through nonnegative operands where the two agree exactly.
+    */
+  def q186_regression_slope(s: SparkSession, dir: String): DataFrame = {
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        cents(col("l_extendedprice")).as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("__num", expr(
+        s"${dec("n")} * ${dec("sxy")} - ${dec("sx")} * ${dec("sy")}"))
+      .withColumn("__den", expr(
+        s"${dec("n")} * ${dec("sxx")} - ${dec("sx")} * ${dec("sx")}"))
+      .withColumn("slope_ppm", expr(
+        s"""CAST(CASE WHEN __num < 0 THEN -((${dec("1000000")} * (-__num)) div __den)
+                      ELSE (${dec("1000000")} * __num) div __den END AS BIGINT)"""))
+      .select("l_returnflag", "n", "slope_ppm")
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3735,7 +3843,11 @@ object Queries {
     "q179_zonemap_prune" -> (q179_zonemap_prune _),
     "q180_txn_diff" -> (q180_txn_diff _),
     "q181_attribution" -> (q181_attribution _),
-    "q182_chi2_assoc" -> (q182_chi2_assoc _))
+    "q182_chi2_assoc" -> (q182_chi2_assoc _),
+    "q183_minhash_error" -> (q183_minhash_error _),
+    "q184_skyline" -> (q184_skyline _),
+    "q185_rank_normalize" -> (q185_rank_normalize _),
+    "q186_regression_slope" -> (q186_regression_slope _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -4848,6 +4960,65 @@ object Queries {
                      // (CAST(r_tot AS HUGEINT) * CAST(c_tot AS HUGEINT)
                         * CAST(n_tot AS HUGEINT)) AS BIGINT) AS contrib_ppm
          FROM m""",
+    // the contract holds: the violations relation is EMPTY (q122 shape)
+    "q183_minhash_error" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+         WHERE FALSE""",
+    // dominance stated directly: NOT EXISTS a strictly-better point
+    "q184_skyline" -> s"""
+      WITH pts AS (
+        SELECT ${centsSql("p_retailprice")} AS price_c,
+               CAST(p_size AS BIGINT) AS size,
+               count(*) AS n_parts,
+               CAST(min(p_partkey) AS BIGINT) AS min_partkey
+        FROM part GROUP BY 1, 2)
+      SELECT price_c, size, n_parts, min_partkey
+      FROM pts p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.price_c <= p.price_c AND q.size >= p.size
+          AND (q.price_c < p.price_c OR q.size > p.size))""",
+    // same values-sized cumulative-count rank, same integer floor
+    "q185_rank_normalize" -> s"""
+      WITH v AS (
+        SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_c FROM orders),
+      st AS (SELECT count(*) AS n FROM v),
+      r AS (SELECT price_c, count(*) AS c FROM v GROUP BY 1),
+      cum AS (
+        SELECT price_c,
+               CAST(coalesce(sum(c) OVER (ORDER BY price_c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS smaller
+        FROM r)
+      SELECT o_orderkey, v.price_c,
+             CAST(smaller * 1000000 // (n - 1) AS BIGINT) AS pr_ppm
+      FROM v JOIN cum ON v.price_c = cum.price_c, st
+      WHERE o_orderkey <= 1000""",
+    // identical sufficient statistics; negative slopes via sign/abs so
+    // truncating div and flooring // agree on nonnegative operands
+    "q186_regression_slope" -> s"""
+      WITH a AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+               CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sy,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * ${centsSql("l_extendedprice")}) AS BIGINT) AS sxy
+        FROM lineitem GROUP BY 1),
+      d AS (
+        SELECT l_returnflag, n,
+               CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+                 - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+               CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                 - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den
+        FROM a)
+      SELECT l_returnflag, n,
+             CAST(CASE WHEN num < 0
+                       THEN -((CAST(1000000 AS HUGEINT) * (-num)) // den)
+                       ELSE (CAST(1000000 AS HUGEINT) * num) // den
+                  END AS BIGINT) AS slope_ppm
+      FROM d""",
     // DuckDB's ordered string_agg is the same SQL:2016 aggregate
     "q170_listagg" ->
       """SELECT o_orderstatus,
