@@ -3498,6 +3498,99 @@ object Queries {
       .select("l_returnflag", "n", "slope_ppm")
   }
 
+  /** Association-rule mining over order baskets — the market-basket
+    * analytics classic: directed rules a→b for part pairs co-bought in
+    * ≥ 2 distinct orders, scored by exact-ppm confidence
+    * (supp_ab·10⁶ div supp_a) and lift
+    * (supp_ab·N·10⁶ div (supp_a·supp_b)), all in decimal(38,0).
+    * Pair expansion is bounded by basket size (~4 items/order → ≤6
+    * pairs); item supports are an items-sized aggregate that joins
+    * back broadcast. Distinct from q177's PMI: baskets not token
+    * adjacency, directed confidence not a symmetric score.
+    */
+  def q187_assoc_rules(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val supp = items.groupBy("pk").agg(count(lit(1)).as("supp"))
+    val nBaskets = t(s, dir, "orders").agg(count(lit(1)).as("n_baskets"))
+    val pairs = items.select(col("ok"), col("pk").as("a"))
+      .join(items.select(col("ok"), col("pk").as("b")), "ok")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("supp_pair"))
+      .where(col("supp_pair") >= 2)
+    val directed = pairs.select(col("a").as("ante"), col("b").as("cons"), col("supp_pair"))
+      .unionByName(pairs.select(col("b").as("ante"), col("a").as("cons"), col("supp_pair")))
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    directed
+      .join(broadcast(supp.select(col("pk").as("ante"), col("supp").as("supp_a"))), "ante")
+      .join(broadcast(supp.select(col("pk").as("cons"), col("supp").as("supp_b"))), "cons")
+      .join(broadcast(nBaskets))
+      .withColumn("conf_ppm", expr(
+        s"CAST((${dec("supp_pair")} * ${dec("1000000")}) div ${dec("supp_a")} AS BIGINT)"))
+      .withColumn("lift_ppm", expr(
+        s"""CAST((${dec("supp_pair")} * ${dec("n_baskets")} * ${dec("1000000")})
+             div (${dec("supp_a")} * ${dec("supp_b")}) AS BIGINT)"""))
+      .orderBy(col("lift_ppm").desc, col("ante"), col("cons"))
+      .limit(25)
+      .select("ante", "cons", "supp_pair", "conf_ppm", "lift_ppm")
+  }
+
+  /** Right-to-erasure cascade — the governance workflow: a customer
+    * tombstone set (c_custkey % 97 = 0) propagates through the foreign
+    * keys (customer → orders → lineitem), and the report states
+    * per-table deleted/kept counts. Each hop is one semi/anti join
+    * with the (small) parent key set broadcast; at 100 TB this is the
+    * same bloom-prunable anti-join shape as q101 — the fact tables are
+    * scanned once each, never shuffled.
+    */
+  def q188_gdpr_cascade(s: SparkSession, dir: String): DataFrame = {
+    val delC = t(s, dir, "customer").where(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey"))
+    val orders = t(s, dir, "orders")
+    val delO = orders.join(broadcast(delC),
+      orders("o_custkey") === delC("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    val li = t(s, dir, "lineitem")
+    val delL = li.join(broadcast(delO),
+      li("l_orderkey") === delO("o_orderkey"), "left_semi")
+    val cDel = delC.agg(count(lit(1)).as("n")).withColumn("t", lit("customer"))
+    val cAll = t(s, dir, "customer").agg(count(lit(1)).as("na")).withColumn("t", lit("customer"))
+    val oDel = delO.agg(count(lit(1)).as("n")).withColumn("t", lit("orders"))
+    val oAll = orders.agg(count(lit(1)).as("na")).withColumn("t", lit("orders"))
+    val lDel = delL.agg(count(lit(1)).as("n")).withColumn("t", lit("lineitem"))
+    val lAll = li.agg(count(lit(1)).as("na")).withColumn("t", lit("lineitem"))
+    cDel.unionByName(oDel).unionByName(lDel)
+      .join(cAll.unionByName(oAll).unionByName(lAll), "t")
+      .select(col("t").as("table_name"), col("n").as("n_deleted"),
+        (col("na") - col("n")).as("n_kept"))
+  }
+
+  /** Spark 4 `transformWithState` through the oracle gate
+    * ([[graft.streaming.Streams.runningTotals]]): per-user running
+    * (count, value-cents) ledger in a typed ValueState, update-mode
+    * emissions per trigger. Counters are monotone and values
+    * nonnegative, so the final ledger row per user is the max over
+    * emissions — which must equal the batch aggregate the oracle runs.
+    * Exercises the modern arbitrary-state API end-to-end (RocksDB
+    * store, 4 file-triggers) the way q63 exercises
+    * flatMapGroupsWithState.
+    */
+  def q189_stream_running_totals(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = eventsStreamDir(s, dir)
+    val stream = graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+    import s.implicits._
+    val pairs = stream
+      .select(col("user_id"), cents(col("value")).as("vc"))
+      .as[(Long, Long)]
+    val totals = graft.streaming.Streams.runningTotals(pairs)
+    graft.streaming.Streams
+      .runToCompletion(s, totals.toDF(), s"q189_sink_${System.nanoTime()}", "update")
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"), max(col("value_c")).as("value_c"))
+  }
+
   /** Spark's NATIVE session_window in batch mode — the declarative
     * counterpart of q34's window-lag formulation and q63's custom
     * stateful stream. All three share the INCLUSIVE gap rule: an event
@@ -3847,7 +3940,10 @@ object Queries {
     "q183_minhash_error" -> (q183_minhash_error _),
     "q184_skyline" -> (q184_skyline _),
     "q185_rank_normalize" -> (q185_rank_normalize _),
-    "q186_regression_slope" -> (q186_regression_slope _))
+    "q186_regression_slope" -> (q186_regression_slope _),
+    "q187_assoc_rules" -> (q187_assoc_rules _),
+    "q188_gdpr_cascade" -> (q188_gdpr_cascade _),
+    "q189_stream_running_totals" -> (q189_stream_running_totals _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -5019,6 +5115,54 @@ object Queries {
                        ELSE (CAST(1000000 AS HUGEINT) * num) // den
                   END AS BIGINT) AS slope_ppm
       FROM d""",
+    // identical basket/pair supports and HUGEINT ppm scores
+    "q187_assoc_rules" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         supp AS (SELECT pk, count(*) AS supp FROM items GROUP BY 1),
+         nb AS (SELECT count(*) AS n_baskets FROM orders),
+         pr AS (
+           SELECT a.pk AS a, b.pk AS b, count(*) AS supp_pair
+           FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         dir AS (
+           SELECT a AS ante, b AS cons, supp_pair FROM pr
+           UNION ALL
+           SELECT b, a, supp_pair FROM pr)
+         SELECT ante, cons, supp_pair,
+                CAST((CAST(supp_pair AS HUGEINT) * 1000000)
+                     // CAST(sa.supp AS HUGEINT) AS BIGINT) AS conf_ppm,
+                CAST((CAST(supp_pair AS HUGEINT) * CAST(n_baskets AS HUGEINT)
+                      * 1000000)
+                     // (CAST(sa.supp AS HUGEINT) * CAST(sb.supp AS HUGEINT))
+                  AS BIGINT) AS lift_ppm
+         FROM dir JOIN supp sa ON dir.ante = sa.pk
+                  JOIN supp sb ON dir.cons = sb.pk, nb
+         ORDER BY lift_ppm DESC, ante, cons LIMIT 25""",
+    // the cascade restated as correlated deletions per table
+    "q188_gdpr_cascade" ->
+      """WITH del_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+         del_o AS (SELECT o_orderkey FROM orders
+                   WHERE o_custkey IN (SELECT c_custkey FROM del_c)),
+         del_l AS (SELECT 1 AS x FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+         SELECT 'customer' AS table_name,
+                (SELECT count(*) FROM del_c) AS n_deleted,
+                (SELECT count(*) FROM customer)
+                  - (SELECT count(*) FROM del_c) AS n_kept
+         UNION ALL
+         SELECT 'orders', (SELECT count(*) FROM del_o),
+                (SELECT count(*) FROM orders)
+                  - (SELECT count(*) FROM del_o)
+         UNION ALL
+         SELECT 'lineitem', (SELECT count(*) FROM del_l),
+                (SELECT count(*) FROM lineitem)
+                  - (SELECT count(*) FROM del_l)""",
+    // the final ledger per user IS the batch aggregate
+    "q189_stream_running_totals" -> s"""
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(${centsSql("value")}) AS BIGINT) AS value_c
+      FROM events GROUP BY 1""",
     // DuckDB's ordered string_agg is the same SQL:2016 aggregate
     "q170_listagg" ->
       """SELECT o_orderstatus,

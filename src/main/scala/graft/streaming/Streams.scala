@@ -206,6 +206,56 @@ object Streams {
       eventKey: String, knownKey: String): DataFrame =
     events.join(known, events(eventKey) === known(knownKey), "left_anti")
 
+  final case class UserTotals(user_id: Long, n_events: Long, value_c: Long)
+
+  /** Spark 4's `transformWithState` arbitrary-state API (the
+    * successor to `flatMapGroupsWithState`): per-user running
+    * (event count, value-cents total) held in a typed `ValueState`.
+    * Each input batch folds its rows into the state and emits the
+    * updated totals — the streaming-ledger shape (feature counters,
+    * usage metering). State is one (long, long) per user in the
+    * RocksDB store, sharded by key on a cluster; `TTLConfig` is the
+    * built-in eviction lever for unbounded key spaces (NONE here —
+    * the gate replays a finite tape).
+    */
+  private class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserTotals] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotals] = {
+      var (n, v) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, c) => n += 1; v += c }
+      totals.update((n, v))
+      Iterator.single(UserTotals(key, n, v))
+    }
+  }
+
+  /** Running per-user totals over a (user_id, value_cents) stream via
+    * [[RunningTotalsProcessor]]. Update output mode: one emission per
+    * touched user per trigger, counters monotone — the LAST emission
+    * per user is the final ledger entry.
+    */
+  def runningTotals(pairs: Dataset[(Long, Long)]): Dataset[UserTotals] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Run a stream to completion against the (finite) file source and
     * return the sink table — used by tests and demos; production callers
     * keep the query running with their own trigger/checkpoint config.

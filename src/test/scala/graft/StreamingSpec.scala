@@ -39,6 +39,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("transformWithState running totals: monotone per-trigger emissions, final equals batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.core.Catalog.table(spark, dir, "events")
+    val batch = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("v"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-tws").toString
+    events.repartition(4).write.mode("overwrite").parquet(streamDir)
+    // RocksDB is required for transformWithState; one file per trigger
+    // so users straddle triggers and the state genuinely accumulates
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = Streams.eventsStream(s2, streamDir, maxFilesPerTrigger = 1)
+    val pairs = stream
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("vc"))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val emissions = Streams.runToCompletion(s2,
+      Streams.runningTotals(pairs).toDF(), "tws_totals", outputMode = "update")
+      .as[(Long, Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect()
+
+    // per-user emission sequence must be strictly increasing in n
+    emissions.groupBy(_._1).foreach { case (_, es) =>
+      val ns = es.map(_._2).sorted
+      assert(ns.distinct.length == ns.length, s"duplicate counter emissions: $es")
+    }
+    // final (max-n) emission per user equals the batch aggregate
+    val finals = emissions.groupBy(_._1)
+      .map { case (u, es) => u -> { val m = es.maxBy(_._2); (m._2, m._3) } }
+    assert(finals == batch)
+    // users straddled triggers: someone must have emitted more than once
+    assert(emissions.length > finals.size,
+      "expected multi-trigger accumulation, every user emitted once")
+  }
+
   test("streaming windowed HLL: estimates are LIVE and inside the q153 contract") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
