@@ -3576,6 +3576,93 @@ object Queries {
     * store, 4 file-triggers) the way q63 exercises
     * flatMapGroupsWithState.
     */
+  /** Native `dropDuplicatesWithinWatermark` through the gate
+    * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
+    * (user_id, event_type) ALONE — no ts in the key — with
+    * watermark-bounded state, vs q64's exact-(key, ts) dedup whose
+    * state is the distinct key space. All files arrive in one trigger,
+    * so every duplicate falls inside the watermark window and the
+    * streaming answer must equal DISTINCT (user_id, event_type); the
+    * incremental eviction semantics are Spark's own (state expires at
+    * ts + delay). Output is the key set, which is arrival-order
+    * independent — the survivor's payload would not be.
+    */
+  def q190_stream_dedup_within(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = eventsStreamDir(s, dir)
+    val stream = graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+    val deduped = graft.streaming.Streams.dedupWithinWatermark(
+      stream.select(col("user_id"), col("event_type"), col("ts")),
+      Seq("user_id", "event_type"), lateness = "10 days")
+    graft.streaming.Streams
+      .runToCompletion(s, deduped, s"q190_sink_${System.nanoTime()}", "append")
+      .select("user_id", "event_type")
+  }
+
+  /** `Dataset.observe` metrics — data-quality counters piggybacked on
+    * a production action with ZERO extra scans: the metrics accumulate
+    * inside the same pass that writes the data (here a `noop`-format
+    * write), and the driver reads them from the completed action. The
+    * q152 validator re-scans to check; this is the "metrics for free
+    * on every pipeline write" form (Delta Live Tables expectations,
+    * Deequ metric repositories). The result relation is built from the
+    * observed values — metric-count-sized, never data-sized — and must
+    * equal the oracle's from-scratch aggregation.
+    */
+  def q191_observe_metrics(s: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation(s"q191_${System.nanoTime()}")
+    val li = t(s, dir, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("n_bad_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        max(col("l_orderkey")).as("max_orderkey")) // DISTINCT aggs disallowed in observe
+    li.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq(
+      ("n_rows", m("n_rows").asInstanceOf[Long]),
+      ("n_bad_qty", m("n_bad_qty").asInstanceOf[Long]),
+      ("sum_price_c", m("sum_price_c").asInstanceOf[Long]),
+      ("max_orderkey", m("max_orderkey").asInstanceOf[Long])
+    ).toDF("metric", "value")
+  }
+
+  /** HITS hubs-and-authorities in exact integer fixed point over the
+    * bipartite repeat-business graph (customers = hubs, suppliers =
+    * authorities — q151's edge build): a₀ = 1, h₁ = Σ a₀ over
+    * neighbors (= degree), a₁ = Σ h₁, h₂ = Σ a₁, a₂ = Σ h₂ —
+    * unnormalized power iteration (rank order is scale-invariant, so
+    * skipping the float normalization keeps every value an exact
+    * integer; decimal(38,0) absorbs the geometric growth). Each
+    * iteration is one join + one aggregation carrying (node, score)
+    * pairs — the q113 PageRank shuffle discipline; the oracle replays
+    * the recurrence as unrolled CTEs.
+    */
+  def q192_hits(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+      .select("c", "sp")
+      .localCheckpoint(eager = false)
+    // h1(c) = degree; a1(s) = sum h1 over c-neighbors; h2 = sum a1;
+    // a2 = sum h2 — all in decimal(38,0)
+    val h1 = edges.groupBy("c").agg(count(lit(1)).cast("decimal(38,0)").as("h1"))
+    val a1 = edges.join(h1, "c")
+      .groupBy("sp").agg(sum(col("h1")).as("a1"))
+    val h2 = edges.join(a1, "sp")
+      .groupBy("c").agg(sum(col("a1")).as("h2"))
+    val a2 = edges.join(h2, "c")
+      .groupBy("sp").agg(sum(col("h2")).as("a2"))
+    a2.select(col("sp").as("s_suppkey"), col("a2").cast("long").as("auth_score"))
+      .orderBy(col("auth_score").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   def q189_stream_running_totals(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     val streamDir = eventsStreamDir(s, dir)
@@ -3943,7 +4030,10 @@ object Queries {
     "q186_regression_slope" -> (q186_regression_slope _),
     "q187_assoc_rules" -> (q187_assoc_rules _),
     "q188_gdpr_cascade" -> (q188_gdpr_cascade _),
-    "q189_stream_running_totals" -> (q189_stream_running_totals _))
+    "q189_stream_running_totals" -> (q189_stream_running_totals _),
+    "q190_stream_dedup_within" -> (q190_stream_dedup_within _),
+    "q191_observe_metrics" -> (q191_observe_metrics _),
+    "q192_hits" -> (q192_hits _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -5163,6 +5253,39 @@ object Queries {
       SELECT user_id, count(*) AS n_events,
              CAST(sum(${centsSql("value")}) AS BIGINT) AS value_c
       FROM events GROUP BY 1""",
+    // single-trigger tape: within-watermark dedup = distinct keys
+    "q190_stream_dedup_within" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // the same metrics aggregated from scratch
+    "q191_observe_metrics" -> s"""
+      WITH a AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_qty,
+               CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+               CAST(max(l_orderkey) AS BIGINT) AS max_orderkey
+        FROM lineitem)
+      SELECT 'n_rows' AS metric, n_rows AS value FROM a
+      UNION ALL SELECT 'n_bad_qty', n_bad_qty FROM a
+      UNION ALL SELECT 'sum_price_c', sum_price_c FROM a
+      UNION ALL SELECT 'max_orderkey', max_orderkey FROM a""",
+    // the recurrence unrolled: h1 = degree, a1 = sum h1, h2 = sum a1,
+    // a2 = sum h2 - all exact integers
+    "q192_hits" ->
+      """WITH ed AS (
+           SELECT o_custkey AS c, l_suppkey AS sp
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         h1 AS (SELECT c, CAST(count(*) AS HUGEINT) AS h1 FROM ed GROUP BY 1),
+         a1 AS (SELECT sp, sum(h1) AS a1
+                FROM ed JOIN h1 USING (c) GROUP BY 1),
+         h2 AS (SELECT c, sum(a1) AS h2
+                FROM ed JOIN a1 USING (sp) GROUP BY 1),
+         a2 AS (SELECT sp, sum(h2) AS a2
+                FROM ed JOIN h2 USING (c) GROUP BY 1)
+         SELECT sp AS s_suppkey, CAST(a2 AS BIGINT) AS auth_score
+         FROM a2
+         ORDER BY auth_score DESC, s_suppkey LIMIT 20""",
     // DuckDB's ordered string_agg is the same SQL:2016 aggregate
     "q170_listagg" ->
       """SELECT o_orderstatus,

@@ -160,6 +160,20 @@ object Streams {
     events.withWatermark("ts", lateness)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Native `dropDuplicatesWithinWatermark` (Spark 3.5+) — dedup on
+    * the KEY ALONE, no event-time column in the key: two rows with the
+    * same key dedup when they arrive within the watermark delay of
+    * each other, and the key's state evicts once the watermark passes
+    * its expiry instead of living forever (the failure mode of a plain
+    * streaming `dropDuplicates(keys)` on an unbounded stream). The
+    * complement of [[dedupStream]], which dedups exact (key, ts)
+    * duplicates.
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream-stream join with both sides watermarked and a join range
     * condition — Spark buffers only the watermark-bounded window of
     * each side, so the join state is bounded at any scale. `joinType`
