@@ -3576,6 +3576,105 @@ object Queries {
     * store, 4 file-triggers) the way q63 exercises
     * flatMapGroupsWithState.
     */
+  /** transformWithState with INITIAL STATE — the batch-bootstrap
+    * pattern ([[graft.streaming.Streams.runningTotalsWarmStart]]):
+    * the even-event_id half of the tape is "yesterday's history",
+    * aggregated in batch and seeded into each user's ValueState via
+    * `handleInitialState`; the odd half streams on top. A user's final
+    * ledger row must equal the batch aggregate over their ENTIRE
+    * history — which only holds if the seed landed before the first
+    * live row. Users with no live events never emit (seeding is
+    * silent), so the oracle restricts to live users.
+    */
+  def q193_stream_warm_start(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = eventsStreamDir(s, dir)
+    import s.implicits._
+    val history = t(s, dir, "events").where(col("event_id") % 2 === 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("v"))
+      .as[(Long, Long, Long)]
+      .map(r => (r._1, (r._2, r._3)))
+    val stream = graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+      .where(col("event_id") % 2 === 1)
+    val pairs = stream
+      .select(col("user_id"), cents(col("value")).as("vc"))
+      .as[(Long, Long)]
+    val totals = graft.streaming.Streams.runningTotalsWarmStart(pairs, history)
+    graft.streaming.Streams
+      .runToCompletion(s, totals.toDF(), s"q193_sink_${System.nanoTime()}", "update")
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"), max(col("value_c")).as("value_c"))
+  }
+
+  /** `Dataset.cogroup` — per-key custom merge of TWO grouped inputs
+    * without a join materialization: each user's purchases and clicks
+    * meet in one function call, sorted locally (per-user volumes, not
+    * corpus volumes), and a single sweep computes which purchases had
+    * at least one click STRICTLY between the previous purchase and
+    * this one — the "converted purchase" attribution rule, awkward as
+    * SQL (the oracle needs a correlated EXISTS) but natural as a
+    * sequential merge. One shuffle per side; comparisons run at full
+    * microsecond precision.
+    */
+  def q194_cogroup_convert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+    p.groupByKey(_._1).cogroup(c.groupByKey(_._1)) { (user, ps, cs) =>
+      val purchases = ps.map(t => (micros(t._3), t._2)).toArray.sorted
+      val clicks = cs.map(t => micros(t._2)).toArray.sorted
+      var prev = Long.MinValue
+      var converted = 0L
+      purchases.foreach { case (ts, _) =>
+        // any click strictly inside (prev, ts)?
+        val i = java.util.Arrays.binarySearch(clicks, prev)
+        val from = if (i >= 0) i + 1 else -i - 1 // first click > prev
+        if (from < clicks.length && clicks(from) < ts) converted += 1
+        prev = ts
+      }
+      if (purchases.isEmpty) Iterator.empty
+      else Iterator.single((user, purchases.length.toLong, converted))
+    }.toDF("user_id", "n_purchases", "n_converted")
+  }
+
+  /** Anti-entropy repair round-trip: [[TableDiff.diff]] drives the fix
+    * it reports — drop `only_b`/`changed` keys from the corrupted
+    * replica, re-copy `only_a`/`changed` rows from the source, then
+    * diff AGAIN; the result must be the EMPTY relation (the q122
+    * violations-as-rows shape, but the "contract" is that the repair
+    * converges). Patch traffic is delta-sized (the diff output), the
+    * replica is never rewritten wholesale — the reconciliation loop
+    * you'd run between datacenters at 100 TB.
+    */
+  def q195_repair_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), cents(col("value")).as("value_c"))
+    // q150's corruption rule: drop every 101st, perturb every 97th,
+    // add phantom rows for every 103rd
+    val b = a.where(col("event_id") % 101 =!= 0)
+      .withColumn("value_c",
+        when(col("event_id") % 97 === 0, col("value_c") + 1).otherwise(col("value_c")))
+      .unionByName(a.where(col("event_id") % 103 === 0)
+        .select((col("event_id") + 1000000000L).as("event_id"),
+          col("user_id"), col("value_c")))
+    val d = TableDiff.diff(a, b, Seq("event_id"))
+    val dropKeys = d.where(col("diff_status").isin("only_b", "changed"))
+      .select("event_id")
+    val addKeys = d.where(col("diff_status").isin("only_a", "changed"))
+      .select("event_id")
+    val repaired = b.join(dropKeys, Seq("event_id"), "left_anti")
+      .unionByName(a.join(addKeys, Seq("event_id"), "left_semi"))
+    TableDiff.diff(a, repaired, Seq("event_id"))
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4033,7 +4132,10 @@ object Queries {
     "q189_stream_running_totals" -> (q189_stream_running_totals _),
     "q190_stream_dedup_within" -> (q190_stream_dedup_within _),
     "q191_observe_metrics" -> (q191_observe_metrics _),
-    "q192_hits" -> (q192_hits _))
+    "q192_hits" -> (q192_hits _),
+    "q193_stream_warm_start" -> (q193_stream_warm_start _),
+    "q194_cogroup_convert" -> (q194_cogroup_convert _),
+    "q195_repair_roundtrip" -> (q195_repair_roundtrip _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -5256,6 +5358,35 @@ object Queries {
     // single-trigger tape: within-watermark dedup = distinct keys
     "q190_stream_dedup_within" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // live users' ledgers over their ENTIRE history (seed + stream)
+    "q193_stream_warm_start" -> s"""
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(${centsSql("value")}) AS BIGINT) AS value_c
+      FROM events
+      WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                        WHERE event_id % 2 = 1)
+      GROUP BY 1""",
+    // the sequential merge restated as lag + correlated EXISTS
+    "q194_cogroup_convert" ->
+      """WITH p AS (
+           SELECT user_id, event_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_ts
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+         SELECT p.user_id, count(*) AS n_purchases,
+                CAST(sum(CASE WHEN EXISTS (
+                       SELECT 1 FROM c
+                       WHERE c.user_id = p.user_id
+                         AND c.ts < p.ts
+                         AND (p.prev_ts IS NULL OR c.ts > p.prev_ts))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+         FROM p GROUP BY 1""",
+    // the repair converges: the post-repair diff is EMPTY
+    "q195_repair_roundtrip" ->
+      """SELECT CAST(NULL AS BIGINT) AS event_id,
+                CAST(NULL AS VARCHAR) AS diff_status
+         WHERE FALSE""",
     // the same metrics aggregated from scratch
     "q191_observe_metrics" -> s"""
       WITH a AS (

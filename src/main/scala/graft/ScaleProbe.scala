@@ -29,7 +29,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val dir = s"/tmp/graft-scaleprobe-${copies}x"
+    // v2: re-keyed custkeys + scaled lineitem (stale v1 dirs lack both)
+    val dir = s"/tmp/graft-scaleprobe-${copies}x-v2"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -60,9 +61,19 @@ object ScaleProbe {
       .withColumn("ts", expr("unix_micros(ts) * 1000")))
     // orders: fresh keys per copy, priorities unchanged — the 5 percentile
     // GROUPS stay fixed while each group's value count grows ×N, which is
-    // exactly what stresses q131's exact-percentile buffers
+    // exactly what stresses q131's exact-percentile buffers. custkeys
+    // re-key per copy so the graph ops below scale as N disjoint copies
+    // (edges ×N) instead of densifying shared nodes ×N.
     scaled("orders", (df, i) => df
-      .withColumn("o_orderkey", col("o_orderkey") + lit(i * Offset)))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * Offset))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
+    // lineitem: orderkeys track orders; supp/part keys re-key per copy —
+    // the co-occurrence graphs (q176 triangles, q192 HITS, q187 rules)
+    // grow ×N in nodes AND edges with per-copy structure preserved
+    scaled("lineitem", (df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * Offset))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L)))
 
     // GRAFT_SCALE_ONLY=mad_q131,... times just those ops (local iteration)
     val only = sys.env.get("GRAFT_SCALE_ONLY")
@@ -97,6 +108,14 @@ object ScaleProbe {
     time("cdc_merge_q148") { Queries.q148_stream_cdc_merge(spark, dir).count() }
     time("interval_join_q145") { Queries.q145_interval_overlap(spark, dir).count() }
     time("table_diff_q150") { Queries.q150_table_diff(spark, dir).count() }
+    // round-7 second block: per-copy re-keyed graphs scale edges ×N with
+    // constant per-copy density (the honest corpus-growth semantics)
+    time("triangles_q176") { Queries.q176_triangles(spark, dir).count() }
+    time("hits_q192") { Queries.q192_hits(spark, dir).count() }
+    time("assoc_q187") { Queries.q187_assoc_rules(spark, dir).count() }
+    time("attribution_q181") { Queries.q181_attribution(spark, dir).count() }
+    time("pmi_q177") { Queries.q177_pmi_bigrams(spark, dir).count() }
+    time("rank_normalize_q185") { Queries.q185_rank_normalize(spark, dir).count() }
     spark.stop()
   }
 }

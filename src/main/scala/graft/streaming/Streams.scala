@@ -270,6 +270,55 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** [[RunningTotalsProcessor]] with WARM-STARTED state: the
+    * batch-bootstrap pattern (rebuild a ledger from yesterday's
+    * snapshot, then stream today's events on top).
+    * `handleInitialState` seeds each key's ValueState from the batch
+    * snapshot BEFORE any input rows arrive; seeding emits nothing —
+    * only keys touched by live rows emit, and their totals include the
+    * seeded history.
+    */
+  private class WarmStartTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long), UserTotals, (Long, Long)] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: (Long, Long),
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      totals.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotals] = {
+      var (n, v) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, c) => n += 1; v += c }
+      totals.update((n, v))
+      Iterator.single(UserTotals(key, n, v))
+    }
+  }
+
+  /** [[runningTotals]] seeded from a batch snapshot of
+    * (user_id, (n_events, value_c)). */
+  def runningTotalsWarmStart(pairs: Dataset[(Long, Long)],
+      initial: Dataset[(Long, (Long, Long))]): Dataset[UserTotals] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.groupByKey(_._1)
+      .transformWithState(new WarmStartTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        initial.groupByKey(_._1).mapValues(_._2))
+  }
+
   /** Run a stream to completion against the (finite) file source and
     * return the sink table — used by tests and demos; production callers
     * keep the query running with their own trigger/checkpoint config.
