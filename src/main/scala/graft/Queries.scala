@@ -3675,6 +3675,84 @@ object Queries {
     TableDiff.diff(a, repaired, Seq("event_id"))
   }
 
+  /** Bloom-filter contract certification — the q183 pattern for the
+    * OTHER probabilistic structure in the engine: build the q101-style
+    * filter over a dim key set whose membership predicate is KNOWN
+    * (c_custkey % 13 = 0), probe every order in one scan, and gate
+    * BOTH Bloom guarantees: zero false negatives (a true member the
+    * filter rejects is a hard bug) and measured FPR ≤ 5× the
+    * configured 1% (deterministic: Spark's filter hashes with a fixed
+    * seed, and bit-OR insertion is order-independent). Violations
+    * return as rows; one scan, no join — the truth predicate makes
+    * the exact side free.
+    */
+  def q196_bloom_fpr(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer").where(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey"))
+    val expected = math.max(dim.count(), 1L) // build param: dim-sized action
+    val bytes = BloomPrune.buildFilter(dim, col("c_custkey"), expected, fpp = 0.01)
+    t(s, dir, "orders")
+      .select(col("o_custkey"),
+        graft.functions.exprs.bloomMightContain(col("o_custkey"), bytes).as("__pass"),
+        (col("o_custkey") % 13 === 0).as("__truth"))
+      .agg(
+        sum(when(col("__truth") && !col("__pass"), 1L).otherwise(0L)).as("n_false_neg"),
+        sum(when(!col("__truth") && col("__pass"), 1L).otherwise(0L)).as("n_false_pos"),
+        sum(when(!col("__truth"), 1L).otherwise(0L)).as("n_non_member"))
+      .where(col("n_false_neg") > 0 ||
+        col("n_false_pos") * 100 > col("n_non_member") * 5)
+      .select("n_false_neg", "n_false_pos", "n_non_member")
+  }
+
+  /** Incremental view maintenance for a JOIN — the delta algebra
+    * Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB: the engine computes the view as
+    * old-view + three delta joins (what an IVM system would apply to
+    * the materialized view), the oracle recomputes the full join from
+    * scratch — the two must agree exactly. Delta joins touch only
+    * delta-sized inputs on one side; at 100 TB the old view is a
+    * stored table and the maintenance cost is |Δ|-proportional, never
+    * a full recompute (q105 is the aggregate half of the same story).
+    */
+  def q197_join_ivm(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+    val a = orders.where(col("o_orderkey") % 4 =!= 3)
+    val dA = orders.where(col("o_orderkey") % 4 === 3)
+    val b = li.where(col("l_linenumber") <= 4)
+    val dB = li.where(col("l_linenumber") >= 5)
+    def j(x: DataFrame, y: DataFrame) =
+      x.join(y, col("o_orderkey") === col("l_orderkey"))
+    j(a, b).unionByName(j(dA, b)).unionByName(j(a, dB)).unionByName(j(dA, dB))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+  }
+
+  /** Forward-fill imputation (LOCF) — the time-series repair primitive:
+    * a deterministic corruption nulls every 5th reading, and the last
+    * non-null value per user carries forward in event-time order via
+    * `last(_, ignoreNulls).over(rows unbounded-preceding)` — one
+    * user-keyed shuffle, a within-partition sort, zero joins. Leading
+    * nulls (user's first readings corrupted) stay null by definition.
+    * The oracle is DuckDB's `last_value(... IGNORE NULLS)` — the same
+    * SQL:2011 frame semantics cross-engine, including the (ts,
+    * event_id) tie order.
+    */
+  def q198_forward_fill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 5 === 0, lit(null).cast("long"))
+          .otherwise(cents(col("value"))).as("reading"))
+      .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"),
+        col("reading").isNull.cast("long").as("was_null"), col("filled"))
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4135,7 +4213,10 @@ object Queries {
     "q192_hits" -> (q192_hits _),
     "q193_stream_warm_start" -> (q193_stream_warm_start _),
     "q194_cogroup_convert" -> (q194_cogroup_convert _),
-    "q195_repair_roundtrip" -> (q195_repair_roundtrip _))
+    "q195_repair_roundtrip" -> (q195_repair_roundtrip _),
+    "q196_bloom_fpr" -> (q196_bloom_fpr _),
+    "q197_join_ivm" -> (q197_join_ivm _),
+    "q198_forward_fill" -> (q198_forward_fill _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -5387,6 +5468,33 @@ object Queries {
       """SELECT CAST(NULL AS BIGINT) AS event_id,
                 CAST(NULL AS VARCHAR) AS diff_status
          WHERE FALSE""",
+    // both Bloom guarantees hold: the violations relation is EMPTY
+    "q196_bloom_fpr" ->
+      """SELECT CAST(NULL AS BIGINT) AS n_false_neg,
+                CAST(NULL AS BIGINT) AS n_false_pos,
+                CAST(NULL AS BIGINT) AS n_non_member
+         WHERE FALSE""",
+    // the oracle recomputes the view FROM SCRATCH; the engine maintains
+    // it with delta joins - the algebra must agree exactly
+    "q197_join_ivm" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1""",
+    // SQL:2011 IGNORE NULLS frame semantics, same (ts, event_id) ties
+    "q198_forward_fill" -> s"""
+      WITH r AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE ${centsSql("value")} END AS reading
+        FROM events)
+      SELECT event_id, user_id,
+             CAST(CASE WHEN reading IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS was_null,
+             last_value(reading IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM r""",
     // the same metrics aggregated from scratch
     "q191_observe_metrics" -> s"""
       WITH a AS (
