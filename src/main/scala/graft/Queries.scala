@@ -3753,6 +3753,42 @@ object Queries {
         col("reading").isNull.cast("long").as("was_null"), col("filled"))
   }
 
+  /** Time-weighted average — the telemetry/finance aggregation where
+    * plain AVG is wrong (irregular sampling): each reading holds until
+    * the next one, so its weight is the µs gap to the successor
+    * (lead over (ts, event_id); the final reading carries no forward
+    * weight). TWA = Σ(value_c·Δt) div Σ(Δt), products in
+    * decimal(38,0) (cents × µs gaps overflow INT64 at month spans).
+    * One user-keyed shuffle + one window + one agg; both engines run
+    * the identical µs integer arithmetic (`unix_micros` / `epoch_us`).
+    */
+  def q199_time_weighted_avg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        cents(col("value")).as("value_c"))
+      .withColumn("__dt",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .where(col("__dt").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(expr(s"${dec("value_c")} * ${dec("__dt")}")).as("__wsum"),
+        sum(col("__dt")).as("__tspan"))
+      .where(col("__tspan") > 0)
+      .withColumn("twa_c", expr(s"CAST(__wsum div ${dec("__tspan")} AS BIGINT)"))
+      .select("user_id", "twa_c")
+  }
+
+  /** Exact table profile ([[Validate.profile]]) — the dataset-card
+    * statistics block computed schema-generically: (column, n_null,
+    * n_distinct) for all 11 lineitem columns in ONE pass (null counts
+    * fold into the scan agg; exact NDVs share it via expand). The
+    * oracle recomputes every column from scratch with 11 independent
+    * aggregations — the engine's one-pass form must match all of them.
+    */
+  def q200_profile_table(s: SparkSession, dir: String): DataFrame =
+    Validate.profile(t(s, dir, "lineitem"))
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4216,7 +4252,9 @@ object Queries {
     "q195_repair_roundtrip" -> (q195_repair_roundtrip _),
     "q196_bloom_fpr" -> (q196_bloom_fpr _),
     "q197_join_ivm" -> (q197_join_ivm _),
-    "q198_forward_fill" -> (q198_forward_fill _))
+    "q198_forward_fill" -> (q198_forward_fill _),
+    "q199_time_weighted_avg" -> (q199_time_weighted_avg _),
+    "q200_profile_table" -> (q200_profile_table _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -5495,6 +5533,32 @@ object Queries {
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       FROM r""",
+    // identical microsecond hold-time weighting in HUGEINT
+    "q199_time_weighted_avg" -> s"""
+      WITH r AS (
+        SELECT user_id, ${centsSql("value")} AS value_c,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                 - epoch_us(ts) AS dt
+        FROM events)
+      SELECT user_id,
+             CAST(sum(CAST(value_c AS HUGEINT) * CAST(dt AS HUGEINT))
+                  // CAST(sum(dt) AS HUGEINT) AS BIGINT) AS twa_c
+      FROM r WHERE dt IS NOT NULL
+      GROUP BY 1 HAVING sum(dt) > 0""",
+    // every column recomputed independently; the one-pass form must match
+    "q200_profile_table" -> {
+      val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      liCols.map { c =>
+        s"""SELECT '$c' AS column_name,
+               CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+            FROM lineitem"""
+      }.mkString("\nUNION ALL\n")
+    },
     // the same metrics aggregated from scratch
     "q191_observe_metrics" -> s"""
       WITH a AS (

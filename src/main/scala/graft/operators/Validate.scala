@@ -88,4 +88,29 @@ object Validate {
 
     (scanCounts ++ uniques ++ fks).reduce(_ unionByName _)
   }
+
+  /** Exact per-column table profile — the dataset-card / dbt-docs
+    * statistics block: (column, n_null, n_distinct) for every column,
+    * derived FROM THE SCHEMA (works on any table). Null counts fold
+    * into one scan aggregation; the exact distinct counts share the
+    * same aggregate via Spark's expand (one pass over the data,
+    * #columns-way row expansion). For wide tables or when approximate
+    * is acceptable, swap countDistinct for approx_count_distinct and
+    * the expand disappears — the q96 sketch trade-off, caller's
+    * choice. Output is #columns rows.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column_name"), col(s"__null_$c").as("n_null"),
+        col(s"__ndv_$c").as("n_distinct"))
+    }
+    wide.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.column_name"), col("p.n_null"), col("p.n_distinct"))
+  }
 }
