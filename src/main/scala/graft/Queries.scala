@@ -3789,6 +3789,67 @@ object Queries {
   def q200_profile_table(s: SparkSession, dir: String): DataFrame =
     Validate.profile(t(s, dir, "lineitem"))
 
+  /** SLIDING windows (hop < length): every event lands in
+    * length/hop = 4 overlapping windows — Spark's `window(ts, "1
+    * hour", "15 minutes")` expands each row 4× then aggregates, one
+    * shuffle. The tumbling forms are q32/q38; sliding is the
+    * moving-average shape (rate monitoring, trend smoothing). The
+    * oracle replays the expansion explicitly: each event joins the 4
+    * hop-aligned window starts that cover it — the window-assignment
+    * arithmetic must agree with Spark's to the microsecond.
+    */
+  def q201_sliding_window(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Cumulative distinct users per day — running NDV with NO expanding
+    * distinct-state: a user contributes at their FIRST event day only
+    * (one min-agg), days aggregate to arrival counts, and a
+    * days-sized window prefix-sums them. The naive form (distinct
+    * over an expanding frame) re-scans history per day; this form is
+    * two aggs + a window over #days rows — the q116/q185 "window over
+    * the small relation" discipline.
+    */
+  def q202_cumulative_ndv(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = t(s, dir, "events")
+      .where(col("event_type") === "purchase") // conversion date spreads;
+      // every user's FIRST event is day 1 on this corpus (degenerate)
+      .groupBy("user_id")
+      .agg(min(date_trunc("day", col("ts"))).as("first_day"))
+    val arrivals = firstDay.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    arrivals
+      .withColumn("n_cum_users", sum(col("n_new")).over(w))
+      .select("day", "n_new", "n_cum_users")
+  }
+
+  /** Cohort retention — the product-analytics staple: users cohorted
+    * by first-event week, then (cohort_week, active_week) cells count
+    * distinct returning users. Two aggs + one join: first-week per
+    * user (user-keyed), distinct (user, week) activity, joined on
+    * user (the cohort side is users-sized — broadcast at gate scale,
+    * shuffle-join on user at 100 TB, never a time-expanded
+    * materialization). week 0 = the cohort's own week (acquisition).
+    */
+  def q203_cohort_retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    // cohort = first PURCHASE day (the conversion date spreads across
+    // the tape; first-EVENT cohorts are all day 1 on this corpus)
+    val cohort = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .groupBy("cohort_day", "week")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4254,7 +4315,10 @@ object Queries {
     "q197_join_ivm" -> (q197_join_ivm _),
     "q198_forward_fill" -> (q198_forward_fill _),
     "q199_time_weighted_avg" -> (q199_time_weighted_avg _),
-    "q200_profile_table" -> (q200_profile_table _))
+    "q200_profile_table" -> (q200_profile_table _),
+    "q201_sliding_window" -> (q201_sliding_window _),
+    "q202_cumulative_ndv" -> (q202_cumulative_ndv _),
+    "q203_cohort_retention" -> (q203_cohort_retention _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -5546,6 +5610,37 @@ object Queries {
                   // CAST(sum(dt) AS HUGEINT) AS BIGINT) AS twa_c
       FROM r WHERE dt IS NOT NULL
       GROUP BY 1 HAVING sum(dt) > 0""",
+    // the 4-way expansion stated explicitly: every event joins the 4
+    // hop-aligned starts covering it (15-min grid is epoch-aligned in
+    // both engines)
+    "q201_sliding_window" ->
+      """SELECT time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15 * k)
+                AS w_start,
+              event_type, count(*) AS n
+         FROM events, (SELECT unnest(range(0, 4)) AS k)
+         GROUP BY 1, 2""",
+    // same first-purchase-day arrivals + days-sized prefix sum
+    "q202_cumulative_ndv" ->
+      """WITH fd AS (
+           SELECT user_id, min(date_trunc('day', ts)) AS first_day
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         ar AS (SELECT first_day AS day, count(*) AS n_new FROM fd GROUP BY 1)
+         SELECT day, n_new,
+                CAST(sum(n_new) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_cum_users
+         FROM ar""",
+    // purchase-day cohorts; both engines truncate weeks to Monday
+    "q203_cohort_retention" ->
+      """WITH ev AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+           FROM events),
+         c AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+               FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT cohort_day, week,
+                CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
+         FROM ev JOIN c USING (user_id)
+         GROUP BY 1, 2""",
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
