@@ -3850,6 +3850,64 @@ object Queries {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** Exact Kolmogorov–Smirnov drift statistic between two segments'
+    * price distributions — numeric-distribution drift beside q142's
+    * token-level TV distance. D = max over values of
+    * |cdf_a − cdf_b|, computed CROSS-MULTIPLIED
+    * (|cum_a·n_b − cum_b·n_a|, all integers — no float CDFs), with
+    * the cumulative counts a window over DISTINCT VALUES
+    * (values-sized, the q185 discipline). Output: D in ppm and the
+    * value where it's attained (ties → smallest value). Envelope:
+    * cum·n ≤ n² needs decimal(38,0) past n ≈ 3·10⁹ rows per segment —
+    * the final arithmetic already runs there.
+    */
+  def q204_ks_drift(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("v"),
+        (col("o_orderkey") % 2 === 0).cast("long").as("is_a"))
+    val per = v.groupBy("v")
+      .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = per.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    per
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .join(broadcast(tot))
+      .withColumn("__d", expr(
+        s"abs(${dec("cuma")} * ${dec("nb")} - ${dec("cumb")} * ${dec("na")})"))
+      .orderBy(col("__d").desc, col("v"))
+      .limit(1)
+      .select(
+        expr(s"CAST((__d * 1000000) div (${dec("na")} * ${dec("nb")}) AS BIGINT)")
+          .as("d_ppm"),
+        col("v").as("at_value"))
+  }
+
+  /** Bit-parallel set aggregation — the bitmap-index technique: each
+    * customer's set of used order priorities packs into one long via
+    * `bit_or(1 << idx)` (5-value domain → 5 bits), then the MASK
+    * DISTRIBUTION (which priority combinations exist, with
+    * `bit_count` for set size) aggregates masks, not sets. Set
+    * algebra on 10⁹ customers = one long per customer, and
+    * intersections/unions become bitwise ops — the roaring-bitmap
+    * idea at its integer-domain core.
+    */
+  def q205_bitmask_profile(s: SparkSession, dir: String): DataFrame = {
+    val masks = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        // shiftleft(Column, Int) takes a literal count; the dynamic
+        // shift needs the SQL form
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(substring(o_orderpriority, 1, 1) AS INT) - 1)")
+          .as("bit"))
+      .groupBy("o_custkey")
+      .agg(bit_or(col("bit")).as("mask"))
+    masks.groupBy("mask")
+      .agg(count(lit(1)).as("n_customers"))
+      .select(col("mask"), bit_count(col("mask")).cast("long").as("n_priorities"),
+        col("n_customers"))
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4318,7 +4376,9 @@ object Queries {
     "q200_profile_table" -> (q200_profile_table _),
     "q201_sliding_window" -> (q201_sliding_window _),
     "q202_cumulative_ndv" -> (q202_cumulative_ndv _),
-    "q203_cohort_retention" -> (q203_cohort_retention _))
+    "q203_cohort_retention" -> (q203_cohort_retention _),
+    "q204_ks_drift" -> (q204_ks_drift _),
+    "q205_bitmask_profile" -> (q205_bitmask_profile _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -5641,6 +5701,47 @@ object Queries {
                 CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
          FROM ev JOIN c USING (user_id)
          GROUP BY 1, 2""",
+    // identical cross-multiplied CDF gap; ties break to smallest value
+    "q204_ks_drift" -> s"""
+      WITH v AS (
+        SELECT ${centsSql("o_totalprice")} AS v,
+               CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS is_a
+        FROM orders),
+      per AS (
+        SELECT v, CAST(sum(is_a) AS BIGINT) AS ca,
+               CAST(sum(1 - is_a) AS BIGINT) AS cb
+        FROM v GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb FROM per),
+      cum AS (
+        SELECT v,
+               CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+               CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+        FROM per)
+      SELECT CAST((abs(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT)
+                       - CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT))
+                   * 1000000)
+                  // (CAST(na AS HUGEINT) * CAST(nb AS HUGEINT))
+               AS BIGINT) AS d_ppm,
+             v AS at_value
+      FROM cum, tot
+      ORDER BY abs(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT)
+                   - CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT)) DESC, v
+      LIMIT 1""",
+    // same bit packing and popcount
+    "q205_bitmask_profile" ->
+      """WITH m AS (
+           SELECT o_custkey,
+                  CAST(bit_or(CAST(1 AS BIGINT)
+                    << (CAST(substring(o_orderpriority, 1, 1) AS INTEGER) - 1))
+                    AS BIGINT) AS mask
+           FROM orders GROUP BY 1)
+         SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_priorities,
+                count(*) AS n_customers
+         FROM m GROUP BY 1""",
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
