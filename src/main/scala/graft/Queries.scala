@@ -3908,6 +3908,52 @@ object Queries {
         col("n_customers"))
   }
 
+  /** Prefix-filtered set-similarity join ([[Dedup.prefixJaccardPairs]],
+    * the AllPairs/PPJoin family) — the DETERMINISTIC-complete
+    * counterpart of q29's MinHash-LSH candidates: rarest-first global
+    * token order + per-set prefix length n − ⌈n/2⌉ + 1 guarantees (no
+    * probability, proven by the prefix-filtering principle) that every
+    * Jaccard ≥ 1/2 pair shares a PREFIX token, so the block join is
+    * exact-recall by construction. The oracle brute-forces every pair
+    * under the same id cap — any missing pair (a wrong prefix bound)
+    * or extra pair (a wrong verify) breaks the hash.
+    *
+    * Corpus caveat (same class as q147's): the synthetic 31-token
+    * vocabulary makes token SETS dense — most doc pairs clear
+    * Jaccard 1/2, so the prefix filter's selectivity is corpus-limited
+    * here (~14k of ~20k pairs survive). On a real vocabulary the
+    * rarest-first prefixes are the whole point; the completeness
+    * guarantee — the part the gate checks — is vocabulary-independent,
+    * and OperatorsSpec fuzzes it at three thresholds on a
+    * real-overlap fixture.
+    */
+  def q206_set_similarity_join(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(
+      t(s, dir, "documents").where(col("doc_id") < 200),
+      "doc_id", "text", num = 1, den = 2)
+
+  /** SCD Type-2 dimension build — the warehouse versioning op: each
+    * user's reading stream collapses to CHANGE POINTS (lag ≠ current),
+    * and consecutive change points become validity intervals
+    * [valid_from, valid_to) via lead over the filtered stream (null
+    * valid_to = the open current version). Two windows over one
+    * user-keyed sort — no self-join, no interval materialization
+    * beyond the output. The lookup side of the pattern is the as-of
+    * join (q33/q129) against exactly these intervals.
+    */
+  def q207_scd2_intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        cents(col("value")).as("value_c"))
+      .withColumn("__prev", lag(col("value_c"), 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= col("value_c"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("ts").as("valid_from"),
+        col("valid_to"), col("value_c"))
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4378,7 +4424,9 @@ object Queries {
     "q202_cumulative_ndv" -> (q202_cumulative_ndv _),
     "q203_cohort_retention" -> (q203_cohort_retention _),
     "q204_ks_drift" -> (q204_ks_drift _),
-    "q205_bitmask_profile" -> (q205_bitmask_profile _))
+    "q205_bitmask_profile" -> (q205_bitmask_profile _),
+    "q206_set_similarity_join" -> (q206_set_similarity_join _),
+    "q207_scd2_intervals" -> (q207_scd2_intervals _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -5742,6 +5790,34 @@ object Queries {
          SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_priorities,
                 count(*) AS n_customers
          FROM m GROUP BY 1""",
+    // brute force over the same population: any pair the prefix filter
+    // misses (wrong bound) or fabricates (wrong verify) breaks the hash
+    "q206_set_similarity_join" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+           FROM documents WHERE doc_id < 200)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS i,
+                CAST(len(a.s) + len(b.s)
+                     - len(list_intersect(a.s, b.s)) AS BIGINT) AS u
+         FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) * 3
+                 >= (len(a.s) + len(b.s)) * 1""",
+    // same change-point filter and validity lead, same (ts, id) ties
+    "q207_scd2_intervals" -> s"""
+      WITH r AS (
+        SELECT user_id, event_id, ts, ${centsSql("value")} AS value_c,
+               lag(${centsSql("value")}) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_c
+        FROM events),
+      ch AS (
+        SELECT user_id, event_id, ts, value_c FROM r
+        WHERE prev_c IS NULL OR prev_c <> value_c)
+      SELECT user_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS valid_to,
+             value_c
+      FROM ch""",
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",

@@ -447,4 +447,57 @@ object Dedup {
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
   }
+
+  /** PREFIX-FILTERED set-similarity self-join (AllPairs/PPJoin family,
+    * Chaudhuri/Bayardo) — the DETERMINISTIC-complete counterpart of the
+    * MinHash-LSH candidates: token sets sort by ascending global
+    * document frequency (rarest first, ties by token), and two sets
+    * with Jaccard ≥ num/den MUST share a token inside their first
+    * p = n − ⌈n·num/den⌉ + 1 tokens — so blocking on prefix tokens
+    * loses NOTHING (exact recall by construction, no probability
+    * anywhere), while frequent tokens stay out of the block keys.
+    * Verification computes exact Jaccard cross-multiplied
+    * (i·(den+num) ≥ (|a|+|b|)·num ⟺ i/u ≥ num/den) inside candidate
+    * pairs only.
+    *
+    * Shuffles: one df agg (vocab-sized), one set build, the
+    * prefix-token candidate join, and the verify rejoin of sets to
+    * candidate pairs — prefixes shrink as sets grow, and the rare-
+    * token-first order keeps any single block key's posting list small
+    * (the df-skew argument of the q85 inverted index).
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den >= num, s"threshold must be in (0,1]: $num/$den")
+    val toks = df
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(split(col(textCol), " "))).as("__t"))
+    val dfreq = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
+    // global rarest-first total order; rank is the blocking key
+    val ranked = dfreq.select(col("__t"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__df"), col("__t"))).cast("long").as("__rank"))
+    val sets = toks.join(ranked, "__t")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("__rank"))).as("__set"))
+      .withColumn("__n", size(col("__set")).cast("long"))
+      .withColumn("__p", expr(
+        s"__n - ((__n * $num + $den - 1) div $den) + 1"))
+    val prefixes = sets
+      .select(col("__id"), explode(expr("slice(__set, 1, CAST(__p AS INT))")).as("__k"))
+    val cands = prefixes.select(col("__k"), col("__id").as("id_a"))
+      .join(prefixes.select(col("__k"), col("__id").as("id_b")), Seq("__k"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__set").as("sa"),
+        col("__n").as("na")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__set").as("sb"),
+        col("__n").as("nb")), Seq("id_b"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("u", col("na") + col("nb") - col("i"))
+      .where(col("i") * (den + num) >= (col("na") + col("nb")) * num)
+      .select("id_a", "id_b", "i", "u")
+  }
 }

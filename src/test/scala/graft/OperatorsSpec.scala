@@ -951,6 +951,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits("b", "b").isEmpty)
   }
 
+  test("Dedup.prefixJaccardPairs: exact recall vs brute force, several thresholds") {
+    // random small docs over a tiny vocabulary → real overlap structure
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'j').map(_.toString)
+    val docs = (0L until 40L).map { i =>
+      val n = 2 + rnd.nextInt(6)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("id", "t")
+    def brute(num: Int, den: Int): Set[(Long, Long, Long, Long)] = {
+      val sets = docs.map { case (i, t) => i -> t.split(" ").toSet }.toMap
+      (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        i = (sets(a) intersect sets(b)).size.toLong
+        u = (sets(a) union sets(b)).size.toLong
+        if i * (den + num) >= (sets(a).size + sets(b).size) * num
+      } yield (a, b, i, u)).toSet
+    }
+    for ((num, den) <- Seq((1, 2), (3, 4), (1, 3))) {
+      val got = Dedup.prefixJaccardPairs(df, "id", "t", num, den)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == brute(num, den), s"mismatch at t=$num/$den")
+    }
+  }
+
   test("Compaction merges small files without changing content") {
     val src = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
     val dst = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
