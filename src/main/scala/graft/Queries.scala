@@ -3954,6 +3954,71 @@ object Queries {
         col("valid_to"), col("value_c"))
   }
 
+  /** Exact WEIGHTED median — "the price at which half the UNITS sold"
+    * (importance-weighted percentile, the sampling-weight analogue of
+    * q91's row median): per group, cumulative quantity over ascending
+    * price covers half the total at the answer. Weights aggregate
+    * per DISTINCT VALUE first, so the window runs over values-per-
+    * group rows (the q185/q204 discipline) — no per-row buffer, no
+    * expanding frame. Selection rule: smallest value whose cumulative
+    * weight ≥ half the total (2·cumw ≥ totw in integers — no /2
+    * rounding anywhere).
+    */
+  def q208_weighted_median(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), cents(col("l_extendedprice")).as("v"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val wOrd = Window.partitionBy("l_returnflag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("l_returnflag")
+    per
+      .withColumn("cumw", sum(col("w")).over(wOrd))
+      .withColumn("totw", sum(col("w")).over(wAll))
+      .where(col("cumw") * 2 >= col("totw"))
+      .groupBy("l_returnflag")
+      .agg(min(col("v")).as("weighted_median_c"))
+  }
+
+  /** Sequence gap detection (the "gaps" half of gaps-and-islands): a
+    * deterministic filter drops every 7th event id, and lead() over
+    * the surviving ids reports each hole as (gap_start, gap_end) —
+    * one global sort expressed as a single window, no self-join, no
+    * generate_series materialization of the id domain (which at 100 TB
+    * would dwarf the data). The recovered gaps must be exactly the
+    * dropped multiples of 7.
+    */
+  def q209_id_gaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("event_id")
+    t(s, dir, "events")
+      .where(col("event_id") % 7 =!= 0)
+      .select(col("event_id"))
+      .withColumn("__next", lead(col("event_id"), 1).over(w))
+      .where(col("__next") > col("event_id") + 1)
+      .select((col("event_id") + 1).as("gap_start"),
+        (col("__next") - 1).as("gap_end"))
+  }
+
+  /** Activity streaks (the "islands" half): consecutive-day runs per
+    * user via the classic day − row_number() island key — distinct
+    * active days per user, one user-keyed window, then the island
+    * aggregate yields each streak's start/length. The product-metric
+    * shape ("longest streak", "current streak") with no self-join and
+    * no day-domain expansion.
+    */
+  def q210_activity_streaks(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    days
+      .withColumn("__island",
+        expr("date_sub(day, CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT))"))
+      .groupBy("user_id", "__island")
+      .agg(min(col("day")).cast("timestamp").as("streak_start"),
+        count(lit(1)).as("streak_days"))
+      .select("user_id", "streak_start", "streak_days")
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4426,7 +4491,10 @@ object Queries {
     "q204_ks_drift" -> (q204_ks_drift _),
     "q205_bitmask_profile" -> (q205_bitmask_profile _),
     "q206_set_similarity_join" -> (q206_set_similarity_join _),
-    "q207_scd2_intervals" -> (q207_scd2_intervals _))
+    "q207_scd2_intervals" -> (q207_scd2_intervals _),
+    "q208_weighted_median" -> (q208_weighted_median _),
+    "q209_id_gaps" -> (q209_id_gaps _),
+    "q210_activity_streaks" -> (q210_activity_streaks _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -5818,6 +5886,44 @@ object Queries {
                ORDER BY ts, event_id) AS valid_to,
              value_c
       FROM ch""",
+    // same per-value weight aggregation and half-total selection rule
+    "q208_weighted_median" -> s"""
+      WITH per AS (
+        SELECT l_returnflag, ${centsSql("l_extendedprice")} AS v,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2),
+      c AS (
+        SELECT l_returnflag, v,
+               CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumw,
+               CAST(sum(w) OVER (PARTITION BY l_returnflag)
+                 AS BIGINT) AS totw
+        FROM per)
+      SELECT l_returnflag, CAST(min(v) AS BIGINT) AS weighted_median_c
+      FROM c WHERE cumw * 2 >= totw GROUP BY 1""",
+    // the recovered gaps are exactly the dropped multiples of 7
+    "q209_id_gaps" ->
+      """WITH e AS (SELECT event_id FROM events WHERE event_id % 7 <> 0),
+         x AS (SELECT event_id,
+                      lead(event_id) OVER (ORDER BY event_id) AS nxt
+               FROM e)
+         SELECT event_id + 1 AS gap_start, nxt - 1 AS gap_end
+         FROM x WHERE nxt > event_id + 1""",
+    // the classic day - row_number() island key, identical both sides
+    "q210_activity_streaks" ->
+      """WITH d AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events),
+         i AS (
+           SELECT user_id, day,
+                  day - CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY day) AS INTEGER) AS island
+           FROM d)
+         SELECT user_id, CAST(min(day) AS TIMESTAMP) AS streak_start,
+                count(*) AS streak_days
+         FROM i GROUP BY user_id, island""",
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
