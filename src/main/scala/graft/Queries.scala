@@ -4019,6 +4019,74 @@ object Queries {
       .select("user_id", "streak_start", "streak_days")
   }
 
+  /** BAG-semantics set operations — `INTERSECT ALL` / `EXCEPT ALL`
+    * keep MULTIPLICITY (min for intersect, truncated difference for
+    * except), where q12/q13's set forms collapse to distinct rows.
+    * The fixture makes the difference observable: order-priority
+    * multisets of two customer segments share values with DIFFERENT
+    * counts, so the bag results differ from the set results in row
+    * COUNT, not just content. Spark plans both as aggregate+generate
+    * (count, then replicate) — one shuffle each, no join explosion.
+    */
+  def q211_bag_set_ops(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").where(col("o_custkey") % 3 === 0)
+      .select(col("o_orderpriority"))
+    val b = t(s, dir, "orders").where(col("o_custkey") % 3 === 1)
+      .select(col("o_orderpriority"))
+    a.intersectAll(b).groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_intersect_all"))
+      .join(
+        a.exceptAll(b).groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_except_all")),
+        Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"))
+  }
+
+  /** Tokenizer vocabulary coverage curve — the Zipf table behind every
+    * "how big should the vocab be" decision: tokens ranked by
+    * frequency (ties by token), cumulative corpus coverage in exact
+    * ppm per rank. One token aggregation; the ranking window runs
+    * over the VOCABULARY (q144's discipline), and the answer is the
+    * top-30 rows of the curve. cum·10⁶ runs in decimal(38,0) (token
+    * counts × 10⁶ overflow INT64 at ~10¹³ tokens).
+    */
+  def q212_vocab_coverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val wRank = Window.orderBy(col("c").desc, col("w"))
+    val wCum = Window.orderBy(col("c").desc, col("w"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = counts.agg(sum(col("c")).as("t"))
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    counts
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .join(broadcast(tot))
+      .where(col("rank") <= 30)
+      .withColumn("cum_ppm",
+        expr(s"CAST((${dec("cum")} * ${dec("1000000")}) div ${dec("t")} AS BIGINT)"))
+      .select("rank", "w", "c", "cum_ppm")
+  }
+
+  /** Schema-drift union — `unionByName(allowMissingColumns = true)`:
+    * two generations of an export (one lacks `o_totalprice`, the
+    * other lacks `o_orderstatus`) union BY NAME with nulls filled for
+    * each side's missing column — the ingestion-time schema-evolution
+    * primitive (q146 is the storage-side mergeSchema twin). Column
+    * resolution is positional-independent; the oracle states the same
+    * union with explicit NULL columns.
+    */
+  def q213_union_drift(s: SparkSession, dir: String): DataFrame = {
+    val gen1 = t(s, dir, "orders").where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val gen2 = t(s, dir, "orders").where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4494,7 +4562,10 @@ object Queries {
     "q207_scd2_intervals" -> (q207_scd2_intervals _),
     "q208_weighted_median" -> (q208_weighted_median _),
     "q209_id_gaps" -> (q209_id_gaps _),
-    "q210_activity_streaks" -> (q210_activity_streaks _))
+    "q210_activity_streaks" -> (q210_activity_streaks _),
+    "q211_bag_set_ops" -> (q211_bag_set_ops _),
+    "q212_vocab_coverage" -> (q212_vocab_coverage _),
+    "q213_union_drift" -> (q213_union_drift _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -5924,6 +5995,47 @@ object Queries {
          SELECT user_id, CAST(min(day) AS TIMESTAMP) AS streak_start,
                 count(*) AS streak_days
          FROM i GROUP BY user_id, island""",
+    // DuckDB runs the same SQL:2003 bag semantics natively
+    "q211_bag_set_ops" ->
+      """WITH a AS (SELECT o_orderpriority FROM orders WHERE o_custkey % 3 = 0),
+         b AS (SELECT o_orderpriority FROM orders WHERE o_custkey % 3 = 1),
+         ia AS (SELECT o_orderpriority, count(*) AS n_i
+                FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+                GROUP BY 1),
+         ea AS (SELECT o_orderpriority, count(*) AS n_e
+                FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+                GROUP BY 1)
+         SELECT coalesce(ia.o_orderpriority, ea.o_orderpriority)
+                  AS o_orderpriority,
+                CAST(coalesce(n_i, 0) AS BIGINT) AS n_intersect_all,
+                CAST(coalesce(n_e, 0) AS BIGINT) AS n_except_all
+         FROM ia FULL OUTER JOIN ea
+           ON ia.o_orderpriority = ea.o_orderpriority""",
+    // same frequency ranking (ties by token) and exact ppm curve
+    "q212_vocab_coverage" ->
+      """WITH c AS (
+           SELECT w, count(*) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+         r AS (
+           SELECT w, c,
+                  CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT)
+                    AS rank,
+                  CAST(sum(c) OVER (ORDER BY c DESC, w ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM c)
+         SELECT rank, w, CAST(c AS BIGINT) AS c,
+                CAST((CAST(cum AS HUGEINT) * 1000000)
+                     // CAST(t AS HUGEINT) AS BIGINT) AS cum_ppm
+         FROM r, t WHERE rank <= 30""",
+    // the same union with the missing columns stated as NULLs
+    "q213_union_drift" -> s"""
+      SELECT o_orderkey, o_orderstatus, CAST(NULL AS BIGINT) AS price_c
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS VARCHAR), ${centsSql("o_totalprice")}
+      FROM orders WHERE o_orderkey % 2 = 1""",
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
