@@ -4087,6 +4087,84 @@ object Queries {
     gen1.unionByName(gen2, allowMissingColumns = true)
   }
 
+  /** Stream-disorder metric — how out-of-order is each user's event
+    * stream: the INVERSION COUNT between arrival order (event_id) and
+    * event time (ts, event_id). Computed per key in `mapGroups` with
+    * an O(n log n) merge-sort count over per-user volumes (the q194
+    * cogroup discipline — never a pair materialization); the oracle
+    * pays the O(n²) correlated pair count the distributed form
+    * avoids. The metric that sizes watermarks: max lateness rank
+    * displacement per key.
+    *
+    * The corpus's event_id is perfectly time-ordered (measured:
+    * 0 inversions), so arrival order is DERIVED as the Lehmer
+    * permutation (id·48271 mod 2³¹−1 — bijective below the modulus):
+    * a deterministic adversarial shuffle both engines replay.
+    */
+  def q214_disorder_metric(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroups { (user, it) =>
+        // count pairs where event-time order disagrees with arrival
+        // order — classic merge-sort inversion count over the time
+        // ranks taken in arrival order
+        val byArrival = it.toArray.sortBy(t => (t._2 * 48271L) % 2147483647L)
+        val times = byArrival.map(t =>
+          (t._3.toInstant.getEpochSecond * 1000000L + t._3.getNanos / 1000L,
+            t._2))
+        val n = times.length
+        var inversions = 0L
+        val buf = new Array[(Long, Long)](n)
+        def merge(lo: Int, mid: Int, hi: Int): Unit = {
+          var i = lo; var j = mid; var k = lo
+          while (i < mid && j < hi) {
+            // strict inversion: later arrival has strictly smaller
+            // (ts, event_id)
+            if (implicitly[Ordering[(Long, Long)]].lteq(times(i), times(j))) {
+              buf(k) = times(i); i += 1
+            } else { buf(k) = times(j); j += 1; inversions += (mid - i) }
+            k += 1
+          }
+          while (i < mid) { buf(k) = times(i); i += 1; k += 1 }
+          while (j < hi) { buf(k) = times(j); j += 1; k += 1 }
+          System.arraycopy(buf, lo, times, lo, hi - lo)
+        }
+        def sort(lo: Int, hi: Int): Unit =
+          if (hi - lo > 1) {
+            val mid = lo + (hi - lo) / 2
+            sort(lo, mid); sort(mid, hi); merge(lo, mid, hi)
+          }
+        sort(0, n)
+        (user, n.toLong, inversions)
+      }
+      .toDF("user_id", "n_events", "n_inversions")
+  }
+
+  /** OHLC candles — the finance/telemetry downsampling aggregate: per
+    * (day, event_type), open = value at the earliest (ts, event_id),
+    * close at the latest, high/low = max/min — all four from ONE
+    * aggregation using min/max over (ts, event_id, value) structs
+    * (lexicographic struct ordering carries the value along; no
+    * window, no self-join, map-side combinable). The oracle replays
+    * open/close with arg-ordered window picks.
+    */
+  def q215_ohlc_candles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
+        col("ts"), col("event_id"), cents(col("value")).as("v"))
+      .groupBy("day", "event_type")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("v")))
+          .getField("v").as("open_c"),
+        max(col("v")).as("high_c"),
+        min(col("v")).as("low_c"),
+        max(struct(col("ts"), col("event_id"), col("v")))
+          .getField("v").as("close_c"),
+        count(lit(1)).as("n"))
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4565,7 +4643,9 @@ object Queries {
     "q210_activity_streaks" -> (q210_activity_streaks _),
     "q211_bag_set_ops" -> (q211_bag_set_ops _),
     "q212_vocab_coverage" -> (q212_vocab_coverage _),
-    "q213_union_drift" -> (q213_union_drift _))
+    "q213_union_drift" -> (q213_union_drift _),
+    "q214_disorder_metric" -> (q214_disorder_metric _),
+    "q215_ohlc_candles" -> (q215_ohlc_candles _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -6036,6 +6116,40 @@ object Queries {
       UNION ALL
       SELECT o_orderkey, CAST(NULL AS VARCHAR), ${centsSql("o_totalprice")}
       FROM orders WHERE o_orderkey % 2 = 1""",
+    // the oracle pays the O(n^2) per-user pair count the distributed
+    // merge-sort form avoids; same Lehmer arrival permutation
+    "q214_disorder_metric" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+                  (event_id * 48271) % 2147483647 AS arrival
+           FROM events)
+         SELECT a.user_id, count(DISTINCT a.event_id) AS n_events,
+                CAST(sum(CASE WHEN b.event_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions
+         FROM e a LEFT JOIN e b
+           ON a.user_id = b.user_id
+          AND a.arrival < b.arrival
+          AND (a.ts > b.ts OR (a.ts = b.ts AND a.event_id > b.event_id))
+         GROUP BY 1""",
+    // open/close replayed as arg-ordered first/last window picks
+    "q215_ohlc_candles" -> s"""
+      WITH r AS (
+        SELECT date_trunc('day', ts) AS day, event_type, ts, event_id,
+               ${centsSql("value")} AS v
+        FROM events),
+      w AS (
+        SELECT day, event_type, v,
+               first_value(v) OVER (PARTITION BY day, event_type
+                 ORDER BY ts, event_id) AS open_c,
+               first_value(v) OVER (PARTITION BY day, event_type
+                 ORDER BY ts DESC, event_id DESC) AS close_c
+        FROM r)
+      SELECT day, event_type, CAST(min(open_c) AS BIGINT) AS open_c,
+             CAST(max(v) AS BIGINT) AS high_c,
+             CAST(min(v) AS BIGINT) AS low_c,
+             CAST(min(close_c) AS BIGINT) AS close_c,
+             count(*) AS n
+      FROM w GROUP BY 1, 2""",
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
