@@ -4165,6 +4165,70 @@ object Queries {
           .getField("v").as("close_c"),
         count(lit(1)).as("n"))
 
+  /** Period-over-period growth — the BI report primitive: weekly
+    * event counts per type, each week's delta vs the previous week in
+    * exact signed ppm (sign factored out of the floor division, the
+    * q186 discipline — Spark `div` truncates, DuckDB `//` floors, they
+    * agree only on nonnegative operands). First week per type has no
+    * predecessor → null growth, stated identically in both engines.
+    * One agg + one lag over the (type, week) table — report-sized.
+    */
+  def q216_wow_growth(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("growth_ppm", expr(
+        """CASE WHEN prev_n IS NULL THEN NULL
+                WHEN n >= prev_n THEN ((n - prev_n) * 1000000) div prev_n
+                ELSE -(((prev_n - n) * 1000000) div prev_n) END"""))
+      .select("event_type", "week", "n", "growth_ppm")
+  }
+
+  /** Rolling 7-day distinct actives (WAU) — the sliding-window
+    * DISTINCT that q202's prefix-sum trick CANNOT express (distinct
+    * doesn't subtract): each active (user, day) explodes into the 7
+    * report days it covers (bounded 7× expansion — the q201 sliding
+    * principle applied to distinct), then one distinct-count per
+    * report day. Report days ride the data; days with no activity in
+    * range don't appear (stated identically in the oracle).
+    */
+  def q217_rolling_wau(s: SparkSession, dir: String): DataFrame = {
+    val active = t(s, dir, "events")
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    active
+      .select(col("user_id"), explode(expr(
+        "transform(sequence(0, 6), i -> date_add(day, i))")).as("report_day"))
+      .groupBy("report_day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(col("report_day").cast("timestamp").as("report_day"), col("wau"))
+  }
+
+  /** Error-safe arithmetic under ANSI mode — `try_divide` / `try_add`
+    * / `try_cast` return NULL where the strict forms THROW (division
+    * by zero, overflow, malformed casts): the ingestion posture for
+    * dirty data (one bad record must not kill a 100 TB batch — the
+    * q134 PERMISSIVE-JSON stance for expressions). The fixture
+    * manufactures all three hazards deterministically; the oracle
+    * states the same semantics with CASE guards.
+    */
+  def q218_try_arithmetic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        // division by zero every 10th row
+        expr("try_divide(CAST(o_custkey AS BIGINT), o_orderkey % 10)")
+          .as("safe_div"),
+        // overflow: near-max long + positive addend
+        expr("try_add(9223372036854775807 - (o_orderkey % 3), CAST(2 AS BIGINT))")
+          .as("safe_add"),
+        // malformed cast: status letters are not numbers
+        expr("try_cast(o_orderstatus AS BIGINT)").as("safe_cast"),
+        expr("try_cast(CAST(o_orderkey AS STRING) AS BIGINT)").as("good_cast"))
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4645,7 +4709,10 @@ object Queries {
     "q212_vocab_coverage" -> (q212_vocab_coverage _),
     "q213_union_drift" -> (q213_union_drift _),
     "q214_disorder_metric" -> (q214_disorder_metric _),
-    "q215_ohlc_candles" -> (q215_ohlc_candles _))
+    "q215_ohlc_candles" -> (q215_ohlc_candles _),
+    "q216_wow_growth" -> (q216_wow_growth _),
+    "q217_rolling_wau" -> (q217_rolling_wau _),
+    "q218_try_arithmetic" -> (q218_try_arithmetic _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -6150,6 +6217,48 @@ object Queries {
              CAST(min(close_c) AS BIGINT) AS close_c,
              count(*) AS n
       FROM w GROUP BY 1, 2""",
+    // same signed-ppm rule with the sign factored out of the floor
+    "q216_wow_growth" ->
+      """WITH wk AS (
+           SELECT event_type, date_trunc('week', ts) AS week,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, week, n,
+                  lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                    AS prev_n
+           FROM wk)
+         SELECT event_type, week, n,
+                CAST(CASE WHEN prev_n IS NULL THEN NULL
+                     WHEN n >= prev_n
+                       THEN ((n - prev_n) * 1000000) // prev_n
+                     ELSE -(((prev_n - n) * 1000000) // prev_n)
+                  END AS BIGINT) AS growth_ppm
+         FROM g""",
+    // same 7-day coverage expansion + distinct count per report day
+    "q217_rolling_wau" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events),
+         x AS (
+           SELECT user_id, day + CAST(k AS INTEGER) AS report_day
+           FROM a, (SELECT unnest(range(0, 7)) AS k))
+         SELECT CAST(report_day AS TIMESTAMP) AS report_day,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+         FROM x GROUP BY 1""",
+    // the same null-on-hazard semantics stated with CASE guards
+    "q218_try_arithmetic" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                     ELSE CAST(o_custkey AS DOUBLE) / (o_orderkey % 10)
+                END AS safe_div,
+                CASE WHEN o_orderkey % 3 = 2
+                     THEN CAST(9223372036854775807 AS BIGINT)
+                     ELSE NULL END AS safe_add,
+                CAST(NULL AS BIGINT) AS safe_cast,
+                o_orderkey AS good_cast
+         FROM orders""",
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
