@@ -4229,6 +4229,88 @@ object Queries {
         expr("try_cast(o_orderstatus AS BIGINT)").as("safe_cast"),
         expr("try_cast(CAST(o_orderkey AS STRING) AS BIGINT)").as("good_cast"))
 
+  /** Regression fit quality — r² in EXACT integer arithmetic (the
+    * q186 family completed): r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²) ·
+    * (nΣy² − (Σy)²)) needs no square root, so the whole statistic is
+    * one decimal(38,0) ratio in ppm from the same five sufficient
+    * statistics plus Σy². Degenerate groups (zero variance on either
+    * axis) are stated NULL in both engines.
+    *
+    * Envelope: num² must stay under 10³⁸, which bounds |num| ≤ 10¹⁹ —
+    * so BOTH variables need bounded domains (quantity ≤ 50, discount
+    * ≤ 1000 bp keep num ≤ ~10¹⁵ at sf10). Wide-valued variables
+    * (prices) breach the square even in int128 — there the honest
+    * paths are pre-scaling or floats, not silent wraparound (ANSI
+    * throws loudly if this bound is ever crossed).
+    */
+  def q219_r_squared(s: SparkSession, dir: String): DataFrame = {
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_discount") * 10000).cast("long").as("y")) // basis points
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(expr(s"${dec("y")} * ${dec("y")}")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("__num", expr(
+        s"${dec("n")} * ${dec("sxy")} - ${dec("sx")} * ${dec("sy")}"))
+      .withColumn("__dx", expr(
+        s"${dec("n")} * ${dec("sxx")} - ${dec("sx")} * ${dec("sx")}"))
+      .withColumn("__dy", expr(
+        s"${dec("n")} * syy - ${dec("sy")} * ${dec("sy")}"))
+      .withColumn("r2_ppm", expr(
+        s"""CASE WHEN __dx = 0 OR __dy = 0 THEN NULL
+                 ELSE CAST((${dec("1000000")} * __num * __num)
+                           div (__dx * __dy) AS BIGINT) END"""))
+      .select("l_returnflag", "n", "r2_ppm")
+  }
+
+  /** Streaming lakehouse ingest end-to-end: events stream through
+    * `foreachBatch` into an append-only parquet table (the raw
+    * landing zone), then the layout layer runs — [[graft.core.ZoneMap]]
+    * re-clusters on ts with a per-file zone sidecar — and a pruned
+    * time-range read serves the query. The gate proves the whole
+    * chain (stream → landing → cluster → skip-read) loses and
+    * fabricates nothing vs the oracle's direct slice of the source
+    * table. Batch boundaries don't matter: append is row-wise, the
+    * re-cluster is a full rewrite (the compaction step a real table
+    * service runs incrementally).
+    */
+  def q220_stream_lakehouse_sink(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val streamDir = eventsStreamDir(s, dir)
+    val base = s"/tmp/graft-q220-${ProcessHandle.current().pid()}-${dirSlug(dir)}"
+    val landing = s"$base/landing"
+    val clustered = s"$base/clustered"
+    val root = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
+    val stream = graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 2)
+    val q = stream
+      .select(col("event_id"), col("ts"), col("user_id"), cents(col("value")).as("value_c"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(landing)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.core.ZoneMap.write(s.read.parquet(landing), clustered, "ts", numFiles = 8)
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-12 23:59:59").cast("timestamp")
+    graft.core.ZoneMap.prunedRead(s, clustered, lo, hi)
+      .where(col("ts").between(lo, hi))
+      .select("event_id", "user_id", "value_c")
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4712,7 +4794,9 @@ object Queries {
     "q215_ohlc_candles" -> (q215_ohlc_candles _),
     "q216_wow_growth" -> (q216_wow_growth _),
     "q217_rolling_wau" -> (q217_rolling_wau _),
-    "q218_try_arithmetic" -> (q218_try_arithmetic _))
+    "q218_try_arithmetic" -> (q218_try_arithmetic _),
+    "q219_r_squared" -> (q219_r_squared _),
+    "q220_stream_lakehouse_sink" -> (q220_stream_lakehouse_sink _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -6259,6 +6343,42 @@ object Queries {
                 CAST(NULL AS BIGINT) AS safe_cast,
                 o_orderkey AS good_cast
          FROM orders""",
+    // same sufficient statistics; r^2 needs no sqrt so it stays exact
+    "q219_r_squared" -> s"""
+      WITH a AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+               CAST(sum(CAST(round(l_discount * 10000) AS BIGINT))
+                 AS BIGINT) AS sy,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+               sum(CAST(round(l_discount * 10000) AS HUGEINT)
+                   * CAST(round(l_discount * 10000) AS HUGEINT)) AS syy,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(round(l_discount * 10000) AS BIGINT))
+                 AS BIGINT) AS sxy
+        FROM lineitem GROUP BY 1),
+      d AS (
+        SELECT l_returnflag, n,
+               CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+                 - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+               CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                 - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS dx,
+               CAST(n AS HUGEINT) * syy
+                 - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS dy
+        FROM a)
+      SELECT l_returnflag, n,
+             CAST(CASE WHEN dx = 0 OR dy = 0 THEN NULL
+                  ELSE (CAST(1000000 AS HUGEINT) * num * num) // (dx * dy)
+               END AS BIGINT) AS r2_ppm
+      FROM d""",
+    // the whole stream->landing->cluster->skip-read chain must be the
+    // identity on the source slice
+    "q220_stream_lakehouse_sink" -> s"""
+      SELECT event_id, user_id, ${centsSql("value")} AS value_c
+      FROM events
+      WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                   AND TIMESTAMP '2024-01-12 23:59:59'""",
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
