@@ -4311,6 +4311,64 @@ object Queries {
       .select("event_id", "user_id", "value_c")
   }
 
+  /** Distributed global row numbering ([[GlobalOrder.rowNumber]]) —
+    * the scalable `row_number() OVER (ORDER BY …)`: range partition +
+    * local rank + exclusive-prefix-sum offsets, widest task = one
+    * range bucket (the oracle's single-reducer global window is
+    * exactly what this avoids). Total order (price cents, orderkey);
+    * numbering is partitioning-independent, so the gate pins the
+    * entire mechanism — boundary sampling, local ranks, offset
+    * arithmetic — against the oracle's window.
+    */
+  def q221_global_row_number(s: SparkSession, dir: String): DataFrame =
+    GlobalOrder.rowNumber(
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c")),
+      Seq(col("price_c"), col("o_orderkey")), out = "rn")
+      .select("o_orderkey", "price_c", "rn")
+
+  /** As-of join with TOLERANCE (pandas merge_asof's `tolerance`, kdb's
+    * bounded aj): each purchase takes the user's most recent click,
+    * but a match staler than 1 hour is DISCARDED (nulls) — the
+    * freshness contract a plain as-of join can't express. Same
+    * union+window machinery as q33/q129 (one shuffle), tolerance as a
+    * post-predicate that nulls both payload columns atomically.
+    */
+  def q222_asof_tolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"),
+        col("event_id").as("click_id"))
+    val joined = AsOfJoin(p, c, "user_id", "pts", "c_user", "cts",
+      tieBreak = "click_id", payloadCols = Seq("click_id"))
+    val fresh = col("cts").isNotNull &&
+      col("cts") >= col("pts") - expr("INTERVAL 1 HOUR")
+    joined.select(col("purchase_id"), col("user_id"), col("pts"),
+      when(fresh, col("click_id")).as("click_id"),
+      when(fresh, col("cts")).as("click_ts"))
+  }
+
+  /** Top-k WITH TIES — rank() ≤ k keeps every row tying at the cutoff
+    * where row_number() would truncate arbitrarily (the SQL:2008
+    * FETCH FIRST … WITH TIES semantics): top-2 order prices per
+    * priority, ties at rank 2 all surface. Per-group window — shards
+    * by priority; the deterministic-output point is that WITH TIES
+    * needs no tiebreak column to be reproducible.
+    */
+  def q223_top_k_ties(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("price_c").desc)
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .where(col("rk") <= 2)
+      .groupBy("o_orderpriority", "rk", "price_c")
+      .agg(count(lit(1)).as("n_tied"))
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4796,7 +4854,10 @@ object Queries {
     "q217_rolling_wau" -> (q217_rolling_wau _),
     "q218_try_arithmetic" -> (q218_try_arithmetic _),
     "q219_r_squared" -> (q219_r_squared _),
-    "q220_stream_lakehouse_sink" -> (q220_stream_lakehouse_sink _))
+    "q220_stream_lakehouse_sink" -> (q220_stream_lakehouse_sink _),
+    "q221_global_row_number" -> (q221_global_row_number _),
+    "q222_asof_tolerance" -> (q222_asof_tolerance _),
+    "q223_top_k_ties" -> (q223_top_k_ties _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -6379,6 +6440,43 @@ object Queries {
       FROM events
       WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
                    AND TIMESTAMP '2024-01-12 23:59:59'""",
+    // the single-reducer window the engine's two-phase form avoids
+    "q221_global_row_number" -> s"""
+      SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_c,
+             CAST(row_number() OVER (ORDER BY ${centsSql("o_totalprice")},
+               o_orderkey) AS BIGINT) AS rn
+      FROM orders""",
+    // most recent click per purchase, discarded when staler than 1h
+    "q222_asof_tolerance" ->
+      """WITH p AS (
+           SELECT event_id AS purchase_id, user_id, ts AS pts
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, ts AS cts, event_id AS click_id
+           FROM events WHERE event_type = 'click'),
+         m AS (
+           SELECT purchase_id, p.user_id, pts,
+                  first_value(click_id) OVER (PARTITION BY purchase_id
+                    ORDER BY cts DESC, click_id DESC) AS click_id,
+                  first_value(cts) OVER (PARTITION BY purchase_id
+                    ORDER BY cts DESC, click_id DESC) AS cts
+           FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts)
+         SELECT DISTINCT purchase_id, user_id, pts,
+                CASE WHEN cts >= pts - INTERVAL 1 HOUR
+                     THEN click_id END AS click_id,
+                CASE WHEN cts >= pts - INTERVAL 1 HOUR
+                     THEN cts END AS click_ts
+         FROM m""",
+    // SQL:2008 WITH TIES semantics via rank()
+    "q223_top_k_ties" -> s"""
+      WITH r AS (
+        SELECT o_orderpriority, ${centsSql("o_totalprice")} AS price_c,
+               CAST(rank() OVER (PARTITION BY o_orderpriority
+                 ORDER BY ${centsSql("o_totalprice")} DESC) AS BIGINT) AS rk
+        FROM orders)
+      SELECT o_orderpriority, rk, price_c, count(*) AS n_tied
+      FROM r WHERE rk <= 2
+      GROUP BY 1, 2, 3""",
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
