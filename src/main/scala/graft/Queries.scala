@@ -4369,6 +4369,81 @@ object Queries {
       .agg(count(lit(1)).as("n_tied"))
   }
 
+  /** Exact Gini coefficient per nation — the inequality statistic as
+    * pure integer arithmetic over the VALUE distribution (dataset-
+    * balance audits use exactly this): with per-value counts c_v and
+    * strictly-smaller cumulative counts cum_v (values-sized windows,
+    * the q204 discipline), the duplicate-aware rank sum is
+    * 2Σi·x_(i) = Σ_v x_v·c_v·(2·cum_v + c_v + 1), and
+    * gini_ppm = (rankSum − (n+1)·Σx)·10⁶ div (n·Σx) — no sort of the
+    * data, no float, one cents aggregation per (nation, value).
+    */
+  def q224_gini(s: SparkSession, dir: String): DataFrame = {
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    val per = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), cents(col("o_totalprice")).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("c_nationkey").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("cum", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .groupBy("c_nationkey")
+      .agg(sum(col("c")).as("n"),
+        sum(expr(s"${dec("v")} * ${dec("c")}")).as("sx"),
+        sum(expr(s"${dec("v")} * ${dec("c")} * ${dec("2 * cum + c + 1")}"))
+          .as("ranksum"))
+      .withColumn("gini_ppm", expr(
+        s"""CAST(((ranksum - (${dec("n")} + 1) * sx) * ${dec("1000000")})
+                 div (${dec("n")} * sx) AS BIGINT)"""))
+      .select("c_nationkey", "n", "gini_ppm")
+  }
+
+  /** Herfindahl–Hirschman concentration index — "is this nation's
+    * revenue dominated by few suppliers": HHI_ppm = 10⁶·Σ rev_i² div
+    * (Σ rev)², exact in decimal(38,0) (squares of cents sums — no
+    * per-share rounding, the ratio floors ONCE at the end). Two
+    * aggregations (supplier revenue, then the nation fold); 10⁶ = one
+    * supplier owns everything, 10⁶/k = k equal suppliers.
+    */
+  def q225_hhi(s: SparkSession, dir: String): DataFrame = {
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+    rev.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(expr(s"${dec("rev")} * ${dec("rev")}")).as("ss"),
+        sum(col("rev")).as("tot"))
+      .withColumn("hhi_ppm", expr(
+        s"CAST((${dec("1000000")} * ss) div (${dec("tot")} * ${dec("tot")}) AS BIGINT)"))
+      .select("s_nationkey", "n_suppliers", "hhi_ppm")
+  }
+
+  /** Cross-table reconciliation audit — does each order's header total
+    * match the sum of its lines (the invoice-vs-ledger check every
+    * finance pipeline runs)? The synthetic generator does NOT maintain
+    * the invariant, so the report is a LIVE population: per-order
+    * header cents vs Σ line extendedprice cents, top-20 by absolute
+    * discrepancy (ties by orderkey). One join + one agg; at 100 TB
+    * this is the q152 FK-check shape with an arithmetic body.
+    */
+  def q226_order_reconciliation(s: SparkSession, dir: String): DataFrame = {
+    val lines = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("lines_c"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("header_c"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("header_c"),
+        coalesce(col("lines_c"), lit(0L)).as("lines_c"))
+      .withColumn("abs_diff_c", abs(col("header_c") - col("lines_c")))
+      .orderBy(col("abs_diff_c").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4857,7 +4932,10 @@ object Queries {
     "q220_stream_lakehouse_sink" -> (q220_stream_lakehouse_sink _),
     "q221_global_row_number" -> (q221_global_row_number _),
     "q222_asof_tolerance" -> (q222_asof_tolerance _),
-    "q223_top_k_ties" -> (q223_top_k_ties _))
+    "q223_top_k_ties" -> (q223_top_k_ties _),
+    "q224_gini" -> (q224_gini _),
+    "q225_hhi" -> (q225_hhi _),
+    "q226_order_reconciliation" -> (q226_order_reconciliation _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -6477,6 +6555,54 @@ object Queries {
       SELECT o_orderpriority, rk, price_c, count(*) AS n_tied
       FROM r WHERE rk <= 2
       GROUP BY 1, 2, 3""",
+    // identical duplicate-aware rank-sum identity in HUGEINT
+    "q224_gini" -> s"""
+      WITH per AS (
+        SELECT c_nationkey, ${centsSql("o_totalprice")} AS v,
+               count(*) AS c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      cu AS (
+        SELECT c_nationkey, v, c,
+               CAST(coalesce(sum(c) OVER (PARTITION BY c_nationkey
+                 ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        FROM per),
+      agg AS (
+        SELECT c_nationkey, CAST(sum(c) AS BIGINT) AS n,
+               sum(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)) AS sx,
+               sum(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)
+                   * CAST(2 * cum + c + 1 AS HUGEINT)) AS ranksum
+        FROM cu GROUP BY 1)
+      SELECT c_nationkey, n,
+             CAST(((ranksum - (CAST(n AS HUGEINT) + 1) * sx) * 1000000)
+                  // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_ppm
+      FROM agg""",
+    // same two-level fold; the ratio floors once at the end
+    "q225_hhi" -> s"""
+      WITH rev AS (
+        SELECT s_nationkey, s_suppkey,
+               CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2)
+      SELECT s_nationkey, count(*) AS n_suppliers,
+             CAST((CAST(1000000 AS HUGEINT)
+                   * sum(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)))
+                  // (CAST(sum(rev) AS HUGEINT)
+                     * CAST(sum(rev) AS HUGEINT)) AS BIGINT) AS hhi_ppm
+      FROM rev GROUP BY 1""",
+    // header-vs-lines discrepancy, top-20 by |diff| (ties by key)
+    "q226_order_reconciliation" -> s"""
+      WITH l AS (
+        SELECT l_orderkey,
+               CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS lines_c
+        FROM lineitem GROUP BY 1)
+      SELECT o_orderkey, ${centsSql("o_totalprice")} AS header_c,
+             coalesce(lines_c, 0) AS lines_c,
+             abs(${centsSql("o_totalprice")} - coalesce(lines_c, 0))
+               AS abs_diff_c
+      FROM orders LEFT JOIN l ON o_orderkey = l_orderkey
+      ORDER BY abs_diff_c DESC, o_orderkey LIMIT 20""",
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
