@@ -4444,6 +4444,65 @@ object Queries {
       .limit(20)
   }
 
+  /** Cohen's kappa — chance-corrected agreement between the heuristic
+    * language labeler (q23's [[TextAnalysis.langId]]) and the true
+    * lang column, in EXACT cross-multiplied integers:
+    * κ = (N·D − Σ row·col) / (N² − Σ row·col) scaled to ppm, sign
+    * factored out of the floor (the q186 discipline — below-chance
+    * agreement is legal). The annotator-agreement metric every
+    * labeling pipeline reports; everything reduces over the
+    * CONFUSION MATRIX (classes² rows), so the corpus is touched once.
+    */
+  def q227_cohens_kappa(s: SparkSession, dir: String): DataFrame = {
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    val conf = t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("c"))
+    val n = conf.agg(sum(col("c")).as("n"),
+      sum(when(col("lang") === col("pred"), col("c")).otherwise(0L)).as("d"))
+    val rows = conf.groupBy("lang").agg(sum(col("c")).as("rc"))
+    val cols = conf.groupBy("pred").agg(sum(col("c")).as("cc"))
+    val p = rows.join(cols, rows("lang") === cols("pred"))
+      .agg(coalesce(sum(expr(s"${dec("rc")} * ${dec("cc")}")),
+        lit(0).cast("decimal(38,0)")).as("p"))
+    n.join(p)
+      .withColumn("__num", expr(s"${dec("n")} * ${dec("d")} - p"))
+      .withColumn("__den", expr(s"${dec("n")} * ${dec("n")} - p"))
+      .withColumn("kappa_ppm", expr(
+        s"""CAST(CASE WHEN __num < 0
+                  THEN -((${dec("1000000")} * (-__num)) div __den)
+                  ELSE (${dec("1000000")} * __num) div __den
+             END AS BIGINT)"""))
+      .select(col("n").as("n_docs"), col("d").as("n_agree"), col("kappa_ppm"))
+  }
+
+  /** Per-class precision/recall for the same labeler — the multiclass
+    * evaluation report (tp / fp / fn and exact ppm ratios) every
+    * model-eval pipeline emits. Classes = union of true and predicted
+    * labels (a class never predicted keeps precision NULL, never true
+    * keeps recall NULL — stated identically in the oracle). All
+    * arithmetic over the confusion matrix; one corpus pass.
+    */
+  def q228_class_prf(s: SparkSession, dir: String): DataFrame = {
+    val conf = t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("c"))
+    val tp = conf.where(col("lang") === col("pred"))
+      .select(col("lang").as("cls"), col("c").as("tp"))
+    val actual = conf.groupBy(col("lang").as("cls")).agg(sum(col("c")).as("n_true"))
+    val predicted = conf.groupBy(col("pred").as("cls")).agg(sum(col("c")).as("n_pred"))
+    actual.join(predicted, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"))
+      .withColumn("precision_ppm",
+        expr("CASE WHEN n_pred > 0 THEN (tp * 1000000) div n_pred END"))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN n_true > 0 THEN (tp * 1000000) div n_true END"))
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4935,7 +4994,9 @@ object Queries {
     "q223_top_k_ties" -> (q223_top_k_ties _),
     "q224_gini" -> (q224_gini _),
     "q225_hhi" -> (q225_hhi _),
-    "q226_order_reconciliation" -> (q226_order_reconciliation _))
+    "q226_order_reconciliation" -> (q226_order_reconciliation _),
+    "q227_cohens_kappa" -> (q227_cohens_kappa _),
+    "q228_class_prf" -> (q228_class_prf _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -6603,6 +6664,65 @@ object Queries {
                AS abs_diff_c
       FROM orders LEFT JOIN l ON o_orderkey = l_orderkey
       ORDER BY abs_diff_c DESC, o_orderkey LIMIT 20""",
+    // same confusion-matrix reduction; sign factored out of the floor
+    "q227_cohens_kappa" -> {
+      val scoreCols = TextAnalysis.langMarkers.map { case (l, _) =>
+        s"${langScoreSql(l)} AS s_$l"
+      }.mkString(", ")
+      s"""WITH lp AS (
+            SELECT lang, $langCaseSql AS pred FROM (
+              SELECT lang, $scoreCols FROM documents)),
+          conf AS (SELECT lang, pred, count(*) AS c FROM lp GROUP BY 1, 2),
+          nd AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(coalesce(sum(CASE WHEN lang = pred THEN c END), 0)
+                     AS BIGINT) AS d
+            FROM conf),
+          r AS (SELECT lang, CAST(sum(c) AS BIGINT) AS rc FROM conf GROUP BY 1),
+          co AS (SELECT pred, CAST(sum(c) AS BIGINT) AS cc FROM conf GROUP BY 1),
+          p AS (
+            SELECT coalesce(sum(CAST(rc AS HUGEINT) * CAST(cc AS HUGEINT)),
+                   CAST(0 AS HUGEINT)) AS p
+            FROM r JOIN co ON r.lang = co.pred)
+          SELECT n AS n_docs, d AS n_agree,
+                 CAST(CASE WHEN CAST(n AS HUGEINT) * CAST(d AS HUGEINT) < p
+                      THEN -(((p - CAST(n AS HUGEINT) * CAST(d AS HUGEINT))
+                              * 1000000)
+                             // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - p))
+                      ELSE ((CAST(n AS HUGEINT) * CAST(d AS HUGEINT) - p)
+                            * 1000000)
+                           // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - p)
+                   END AS BIGINT) AS kappa_ppm
+          FROM nd, p"""
+    },
+    // same per-class tp/pred/true fold with NULL-guarded ratios
+    "q228_class_prf" -> {
+      val scoreCols = TextAnalysis.langMarkers.map { case (l, _) =>
+        s"${langScoreSql(l)} AS s_$l"
+      }.mkString(", ")
+      s"""WITH lp AS (
+            SELECT lang, $langCaseSql AS pred FROM (
+              SELECT lang, $scoreCols FROM documents)),
+          conf AS (SELECT lang, pred, count(*) AS c FROM lp GROUP BY 1, 2),
+          tp AS (SELECT lang AS cls, CAST(c AS BIGINT) AS tp FROM conf
+                 WHERE lang = pred),
+          a AS (SELECT lang AS cls, CAST(sum(c) AS BIGINT) AS n_true
+                FROM conf GROUP BY 1),
+          pr AS (SELECT pred AS cls, CAST(sum(c) AS BIGINT) AS n_pred
+                 FROM conf GROUP BY 1)
+          SELECT coalesce(a.cls, pr.cls) AS cls,
+                 coalesce(tp, 0) AS tp,
+                 coalesce(n_pred, 0) AS n_pred,
+                 coalesce(n_true, 0) AS n_true,
+                 CAST(CASE WHEN coalesce(n_pred, 0) > 0
+                      THEN (coalesce(tp, 0) * 1000000) // n_pred
+                   END AS BIGINT) AS precision_ppm,
+                 CAST(CASE WHEN coalesce(n_true, 0) > 0
+                      THEN (coalesce(tp, 0) * 1000000) // n_true
+                   END AS BIGINT) AS recall_ppm
+          FROM a FULL OUTER JOIN pr ON a.cls = pr.cls
+          LEFT JOIN tp ON coalesce(a.cls, pr.cls) = tp.cls"""
+    },
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
