@@ -4503,6 +4503,50 @@ object Queries {
         expr("CASE WHEN n_true > 0 THEN (tp * 1000000) div n_true END"))
   }
 
+  /** Calendar-dimension build — the warehouse date spine generated
+    * IN-PLAN (`sequence` over the observed [min, max] day range,
+    * exploded), enriched with ISO weekday / week start, and
+    * left-joined to daily event counts so empty days surface as
+    * explicit zeros (the calendar-driven complement of q100's
+    * per-series gap fill). The spine is days-sized whatever the data
+    * volume; the 1-row min/max agg broadcasts. Cross-engine: Spark
+    * `weekday()+1` = DuckDB `isodow` (both Monday=1).
+    */
+  def q229_calendar_spine(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(date_trunc("day", col("ts")).cast("date").as("day"))
+    val bounds = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val daily = ev.groupBy("day").agg(count(lit(1)).as("n_events"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day").cast("timestamp").as("day"),
+        (weekday(col("day")) + 1).cast("long").as("isodow"),
+        date_trunc("week", col("day")).as("week_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Maximum drawdown — the peak-to-trough risk statistic, exact in
+    * cents: per user, the running cumulative balance (ordered by
+    * (ts, event_id)), its running peak, and the largest peak-minus-
+    * balance gap. Two stacked windows over ONE user-keyed sort — the
+    * canonical "how far below its high-water mark did this series
+    * fall" over any (time, value) stream.
+    */
+  def q230_max_drawdown(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (when(col("event_type") === "purchase", lit(-1L)).otherwise(lit(1L))
+          * cents(col("value"))).as("delta_c"))
+      .withColumn("bal", sum(col("delta_c")).over(w))
+      .withColumn("peak", max(col("bal")).over(w))
+      .groupBy("user_id")
+      .agg(max(col("peak") - col("bal")).as("max_drawdown_c"),
+        max(col("peak")).as("peak_c"))
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -4996,7 +5040,9 @@ object Queries {
     "q225_hhi" -> (q225_hhi _),
     "q226_order_reconciliation" -> (q226_order_reconciliation _),
     "q227_cohens_kappa" -> (q227_cohens_kappa _),
-    "q228_class_prf" -> (q228_class_prf _))
+    "q228_class_prf" -> (q228_class_prf _),
+    "q229_calendar_spine" -> (q229_calendar_spine _),
+    "q230_max_drawdown" -> (q230_max_drawdown _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -6723,6 +6769,42 @@ object Queries {
           FROM a FULL OUTER JOIN pr ON a.cls = pr.cls
           LEFT JOIN tp ON coalesce(a.cls, pr.cls) = tp.cls"""
     },
+    // same generated spine; isodow Monday=1 in both engines
+    "q229_calendar_spine" ->
+      """WITH d AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+         b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+         spine AS (
+           SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+           FROM b),
+         daily AS (SELECT day, count(*) AS n_events FROM d GROUP BY 1)
+         SELECT CAST(spine.day AS TIMESTAMP) AS day,
+                CAST(date_part('isodow', spine.day) AS BIGINT) AS isodow,
+                CAST(date_trunc('week', spine.day) AS TIMESTAMP)
+                  AS week_start,
+                coalesce(n_events, 0) AS n_events
+         FROM spine LEFT JOIN daily ON spine.day = daily.day""",
+    // identical signed deltas and stacked running windows
+    "q230_max_drawdown" -> s"""
+      WITH r AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN -1 ELSE 1 END
+                 * ${centsSql("value")} AS delta_c
+        FROM events),
+      c AS (
+        SELECT user_id, ts, event_id,
+               sum(delta_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+        FROM r),
+      p AS (
+        SELECT user_id, bal,
+               max(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM c)
+      SELECT user_id,
+             CAST(max(peak - bal) AS BIGINT) AS max_drawdown_c,
+             CAST(max(peak) AS BIGINT) AS peak_c
+      FROM p GROUP BY 1""",
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
