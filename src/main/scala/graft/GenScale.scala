@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-table-set N× scale-up generator — the sf1 testdata the driver
+  * does not ship (r7 verdict #2: "the full query surface has never run
+  * above sf0.1"). Writes a COMPLETE, FK-consistent copy of every
+  * testdata table at ~N× the base scale factor, so the whole 230-query
+  * Verify + DuckDB-oracle sweep can run against it unchanged:
+  *
+  *   sbt -batch "runMain graft.GenScale /root/testdata/sf0.1 10 /tmp/graft-sf1"
+  *   sbt -batch "runMain graft.Verify /tmp/graft-sf1 /tmp/v_sf1"
+  *   python3 tools/check_oracle.py /tmp/graft-sf1 /tmp/v_sf1
+  *
+  * Scaling semantics follow ScaleProbe's documented re-keying (which
+  * covers only the 4 tables its 12 probes need; this emits all 10):
+  * every copy i gets disjoint key spaces — orderkeys/event ids/doc ids/
+  * vec ids shift by i·10⁹, customer/supplier/part keys by i·10⁷ — with
+  * FK pairs shifted by the SAME offsets on both sides, so per-copy join
+  * density, group structure and graph degree stay constant while rows,
+  * distinct keys, edges and state volume grow ×N. Dimension-content
+  * transforms keep value spaces growing honestly instead of stacking
+  * N-deep duplicates: document text gets the per-copy alphabet rotation
+  * (length-preserving bijection — vocabulary, shingle and signature
+  * spaces grow ~×N), embeddings get a per-copy circular coordinate
+  * shift (norm-preserving — no cross-copy exact-duplicate vectors to
+  * tie-break). region/nation stay fixed (TPC-H semantics: dimensions
+  * don't scale with sf).
+  */
+object GenScale {
+  private val Offset = 1000000000L
+  private val SmallOffset = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val outDir = args.lift(2).getOrElse(s"/tmp/graft-sf1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(name: String, copyOf: (DataFrame, Int) => DataFrame): Unit = {
+      val path = s"$outDir/$name.parquet"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
+        val base = graft.core.Catalog.table(spark, baseDir, name)
+        val n = (0 until copies).map(i => copyOf(base, i)).reduce(_ unionByName _)
+          .repartition(32).write.mode("overwrite").parquet(path)
+        n
+      }
+      println(s"[genscale] $name -> $path")
+    }
+
+    // fixed dimensions: one copy, verbatim
+    write("region", (df, i) => if (i == 0) df else df.limit(0))
+    write("nation", (df, i) => if (i == 0) df else df.limit(0))
+
+    write("customer", (df, i) => df
+      .withColumn("c_custkey", col("c_custkey") + lit(i * SmallOffset)))
+    write("supplier", (df, i) => df
+      .withColumn("s_suppkey", col("s_suppkey") + lit(i * SmallOffset)))
+    write("part", (df, i) => df
+      .withColumn("p_partkey", col("p_partkey") + lit(i * SmallOffset)))
+    write("orders", (df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * Offset))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * SmallOffset)))
+    write("lineitem", (df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * Offset))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * SmallOffset))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * SmallOffset)))
+    write("events", (df, i) => df
+      .withColumn("event_id", col("event_id") + lit(i * Offset))
+      .withColumn("user_id", col("user_id") + lit(i * Offset)))
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    write("documents", (df, i) => df
+      .withColumn("doc_id", col("doc_id") + lit(i * Offset))
+      .withColumn("text",
+        translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26))))
+    write("embeddings", (df, i) => {
+      val shifted = df
+        .withColumn("vec_id", col("vec_id") + lit(i * Offset))
+      if (i == 0) shifted
+      else shifted.withColumn("embedding", expr(
+        s"concat(slice(embedding, ${i % 8} + 1, size(embedding) - ${i % 8}), " +
+          s"slice(embedding, 1, ${i % 8}))"))
+    })
+    spark.stop()
+  }
+}

@@ -392,9 +392,10 @@ object Queries {
     * B is much longer (Jaccard divides by the union and stays small).
     * Brute-force verification form over the q28-style id cap (500 — populated at every SF); the exact
     * containment ratio is an integer-cardinality quotient, so both
-    * engines compute it bit-identically. Production path: the same
-    * MinHash-LSH candidates (bucketed, never all-pairs) feeding this
-    * verify predicate instead of the Jaccard one.
+    * engines compute it bit-identically. Production path:
+    * [[Dedup.containmentPairs]] (prefix-filtered asymmetric blocking,
+    * exact recall) — gated UNCAPPED by q231; this query stays as the
+    * independent brute-force verification form.
     */
   def q130_containment(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").where(col("doc_id") < 500)
@@ -637,6 +638,27 @@ object Queries {
     */
   def stageStreamSource(s: SparkSession, dir: String): Unit =
     eventsStreamDir(s, dir)
+
+  /** Staging hook for q162's day-partitioned fact layout (same
+    * contract as [[stageStreamSource]]): build it once per process in
+    * warmup so the DPP query measures the pruned join, not the layout
+    * write. Lazy in-query fallback keeps Verify correct without the
+    * hook; the pid in the path keeps concurrent sessions (verify +
+    * bench over the same SF dir) from racing one another's overwrite.
+    */
+  def stageDppLayout(s: SparkSession, dir: String): Unit =
+    dppFactDir(s, dir)
+
+  private def dppFactDir(s: SparkSession, dir: String): String = {
+    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"/tmp/graft-dpp-fact-${ProcessHandle.current().pid()}-$sanitized"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS")))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), cents(col("value")).as("v"),
+          to_date(col("ts")).as("d"))
+        .write.mode("overwrite").partitionBy("d").parquet(path)
+    path
+  }
 
   private def eventsStreamDir(s: SparkSession, dir: String): String = {
     val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -2863,20 +2885,19 @@ object Queries {
     * runtime `dynamicpruning` subquery into the fact scan and whole
     * partitions skip AT EXECUTION. At 100 TB this is the difference
     * between scanning 1/7th and scanning everything — for free, from
-    * the declarative plan. WRITE-PATH query (the partitioned layout is
-    * built in-query, the q133 pattern); the oracle states the join
-    * result from the source table.
+    * the declarative plan. The day-partitioned layout is STAGED once
+    * per process ([[stageDppLayout]], the stageStreamSource pattern —
+    * a production DPP join reads an existing partitioned table), so
+    * the query body is the pure pruned read + join with no storage
+    * side effect (r7 verdict #4); the oracle states the join result
+    * from the source table.
     */
   def q162_dynamic_pruning(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(col("event_id"), col("user_id"), cents(col("value")).as("v"),
-        to_date(col("ts")).as("d"))
-    val path = s"/tmp/graft_q162_dpp_${dirSlug(dir)}"
-    ev.write.mode("overwrite").partitionBy("d").parquet(path)
-    val fact = s.read.parquet(path)
+    val fact = s.read.parquet(dppFactDir(s, dir))
     // derived date dimension; dayofweek is the dim attribute the fact
     // side knows nothing about
-    val dim = ev.select(col("d")).distinct()
+    val dim = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d")).distinct()
       .withColumn("dow", dayofweek(col("d")))
       .where(col("dow") === 2) // Mondays
     fact.join(dim, "d")
@@ -3286,7 +3307,10 @@ object Queries {
   def q179_zonemap_prune(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
-    val path = s"/tmp/graft_q179_zonemap_${dirSlug(dir)}"
+    // pid keeps concurrent sessions (verify + bench over the same SF
+    // dir) from racing one another's overwrite (q180/q220 discipline)
+    val path =
+      s"/tmp/graft_q179_zonemap_${ProcessHandle.current().pid()}_${dirSlug(dir)}"
     graft.core.ZoneMap.write(li, path, "l_shipdate", numFiles = 16)
     val lo = lit("1997-01-01 00:00:00").cast("timestamp")
     val hi = lit("1997-06-30 23:59:59").cast("timestamp")
@@ -4547,21 +4571,43 @@ object Queries {
         max(col("peak")).as("peak_c"))
   }
 
+  /** The PRODUCTION containment join ([[Dedup.containmentPairs]]) over
+    * the UNCAPPED documents table — q130's operator, not its capped
+    * verification form: prefix-filtered asymmetric blocking (rarest-
+    * first prefix of A against B's full postings) with EXACT recall by
+    * the prefix-filtering principle, so the result set IS the full
+    * brute-force containment relation and the oracle can state it as
+    * the posting-list equi-join (pairs sharing ≥ 1 shingle, exact
+    * intersection counts, cross-multiplied integer gate — no floats).
+    * Plan shape: hash aggregates + equi-joins only, no
+    * BroadcastNestedLoopJoin (PlanShapeSpec pins it); the OperatorsSpec
+    * fuzz pins equality with brute force at three thresholds.
+    */
+  def q231_containment_join(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleWidth = 3, num = 3, den = 5)
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
     * watermark-bounded state, vs q64's exact-(key, ts) dedup whose
-    * state is the distinct key space. All files arrive in one trigger,
-    * so every duplicate falls inside the watermark window and the
-    * streaming answer must equal DISTINCT (user_id, event_type); the
-    * incremental eviction semantics are Spark's own (state expires at
-    * ts + delay). Output is the key set, which is arrival-order
-    * independent — the survivor's payload would not be.
+    * state is the distinct key space. The source tape arrives in ONE
+    * trigger (maxFilesPerTrigger covers the whole staged dir, and the
+    * watermark only advances BETWEEN triggers), so no key's state can
+    * evict mid-tape and the streaming answer must equal DISTINCT
+    * (user_id, event_type) REGARDLESS of the tape's time span — the
+    * gate does not depend on the testdata's span staying under the
+    * lateness (r7 advice #2). The incremental eviction semantics are
+    * Spark's own (state expires at ts + delay). Output is the key set,
+    * which is arrival-order independent — the survivor's payload would
+    * not be.
     */
   def q190_stream_dedup_within(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     val streamDir = eventsStreamDir(s, dir)
-    val stream = graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+    // the staged dir holds 4 data files; 64 keeps "whole tape in one
+    // trigger" true even if staging fans out more files
+    val stream = graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 64)
     val deduped = graft.streaming.Streams.dedupWithinWatermark(
       stream.select(col("user_id"), col("event_type"), col("ts")),
       Seq("user_id", "event_type"), lateness = "10 days")
@@ -4592,11 +4638,15 @@ object Queries {
     li.write.format("noop").mode("overwrite").save()
     val m = obs.get
     import s.implicits._
+    // sum()/max() observe metrics are NULL on an empty input — surface
+    // a typed zero instead of an opaque NPE when reused on arbitrary
+    // tables (r7 advice #3); count() is never null
+    def metric(k: String): Long = Option(m(k)).fold(0L)(_.asInstanceOf[Long])
     Seq(
-      ("n_rows", m("n_rows").asInstanceOf[Long]),
-      ("n_bad_qty", m("n_bad_qty").asInstanceOf[Long]),
-      ("sum_price_c", m("sum_price_c").asInstanceOf[Long]),
-      ("max_orderkey", m("max_orderkey").asInstanceOf[Long])
+      ("n_rows", metric("n_rows")),
+      ("n_bad_qty", metric("n_bad_qty")),
+      ("sum_price_c", metric("sum_price_c")),
+      ("max_orderkey", metric("max_orderkey"))
     ).toDF("metric", "value")
   }
 
@@ -5042,7 +5092,8 @@ object Queries {
     "q227_cohens_kappa" -> (q227_cohens_kappa _),
     "q228_class_prf" -> (q228_class_prf _),
     "q229_calendar_spine" -> (q229_calendar_spine _),
-    "q230_max_drawdown" -> (q230_max_drawdown _))
+    "q230_max_drawdown" -> (q230_max_drawdown _),
+    "q231_containment_join" -> (q231_containment_join _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -6805,6 +6856,28 @@ object Queries {
              CAST(max(peak - bal) AS BIGINT) AS max_drawdown_c,
              CAST(max(peak) AS BIGINT) AS peak_c
       FROM p GROUP BY 1""",
+    // the prefix filter has EXACT recall, so the production path's output
+    // equals the full containment relation — the oracle states it as the
+    // posting-list join (only pairs with >= 1 shared shingle can pass the
+    // gate, since i >= ceil(0.6*na) >= 1), with the same cross-multiplied
+    // integer threshold
+    "q231_containment_join" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [text] END) AS s
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                 FROM documents)),
+         tk AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(count(*) AS BIGINT) AS i
+           FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS na FROM sh)
+         SELECT inter.id_a, inter.id_b, inter.i, sz.na
+         FROM inter JOIN sz ON sz.doc_id = inter.id_a
+         WHERE inter.i * 5 >= sz.na * 3""",
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",

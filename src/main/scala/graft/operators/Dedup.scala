@@ -448,6 +448,75 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
   }
 
+  /** Prefix-filtered CONTAINMENT self-join — the production path for the
+    * asymmetric dedup rule C(A,B) = |A∩B| / |A| ≥ num/den that catches
+    * quotes/subsets symmetric Jaccard misses (q130's verification form).
+    *
+    * Same exact-recall blocking principle as [[prefixJaccardPairs]], in
+    * its ASYMMETRIC form: order all shingles by ascending global document
+    * frequency (rarest first, ties by value); if C(A,B) ≥ num/den then
+    * |A∩B| ≥ o = ⌈|A|·num/den⌉, so A's first p = |A| − o + 1 tokens in
+    * that order cannot ALL be absent from B — blocking A's prefix tokens
+    * against B's FULL token postings loses nothing (deterministic, no
+    * probability — which is also why this beats MinHash-LSH banding here:
+    * containment pairs with |B| ≫ |A| have arbitrarily small Jaccard, so
+    * any symmetric-signature banding has unbounded false-negative rate on
+    * exactly the pairs containment exists to find; LSH-Ensemble-style
+    * partitioned banding recovers recall only probabilistically).
+    * Verification recomputes |A∩B| exactly inside candidates with the
+    * cross-multiplied integer gate i·den ≥ |A|·num — no floats anywhere.
+    *
+    * Shuffles at scale: one vocab-sized df agg, one set build, the
+    * prefix(A) ⋈ tokens(B) candidate equi-join, and the verify rejoin —
+    * all hash-partitioned equi-joins; nothing all-pairs. The B side posts
+    * its full token set, so corpus-wide boilerplate tokens fan out —
+    * that cost is inherent to EXACT containment (the rarest-first prefix
+    * keeps the A side small); at 100 TB cap df on the B postings like
+    * q85 (explicitly trading recall on tokens the whole corpus shares)
+    * or pre-dedup boilerplate with [[winnowingPairs]].
+    *
+    * Output: one row per ORDERED pair (id_a, id_b, i, na) with
+    * i = |A∩B|, na = |A| and i·den ≥ na·num — containment of A in B
+    * (both directions of a pair can appear, each with its own quotient).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den >= num, s"threshold must be in (0,1]: $num/$den")
+    val toks = df
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(shingles(col(textCol), shingleWidth))).as("__t"))
+    val dfreq = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
+    // global rarest-first total order; rank is the blocking key. The
+    // single-partition window runs over the VOCAB, not the corpus (the
+    // q206 argument).
+    val ranked = dfreq.select(col("__t"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__df"), col("__t"))).cast("long").as("__rank"))
+    val rankedToks = toks.join(ranked, "__t").select("__id", "__rank")
+    val sets = rankedToks
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("__rank"))).as("__set"))
+      .withColumn("__n", size(col("__set")).cast("long"))
+      // containment prefix: p = n − ⌈n·num/den⌉ + 1
+      .withColumn("__p", expr(s"__n - ((__n * $num + $den - 1) div $den) + 1"))
+    val prefixes = sets.select(col("__id"),
+      explode(expr("slice(__set, 1, CAST(__p AS INT))")).as("__k"))
+    // asymmetric block: A's prefix tokens against B's FULL postings
+    val cands = prefixes.select(col("__k"), col("__id").as("id_a"))
+      .join(rankedToks.select(col("__rank").as("__k"), col("__id").as("id_b")),
+        Seq("__k"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__set").as("sa"),
+        col("__n").as("na")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__set").as("sb")), Seq("id_b"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .where(col("i") * den >= col("na") * num)
+      .select("id_a", "id_b", "i", "na")
+  }
+
   /** PREFIX-FILTERED set-similarity self-join (AllPairs/PPJoin family,
     * Chaudhuri/Bayardo) — the DETERMINISTIC-complete counterpart of the
     * MinHash-LSH candidates: token sets sort by ascending global

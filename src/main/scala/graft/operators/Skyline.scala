@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   * no global sort of the input ever happens (a window-function
   * formulation would force exactly that single-partition global sort).
   *
-  * Input rows must carry LongType `xCol`/`yCol`. Rows with equal
-  * (x, y) should be pre-aggregated by the caller (the operator keeps
-  * the first it sees per (x, y) within a partition — aggregate
-  * multiplicity into a count column if it matters).
+  * Input rows must carry NON-NULL LongType `xCol`/`yCol` — dominance
+  * is undefined for a null coordinate, and nulls sort FIRST so a single
+  * null row would silently poison the running-max sweep; the operator
+  * fails fast with a named error instead (callers drop or impute
+  * first). Rows with equal (x, y) should be pre-aggregated by the
+  * caller (the operator keeps the first it sees per (x, y) within a
+  * partition — aggregate multiplicity into a count column if it
+  * matters).
   */
 object Skyline {
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
@@ -38,6 +42,10 @@ object Skyline {
     def sweep(it: Iterator[Row]): Iterator[Row] = {
       var maxY = Long.MinValue
       it.flatMap { r =>
+        if (r.isNullAt(xi) || r.isNullAt(yi))
+          throw new IllegalArgumentException(
+            s"Skyline.skyline2D: null $xCol/$yCol — dominance is undefined " +
+              "for null coordinates; filter or impute before the sweep")
         val y = r.getLong(yi)
         if (y > maxY) { maxY = y; Some(r) } else None
       }

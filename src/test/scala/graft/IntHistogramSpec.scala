@@ -69,6 +69,32 @@ class IntHistogramSpec extends AnyFunSuite {
     assert(hist.estimateSelectivity(PredicateOp.LE, 12) > 0.999)
   }
 
+  // Reference quirk, cite-and-decide (r7 verdict #5): the reference's GT
+  // branch computes its partial-bucket term with C++ INTEGER division —
+  // `(h / ntups) * ((min_v + (b_idx+1)*span - v) / span)` at
+  // table_stats.cc:96 truncates `h / ntups` to 0 whenever h < ntups, so
+  // the in-bucket fraction silently vanishes on every multi-bucket
+  // histogram; the real-valued reading of that same formula OVERcounts
+  // (the exclusive right edge counts v itself as "greater"). We fix to
+  // the real-valued integer-domain STRICTLY-greater fraction
+  // (IntHistogram.scala:25-34). This test pins the choice on a case
+  // where all three disagree.
+  test("table_stats.cc:96 wart pinned: partial-bucket GT term is real-valued and exclusive") {
+    // two wide buckets (span 10) over 0..19, one value per point
+    val hist = new IntHistogram(2, 0, 19)
+    (0L to 19L).foreach(hist.addValue)
+    // exactly 15 of the 20 values exceed 4; the fix recovers the exact
+    // fraction: partial (10/20)·((10−5)/10) = 0.25 + right bucket 0.5.
+    // Reference-as-written (integer h/ntups → 0): 0.5.
+    // Reference-as-really-valued (inclusive edge): 0.3 + 0.5 = 0.8.
+    assert(math.abs(hist.estimateSelectivity(PredicateOp.GT, 4) - 0.75) < 1e-12)
+    // and on unit-span buckets the fix agrees with the truncated
+    // reference (partial term exactly 0) — the LtTest contract above
+    val unit = new IntHistogram(10, 1, 10)
+    Seq(3L, 3L, 3L, 1L, 10L).foreach(unit.addValue)
+    assert(math.abs(unit.estimateSelectivity(PredicateOp.GT, 3) - 0.2) < 1e-12)
+  }
+
   // Property-style complements (SURVEY §5.3): NE = 1 - EQ and
   // LE/GT partition the domain, on a seeded uniform fill.
   test("complement laws on a seeded uniform histogram") {

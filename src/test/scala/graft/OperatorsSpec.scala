@@ -976,6 +976,54 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Dedup.containmentPairs: exact recall vs brute force, both directions, several thresholds") {
+    // random small docs over a tiny vocabulary → real containment
+    // structure (short docs often fully contained in longer ones)
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 'j').map(_.toString)
+    val docs = (0L until 40L).map { i =>
+      val n = 2 + rnd.nextInt(8)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("id", "t")
+    // w=1 shingles are the word tokens themselves
+    def brute(num: Int, den: Int): Set[(Long, Long, Long, Long)] = {
+      val sets = docs.map { case (i, t) => i -> t.split(" ").toSet }.toMap
+      (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a != b
+        i = (sets(a) intersect sets(b)).size.toLong
+        na = sets(a).size.toLong
+        if i * den >= na * num
+      } yield (a, b, i, na)).toSet
+    }
+    for ((num, den) <- Seq((1, 2), (3, 5), (4, 5))) {
+      val got = Dedup.containmentPairs(df, "id", "t", shingleWidth = 1, num, den)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == brute(num, den), s"mismatch at t=$num/$den")
+      // asymmetry must be live: some pair where A⊆-ish B but not back
+      if ((num, den) == (4, 5)) {
+        val oneWay = got.filter { case (a, b, _, _) => !got.exists(p => p._1 == b && p._2 == a) }
+        assert(oneWay.nonEmpty, "expected at least one asymmetric containment pair")
+      }
+    }
+    // shingleWidth=3: the q231 form — brute model over word 3-shingles
+    // (docs shorter than 3 tokens shingle as their whole text)
+    def sh3(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet else Set(t)
+    }
+    val sets3 = docs.map { case (i, t) => i -> sh3(t) }.toMap
+    val brute3 = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a != b
+      i = (sets3(a) intersect sets3(b)).size.toLong
+      na = sets3(a).size.toLong
+      if i * 5L >= na * 3L
+    } yield (a, b, i, na)).toSet
+    val got3 = Dedup.containmentPairs(df, "id", "t", shingleWidth = 3, num = 3, den = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got3 == brute3, "3-shingle containment mismatch")
+  }
+
   test("Compaction merges small files without changing content") {
     val src = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
     val dst = java.nio.file.Files.createTempDirectory("graft-compact-out").toString

@@ -127,6 +127,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
 
+  test("q231 (containmentPairs): hash-agg/equi-join shuffles only, no nested-loop join") {
+    // the production containment path must never fall back to the
+    // all-pairs shape of its q130 verification form: every join is a
+    // keyed equi-join (candidate block + verify rejoin), so the plan
+    // carries no BroadcastNestedLoopJoin and no CartesianProduct
+    val df = Queries.q231_containment_join(spark, dir)
+    val p = plan(df)
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty,
+      s"all-pairs join in the containment plan:\n$p")
+    assert(shuffles(df).nonEmpty, "expected keyed equi-join shuffles")
+  }
+
   test("q53 (TPC-H Q5): dims broadcast; no cartesian anywhere") {
     val df = Queries.q53_tpch_q5(spark, dir)
     val p = plan(df)

@@ -182,6 +182,34 @@ class SelingerRuleSpec extends AnyFunSuite {
     assert(s2.sql(sql).head().getLong(0) == spark.sql(sql).head().getLong(0))
   }
 
+  test("op-ambiguous duplicate edges (join_optimizer.h:26-33 wart): rule declines, result correct") {
+    // Reference quirk, cite-and-decide (r7 verdict #5): the reference's
+    // LogicalJoinNode set-identity IGNORES the predicate op
+    // (join_optimizer.h:26-33) — two edges identical up to op collide in
+    // its std::set and PlanCache memo. We keep JoinEdge distinct by op
+    // (JoinGraph.scala:14-18) but the memo keys stay reference-faithful
+    // op-blind (JoinGraph.scala:53-61), so the RULE must detect the
+    // collision and decline (SelingerReorderRule.scala:209-212) rather
+    // than let the two predicates alias one memo entry and drop one from
+    // the rebuilt tree. Same column pair, two different ops:
+    val s2 = SharedSpark.sparkWithExtensions
+    Seq("lineitem", "orders", "customer").foreach { t =>
+      graft.core.Catalog.table(s2, dir, t).createOrReplaceTempView(t)
+      graft.core.Catalog.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+    val sql =
+      """SELECT count(*) AS cnt
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND o_custkey >= c_custkey""".stripMargin
+    // decline = authored order survives (lineitem stays outermost)…
+    val leaves = joinChainLeaves(s2.sql(sql).queryExecution.optimizedPlan)
+    assert(leaves.head.startsWith("l_"),
+      s"rule should decline on op-ambiguous duplicate edges: $leaves")
+    // …and BOTH predicates still apply (a memo collision would drop one)
+    assert(s2.sql(sql).head().getLong(0) == spark.sql(sql).head().getLong(0))
+  }
+
   test("extension-installed session reorders spark.sql multi-joins") {
     val s2 = SharedSpark.sparkWithExtensions
     Seq("lineitem", "orders", "customer", "nation").foreach { t =>

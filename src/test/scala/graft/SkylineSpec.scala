@@ -42,6 +42,23 @@ object SkylineSpec extends Properties("Skyline") {
     }
   }
 
+  property("null coordinates fail fast with a named error, never a silent wrong frontier") = {
+    // nulls sort FIRST in the sweep's sort, so a single null row would
+    // silently poison the partition's running max (r7 advice #4) — the
+    // operator must fail loudly instead
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import spark.implicits._
+    val df = (0L until 5L).map(i => (i, i)).toDF("x", "y")
+      .withColumn("y", when(col("x") === 2L, lit(null)).otherwise(col("y")))
+    val e = scala.util.Try(Skyline.skyline2D(df, "x", "y").collect())
+    Prop(e.isFailure && {
+      def rootMsgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ rootMsgs(x.getCause))
+      rootMsgs(e.failed.get).exists(_.contains("Skyline.skyline2D: null"))
+    }) :| s"expected the named null error, got $e"
+  }
+
   property("chain and anti-chain shapes") = {
     import spark.implicits._
     // strictly improving anti-chain: every point on the frontier
