@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   * shift (norm-preserving — no cross-copy exact-duplicate vectors to
   * tie-break). region/nation stay fixed (TPC-H semantics: dimensions
   * don't scale with sf).
+  *
+  * The alphabet rotation is deliberately ADVERSARIAL for vocabulary
+  * operators: it splits the corpus into N disjoint token spaces, so
+  * every token's document-frequency FRACTION shrinks ×N — whereas a
+  * real corpus keeps common-token df fractions roughly constant as it
+  * grows ("the" is ~60% of English documents at any scale). Both
+  * postures matter: rotation stresses signature/dedup spaces honestly;
+  * a 4th arg `norotate` keeps document text verbatim per copy
+  * (df-preserving — the realistic scaling for vocab/OOV operators like
+  * q136/q139, whose df≥10% thresholds are scale-invariant under it).
+  * Tables already present in outDir (per the _SUCCESS marker) are
+  * skipped, so a rotated set can be converted by deleting only
+  * documents.parquet and re-running with `norotate`.
   */
 object GenScale {
   private val Offset = 1000000000L
@@ -36,6 +49,7 @@ object GenScale {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
     val outDir = args.lift(2).getOrElse(s"/tmp/graft-sf1")
+    val rotate = !args.lift(3).contains("norotate")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -75,10 +89,12 @@ object GenScale {
       .withColumn("event_id", col("event_id") + lit(i * Offset))
       .withColumn("user_id", col("user_id") + lit(i * Offset)))
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    write("documents", (df, i) => df
-      .withColumn("doc_id", col("doc_id") + lit(i * Offset))
-      .withColumn("text",
-        translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26))))
+    write("documents", (df, i) => {
+      val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * Offset))
+      if (rotate) shifted.withColumn("text",
+        translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26)))
+      else shifted
+    })
     write("embeddings", (df, i) => {
       val shifted = df
         .withColumn("vec_id", col("vec_id") + lit(i * Offset))
