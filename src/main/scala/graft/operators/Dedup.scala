@@ -492,6 +492,14 @@ object Dedup {
     val ranked = dfreq.select(col("__t"),
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("__df"), col("__t"))).cast("long").as("__rank"))
+    // Deliberately NOT persisted despite the multi-consumer reuse of
+    // rankedToks/sets: measured at 10× sf0.1, persisting both (q26's
+    // discipline) REGRESSED the operator 12 s → 37 s cold — the
+    // InMemoryRelation boundaries freeze pre-cache size estimates and
+    // AQE's runtime join re-planning across them, flipping the verify
+    // joins off their broadcast shapes; the recompute the cache avoids
+    // is cheaper than the plan it forecloses. (Negative result recorded
+    // in SCALE.md §Prefix-filtered containment join.)
     val rankedToks = toks.join(ranked, "__t").select("__id", "__rank")
     val sets = rankedToks
       .groupBy("__id")
@@ -508,13 +516,18 @@ object Dedup {
       .where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    cands
+    val verified = cands
       .join(sets.select(col("__id").as("id_a"), col("__set").as("sa"),
         col("__n").as("na")), Seq("id_a"))
-      .join(sets.select(col("__id").as("id_b"), col("__set").as("sb")), Seq("id_b"))
+      .join(sets.select(col("__id").as("id_b"), col("__set").as("sb"),
+        col("__n").as("nb")), Seq("id_b"))
+      // length filter: |A∩B| ≤ |B|, so C(A,B) ≥ t needs |B|·den ≥ |A|·num
+      // — prunes candidates on two longs before the array intersection
+      .where(col("nb") * den >= col("na") * num)
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .where(col("i") * den >= col("na") * num)
       .select("id_a", "id_b", "i", "na")
+    verified
   }
 
   /** PREFIX-FILTERED set-similarity self-join (AllPairs/PPJoin family,
