@@ -42,13 +42,25 @@ object Graph {
     * from real ones. Pass `requireConvergence = false` to get the
     * best-effort components anyway (each reported cluster is a subset of
     * a true component — star rounds only ever merge, never split).
+    *
+    * Hybrid finish: once the (contracted) edge set is at most
+    * `localFinishEdges` rows — known for free from the per-round
+    * convergence signature's count — the remaining O(log n) star rounds
+    * (each a multi-stage distributed job whose fixed cost dwarfs the
+    * data at that size) are replaced by ONE bounded collect + driver
+    * union-find. Driver traffic ≤ localFinishEdges × 16 bytes (two
+    * longs): 8 MB at the 500k default — model-sized, independent of the
+    * input scale, because on a 100 TB dup graph the star rounds keep
+    * contracting until the edge count crosses the threshold. Pass
+    * `localFinishEdges = 0` to force the pure distributed path.
     */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       maxIter: Int = 50,
-      requireConvergence: Boolean = true): DataFrame = {
+      requireConvergence: Boolean = true,
+      localFinishEdges: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -68,16 +80,18 @@ object Graph {
     var last = signature(e)
     if (sys.env.contains("GRAFT_CC_TRACE"))
       System.err.println(f"[cc] init sig ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    if (last._1 <= localFinishEdges) return localFinish(e)
     while (!converged && iter < maxIter) {
       val tr = System.nanoTime()
       val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val sig = signature(next)
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        System.err.println(f"[cc] round ${iter + 1} ${(System.nanoTime() - tr) / 1e9}%.2fs edges=${sig._1}")
+      if (sig._1 <= localFinishEdges) return localFinish(next)
       converged = sig == last
       last = sig
       e = next
       iter += 1
-      if (sys.env.contains("GRAFT_CC_TRACE"))
-        System.err.println(f"[cc] round $iter ${(System.nanoTime() - tr) / 1e9}%.2fs edges=${sig._1}")
     }
     if (!converged && requireConvergence)
       throw new IllegalStateException(
@@ -98,6 +112,35 @@ object Graph {
       .select($"id", least($"id", $"mn").as("component"))
   }
 
+  /** Driver-side completion of [[connectedComponents]] on a
+    * threshold-bounded contracted edge set: path-compressed union-find
+    * with min-rooted unions, so every find returns the cluster minimum —
+    * the same component id the star rounds converge to. The collect is
+    * bounded by the caller's `localFinishEdges` gate (≤ 8 MB at the
+    * default), never by input scale.
+    */
+  private def localFinish(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val arr = e.select($"lo", $"hi").as[(Long, Long)].collect() // ≤ localFinishEdges rows (caller-gated)
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val p = parent(c); parent(c) = r; c = p }
+      r
+    }
+    arr.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-rooted
+    }
+    val nodes = scala.collection.mutable.LongMap.empty[Unit]
+    arr.foreach { case (a, b) => nodes(a) = (); nodes(b) = () }
+    val out = nodes.keysIterator.map(i => (i, find(i))).toSeq
+    spark.createDataset(out).toDF("id", "component")
+  }
+
   /** Component assignment for a full vertex set: like
     * [[connectedComponents]] but every id in `vertices` appears in the
     * output — isolated nodes map to themselves.
@@ -109,8 +152,10 @@ object Graph {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 50,
-      requireConvergence: Boolean = true): DataFrame = {
-    val comps = connectedComponents(edges, srcCol, dstCol, maxIter, requireConvergence)
+      requireConvergence: Boolean = true,
+      localFinishEdges: Long = 500000L): DataFrame = {
+    val comps = connectedComponents(edges, srcCol, dstCol, maxIter,
+      requireConvergence, localFinishEdges)
     vertices.select(col(idCol).cast("long").as("id")).distinct()
       .join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

@@ -28,24 +28,34 @@ object GraphSpec extends Properties("Graph") {
     ids.map(i => i -> find(i)).toMap
   }
 
-  private def check(n: Long, edges: Seq[(Long, Long)]): Prop = {
+  private def check(n: Long, edges: Seq[(Long, Long)],
+      localFinishEdges: Long): Prop = {
     import spark.implicits._
     val vertices = (0L until n).toDF("id")
     val e = edges.toDF("a", "b")
-    val got = Graph.componentsFor(vertices, "id", e, "a", "b")
+    val got = Graph.componentsFor(vertices, "id", e, "a", "b",
+        localFinishEdges = localFinishEdges)
       .as[(Long, Long)].collect().toMap
     val want = unionFind(n, edges).filter(_._1 < n)
     Prop(got == want) :| s"got ${got.toSeq.sorted.take(20)} want ${want.toSeq.sorted.take(20)}"
   }
 
-  property("random graphs match union-find") = {
-    val edgeGen = for {
-      n <- Gen.choose(2, 60)
-      m <- Gen.choose(0, 80)
-      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
-    } yield (n.toLong, es)
-    Prop.forAllNoShrink(edgeGen) { case (n, es) => check(n, es) }
-  }
+  private val ccEdgeGen = for {
+    n <- Gen.choose(2, 60)
+    m <- Gen.choose(0, 80)
+    es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+  } yield (n.toLong, es)
+
+  // default hybrid: these graphs are under the threshold, so this
+  // fuzzes the driver union-find finish
+  property("random graphs match union-find") =
+    Prop.forAllNoShrink(ccEdgeGen) { case (n, es) => check(n, es, 500000L) }
+
+  // localFinishEdges = 0 forces every star round to run distributed —
+  // the path a 100 TB graph takes before contraction crosses the
+  // threshold
+  property("random graphs match union-find (pure star rounds)") =
+    Prop.forAllNoShrink(ccEdgeGen) { case (n, es) => check(n, es, 0L) }
 
   /** Driver-side replay of [[Graph.pageRank]]'s exact integer
     * recurrence: r' = base + 85·Σ(r(v) div deg(v)) div 100 over the
@@ -104,21 +114,23 @@ object GraphSpec extends Properties("Graph") {
       Prop(r(20L) == base) :| s"isolated node holds dangling base rank ${r(20L)} vs $base"
   }
 
+  // the adversarial star-contraction shapes force the distributed path
+  // (localFinishEdges = 0) — they exist to exercise the star rounds
   property("long chain collapses to one component") = {
     val n = 200L
     val chain = (0L until n - 1).map(i => (i, i + 1))
-    check(n, chain)
+    check(n, chain, 0L)
   }
 
   property("hub star plus chain tail") = {
     val hub = (1L until 150L).map(i => (0L, i))
     val tail = (150L until 180L).map(i => (i - 1, i))
-    check(180L, hub ++ tail)
+    check(180L, hub ++ tail, 0L)
   }
 
   property("self-loops, duplicates, reversed edges ignored") = {
     val es = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L))
-    check(6L, es)
+    check(6L, es, 0L) && check(6L, es, 500000L)
   }
 
   /** Driver-side BFS model: min hop distance from seeds, ≤ maxHops. */
@@ -222,12 +234,17 @@ object GraphSpec extends Properties("Graph") {
   property("exhausting maxIter without convergence fails loudly") = {
     import spark.implicits._
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    // localFinishEdges = 0 forces the pure star-round path — the default
+    // hybrid would finish this driver-sized chain locally and never
+    // exercise the maxIter contract under test
     val threw =
-      try { Graph.connectedComponents(chain, "a", "b", maxIter = 1).count(); false }
-      catch { case _: IllegalStateException => true }
+      try {
+        Graph.connectedComponents(chain, "a", "b", maxIter = 1,
+          localFinishEdges = 0L).count(); false
+      } catch { case _: IllegalStateException => true }
     // and the opt-out returns best-effort partial clusters without throwing
     val partial = Graph.connectedComponents(chain, "a", "b", maxIter = 1,
-      requireConvergence = false)
+      requireConvergence = false, localFinishEdges = 0L)
     Prop(threw) :| "maxIter=1 on a 200-chain must throw" &&
       Prop(partial.count() > 0L) :| "opt-out must return partial clusters"
   }
