@@ -218,6 +218,78 @@ class StreamingSpec extends AnyFunSuite {
       "every event exactly once")
   }
 
+  test("checkpoint restart: watermarked windowed agg emits each finalized window exactly once") {
+    import org.apache.spark.sql.functions._
+    // The WATERMARK restart contract, completing the trio beside the
+    // stateless file-sink and transformWithState ledger restarts: stop a
+    // watermarked append-mode aggregation mid-tape (after some windows
+    // have finalized and emitted), restart against the SAME checkpoint,
+    // and the recovered watermark + window state must (a) never re-emit
+    // a finalized window, (b) never lose one, and (c) finalize the
+    // straddling windows with counts that include BOTH phases' rows.
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.core.Catalog.table(spark, dir, "events")
+      .select("ts", "event_type", "value")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-wm-src").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-wm-sink").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-wm-ckpt").toString
+
+    // split by TIME, not parity: phase 2 must be strictly newer than
+    // phase 1's watermark, or its rows arrive late and drop. One file
+    // (one trigger) per phase so no intra-phase reordering can make a
+    // file late against a sibling's watermark advance.
+    val cut = new Timestamp(events
+      .selectExpr("percentile_cont(0.6) WITHIN GROUP (ORDER BY unix_micros(ts)) AS c")
+      .collect()(0).getDouble(0).toLong / 1000L)
+    events.where(col("ts") <= lit(cut)).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+
+    def runOnce(): Unit = {
+      val q = Streams.windowedCounts(
+          Streams.eventsStream(spark, srcDir, maxFilesPerTrigger = 1))
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckptDir)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce() // phase 1: old rows, some windows finalize and emit
+    val phase1 = spark.read.parquet(sinkDir).count()
+    assert(phase1 > 0, "phase 1 must finalize and emit at least one window")
+    events.where(col("ts") > lit(cut)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    runOnce() // phase 2: resume from the same checkpoint
+
+    val sunk = spark.read.parquet(sinkDir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+    assert(sunk.length > phase1, "phase 2 must finalize additional windows")
+    assert(sunk.length == sunk.map(_._1).distinct.length,
+      "a finalized window must never re-emit across the restart")
+    // every emitted window matches the batch aggregate over the FULL
+    // tape — straddling windows prove recovered state absorbed phase 2
+    val batch = events
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    sunk.foreach { case (k, (n, sv)) =>
+      val (bn, bsv) = batch(k)
+      assert(n == bn, s"window $k count: stream $n vs batch $bn")
+      assert(math.abs(sv - bsv) <= 1e-6 * math.max(1.0, math.abs(bsv)),
+        s"window $k sum: stream $sv vs batch $bsv")
+    }
+    // coverage: everything strictly finalized by the final watermark
+    // (max ts − 30 min lateness) must be present — the strict < dodges
+    // the measured inclusive-equality emission boundary
+    val maxTs = events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val wm = new Timestamp(maxTs.getTime - 30 * 60 * 1000L)
+    val emitted = sunk.map(_._1).toSet
+    batch.keys.filter { case (w, _) => w.getTime + 60 * 60 * 1000L < wm.getTime }
+      .foreach { k =>
+        assert(emitted.contains(k), s"window $k finalized before the final watermark but never emitted")
+      }
+  }
+
   test("checkpoint restart: transformWithState ledger state survives stop/resume exactly-once") {
     import org.apache.spark.sql.functions._
     // The STATEFUL restart contract (r7 verdict #6): stop a running
