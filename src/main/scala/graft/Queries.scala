@@ -2291,7 +2291,7 @@ object Queries {
     val c = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"),
         cents(col("c_acctbal")).as("acctbal_c"))
-    val path = s"/tmp/graft_q121_xml_${dirSlug(dir)}"
+    val path = s"/tmp/graft_q121_xml_${ProcessHandle.current().pid()}_${dirSlug(dir)}"
     graft.sources.Formats.writeXml(c, path, rowTag = "customer")
     graft.sources.Formats.readXml(s, path, c.schema, rowTag = "customer")
       .groupBy("c_mktsegment")
@@ -2550,7 +2550,7 @@ object Queries {
     */
   def q146_schema_evolution(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val root = s"/tmp/graft_q146_evo_${dirSlug(dir)}"
+    val root = s"/tmp/graft_q146_evo_${ProcessHandle.current().pid()}_${dirSlug(dir)}"
     docs.where(col("doc_id") % 2 === 0).select("doc_id", "lang")
       .write.mode("overwrite").parquet(s"$root/gen=1")
     docs.where(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
@@ -4720,7 +4720,7 @@ object Queries {
 
   def q94_zorder_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
-    val path = s"/tmp/graft_q94_zorder_${dirSlug(dir)}"
+    val path = s"/tmp/graft_q94_zorder_${ProcessHandle.current().pid()}_${dirSlug(dir)}"
     graft.core.ZOrder.writeZOrdered(li, path, Seq("l_orderkey", "l_partkey"), numFiles = 8)
     s.read.parquet(path)
       .where(col("l_orderkey").between(100, 700) && col("l_partkey").between(50, 150))
@@ -4762,7 +4762,7 @@ object Queries {
   def q133_partitioned_write(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select("doc_id", "lang", "source", "n_chars")
-    val path = s"/tmp/graft_q133_part_${dirSlug(dir)}"
+    val path = s"/tmp/graft_q133_part_${ProcessHandle.current().pid()}_${dirSlug(dir)}"
     docs.write.mode("overwrite").partitionBy("lang").parquet(path)
     s.read.parquet(path)
       .where(col("lang") === "en")
