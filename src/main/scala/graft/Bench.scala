@@ -78,8 +78,14 @@ object Bench {
       if (!f.exists) Map.empty
       else {
         import org.json4s._
-        org.json4s.jackson.JsonMethods.parse(
-          scala.io.Source.fromFile(f, "UTF-8").mkString) \ "queries" match {
+        val parsed = org.json4s.jackson.JsonMethods.parse(
+          scala.io.Source.fromFile(f, "UTF-8").mkString)
+        // a history recorded at a DIFFERENT scale factor is not a
+        // baseline: benching sf1 against committed sf0.1 numbers would
+        // flag ~every query >3x and re-run the whole surface a third time
+        val histSf = parsed \ "sf" match { case JString(s) => s; case _ => "" }
+        if (histSf != sfDir) Map.empty
+        else parsed \ "queries" match {
           case JObject(fields) => fields.collect {
             case (k, JDouble(v)) => k -> v
             case (k, JInt(v)) => k -> v.toDouble
@@ -148,17 +154,25 @@ object Bench {
     // pass; both numbers are reported and the headline cold takes the
     // MINIMUM — a real regression reproduces and keeps its number, a
     // contention spike does not and stops polluting round-over-round
-    // comparisons. Streaming queries already report min-of-3 medians.
+    // comparisons. Streaming queries are EXCLUDED: they already report
+    // min-of-3 medians, and a fourth full streaming lifecycle would mix
+    // two stabilization policies for one query. The end-of-pass re-run
+    // is inevitably warm (same JVM: codegen compiled, footers cached), so
+    // the substituted value is floored at the query's own warm-pass time —
+    // min(cold, rerun) alone would let a warm number impersonate cold.
     System.gc()
     val reruns: Seq[(String, (Double, Double))] = cold.collect {
       case (name, (v, None))
-        if v > 0.5 && history.get(name).exists(h => h > 0 && v > 3 * h) =>
+        if v > 0.5 && !name.contains("stream") &&
+          history.get(name).exists(h => h > 0 && v > 3 * h) =>
         name -> (v, runOnce(name, SparkEntry.queries(name))._1)
     }
     val rerunMap = reruns.toMap
+    val warmByName = warm.collect { case (n, (v, None)) if v >= 0 => n -> v }.toMap
     val coldTimes = cold.map { case (n, (v, _)) =>
       n -> (rerunMap.get(n) match {
-        case Some((first, second)) if second >= 0 => math.min(first, second)
+        case Some((first, second)) if second >= 0 =>
+          math.max(math.min(first, second), warmByName.getOrElse(n, 0.0))
         case _ => v
       })
     }

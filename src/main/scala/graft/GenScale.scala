@@ -57,20 +57,23 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def write(name: String, copyOf: (DataFrame, Int) => DataFrame): Unit = {
+    def writeCopies(name: String, nCopies: Int,
+        copyOf: (DataFrame, Int) => DataFrame): Unit = {
       val path = s"$outDir/$name.parquet"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
         val base = graft.core.Catalog.table(spark, baseDir, name)
-        val n = (0 until copies).map(i => copyOf(base, i)).reduce(_ unionByName _)
-          .repartition(32).write.mode("overwrite").parquet(path)
-        n
+        val parts = if (nCopies == 1) 1 else 32
+        (0 until nCopies).map(i => copyOf(base, i)).reduce(_ unionByName _)
+          .repartition(parts).write.mode("overwrite").parquet(path)
       }
       println(s"[genscale] $name -> $path")
     }
+    def write(name: String, copyOf: (DataFrame, Int) => DataFrame): Unit =
+      writeCopies(name, copies, copyOf)
 
-    // fixed dimensions: one copy, verbatim
-    write("region", (df, i) => if (i == 0) df else df.limit(0))
-    write("nation", (df, i) => if (i == 0) df else df.limit(0))
+    // fixed dimensions (TPC-H semantics): one verbatim copy, one file
+    writeCopies("region", 1, (df, _) => df)
+    writeCopies("nation", 1, (df, _) => df)
 
     write("customer", (df, i) => df
       .withColumn("c_custkey", col("c_custkey") + lit(i * SmallOffset)))
@@ -99,9 +102,17 @@ object GenScale {
       val shifted = df
         .withColumn("vec_id", col("vec_id") + lit(i * Offset))
       if (i == 0) shifted
-      else shifted.withColumn("embedding", expr(
-        s"concat(slice(embedding, ${i % 8} + 1, size(embedding) - ${i % 8}), " +
-          s"slice(embedding, 1, ${i % 8}))"))
+      else {
+        // circular shift by k ∈ 1..63 of the 64-dim vectors:
+        // norm-preserving and DISTINCT per copy for up to 64 copies.
+        // (A previous i % 8 shift repeated at copies 8/9, handing those
+        // copies byte-identical vectors — cross-copy exact duplicates
+        // that created similarity ties the doc comment promises away.)
+        val k = (i - 1) % 63 + 1
+        shifted.withColumn("embedding", expr(
+          s"concat(slice(embedding, $k + 1, size(embedding) - $k), " +
+            s"slice(embedding, 1, $k))"))
+      }
     })
     spark.stop()
   }

@@ -32,6 +32,37 @@ object Queries {
   private def dirSlug(dir: String): String =
     dir.replaceAll("[^a-zA-Z0-9]", "_")
 
+  /** Per-process /tmp scratch paths: pid-unique names prevent the
+    * cross-session overwrite race (verify + bench over the same SF dir),
+    * but without cleanup every process leaks its staged table copies.
+    * Registering each path here installs ONE JVM shutdown hook that
+    * recursively deletes them on exit, so disk use is bounded by live
+    * processes, not by run count. Crash-killed JVMs (kill -9) skip
+    * shutdown hooks; that residue is bounded by the crash count.
+    */
+  private val scratchPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchPaths.forEach { p =>
+        try {
+          val root = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(root)) {
+            import scala.jdk.CollectionConverters._
+            scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+              st.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+                .foreach { f => try java.nio.file.Files.delete(f)
+                  catch { case _: Throwable => () } }
+            }
+          }
+        } catch { case _: Throwable => () } // best-effort: never block exit
+      }
+    }, "graft-scratch-cleanup"))
+  private[graft] def pidScratch(path: String): String = {
+    scratchHookInstalled
+    scratchPaths.add(path)
+    path
+  }
+
   /** round(x*100) as long — exact-cents conversion.
     *
     * Oracle-side type discipline: every DuckDB sum (plain OR windowed) that
@@ -555,7 +586,7 @@ object Queries {
     // runs. A marker written last makes partially-built dirs (crash
     // mid-build) detectable and rebuilt.
     val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val tmp = s"/tmp/graft-q37-${ProcessHandle.current().pid()}-$sanitized"
+    val tmp = pidScratch(s"/tmp/graft-q37-${ProcessHandle.current().pid()}-$sanitized")
     val root = java.nio.file.Paths.get(tmp)
     val marker = root.resolve("_graft_built")
     if (!java.nio.file.Files.exists(marker)) {
@@ -596,7 +627,7 @@ object Queries {
     */
   def q126_txn_timetravel(s: SparkSession, dir: String): DataFrame = {
     val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val tmp = s"/tmp/graft-q126-${ProcessHandle.current().pid()}-$sanitized"
+    val tmp = pidScratch(s"/tmp/graft-q126-${ProcessHandle.current().pid()}-$sanitized")
     val root = java.nio.file.Paths.get(tmp)
     val marker = root.resolve("_graft_built")
     if (!java.nio.file.Files.exists(marker)) {
@@ -651,7 +682,7 @@ object Queries {
 
   private def dppFactDir(s: SparkSession, dir: String): String = {
     val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"/tmp/graft-dpp-fact-${ProcessHandle.current().pid()}-$sanitized"
+    val path = pidScratch(s"/tmp/graft-dpp-fact-${ProcessHandle.current().pid()}-$sanitized")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS")))
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), cents(col("value")).as("v"),
@@ -662,7 +693,7 @@ object Queries {
 
   private def eventsStreamDir(s: SparkSession, dir: String): String = {
     val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val streamDir = s"/tmp/graft-stream-src-${ProcessHandle.current().pid()}-$sanitized"
+    val streamDir = pidScratch(s"/tmp/graft-stream-src-${ProcessHandle.current().pid()}-$sanitized")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$streamDir/_SUCCESS")))
       t(s, dir, "events").repartition(4).write.mode("overwrite").parquet(streamDir)
     streamDir
@@ -968,7 +999,7 @@ object Queries {
 
   private def docsStreamDir(s: SparkSession, dir: String): String = {
     val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val streamDir = s"/tmp/graft-docstream-src-${ProcessHandle.current().pid()}-$sanitized"
+    val streamDir = pidScratch(s"/tmp/graft-docstream-src-${ProcessHandle.current().pid()}-$sanitized")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$streamDir/_SUCCESS")))
       t(s, dir, "documents").repartition(4).write.mode("overwrite").parquet(streamDir)
     streamDir
@@ -1895,8 +1926,12 @@ object Queries {
     * bucketed writes — the operator under test.
     */
   def q107_bucketed_join(s: SparkSession, dir: String): DataFrame = {
-    val tag = dirSlug(dir)
+    // pid in the tag: same cross-session overwrite race as the other
+    // write-then-read scratch paths (q179 discipline), plus shutdown-hook
+    // cleanup of the external table dirs via pidScratch
+    val tag = s"${ProcessHandle.current().pid()}_${dirSlug(dir)}"
     val (lt, ot) = (s"graft_q107_li_$tag", s"graft_q107_ord_$tag")
+    Seq(lt, ot).foreach(n => pidScratch(s"/tmp/$n"))
     // external tables at explicit paths, pre-cleaned: a managed table's
     // leftover warehouse dir from a PREVIOUS session's run would fail
     // the create with LOCATION_ALREADY_EXISTS (catalog is in-memory,
@@ -2291,7 +2326,7 @@ object Queries {
     val c = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"),
         cents(col("c_acctbal")).as("acctbal_c"))
-    val path = s"/tmp/graft_q121_xml_${ProcessHandle.current().pid()}_${dirSlug(dir)}"
+    val path = pidScratch(s"/tmp/graft_q121_xml_${ProcessHandle.current().pid()}_${dirSlug(dir)}")
     graft.sources.Formats.writeXml(c, path, rowTag = "customer")
     graft.sources.Formats.readXml(s, path, c.schema, rowTag = "customer")
       .groupBy("c_mktsegment")
@@ -2550,7 +2585,7 @@ object Queries {
     */
   def q146_schema_evolution(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val root = s"/tmp/graft_q146_evo_${ProcessHandle.current().pid()}_${dirSlug(dir)}"
+    val root = pidScratch(s"/tmp/graft_q146_evo_${ProcessHandle.current().pid()}_${dirSlug(dir)}")
     docs.where(col("doc_id") % 2 === 0).select("doc_id", "lang")
       .write.mode("overwrite").parquet(s"$root/gen=1")
     docs.where(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
@@ -3310,7 +3345,7 @@ object Queries {
     // pid keeps concurrent sessions (verify + bench over the same SF
     // dir) from racing one another's overwrite (q180/q220 discipline)
     val path =
-      s"/tmp/graft_q179_zonemap_${ProcessHandle.current().pid()}_${dirSlug(dir)}"
+      pidScratch(s"/tmp/graft_q179_zonemap_${ProcessHandle.current().pid()}_${dirSlug(dir)}")
     graft.core.ZoneMap.write(li, path, "l_shipdate", numFiles = 16)
     val lo = lit("1997-01-01 00:00:00").cast("timestamp")
     val hi = lit("1997-06-30 23:59:59").cast("timestamp")
@@ -3331,7 +3366,7 @@ object Queries {
     */
   def q180_txn_diff(s: SparkSession, dir: String): DataFrame = {
     val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val tmp = s"/tmp/graft-q180-${ProcessHandle.current().pid()}-$sanitized"
+    val tmp = pidScratch(s"/tmp/graft-q180-${ProcessHandle.current().pid()}-$sanitized")
     val root = java.nio.file.Paths.get(tmp)
     val marker = root.resolve("_graft_built")
     if (!java.nio.file.Files.exists(marker)) {
@@ -4306,7 +4341,7 @@ object Queries {
   def q220_stream_lakehouse_sink(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     val streamDir = eventsStreamDir(s, dir)
-    val base = s"/tmp/graft-q220-${ProcessHandle.current().pid()}-${dirSlug(dir)}"
+    val base = pidScratch(s"/tmp/graft-q220-${ProcessHandle.current().pid()}-${dirSlug(dir)}")
     val landing = s"$base/landing"
     val clustered = s"$base/clustered"
     val root = java.nio.file.Paths.get(base)
@@ -4720,7 +4755,7 @@ object Queries {
 
   def q94_zorder_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
-    val path = s"/tmp/graft_q94_zorder_${ProcessHandle.current().pid()}_${dirSlug(dir)}"
+    val path = pidScratch(s"/tmp/graft_q94_zorder_${ProcessHandle.current().pid()}_${dirSlug(dir)}")
     graft.core.ZOrder.writeZOrdered(li, path, Seq("l_orderkey", "l_partkey"), numFiles = 8)
     s.read.parquet(path)
       .where(col("l_orderkey").between(100, 700) && col("l_partkey").between(50, 150))
@@ -4762,7 +4797,7 @@ object Queries {
   def q133_partitioned_write(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select("doc_id", "lang", "source", "n_chars")
-    val path = s"/tmp/graft_q133_part_${ProcessHandle.current().pid()}_${dirSlug(dir)}"
+    val path = pidScratch(s"/tmp/graft_q133_part_${ProcessHandle.current().pid()}_${dirSlug(dir)}")
     docs.write.mode("overwrite").partitionBy("lang").parquet(path)
     s.read.parquet(path)
       .where(col("lang") === "en")

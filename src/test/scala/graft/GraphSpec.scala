@@ -57,6 +57,16 @@ object GraphSpec extends Properties("Graph") {
   property("random graphs match union-find (pure star rounds)") =
     Prop.forAllNoShrink(ccEdgeGen) { case (n, es) => check(n, es, 0L) }
 
+  // the MID-LOOP switch: a dense graph whose edge count starts above the
+  // threshold but contracts below it after one star round (K25 plus a
+  // chain tail: 300 + 29 edges → ~n-1 stars), so localFinish receives a
+  // PARTIALLY contracted edge set — the exact path a big graph takes
+  property("dense graph crosses the local-finish threshold mid-loop") = {
+    val k25 = for (a <- 0L until 25L; b <- 0L until 25L if a < b) yield (a, b)
+    val tail = (25L until 54L).map(i => (i - 1, i))
+    check(54L, k25 ++ tail, 100L)
+  }
+
   /** Driver-side replay of [[Graph.pageRank]]'s exact integer
     * recurrence: r' = base + 85·Σ(r(v) div deg(v)) div 100 over the
     * symmetrized deduped edge set. Long `/` on nonnegative values is
