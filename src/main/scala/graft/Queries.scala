@@ -41,23 +41,49 @@ object Queries {
     * shutdown hooks; that residue is bounded by the crash count.
     */
   private val scratchPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // crash-residue reaper, run once per process: a kill -9'd JVM skips its
+  // shutdown hook, so on startup delete scratch dirs whose embedded pid is
+  // no longer alive. The pattern is anchored to OUR exact scratch-name
+  // prefixes (never a bare number match — test fixtures carry random
+  // numerals that must not parse as pids).
+  private lazy val staleScratchReaped: Unit = {
+    val pat = ("^(graft-q37|graft-q126|graft-q180|graft-q220|graft-dpp-fact|" +
+      "graft-stream-src|graft-docstream-src|graft_q121_xml|graft_q146_evo|" +
+      "graft_q179_zonemap|graft_q94_zorder|graft_q133_part|graft_q107_li|" +
+      "graft_q107_ord)[-_]([0-9]+)[-_].*$").r
+    try {
+      val tmp = java.nio.file.Paths.get("/tmp")
+      scala.util.Using.resource(java.nio.file.Files.list(tmp)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.foreach { p =>
+          p.getFileName.toString match {
+            case pat(_, pid) if !ProcessHandle.of(pid.toLong)
+                .map[Boolean](_.isAlive).orElse(false) =>
+              try deleteRecursively(p) catch { case _: Throwable => () }
+            case _ => ()
+          }
+        }
+      }
+    } catch { case _: Throwable => () } // best-effort hygiene, never fail a query
+  }
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+          .foreach { f => try java.nio.file.Files.delete(f)
+            catch { case _: Throwable => () } }
+      }
+    }
   private lazy val scratchHookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       scratchPaths.forEach { p =>
-        try {
-          val root = java.nio.file.Paths.get(p)
-          if (java.nio.file.Files.exists(root)) {
-            import scala.jdk.CollectionConverters._
-            scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
-              st.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
-                .foreach { f => try java.nio.file.Files.delete(f)
-                  catch { case _: Throwable => () } }
-            }
-          }
-        } catch { case _: Throwable => () } // best-effort: never block exit
+        try deleteRecursively(java.nio.file.Paths.get(p))
+        catch { case _: Throwable => () } // best-effort: never block exit
       }
     }, "graft-scratch-cleanup"))
   private[graft] def pidScratch(path: String): String = {
+    staleScratchReaped
     scratchHookInstalled
     scratchPaths.add(path)
     path
