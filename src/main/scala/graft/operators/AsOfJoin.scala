@@ -48,7 +48,12 @@ object AsOfJoin {
         lit(null).cast(payloadType).as("__payload")) ++
         leftCols.map(col): _*)
 
-    val taggedRight = right.select(
+    // A right row with NULL ts has no position on the time axis — under
+    // the ascending backward window Spark sorts nulls FIRST, so it would
+    // masquerade as the "earliest" right row and match left rows that
+    // should have no match. It can never satisfy rightTs <= leftTs (or
+    // >=), so drop it before the union.
+    val taggedRight = right.where(col(rightTs).isNotNull).select(
       Seq(col(rightKey).as("__key"), col(rightTs).as("__ts"),
         lit(0).as("__side"), col(tieBreak).as("__tie"),
         struct(payload.map(col): _*).as("__payload")) ++
@@ -72,6 +77,12 @@ object AsOfJoin {
     taggedLeft.unionByName(taggedRight)
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+      // a left row with NULL ts has no as-of position either: whatever
+      // the null sort order put in its window, the contract answer is
+      // no-match
+      .withColumn("__match",
+        when(col("__ts").isNull, lit(null).cast(payloadType))
+          .otherwise(col("__match")))
       .select(leftCols.map(col) ++ payload.map(c => col(s"__match.$c").as(c)): _*)
   }
 }

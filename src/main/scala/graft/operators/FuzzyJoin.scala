@@ -54,8 +54,11 @@ object FuzzyJoin {
 
     // Probe side: for every owner length L' within ±d of this string's
     // length, try every segment's substring at every start within ±d
-    // of the segment's home position (clamped to the string).
-    val lenIdx = explode(sequence(greatest(col("__len") - d, lit(1)),
+    // of the segment's home position (clamped to the string). The lower
+    // bound is 0, not 1: a length-0 owner is legal (two empty strings
+    // are at distance 0), and a floor of 1 silently dropped exactly the
+    // empty-empty pairs.
+    val lenIdx = explode(sequence(greatest(col("__len") - d, lit(0)),
       col("__len") + d)).as("__lp")
     val probes = base
       .select(col("__id"), col("__s"), col("__len"), lenIdx)

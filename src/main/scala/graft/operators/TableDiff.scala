@@ -28,9 +28,16 @@ object TableDiff {
       s"schemas differ: ${a.columns.toSeq} vs ${b.columns.toSeq}")
     val nonKey = a.columns.filterNot(keyCols.contains).toSeq
     require(nonKey.nonEmpty, "diff needs at least one non-key column")
+    // Spark's XxHash64 SKIPS null children (the running hash is passed
+    // through unmixed), so hashing the values alone makes null-shifted
+    // rows collide systematically: (x, null) and (null, x) both reduce
+    // to hash(x). Interleaving an isnull marker per column (booleans are
+    // never null, so every marker mixes) restores position sensitivity —
+    // the collision class disappears and only the documented ~2⁻⁶⁴
+    // random-collision risk remains.
     def hashed(df: DataFrame, hName: String) =
       df.select(keyCols.map(col) :+
-        xxhash64(nonKey.map(col): _*).as(hName): _*)
+        xxhash64(nonKey.flatMap(c => Seq(col(c), isnull(col(c)))): _*).as(hName): _*)
     hashed(a, "__ha").join(hashed(b, "__hb"), keyCols, "full_outer")
       .where(col("__ha").isNull || col("__hb").isNull ||
         col("__ha") =!= col("__hb"))

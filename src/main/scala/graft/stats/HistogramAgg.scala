@@ -28,7 +28,9 @@ final class HistogramAgg(minV: Long, maxV: Long, buckets: Int)
     if (v != null) {
       val x = v.longValue()
       if (x >= minV && x <= maxV) {
-        val idx = math.min(((x - minV) / span).toInt, buckets - 1)
+        // double subtraction: long x - minV wraps when the column range
+        // exceeds Long.MaxValue (same guard as IntHistogram.bucketOf)
+        val idx = math.min(((x.toDouble - minV) / span).toInt, buckets - 1)
         b(idx) += 1
       }
     }

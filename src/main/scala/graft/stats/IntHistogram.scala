@@ -48,8 +48,14 @@ final class IntHistogram(val buckets: Int, val minV: Long, val maxV: Long)
   def ntups: Long = nt
   def bucketCounts: IndexedSeq[Long] = counts.toIndexedSeq
 
+  // v - minV is computed in DOUBLE: long subtraction wraps when the
+  // column range exceeds Long.MaxValue (minV = -2^62, v = 2^62 → -2^63),
+  // crashing the build with a negative index or silently mis-bucketing.
+  // estimateNdv guards the identical hi-lo overflow; this is the same
+  // hazard on the bucket path. Double precision at that magnitude is
+  // approximate, but so are the bucket boundaries themselves.
   @inline def bucketOf(v: Long): Int =
-    math.min(((v - minV) / span).toInt, buckets - 1)
+    math.min(((v.toDouble - minV) / span).toInt, buckets - 1)
 
   /** O(1) ingest of one value; ignores out-of-range values. */
   def addValue(v: Long): Unit = {

@@ -106,7 +106,17 @@ object Streams {
               val t = micros(e.ts)
               cur match {
                 case Some(s) if t - s.lastTs <= gapUs =>
-                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+                  // Out-of-order (in-horizon) events from a LATER batch
+                  // can carry t below lastTs or even below start; merge
+                  // with min/max so the interval never regresses —
+                  // unconditional lastTs = t used to move the session end
+                  // BACKWARD, emitting end < start. With lateness <= gap
+                  // (the default), every in-horizon old event is within
+                  // gap of lastTs and so belongs to this session; with
+                  // lateness > gap this is the closest single-interval
+                  // approximation of the batch gap rule.
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.lastTs, t), s.nEvents + 1))
                 case Some(s) =>
                   closed += Session(userId, tsFromMicros(s.start),
                     tsFromMicros(s.lastTs), s.nEvents)

@@ -93,6 +93,17 @@ final class LogManager(val logPath: Path) {
   def committedState: (Option[String], Set[Long], Map[Long, Vector[String]]) =
     foldCommitted(records)
 
+  /** True iff `t`'s COMMIT precedes the latest CHECKPOINT — its batches
+    * are compacted into the base, so re-adding them (e.g. as a reader's
+    * own writes) would double every row.
+    */
+  def isSubsumed(t: Long): Boolean = {
+    val lastCkpt = records.lastIndexWhere(_._1 == LogRecord.Checkpoint)
+    lastCkpt >= 0 && records.take(lastCkpt).exists {
+      case (tpe, tt, _) => tpe == LogRecord.Commit && tt == t
+    }
+  }
+
   /** Snapshot semantics for time travel: the committed state as it was
     * the moment `txn`'s COMMIT record landed — i.e. fold only the tape
     * PREFIX ending at that record. Immutability makes this free: old
@@ -112,9 +123,20 @@ final class LogManager(val logPath: Path) {
       (Option[String], Set[Long], Map[Long, Vector[String]]) = {
     val lastCkpt = tape.lastIndexWhere(_._1 == LogRecord.Checkpoint)
     val base = if (lastCkpt >= 0) Some(tape(lastCkpt)._3) else None
-    val after = if (lastCkpt >= 0) tape.drop(lastCkpt + 1) else tape
-    val committed = after.collect { case (LogRecord.Commit, t, _) => t }.toSet
-    val batches = after.collect {
+    // A checkpoint subsumes exactly the txns whose COMMIT precedes it —
+    // that is what the compaction read() saw when it built the base. A
+    // txn in flight AT the checkpoint that commits later is a fuzzy-
+    // checkpoint straddler: its UPDATE records (wherever they sit on the
+    // tape, including BEFORE the checkpoint) must stay live, or its
+    // committed rows vanish — dropping the whole pre-checkpoint prefix
+    // here used to lose them.
+    val subsumed =
+      if (lastCkpt >= 0)
+        tape.take(lastCkpt).collect { case (LogRecord.Commit, t, _) => t }.toSet
+      else Set.empty[Long]
+    val committed =
+      tape.collect { case (LogRecord.Commit, t, _) => t }.toSet -- subsumed
+    val batches = tape.collect {
       case (LogRecord.Update, t, dir) if committed(t) => (t, dir)
     }.groupBy(_._1).map { case (t, v) => t -> v.map(_._2) }
     (base, committed, batches)
@@ -207,8 +229,11 @@ final class TxnTable(spark: SparkSession, val dir: String) {
     val (base, committed, batchMap) = log.committedState
     val visible = asTxn match {
       case Some(t) =>
-        // own writes: every UPDATE of t, committed or not
-        val own = ownBatches(t)
+        // own writes: every UPDATE of t, committed or not — UNLESS t's
+        // commit predates the latest checkpoint, in which case its rows
+        // already live in the base and re-adding the batch dirs would
+        // double them
+        val own = if (log.isSubsumed(t)) Vector.empty else ownBatches(t)
         batchMap.values.flatten.toVector ++ own.filterNot(batchMap.values.flatten.toSet)
       case None => batchMap.values.flatten.toVector
     }

@@ -24,8 +24,10 @@ object FuzzyJoinSpec extends Properties("FuzzyJoin") {
     dp(a.length)(b.length)
   }
 
+  // length 0 included: two empty strings are a legal distance-0 pair the
+  // probe-length floor used to drop (regression coverage)
   private val wordGen = for {
-    n <- Gen.choose(1, 8)
+    n <- Gen.choose(0, 8)
     cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
   } yield cs.mkString
 
@@ -46,5 +48,16 @@ object FuzzyJoinSpec extends Properties("FuzzyJoin") {
       Prop(got == want) :| s"d=$d got=${got.size} want=${want.size} " +
         s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}"
     }
+  }
+
+  // the word-keyed fuzz can never hold TWO empty strings (ids are the
+  // words, deduped) — pin the empty-empty distance-0 pair explicitly
+  property("two empty strings pair at distance 0") = {
+    import spark.implicits._
+    val df = Seq(("e1", ""), ("e2", ""), ("w", "ab")).toDF("id", "s")
+    val got = FuzzyJoin.editDistanceSelfJoin(df, "id", "s", maxDist = 2)
+      .as[(String, String, Long)].collect().toSet
+    Prop(got == Set(("e1", "e2", 0L), ("e1", "w", 2L), ("e2", "w", 2L))) :|
+      s"got $got"
   }
 }

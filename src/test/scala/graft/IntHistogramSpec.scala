@@ -113,4 +113,28 @@ class IntHistogramSpec extends AnyFunSuite {
     val les = (0L to 999L by 37L).map(hist.estimateSelectivity(PredicateOp.LE, _))
     assert(les.sliding(2).forall { case Seq(a, b) => a <= b + 1e-12 })
   }
+
+  // Regression: a column range wider than Long.MaxValue (full-range hash
+  // ids: minV = -2^62, maxV = 2^62) used to wrap v - minV in long
+  // arithmetic, producing a NEGATIVE bucket index — the stats build died
+  // with ArrayIndexOutOfBounds (or silently mis-bucketed smaller wraps).
+  // The subtraction now runs in double; every value must land in
+  // [0, buckets) and count.
+  test("full-range long domain: bucket index never wraps") {
+    val lo = -(1L << 62)
+    val hi = 1L << 62
+    val hist = new IntHistogram(100, lo, hi)
+    val probes = Seq(lo, lo + 1, -1L, 0L, 1L, hi - 1, hi)
+    probes.foreach(hist.addValue)
+    assert(hist.ntups == probes.size, "every in-range value must be counted")
+    assert(hist.bucketOf(lo) == 0)
+    assert(hist.bucketOf(hi) == 99)
+    probes.foreach { v =>
+      val b = hist.bucketOf(v)
+      assert(b >= 0 && b < 100, s"bucketOf($v) = $b out of range")
+    }
+    // selectivity math stays sane on the wide domain
+    val le = hist.estimateSelectivity(PredicateOp.LE, 0L)
+    assert(le >= 0.0 && le <= 1.0)
+  }
 }

@@ -134,6 +134,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Set((1L, 102L), (2L, -1L), (3L, 200L)))
   }
 
+  test("AsOfJoin: null timestamps never match (right filtered, left no-match)") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // regression: a null right ts sorted FIRST under the ascending
+    // backward window (Spark asc = nulls first) and masqueraded as the
+    // "earliest" right row, matching left rows that have no true match
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")), // before any REAL right row
+      (2L, 10L, null.asInstanceOf[Timestamp])). // null left ts: no position
+      toDF("eid", "k", "ts")
+    val right = Seq(
+      (10L, null.asInstanceOf[Timestamp], 666L), // must never attach
+      (10L, ts("2024-01-05 00:00:00"), 100L)).toDF("k", "rts", "oid")
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsOfJoin(left, right, "k", "ts", "k", "rts",
+        tieBreak = "oid", payloadCols = Seq("oid"), direction = dir)
+        .select("eid", "oid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val expect1 = if (dir == "backward") -1L else 100L
+      assert(out == Set((1L, expect1), (2L, -1L)),
+        s"direction=$dir: null-ts rows must not fabricate matches, got $out")
+    }
+  }
+
   test("AsOfJoin forward attaches smallest right ts >= left ts per key") {
     def ts(s: String) = Timestamp.valueOf(s)
     val left = Seq(
@@ -462,6 +485,22 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TableDiff.diff(a, b.withColumnRenamed("v", "w"), Seq("k"))
     }
+  }
+
+  test("TableDiff.diff: null-shifted rows are CHANGED, not hash-collided") {
+    import graft.operators.TableDiff
+    // Spark's XxHash64 skips null inputs, so before the isnull-marker
+    // interleave, ('x', null) and (null, 'x') both hashed to hash('x')
+    // and a real change was silently reported as unchanged. Same for a
+    // value moving between two string columns with the other null.
+    val a = Seq((1L, "x", null.asInstanceOf[String]),
+      (2L, "p", null.asInstanceOf[String])).toDF("k", "c1", "c2")
+    val b = Seq((1L, null.asInstanceOf[String], "x"),
+      (2L, "p", null.asInstanceOf[String])).toDF("k", "c1", "c2")
+    val out = TableDiff.diff(a, b, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "changed"),
+      s"null-shift must surface as changed (k=2 stays unchanged): $out")
   }
 
   test("Validate: every constraint class counts its violations exactly") {

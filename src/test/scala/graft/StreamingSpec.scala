@@ -384,6 +384,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed == Set((1L, 0L, 20L, 3L), (2L, 5L, 5L, 1L), (1L, 60L, 60L, 1L)))
   }
 
+  test("sessionize: out-of-order in-horizon event merges without regressing the interval") {
+    // Regression: an event from a LATER batch with ts below the session's
+    // lastTs (but above the watermark, so not late-dropped) used to be
+    // assigned as the new lastTs, moving the session end BACKWARD and
+    // emitting end < start. The merge must take min/max instead.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86_400_000L
+    def ts(min: Long) = new Timestamp(day + min * 60_000L)
+    val src = MemoryStream[Event]
+    val sessions = Streams.sessionize(spark, src.toDS(), gapMs = 30 * 60_000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 1 at minute 60 — watermark after = 60 - 30 = 30
+    src.addData(Event(1, ts(60), 1, "a", 0))
+    q.processAllAvailable()
+    // batch 2: user 1 at minute 50 — above the watermark (30), below
+    // lastTs (60): must extend the session's START down to 50, not drag
+    // its END back
+    src.addData(Event(2, ts(50), 1, "a", 0))
+    q.processAllAvailable()
+    // advance the watermark far past 60 + gap so the session times out
+    src.addData(Event(3, ts(300), 2, "a", 0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_ooo").as[Session].collect()
+      .map(s => (s.user_id, (s.start.getTime - day) / 60000,
+        (s.end.getTime - day) / 60000, s.n_events)).toSet
+    assert(got == Set((1L, 50L, 60L, 2L)),
+      s"out-of-order merge must yield [50, 60] with 2 events, got $got")
+  }
+
   test("sessionize timeout boundary: equality with the watermark does NOT fire") {
     // load-bearing for q127's oracle (strict <): the corpus's µs-random
     // timestamps essentially never land a timeout EXACTLY on the

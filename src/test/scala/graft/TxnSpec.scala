@@ -195,4 +195,49 @@ class TxnSpec extends AnyFunSuite {
     t.crash(); t.recover()
     assert(values(t) == Seq(1L, 2L, 3L))
   }
+
+  // Fuzzy-checkpoint straddler: a txn IN FLIGHT when the checkpoint runs
+  // commits afterwards. Its UPDATE records sit BEFORE the CHECKPOINT on
+  // the tape but its rows are NOT in the base (the compaction read only
+  // committed state) — the fold must keep those batches live, or the
+  // committed rows silently vanish. Regression for a real data-loss bug:
+  // foldCommitted used to drop the whole pre-checkpoint prefix.
+  test("checkpoint straddler: in-flight txn committed after checkpoint keeps its rows") {
+    val t = freshTable()
+    val t1 = t.txns.startTxn()
+    insertValues(t, t1, 1L, 2L) // t1 writes, stays open
+    val t2 = t.txns.startTxn()
+    insertValues(t, t2, 10L)
+    t.txns.commitTxn(t2)
+    t.checkpoint() // base = {10}; t1 is in flight
+    assert(values(t) == Seq(10L), "straddler still uncommitted: invisible")
+    t.txns.commitTxn(t1) // commits AFTER the checkpoint
+    assert(values(t) == Seq(1L, 2L, 10L),
+      "t1's pre-checkpoint batches must stay visible after its commit")
+    t.crash(); t.recover()
+    assert(values(t) == Seq(1L, 2L, 10L), "and survive recovery")
+    // a LATER checkpoint subsumes the straddler normally
+    t.checkpoint()
+    assert(values(t) == Seq(1L, 2L, 10L))
+  }
+
+  // read(asTxn) after a checkpoint subsumed the txn's own batches: the
+  // rows live in the base, so re-adding the batch dirs would double
+  // every row. Regression for the own-writes duplication bug.
+  test("read-your-writes after checkpoint does not double the txn's own rows") {
+    import spark.implicits._
+    val t = freshTable()
+    val t1 = t.txns.startTxn()
+    insertValues(t, t1, 1L, 2L)
+    t.txns.commitTxn(t1)
+    t.checkpoint() // t1 subsumed into the base
+    val own = t.read(asTxn = Some(t1))
+    assert(own.collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L),
+      "own-writes read must not duplicate checkpointed rows")
+    // an UNSUBSUMED open txn still sees its own uncommitted writes once
+    val t2 = t.txns.startTxn()
+    insertValues(t, t2, 3L)
+    val own2 = t.read(asTxn = Some(t2))
+    assert(own2.collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L, 3L))
+  }
 }
