@@ -18,19 +18,32 @@ object Catalog {
     // generations (Spark 4 rejects it unless read as a raw long) and as
     // TIMESTAMP(MICROS, NTZ) in others. Normalize BOTH to a session-local
     // TimestampType column so downstream operators always see the same
-    // schema. The legacy conf is only needed (and only set) for that one
-    // table — session state isn't mutated for the other nine lookups.
+    // schema. The legacy conf must be live while a NANOS generation's
+    // scan plans/executes (task-side schema reconciliation consults it),
+    // so it stays set in that case; for a MICROS generation it was only
+    // a schema probe and is RESTORED — leaving it set would silently
+    // decode NANOS columns as long in every later parquet read of the
+    // session, defeating the fail-loudly contract those reads rely on.
     if (name == "events") {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.schema("ts").dataType match {
         case LongType => // nanos-as-long generation: nanos -> micros
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case TimestampNTZType => // micros NTZ generation: same wall-clock
-          raw.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => raw
+        case other =>
+          prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+          other match {
+            case TimestampNTZType => // micros NTZ: same wall-clock
+              raw.withColumn("ts", col("ts").cast("timestamp"))
+            case _ => raw
+          }
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
@@ -77,12 +90,15 @@ object Catalog {
       c != null && (c._2 || !withHistograms)
     }
     if (missing.nonEmpty) {
-      val built = graft.stats.TableStats.buildMany(
-        missing.map(n => n -> table(spark, dir, n)).toMap,
+      // build the DataFrames once and reuse them for registration — a
+      // second table() per name would repeat the driver-side file
+      // listing/footer read (and the events ts-normalization branch)
+      val dfs = missing.map(n => n -> table(spark, dir, n)).toMap
+      val built = graft.stats.TableStats.buildMany(dfs,
         withHistograms = withHistograms)
       built.foreach { case (n, ts) =>
         statsCache.put((dir, n), (ts, withHistograms))
-        graft.stats.StatsRegistry.register(table(spark, dir, n), ts)
+        graft.stats.StatsRegistry.register(dfs(n), ts)
       }
     }
     names.map(n => n -> statsCache.get((dir, n))._1).toMap

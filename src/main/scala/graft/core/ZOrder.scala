@@ -75,6 +75,12 @@ object ZOrder {
       numFiles: Int, bits: Int = 16): Unit = {
     require(numFiles > 0 && (numFiles & (numFiles - 1)) == 0,
       s"numFiles must be a power of two for bit-aligned splits, got $numFiles")
+    // more files than z-value buckets would make bucketShift negative:
+    // shiftright masks the count and every row lands in bucket 0 — one
+    // file written, clustering silently destroyed
+    require(bits * colNames.size >= 31 ||
+        numFiles.toLong <= (1L << (bits * colNames.size)),
+      s"numFiles $numFiles exceeds the 2^(bits*cols) z-bucket count")
     val aggs = colNames.flatMap(c =>
       Seq(min(col(c).cast("long")).as(s"__lo_$c"), max(col(c).cast("long")).as(s"__hi_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
@@ -97,10 +103,15 @@ object ZOrder {
     // (Murmur3 seed 42 — HashPartitioning's contract) lands in partition
     // b exactly: every file holds exactly ONE whole z-quadrant, every
     // run. The search is driver-side, ~numFiles probes per bucket.
+    // dense ARRAY literal indexed by bucket, not a map literal:
+    // element_at over ArrayBasedMapData is an O(numFiles) linear key
+    // scan PER ROW; the domain is exactly 0..numFiles-1 so array
+    // indexing (1-based) is the same lookup at O(1)
     val keyFor = hashPreimages(numFiles)
+    val keyArr = Array.tabulate(numFiles)(b => keyFor(b.toLong))
     df.withColumn("__z", zValue(ranges, bits))
       .withColumn("__zb", shiftright(col("__z"), bucketShift))
-      .withColumn("__zp", element_at(typedLit(keyFor), col("__zb")))
+      .withColumn("__zp", element_at(typedLit(keyArr.toSeq), (col("__zb") + 1).cast("int")))
       .repartition(numFiles, col("__zp"))
       .sortWithinPartitions(col("__z"))
       .drop("__z", "__zb", "__zp")

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftSqlBridge
@@ -61,6 +62,13 @@ object HashImpls {
     */
   def minHashBandKeys(sig: ArrayData, bands: Int): ArrayData = {
     val k = sig.numElements()
+    // Dedup's operator path guards numHashes % bands == 0, but this is
+    // also a registered SQL function: bands = 0 would divide by zero per
+    // row, and bands > k would make rows = 0 so EVERY document emits the
+    // same constant band keys — bandedCandidates then degenerates to an
+    // O(n²) single-bucket self-join. Fail loudly instead.
+    require(bands > 0 && k >= bands && k % bands == 0,
+      s"bands ($bands) must be a positive divisor of the signature length ($k)")
     val rows = k / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -270,6 +278,14 @@ object HashImpls {
   */
 case class WordShingles(child: Expression, width: Int)
     extends UnaryExpression {
+  // analysis-time type check: without it, a mistyped SQL call (these are
+  // registered session functions) dies mid-job with an executor
+  // ClassCastException instead of a readable AnalysisException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$$prettyName requires STRING, got ${other.sql}")
+  }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "word_shingles"
@@ -289,6 +305,14 @@ case class WordShingles(child: Expression, width: Int)
   */
 case class MinHashSignature(child: Expression, coeffs: Array[Long], prime: Long)
     extends UnaryExpression {
+  // analysis-time type check: without it, a mistyped SQL call (these are
+  // registered session functions) dies mid-job with an executor
+  // ClassCastException instead of a readable AnalysisException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$$prettyName requires ARRAY<STRING>, got ${other.sql}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
@@ -310,6 +334,14 @@ case class MinHashSignature(child: Expression, coeffs: Array[Long], prime: Long)
   */
 case class MinHashBandKeys(child: Expression, bands: Int)
     extends UnaryExpression {
+  // analysis-time type check: without it, a mistyped SQL call (these are
+  // registered session functions) dies mid-job with an executor
+  // ClassCastException instead of a readable AnalysisException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$$prettyName requires ARRAY<BIGINT>, got ${other.sql}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_band_keys"
@@ -327,6 +359,14 @@ case class MinHashBandKeys(child: Expression, bands: Int)
 /** 64-bit simhash (bigint) of an array<string> of tokens. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
+  // analysis-time type check: without it, a mistyped SQL call (these are
+  // registered session functions) dies mid-job with an executor
+  // ClassCastException instead of a readable AnalysisException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$$prettyName requires ARRAY<STRING>, got ${other.sql}")
+  }
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
@@ -344,6 +384,18 @@ case class SimHash64(child: Expression)
 /** Dot product (double) of two array<float> / array<double> columns. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+  // analysis-time type check: without it, a mistyped SQL call (these are
+  // registered session functions) dies mid-job with an executor
+  // ClassCastException instead of a readable AnalysisException
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).map(_.dataType).find {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => false
+      case _ => true
+    } match {
+      case None => TypeCheckResult.TypeCheckSuccess
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT> or ARRAY<DOUBLE> on both sides, got ${bad.sql}")
+    }
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def dataType: DataType = DoubleType
@@ -370,6 +422,14 @@ case class DotProduct(left: Expression, right: Expression)
   */
 case class RollingFingerprint(child: Expression, mod: Long)
     extends UnaryExpression {
+  // analysis-time type check: without it, a mistyped SQL call (these are
+  // registered session functions) dies mid-job with an executor
+  // ClassCastException instead of a readable AnalysisException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$$prettyName requires STRING, got ${other.sql}")
+  }
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rolling_fingerprint"
@@ -393,6 +453,14 @@ case class RollingFingerprint(child: Expression, mod: Long)
   */
 case class WinnowingMinima(child: Expression, k: Int, w: Int, mod: Long)
     extends UnaryExpression {
+  // analysis-time type check: without it, a mistyped SQL call (these are
+  // registered session functions) dies mid-job with an executor
+  // ClassCastException instead of a readable AnalysisException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$$prettyName requires STRING, got ${other.sql}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "winnowing_minima"
@@ -417,6 +485,14 @@ case class WinnowingMinima(child: Expression, k: Int, w: Int, mod: Long)
   */
 case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
     extends UnaryExpression {
+  // analysis-time type check: without it, a mistyped SQL call (these are
+  // registered session functions) dies mid-job with an executor
+  // ClassCastException instead of a readable AnalysisException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$$prettyName requires BIGINT, got ${other.sql}")
+  }
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bloom_might_contain"

@@ -57,18 +57,15 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case j @ Join(_, _, Inner, _, _) if j.getTagValue(OrderedTag).isEmpty =>
-      reorder(j) match {
-        case Some(out) =>
-          // Tag only settled trees; an ineligible join (e.g. conditions
-          // not yet pushed into it) must stay eligible for later
-          // fixed-point iterations.
-          out.foreach {
-            case jj: Join => jj.setTagValue(OrderedTag, true)
-            case _ =>
-          }
-          out
-        case None => j
-      }
+      // The SPINE joins the DP constructed are tagged at construction
+      // (inside reorder), so the fixed-point batch converges without
+      // re-deriving them. Tagging every Join in the returned subtree
+      // here (the old out.foreach) also tagged chains NESTED INSIDE the
+      // flattened leaves — e.g. an inner-join chain under an Aggregate
+      // subquery — permanently suppressing THEIR reordering even though
+      // the DP treated them as opaque leaves. An ineligible join (None)
+      // stays untagged and eligible for later iterations.
+      reorder(j).getOrElse(j)
   }
 
   /** Flatten a tree of unhinted inner joins into (relations, conjunctive
@@ -271,15 +268,22 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     def leafOf(tbl: String): LogicalPlan =
       residual(byName(tbl)).foldLeft(byName(tbl))((p, f) => Filter(f, p))
 
+    // tag each constructed spine join as settled HERE — and only these,
+    // never joins living inside the opaque leaf subtrees
+    def mkJoin(l: LogicalPlan, r: LogicalPlan, c: Expression): LogicalPlan = {
+      val j = Join(l, r, Inner, Some(c), JoinHint.NONE)
+      j.setTagValue(OrderedTag, true)
+      j
+    }
     var joined: Set[String] = Set(order.head.leftTable, order.head.rightTable)
-    var tree: LogicalPlan = Join(leafOf(order.head.leftTable),
-      leafOf(order.head.rightTable), Inner, Some(cond(order.head)), JoinHint.NONE)
+    var tree: LogicalPlan = mkJoin(leafOf(order.head.leftTable),
+      leafOf(order.head.rightTable), cond(order.head))
     order.tail.foreach { e =>
       if (joined(e.leftTable) && joined(e.rightTable)) {
         tree = Filter(cond(e), tree)
       } else if (joined(e.leftTable) || joined(e.rightTable)) {
         val newSide = if (joined(e.leftTable)) e.rightTable else e.leftTable
-        tree = Join(tree, leafOf(newSide), Inner, Some(cond(e)), JoinHint.NONE)
+        tree = mkJoin(tree, leafOf(newSide), cond(e))
         joined += newSide
       } else {
         // Defensive: the DP only ever extends a plan by an edge sharing a
@@ -297,7 +301,15 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     // Decline — Spark keeps the authored cross join.
     if (joined.size != rels.size) return None
 
-    if (tree.canonicalized == root.canonicalized) None
+    if (tree.canonicalized == root.canonicalized) {
+      // The DP reproduced the authored order: settle the root too, so the
+      // fixed-point batch doesn't re-run the whole DP every iteration on
+      // a join it will never change. (The rule runs post-hoc, after the
+      // pushdown batches reached fixed point, so the inputs the DP saw
+      // are final.)
+      root.setTagValue(OrderedTag, true)
+      None
+    }
     // Reordering permutes the join output's attribute order; restore the
     // original order for parents that are position-sensitive (same move
     // as Catalyst's CostBasedJoinReorder).

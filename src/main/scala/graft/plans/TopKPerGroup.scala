@@ -109,6 +109,13 @@ object TopK {
     */
   def perGroup(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    // fail at the call site, not as an executor NoSuchElementException
+    // (k <= 0 dereferenced an empty heap) or an EnsureRequirements
+    // require about AllTuples nowhere near the caller (empty grouping)
+    require(k > 0, s"top-k needs k > 0, got $k")
+    require(groupCols.nonEmpty,
+      "perGroup needs at least one group column (global top-k is orderBy.limit)")
+    require(orderCols.nonEmpty, "perGroup needs at least one order column")
     val spark = df.sparkSession
     ensureStrategy(spark)
     val child = GraftSqlBridge.logicalPlan(df)

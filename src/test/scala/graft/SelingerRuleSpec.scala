@@ -76,6 +76,22 @@ class SelingerRuleSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 11.0)
   }
 
+  test("mistyped SQL calls to the native functions fail at ANALYSIS, not mid-job") {
+    // regression: without checkInputDataTypes these analyzed fine and
+    // died in an executor with an unhelpful ClassCastException
+    val s2 = SharedSpark.sparkWithExtensions
+    for (bad <- Seq(
+      "SELECT simhash64(1)",
+      "SELECT word_shingles(array(1), 2)",
+      "SELECT dot_product(1.0, 2.0)",
+      "SELECT rolling_fingerprint(array('x'), 97)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](s2.sql(bad).head())
+      assert(e.getMessage.toLowerCase.contains("requires") ||
+        e.getMessage.contains("DATATYPE_MISMATCH"),
+        s"$bad: expected a type error at analysis, got: ${e.getMessage.take(120)}")
+    }
+  }
+
   test("registered stats: a selective filter changes the chosen order") {
     // Register real TableStats (row counts + histograms) so the rule's
     // estimates are stats-driven, like the reference's order_joins fed by
