@@ -56,23 +56,37 @@ object Queries {
       scala.util.Using.resource(java.nio.file.Files.list(tmp)) { st =>
         import scala.jdk.CollectionConverters._
         st.iterator().asScala.foreach { p =>
-          p.getFileName.toString match {
-            case pat(_, pid) if !ProcessHandle.of(pid.toLong)
-                .map[Boolean](_.isAlive).orElse(false) =>
-              try deleteRecursively(p) catch { case _: Throwable => () }
-            case _ => ()
-          }
+          // per-entry try: one malformed name (e.g. a digit run that
+          // overflows Long in toLong, thrown INSIDE the match guard)
+          // must skip that entry, not abort the whole sweep via the
+          // outer catch
+          try {
+            p.getFileName.toString match {
+              case pat(_, pid) if pid.toLongOption
+                  .exists(l => !ProcessHandle.of(l)
+                    .map[Boolean](_.isAlive).orElse(false)) =>
+                deleteRecursively(p)
+              case _ => ()
+            }
+          } catch { case _: Throwable => () }
         }
       }
     } catch { case _: Throwable => () } // best-effort hygiene, never fail a query
   }
-  private def deleteRecursively(root: java.nio.file.Path): Unit =
+  /** Recursive tree delete. `strict = false` (hygiene paths: shutdown
+    * hook, stale reaper) swallows per-file failures — best-effort, never
+    * fail the caller; `strict = true` (tape/staging REBUILD paths)
+    * propagates them, because a silently surviving file would collide
+    * with the errorifexists writes that follow.
+    */
+  private def deleteRecursively(root: java.nio.file.Path,
+      strict: Boolean = false): Unit =
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
         st.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
           .foreach { f => try java.nio.file.Files.delete(f)
-            catch { case _: Throwable => () } }
+            catch { case e: Throwable => if (strict) throw e } }
       }
     }
   private lazy val scratchHookInstalled: Unit =
@@ -456,7 +470,7 @@ object Queries {
     */
   def q130_containment(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").where(col("doc_id") < 500)
-      .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"), 3)).as("__s"))
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("__s")) // shingles are already distinct
     val a = docs.select(col("doc_id").as("id_a"), col("__s").as("sa"))
     val b = docs.select(col("doc_id").as("id_b"), col("__s").as("sb"))
     a.join(b, col("id_a") =!= col("id_b"))
@@ -611,18 +625,12 @@ object Queries {
     // a tape, and a regenerated dataset can't serve stale state across
     // runs. A marker written last makes partially-built dirs (crash
     // mid-build) detectable and rebuilt.
-    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val sanitized = dirSlug(dir) // one slug convention for every scratch path
     val tmp = pidScratch(s"/tmp/graft-q37-${ProcessHandle.current().pid()}-$sanitized")
     val root = java.nio.file.Paths.get(tmp)
     val marker = root.resolve("_graft_built")
     if (!java.nio.file.Files.exists(marker)) {
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
-          st.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(java.nio.file.Files.delete)
-        }
-      }
+      deleteRecursively(root, strict = true)
       val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
       val table = new graft.txn.TxnTable(s, tmp)
       val t1 = table.txns.startTxn()
@@ -652,18 +660,12 @@ object Queries {
     * exercise the cold-open recovery path.
     */
   def q126_txn_timetravel(s: SparkSession, dir: String): DataFrame = {
-    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val sanitized = dirSlug(dir) // one slug convention for every scratch path
     val tmp = pidScratch(s"/tmp/graft-q126-${ProcessHandle.current().pid()}-$sanitized")
     val root = java.nio.file.Paths.get(tmp)
     val marker = root.resolve("_graft_built")
     if (!java.nio.file.Files.exists(marker)) {
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
-          st.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(java.nio.file.Files.delete)
-        }
-      }
+      deleteRecursively(root, strict = true)
       val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
       val table = new graft.txn.TxnTable(s, tmp)
       val t1 = table.txns.startTxn()
@@ -707,7 +709,7 @@ object Queries {
     dppFactDir(s, dir)
 
   private def dppFactDir(s: SparkSession, dir: String): String = {
-    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val sanitized = dirSlug(dir) // one slug convention for every scratch path
     val path = pidScratch(s"/tmp/graft-dpp-fact-${ProcessHandle.current().pid()}-$sanitized")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS")))
       t(s, dir, "events")
@@ -718,7 +720,7 @@ object Queries {
   }
 
   private def eventsStreamDir(s: SparkSession, dir: String): String = {
-    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val sanitized = dirSlug(dir) // one slug convention for every scratch path
     val streamDir = pidScratch(s"/tmp/graft-stream-src-${ProcessHandle.current().pid()}-$sanitized")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$streamDir/_SUCCESS")))
       t(s, dir, "events").repartition(4).write.mode("overwrite").parquet(streamDir)
@@ -1024,7 +1026,7 @@ object Queries {
        FROM st WHERE n_oov * 50 <= n_tokens"""
 
   private def docsStreamDir(s: SparkSession, dir: String): String = {
-    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val sanitized = dirSlug(dir) // one slug convention for every scratch path
     val streamDir = pidScratch(s"/tmp/graft-docstream-src-${ProcessHandle.current().pid()}-$sanitized")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$streamDir/_SUCCESS")))
       t(s, dir, "documents").repartition(4).write.mode("overwrite").parquet(streamDir)
@@ -3391,18 +3393,12 @@ object Queries {
     * construction rule.
     */
   def q180_txn_diff(s: SparkSession, dir: String): DataFrame = {
-    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val sanitized = dirSlug(dir) // one slug convention for every scratch path
     val tmp = pidScratch(s"/tmp/graft-q180-${ProcessHandle.current().pid()}-$sanitized")
     val root = java.nio.file.Paths.get(tmp)
     val marker = root.resolve("_graft_built")
     if (!java.nio.file.Files.exists(marker)) {
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
-          st.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(java.nio.file.Files.delete)
-        }
-      }
+      deleteRecursively(root, strict = true)
       val orders = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val table = new graft.txn.TxnTable(s, tmp)
@@ -3493,7 +3489,7 @@ object Queries {
       numHashes = numHashes, bands = 32, shingleWidth = 3)
     val sigs = docs.select(col("doc_id").as("__id"),
       Dedup.minHashSignature(Dedup.shingles(col("text"), 3), numHashes).as("__sig"),
-      array_distinct(Dedup.shingles(col("text"), 3)).as("__sh"))
+      Dedup.shingles(col("text"), 3).as("__sh")) // shingles are already distinct
     cands
       .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a"),
         col("__sh").as("sh_a")), Seq("id_a"))
@@ -3719,9 +3715,14 @@ object Queries {
       var prev = Long.MinValue
       var converted = 0L
       purchases.foreach { case (ts, _) =>
-        // any click strictly inside (prev, ts)?
+        // any click strictly inside (prev, ts)? binarySearch on a
+        // DUPLICATED key returns an ARBITRARY matching index, so i + 1
+        // may still point at a click == prev — advance past every equal
+        // entry to get the true upper bound (the oracle's c.ts > prev_ts
+        // is strict; duplicate per-user timestamps would mismatch).
         val i = java.util.Arrays.binarySearch(clicks, prev)
-        val from = if (i >= 0) i + 1 else -i - 1 // first click > prev
+        var from = if (i >= 0) i + 1 else -i - 1
+        while (from < clicks.length && clicks(from) <= prev) from += 1
         if (from < clicks.length && clicks(from) < ts) converted += 1
         prev = ts
       }
@@ -4371,13 +4372,7 @@ object Queries {
     val landing = s"$base/landing"
     val clustered = s"$base/clustered"
     val root = java.nio.file.Paths.get(base)
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-      }
-    }
+    deleteRecursively(root, strict = true)
     val stream = graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 2)
     val q = stream
       .select(col("event_id"), col("ts"), col("user_id"), cents(col("value")).as("value_c"))

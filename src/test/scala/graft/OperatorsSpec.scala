@@ -487,6 +487,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q194 cogroup convert: duplicate click timestamps equal to prev don't count") {
+    import org.apache.spark.sql.functions._
+    // regression: binarySearch on a duplicated key returns an ARBITRARY
+    // matching index, so with two clicks at exactly prev the old code
+    // could count a click == prev as "strictly after prev". Constructed
+    // tape: user 1 has clicks [T, T] and purchases [T, T+10s]. Purchase
+    // @T: no click strictly BEFORE T (the window is (prev, ts), both
+    // strict). Purchase @T+10: no click strictly inside (T, T+10) —
+    // both clicks sit exactly at T. n_converted must be 0.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q194").toString
+    def ts(sec: Long) = new java.sql.Timestamp(86400000L + sec * 1000L)
+    val events = Seq(
+      (1L, ts(100), 1L, "click", 0.0, "{}"),
+      (2L, ts(100), 1L, "click", 0.0, "{}"),
+      (3L, ts(100), 1L, "purchase", 0.0, "{}"),
+      (4L, ts(110), 1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Queries.q194_cogroup_convert(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // purchase@100: clicks strictly inside (-inf, 100) — none at T=100
+    // itself? The click at 100 is NOT < 100, so not converted. purchase
+    // @110: clicks strictly inside (100, 110) — none (both clicks == 100).
+    assert(out == Set((1L, 2L, 0L)),
+      s"clicks at exactly prev must not convert, got $out")
+  }
+
   test("TableDiff.diff: null-shifted rows are CHANGED, not hash-collided") {
     import graft.operators.TableDiff
     // Spark's XxHash64 skips null inputs, so before the isnull-marker
