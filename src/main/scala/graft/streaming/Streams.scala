@@ -242,51 +242,32 @@ object Streams {
     * built-in eviction lever for unbounded key spaces (NONE here —
     * the gate replays a finite tape).
     */
-  private class RunningTotalsProcessor
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, Long), UserTotals] {
-    @transient private var totals:
-      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
-
-    override def init(outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      totals = getHandle.getValueState[(Long, Long)]("totals",
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaLong),
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
-
-    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
-        timerValues: org.apache.spark.sql.streaming.TimerValues)
-        : Iterator[UserTotals] = {
-      var (n, v) = if (totals.exists()) totals.get() else (0L, 0L)
-      rows.foreach { case (_, c) => n += 1; v += c }
-      totals.update((n, v))
-      Iterator.single(UserTotals(key, n, v))
-    }
-  }
-
   /** Running per-user totals over a (user_id, value_cents) stream via
-    * [[RunningTotalsProcessor]]. Update output mode: one emission per
-    * touched user per trigger, counters monotone — the LAST emission
-    * per user is the final ledger entry.
+    * [[WarmStartTotalsProcessor]] with no initial state (the
+    * WithInitialState subclass IS a StatefulProcessor, so the cold and
+    * warm paths share ONE fold/state implementation — a previous
+    * verbatim-duplicate cold-path class risked silent divergence).
+    * Update output mode: one emission per touched user per trigger,
+    * counters monotone — the LAST emission per user is the final
+    * ledger entry.
     */
   def runningTotals(pairs: Dataset[(Long, Long)]): Dataset[UserTotals] = {
     val spark = pairs.sparkSession
     import spark.implicits._
     pairs.groupByKey(_._1)
-      .transformWithState(new RunningTotalsProcessor,
+      .transformWithState(new WarmStartTotalsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
 
-  /** [[RunningTotalsProcessor]] with WARM-STARTED state: the
+  /** The running-totals ledger processor, optionally WARM-STARTED: the
     * batch-bootstrap pattern (rebuild a ledger from yesterday's
     * snapshot, then stream today's events on top).
     * `handleInitialState` seeds each key's ValueState from the batch
     * snapshot BEFORE any input rows arrive; seeding emits nothing —
     * only keys touched by live rows emit, and their totals include the
-    * seeded history.
+    * seeded history. Used WITHOUT an initial state by [[runningTotals]]
+    * (handleInitialState simply never fires).
     */
   private class WarmStartTotalsProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[

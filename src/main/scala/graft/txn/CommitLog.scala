@@ -50,6 +50,13 @@ final class LogManager(val logPath: Path) {
         (parts(0), parts(1).toLong, if (parts.length > 2) parts(2) else "")
       }
 
+  /** Parse the DURABLE tape from disk without touching in-memory state —
+    * for callers that need ground truth even after a simulated crash
+    * (own-batch lookup for read-your-writes, txn-id resumption). One
+    * parser for every consumer of the tape format.
+    */
+  def durableRecords(): Vector[(String, Long, String)] = reload()
+
   private def append(tpe: String, txn: Long, payload: String = ""): Unit = {
     Files.createDirectories(logPath.getParent)
     // The write is flushed before the call returns — a COMMIT record on
@@ -254,11 +261,12 @@ final class TxnTable(spark: SparkSession, val dir: String) {
   }
 
   // All UPDATE records of t from the full durable tape (committedState
-  // hides uncommitted ones).
+  // hides uncommitted ones). Durable, not in-memory: own writes must be
+  // visible even mid-recovery.
   private def ownBatches(t: Long): Vector[String] =
-    Files.readAllLines(root.resolve("log.tsv")).asScala
-      .filter(_.startsWith(s"${LogRecord.Update}\t$t\t"))
-      .map(_.split("\t", 3)(2)).toVector
+    log.durableRecords().collect {
+      case (LogRecord.Update, `t`, dir) => dir
+    }
 
   /** Compact all currently-committed data into a single base dir and log
     * a CHECKPOINT; recovery after this never replays older batches.
@@ -290,7 +298,5 @@ final class TxnTable(spark: SparkSession, val dir: String) {
   }
 
   private def maxSeen: Long =
-    if (!Files.exists(root.resolve("log.tsv"))) 0L
-    else Files.readAllLines(root.resolve("log.tsv")).asScala
-      .filter(_.nonEmpty).map(_.split("\t", 3)(1).toLong).foldLeft(0L)(math.max)
+    log.durableRecords().foldLeft(0L) { case (m, (_, t, _)) => math.max(m, t) }
 }
