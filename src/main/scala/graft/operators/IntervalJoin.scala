@@ -33,6 +33,18 @@ object IntervalJoin {
     * is non-empty (closed intervals, long grid units). Callers prefix
     * their columns distinctly; the result carries all columns of both
     * sides.
+    *
+    * NULL bounds follow SQL join semantics: the overlap predicate is
+    * null-valued, so a null-bounded row matches NOTHING and drops from
+    * the output (Catalyst infers the isnotnull constraint and prunes at
+    * the scan — same result either way). Bounds must otherwise be
+    * NONNEGATIVE with start ≤ end — each violation would corrupt
+    * results SILENTLY rather than loudly (inverted bounds: `sequence`
+    * infers a NEGATIVE step, emits descending bins, and an empty
+    * interval can still "overlap"; negative bounds: `div` truncates
+    * toward zero ≠ floor, breaking the counting-cell dedup rule). The
+    * operator fails fast with a named per-row error on those (the
+    * [[Skyline]] discipline) — filter or impute before the join.
     */
   def overlapJoin(
       a: DataFrame,
@@ -41,18 +53,28 @@ object IntervalJoin {
       bStart: Column, bEnd: Column,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // the guard rides inside the bin expression so column pruning can
+    // never drop it; raise_error's NullType coerces into the CASE.
+    // Null bounds make both comparisons null -> ELSE -> sequence(null,…)
+    // is null -> explode drops the row, matching the SQL semantics above.
+    def guardedBins(s: String, e: String, side: String) = expr(
+      s"""CASE WHEN $s < 0 OR $e < $s
+         |THEN raise_error(concat(
+         |  'IntervalJoin.overlapJoin: $side interval must have',
+         |  ' nonnegative start <= end; got [', cast($s as string),
+         |  ', ', cast($e as string),
+         |  '] - filter or impute before the join'))
+         |ELSE sequence($s div $binWidth, $e div $binWidth) END""".stripMargin)
     // `div` truncates toward zero = floor on the NONNEGATIVE grid units
-    // this operator contracts for (epoch-based times already are)
+    // the guard above enforces (epoch-based times already are)
     val aBinned = a
       .withColumn("__s_a", aStart.cast("long"))
       .withColumn("__e_a", aEnd.cast("long"))
-      .withColumn("__bin",
-        explode(expr(s"sequence(__s_a div $binWidth, __e_a div $binWidth)")))
+      .withColumn("__bin", explode(guardedBins("__s_a", "__e_a", "left")))
     val bBinned = b
       .withColumn("__s_b", bStart.cast("long"))
       .withColumn("__e_b", bEnd.cast("long"))
-      .withColumn("__bin",
-        explode(expr(s"sequence(__s_b div $binWidth, __e_b div $binWidth)")))
+      .withColumn("__bin", explode(guardedBins("__s_b", "__e_b", "right")))
     aBinned.join(bBinned, Seq("__bin"))
       .where(col("__s_a") <= col("__e_b") && col("__s_b") <= col("__e_a"))
       // counting-cell rule: exactly one cell owns each overlapping pair

@@ -389,6 +389,38 @@ class OperatorsSpec extends AnyFunSuite {
       col("s_b"), col("e_b"), binWidth = 8L).count() == 1)
   }
 
+  test("IntervalJoin.overlapJoin: contract violations fail fast, not silently") {
+    import graft.operators.IntervalJoin
+    val good = Seq((1L, 0L, 100L)).toDF("b_id", "s_b", "e_b")
+    // inverted/negative bounds previously corrupted results SILENTLY:
+    // inverted emitted pairs for an EMPTY interval (descending sequence
+    // bins), negative broke the div-floor counting-cell dedup
+    val cases = Seq(
+      ("inverted", Seq((1L, Option(10L), Option(5L)))),
+      ("negative", Seq((1L, Option(-3L), Option(10L)))))
+    for ((label, rows) <- cases) {
+      val bad = rows.toDF("a_id", "s_a", "e_a")
+      val e = intercept[Exception] {
+        IntervalJoin.overlapJoin(bad, good, col("s_a"), col("e_a"),
+          col("s_b"), col("e_b"), binWidth = 8L).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          String.valueOf(x.getMessage) +: messages(x.getCause))
+      assert(messages(e).exists(_.contains("IntervalJoin.overlapJoin")),
+        s"$label: expected the named guard error, got $e")
+    }
+    // null bounds follow SQL join semantics: match nothing, no error
+    val nulls = Seq((1L, Option.empty[Long], Option(10L)),
+      (2L, Option(0L), Option.empty[Long])).toDF("a_id", "s_a", "e_a")
+    assert(IntervalJoin.overlapJoin(nulls, good, col("s_a"), col("e_a"),
+      col("s_b"), col("e_b"), binWidth = 8L).count() == 0)
+    // untouched valid rows still join (the guard is per-row, not per-run)
+    val ok = Seq((7L, 20L, 30L)).toDF("a_id", "s_a", "e_a")
+    assert(IntervalJoin.overlapJoin(ok, good, col("s_a"), col("e_a"),
+      col("s_b"), col("e_b"), binWidth = 8L).count() == 1)
+  }
+
   test("TextAnalysis.vocabEncode: rank order, position order, determinism") {
     import graft.operators.TextAnalysis
     // counts: b=4, a=3, c=1 -> ids b=0, a=1, c=2; ties broken by token
