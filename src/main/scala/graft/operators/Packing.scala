@@ -23,7 +23,10 @@ object Packing {
 
   /** Adds `shard_id`: exclusive running sum of `tokensCol` (ordered by
     * `orderCol` within `stratumCols`) integer-divided by `budget`.
-    * Exact long arithmetic end-to-end.
+    * Exact long arithmetic end-to-end. Token counts must be
+    * NONNEGATIVE — a negative count walks the running sum backward and
+    * silently corrupts every later shard id in the stratum, so the
+    * operator fails fast on one (nulls count 0).
     */
   def shardByTokenBudget(df: DataFrame, tokensCol: Column, orderCol: Column,
       budget: Long, stratumCols: Seq[Column] = Seq.empty): DataFrame = {
@@ -33,7 +36,15 @@ object Packing {
       else Window.partitionBy(stratumCols: _*)
     val w = w0.orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__cum", coalesce(sum(tokensCol.cast("long")).over(w), lit(0L)))
+    // the guard rides inside the summed expression so no rewrite drops it
+    val guarded = when(tokensCol.cast("long") < 0,
+      raise_error(concat(
+        lit("Packing.shardByTokenBudget: negative token count "),
+        tokensCol.cast("string"),
+        lit(" corrupts the running sum - filter or clamp first")))
+        .cast("long"))
+      .otherwise(tokensCol.cast("long"))
+    df.withColumn("__cum", coalesce(sum(guarded).over(w), lit(0L)))
       .withColumn("shard_id", expr(s"__cum div ${budget}L"))
       .drop("__cum")
   }
@@ -108,7 +119,12 @@ object Packing {
           val shard = cum / budget
           // null tokens count 0, matching the window form's sum-ignores-null
           val tv = r.get(tokIdx)
-          cum += (if (tv == null) 0L else tv.asInstanceOf[Number].longValue())
+          val t = if (tv == null) 0L else tv.asInstanceOf[Number].longValue()
+          // same fail-fast as the window form's in-plan guard
+          if (t < 0) throw new IllegalArgumentException(
+            s"Packing.shardByTokenBudgetGlobal: negative token count $t " +
+              "corrupts the running sum - filter or clamp first")
+          cum += t
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ shard)
         }
       }(rowEnc)

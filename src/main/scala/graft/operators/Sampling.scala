@@ -251,7 +251,13 @@ object Sampling {
     * k boundary crossings per stratum, so the sample size is ≤ k with
     * equality unless a single row's weight spans multiple boundaries
     * (its selection "probability" saturates — standard PPS behavior);
-    * zero-weight rows are never selected.
+    * zero-weight rows are never selected. Weights must be NONNEGATIVE —
+    * a negative weight walks the prefix-sum line BACKWARD and silently
+    * corrupts every later row's interval, so the operator fails fast on
+    * one (null weights contribute nothing and are never selected, like
+    * zero). Determinism also needs `orderCol` to totally order rows
+    * within a stratum (include a unique id) — ties leave the prefix
+    * sums to partition-arrival luck.
     *
     * One window shuffle per stratum (the [[graft.operators.Packing]]
     * running-sum shape; strata bound the partitions at scale — for one
@@ -270,7 +276,14 @@ object Sampling {
     val totW = w0.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    df.withColumn("__w", weightCol.cast("long"))
+    // the guard rides inside __w so no plan rewrite can drop it
+    df.withColumn("__w", when(weightCol.cast("long") < 0,
+        raise_error(concat(
+          lit("Sampling.ppsSystematic: negative weight "),
+          weightCol.cast("string"),
+          lit(" corrupts the prefix-sum line - filter or clamp first")))
+          .cast("long"))
+      .otherwise(weightCol.cast("long")))
       .withColumn("__cum", coalesce(sum(col("__w")).over(cumW), lit(0L)))
       .withColumn("__tot", sum(col("__w")).over(totW))
       // nullif: an ALL-zero-weight stratum has __tot = 0, and a raw
