@@ -175,6 +175,9 @@ object Sampling {
     val kMax = quotas.values.max
     require(kMax > 0,
       s"budget $budget too small for any quota: raise it or cut strata")
+    // .toInt below would silently WRAP a >2^31 quota into a small heap
+    require(kMax <= Int.MaxValue,
+      s"per-stratum quota $kMax exceeds the bounded-heap Int range")
     val mix = pmod((col(idCol) % lit(1000000000L)) * lit(2654435761L),
       lit(1000000007L))
     val preCut = graft.plans.TopK.perGroup(
