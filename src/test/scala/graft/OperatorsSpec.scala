@@ -1120,6 +1120,26 @@ class OperatorsSpec extends AnyFunSuite {
     val got3 = Dedup.containmentPairs(df, "id", "t", shingleWidth = 3, num = 3, den = 5)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got3 == brute3, "3-shingle containment mismatch")
+
+    // unicode vocabulary (CJK + an astral-plane surrogate pair): the
+    // rarest-first rank order ties by TOKEN VALUE, so exact recall must
+    // survive multi-byte and surrogate-pair comparisons end-to-end
+    val uvocab = Seq("文", "書", "語", "😀", "été")
+    val udocs = (0L until 25L).map { i =>
+      val n = 2 + rnd.nextInt(6)
+      (i, Seq.fill(n)(uvocab(rnd.nextInt(uvocab.size))).mkString(" "))
+    }
+    val usets = udocs.map { case (i, t) => i -> t.split(" ").toSet }.toMap
+    val ubrute = (for {
+      a <- udocs.map(_._1); b <- udocs.map(_._1) if a != b
+      i = (usets(a) intersect usets(b)).size.toLong
+      na = usets(a).size.toLong
+      if i * 5L >= na * 3L
+    } yield (a, b, i, na)).toSet
+    val ugot = Dedup.containmentPairs(udocs.toDF("id", "t"), "id", "t",
+      shingleWidth = 1, num = 3, den = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ugot == ubrute, "unicode containment mismatch")
   }
 
   test("Compaction merges small files without changing content") {
