@@ -4643,6 +4643,65 @@ object Queries {
     Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
       shingleWidth = 3, num = 3, den = 5)
 
+  /** Recall-contract certification for the containment join's `maxDf`
+    * posting cap — the q183/q196 violations-as-rows pattern applied to
+    * the operator's 100 TB skew lever. cap=2 genuinely bites at every
+    * SF (sf0.01: 4 of 50 pairs lost; sf0.1: 492 of 512 — measured), so
+    * the contract is never vacuously green. Two gates:
+    *
+    *  1. `extra_or_mutated`: every capped pair must appear in the exact
+    *     relation with IDENTICAL (i, na) — the cap prunes candidate
+    *     generation only; verification sets stay uncapped, so capping
+    *     may lose pairs but never invent or corrupt one.
+    *  2. `unexplained_miss`: every lost pair must be cap-explained —
+    *     the blocking is recomputed INDEPENDENTLY here (shingle dfs,
+    *     rarest-first ranks, prefix lengths, built from the raw table,
+    *     not the operator's internals), and a missing pair that shares
+    *     any prefix(A) shingle with df ≤ cap in B is a recall bug (an
+    *     over-capped A-prefix or an off-by-one prefix length would
+    *     surface exactly here).
+    *
+    * Violations return as rows; the oracle states the contract holds
+    * (empty relation). Certification cost scales with candidates and
+    * the vocab, never n².
+    */
+  def q232_containment_cap(s: SparkSession, dir: String): DataFrame = {
+    val cap = 2L
+    val docs = t(s, dir, "documents")
+    val exact = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleWidth = 3, num = 3, den = 5)
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleWidth = 3, num = 3, den = 5, maxDf = Some(cap))
+    // gate 1: capped ⊆ exact with identical measures
+    val extra = capped.join(exact, Seq("id_a", "id_b", "i", "na"), "left_anti")
+      .select(col("id_a"), col("id_b"), lit("extra_or_mutated").as("violation"))
+    // gate 2: independent recomputation of the blocking
+    val missing = exact.join(capped, Seq("id_a", "id_b"), "left_anti")
+      .select("id_a", "id_b")
+    val toks = docs.select(col("doc_id").as("__id"),
+      explode(array_distinct(Dedup.shingles(col("text"), 3))).as("__t"))
+    val dfreq = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val ranked = dfreq.select(col("__t"), col("__df"),
+      row_number().over(Window.orderBy(col("__df"), col("__t")))
+        .cast("long").as("__rank"))
+    val rtoks = toks.join(ranked, "__t")
+      .select(col("__id"), col("__rank"), col("__df"))
+    val prefixes = rtoks.select(col("__id"), col("__rank"))
+      .groupBy("__id").agg(sort_array(collect_list(col("__rank"))).as("__set"))
+      .withColumn("__n", size(col("__set")).cast("long"))
+      .withColumn("__p", expr("__n - ((__n * 3 + 5 - 1) div 5) + 1"))
+      .select(col("__id"),
+        explode(expr("slice(__set, 1, CAST(__p AS INT))")).as("__k"))
+    val unexplained = missing
+      .join(prefixes.select(col("__id").as("id_a"), col("__k")), Seq("id_a"))
+      .join(rtoks.where(col("__df") <= cap)
+        .select(col("__id").as("id_b"), col("__rank").as("__k")),
+        Seq("id_b", "__k"))
+      .select(col("id_a"), col("id_b"), lit("unexplained_miss").as("violation"))
+      .distinct()
+    extra.unionByName(unexplained)
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -5149,7 +5208,8 @@ object Queries {
     "q228_class_prf" -> (q228_class_prf _),
     "q229_calendar_spine" -> (q229_calendar_spine _),
     "q230_max_drawdown" -> (q230_max_drawdown _),
-    "q231_containment_join" -> (q231_containment_join _))
+    "q231_containment_join" -> (q231_containment_join _),
+    "q232_containment_cap" -> (q232_containment_cap _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -6934,6 +6994,14 @@ object Queries {
          SELECT inter.id_a, inter.id_b, inter.i, sz.na
          FROM inter JOIN sz ON sz.doc_id = inter.id_a
          WHERE inter.i * 5 >= sz.na * 3""",
+    // the maxDf cap's recall contract holds: capped pairs carry exact
+    // measures and every lost pair is explained by the cap — the
+    // violations relation is EMPTY
+    "q232_containment_cap" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a,
+                CAST(NULL AS BIGINT) AS id_b,
+                CAST(NULL AS VARCHAR) AS violation
+         WHERE FALSE""",
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",

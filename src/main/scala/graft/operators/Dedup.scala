@@ -471,25 +471,41 @@ object Dedup {
     * all hash-partitioned equi-joins; nothing all-pairs. The B side posts
     * its full token set, so corpus-wide boilerplate tokens fan out —
     * that cost is inherent to EXACT containment (the rarest-first prefix
-    * keeps the A side small); at 100 TB cap df on the B postings like
-    * q85 (explicitly trading recall on tokens the whole corpus shares)
-    * or pre-dedup boilerplate with [[winnowingPairs]].
+    * keeps the A side small); at 100 TB set `maxDf` (below) to cap the
+    * B-side postings like q85, or pre-dedup boilerplate with
+    * [[winnowingPairs]].
+    *
+    * `maxDf` — the 100 TB skew/fan-out lever, an EXPLICIT recall trade:
+    * with `Some(cap)`, B-side postings of shingles with document
+    * frequency > cap are dropped from CANDIDATE GENERATION ONLY (a
+    * corpus-wide boilerplate shingle is both the hot reducer key and the
+    * quadratic fan-out in the prefix(A) ⋈ tokens(B) join). The
+    * verification sets stay UNCAPPED, so every emitted pair still
+    * carries the exact (i, na) of the uncapped relation — capping can
+    * only LOSE pairs, never corrupt one. The precise recall contract
+    * (certified by q232 and fuzzed in OperatorsSpec): the capped output
+    * is exactly the uncapped pairs (A, B) for which some shingle in
+    * prefix(A) ∩ B has df ≤ cap — a pair is missed iff EVERY prefix
+    * token it shares is corpus-boilerplate above the cap. `None` (the
+    * default, q231's gate) is exact.
     *
     * Output: one row per ORDERED pair (id_a, id_b, i, na) with
     * i = |A∩B|, na = |A| and i·den ≥ na·num — containment of A in B
     * (both directions of a pair can appear, each with its own quotient).
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleWidth: Int, num: Int, den: Int): DataFrame = {
+      shingleWidth: Int, num: Int, den: Int,
+      maxDf: Option[Long] = None): DataFrame = {
     require(num > 0 && den >= num, s"threshold must be in (0,1]: $num/$den")
+    maxDf.foreach(cap => require(cap >= 1, s"maxDf must be >= 1, got $cap"))
     val toks = df
       .select(col(idCol).as("__id"),
         explode(array_distinct(shingles(col(textCol), shingleWidth))).as("__t"))
     val dfreq = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
     // global rarest-first total order; rank is the blocking key. The
     // single-partition window runs over the VOCAB, not the corpus (the
-    // q206 argument).
-    val ranked = dfreq.select(col("__t"),
+    // q206 argument). __df rides along for the maxDf posting cap below.
+    val ranked = dfreq.select(col("__t"), col("__df"),
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("__df"), col("__t"))).cast("long").as("__rank"))
     // Deliberately NOT persisted despite the multi-consumer reuse of
@@ -501,6 +517,15 @@ object Dedup {
     // is cheaper than the plan it forecloses. (Negative result recorded
     // in SCALE.md §Prefix-filtered containment join.)
     val rankedToks = toks.join(ranked, "__t").select("__id", "__rank")
+    // B-side postings for candidate generation: capped if maxDf is set
+    // (scaladoc above) — the df filter lands on the vocab-sized ranked
+    // relation BEFORE the corpus join, so capped postings never shuffle.
+    val bPostings = maxDf match {
+      case Some(cap) => toks
+        .join(ranked.where(col("__df") <= cap), "__t")
+        .select("__id", "__rank")
+      case None => rankedToks
+    }
     val sets = rankedToks
       .groupBy("__id")
       .agg(sort_array(collect_list(col("__rank"))).as("__set"))
@@ -509,9 +534,10 @@ object Dedup {
       .withColumn("__p", expr(s"__n - ((__n * $num + $den - 1) div $den) + 1"))
     val prefixes = sets.select(col("__id"),
       explode(expr("slice(__set, 1, CAST(__p AS INT))")).as("__k"))
-    // asymmetric block: A's prefix tokens against B's FULL postings
+    // asymmetric block: A's prefix tokens against B's postings (full by
+    // default; df-capped when maxDf is set)
     val cands = prefixes.select(col("__k"), col("__id").as("id_a"))
-      .join(rankedToks.select(col("__rank").as("__k"), col("__id").as("id_b")),
+      .join(bPostings.select(col("__rank").as("__k"), col("__id").as("id_b")),
         Seq("__k"))
       .where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")

@@ -1142,6 +1142,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ugot == ubrute, "unicode containment mismatch")
   }
 
+  test("Dedup.containmentPairs maxDf cap: exact-measure subset, misses all cap-explained") {
+    // the recall contract of the 100 TB posting-cap lever, pinned against
+    // an independent model of the capped blocking: capped output must be
+    // EXACTLY the uncapped pairs that share >= 1 prefix(A)-token with
+    // df <= cap in B (verification sets stay uncapped, so survivors keep
+    // exact (i, na); a miss is legal iff every shared prefix token is
+    // boilerplate above the cap)
+    val rnd = new scala.util.Random(23)
+    val vocab = ('a' to 'h').map(_.toString)
+    val docs = (0L until 45L).map { i =>
+      val n = 2 + rnd.nextInt(7)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("id", "t")
+    val sets = docs.map { case (i, t) => i -> t.split(" ").toSet }.toMap
+    val dfreq = sets.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    for ((num, den, cap) <- Seq((3, 5, 2L), (1, 2, 5L), (4, 5, 10L))) {
+      val exact = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a != b
+        i = (sets(a) intersect sets(b)).size.toLong
+        na = sets(a).size.toLong
+        if i * den >= na * num
+      } yield (a, b, i, na)).toSet
+      def prefix(a: Long): Set[String] = {
+        val ordered = sets(a).toSeq.sortBy(t => (dfreq(t), t))
+        val n = ordered.size
+        ordered.take(n - ((n * num + den - 1) / den) + 1).toSet
+      }
+      val model = exact.filter { case (a, b, _, _) =>
+        (prefix(a) intersect sets(b)).exists(t => dfreq(t) <= cap)
+      }
+      val got = Dedup.containmentPairs(df, "id", "t",
+        shingleWidth = 1, num, den, maxDf = Some(cap))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == model, s"capped containment mismatch at t=$num/$den cap=$cap")
+      assert(got.subsetOf(exact), s"cap invented/mutated a pair at t=$num/$den cap=$cap")
+      // the cap must actually bite at least once across the matrix
+      if ((num, den, cap) == ((3, 5, 2L))) {
+        assert(model.size < exact.size,
+          "cap=2 was expected to lose pairs on this corpus — test is vacuous")
+      }
+    }
+  }
+
   test("Compaction merges small files without changing content") {
     val src = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
     val dst = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
