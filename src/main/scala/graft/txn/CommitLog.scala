@@ -41,6 +41,21 @@ object LogRecord {
   */
 final class LogManager(val logPath: Path) {
   private var records: Vector[(String, Long, String)] = reload()
+  // Single-writer contract, DETECTED rather than assumed: the tape is
+  // append-only per live writer session, and two concurrent writers
+  // against one log dir would interleave records undetected (each sees
+  // only its own in-memory mirror). expectedSize is the durable byte
+  // length as of this writer's last observation; a mismatch at append
+  // time means a foreign writer appended (or something truncated the
+  // tape) since — fail fast with a named error instead of silently
+  // weaving two sessions' records. O(1) per append (one stat call, no
+  // re-read). None = unknown, only after reset()'s crash simulation;
+  // recovery() re-syncs, which is also how a successor session legally
+  // takes over a log dir from a dead writer.
+  private var expectedSize: Option[Long] = Some(durableSize)
+
+  private def durableSize: Long =
+    if (Files.exists(logPath)) Files.size(logPath) else 0L
 
   private def reload(): Vector[(String, Long, String)] =
     if (!Files.exists(logPath)) Vector.empty
@@ -58,12 +73,23 @@ final class LogManager(val logPath: Path) {
   def durableRecords(): Vector[(String, Long, String)] = reload()
 
   private def append(tpe: String, txn: Long, payload: String = ""): Unit = {
+    val actual = durableSize
+    expectedSize.foreach { exp =>
+      if (actual != exp) throw new IllegalStateException(
+        s"LogManager single-writer violation: $logPath is $actual bytes " +
+          s"on disk but this writer last saw $exp — a concurrent writer " +
+          "session appended to (or truncated) the log. Each log dir has " +
+          "exactly ONE live writer; open a fresh session and recover() " +
+          "to take over.")
+    }
     Files.createDirectories(logPath.getParent)
     // The write is flushed before the call returns — a COMMIT record on
     // disk is the durability point (reference: FORCE policy flushes pages
     // before logging commit, transaction_manager.cc:52-73).
-    Files.write(logPath, s"$tpe\t$txn\t$payload\n".getBytes(StandardCharsets.UTF_8),
+    val bytes = s"$tpe\t$txn\t$payload\n".getBytes(StandardCharsets.UTF_8)
+    Files.write(logPath, bytes,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND, StandardOpenOption.SYNC)
+    expectedSize = Some(actual + bytes.length)
     records :+= ((tpe, txn, payload))
   }
 
@@ -84,15 +110,19 @@ final class LogManager(val logPath: Path) {
 
   /** Crash simulation: drop all in-memory state
     * (reference `LogManager::reset`, log_manager_test.cc:186-194).
+    * The writer's size observation dies with it — a post-crash session
+    * must recovery() before appending (matching the real protocol).
     */
-  def reset(): Unit = records = Vector.empty
+  def reset(): Unit = { records = Vector.empty; expectedSize = None }
 
   /** ARIES-shaped recovery, radically simplified by immutability:
     * analysis = replay the tape to find committed txns and the last
     * checkpoint; redo = nothing (committed parquet batches are already
     * durable); undo = nothing (loser batches were never visible).
+    * Also re-syncs the single-writer size observation: recovery is the
+    * legal way a successor session takes over the log dir.
     */
-  def recovery(): Unit = records = reload()
+  def recovery(): Unit = { records = reload(); expectedSize = Some(durableSize) }
 
   /** Committed txn ids whose batches are NOT subsumed by the latest
     * checkpoint, plus the latest checkpoint base (if any).

@@ -240,4 +240,40 @@ class TxnSpec extends AnyFunSuite {
     val own2 = t.read(asTxn = Some(t2))
     assert(own2.collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L, 3L))
   }
+
+  // Single-writer contract: the tape is append-only per live writer
+  // session. A second writer session against the same log dir would
+  // interleave records undetected — the log detects the foreign append
+  // at the first writer's next write and fails with a named error
+  // instead of weaving two sessions' records.
+  test("single-writer: a foreign writer's append is detected, recovery takes over") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-txn-sw").toString
+    val a = new TxnTable(spark, dir)
+    val ta = a.txns.startTxn()
+    a.insert(ta, Seq(1L).toDF("value"))
+    // a SECOND session takes over the same log dir the LEGAL way —
+    // recover() — which resumes txn ids past the tape (no collision with
+    // A's in-flight txn) and re-syncs the writer's size observation
+    val b = new TxnTable(spark, dir)
+    b.recover()
+    val tb = b.txns.startTxn()
+    assert(tb != ta, "takeover must not reuse the in-flight txn id")
+    b.insert(tb, Seq(2L).toDF("value"))
+    b.txns.commitTxn(tb)
+    // the ORIGINAL writer's next append must now fail loudly — its
+    // records would interleave with B's — not silently weave the tapes
+    val e = intercept[IllegalStateException] { a.txns.commitTxn(ta) }
+    assert(e.getMessage.contains("single-writer violation"),
+      s"expected the named single-writer error, got: ${e.getMessage}")
+    // A's orphaned txn never committed: its batch stays invisible to
+    // every later session, and the tape remains consistent
+    val c = new TxnTable(spark, dir)
+    c.recover()
+    val tc = c.txns.startTxn()
+    c.insert(tc, Seq(3L).toDF("value"))
+    c.txns.commitTxn(tc)
+    assert(values(c) == Seq(2L, 3L),
+      "only legally-committed rows are visible after the takeover chain")
+  }
 }
