@@ -45,6 +45,15 @@ object IntervalJoin {
     * toward zero ≠ floor, breaking the counting-cell dedup rule). The
     * operator fails fast with a named per-row error on those (the
     * [[Skyline]] discipline) — filter or impute before the join.
+    *
+    * Guard scope, precisely: the fail-fast applies to rows with BOTH
+    * bounds non-null. A row pairing a negative bound with a NULL bound
+    * (e.g. start = -3, end = NULL) is pruned by the inferred isnotnull
+    * filters BEFORE the guarded bin expression evaluates, so it drops
+    * silently under the null semantics above rather than raising — it
+    * matches nothing either way (the corruption modes the guard exists
+    * for need two concrete bounds), but the error is not raised for it.
+    * Pinned by IntervalJoinSpec.
     */
   def overlapJoin(
       a: DataFrame,
@@ -57,12 +66,17 @@ object IntervalJoin {
     // never drop it; raise_error's NullType coerces into the CASE.
     // Null bounds make both comparisons null -> ELSE -> sequence(null,…)
     // is null -> explode drops the row, matching the SQL semantics above.
+    // coalesce in the MESSAGE only: if the raise branch is ever reached
+    // with one null bound (plan-shape drift past today's isnotnull
+    // pruning), raise_error must still throw a NAMED error, not a null
+    // message that no error-matching caller would recognize.
     def guardedBins(s: String, e: String, side: String) = expr(
       s"""CASE WHEN $s < 0 OR $e < $s
          |THEN raise_error(concat(
          |  'IntervalJoin.overlapJoin: $side interval must have',
-         |  ' nonnegative start <= end; got [', cast($s as string),
-         |  ', ', cast($e as string),
+         |  ' nonnegative start <= end; got [',
+         |  coalesce(cast($s as string), 'NULL'),
+         |  ', ', coalesce(cast($e as string), 'NULL'),
          |  '] - filter or impute before the join'))
          |ELSE sequence($s div $binWidth, $e div $binWidth) END""".stripMargin)
     // `div` truncates toward zero = floor on the NONNEGATIVE grid units

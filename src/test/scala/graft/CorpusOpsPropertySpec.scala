@@ -212,9 +212,6 @@ object CorpusOpsPropertySpec extends Properties("CorpusOps") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val rows = Seq((1L, "x", 5L), (2L, "x", -1L), (3L, "x", 7L))
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        String.valueOf(x.getMessage) +: messages(x.getCause))
     val e = try {
       graft.operators.Sampling.ppsSystematic(
         rows.toDF("id", "s", "w"), col("w"), col("id"), 2L,
@@ -222,7 +219,7 @@ object CorpusOpsPropertySpec extends Properties("CorpusOps") {
       null
     } catch { case t: Throwable => t }
     Prop(e != null &&
-      messages(e).exists(_.contains("Sampling.ppsSystematic"))) :|
+      SharedSpark.messages(e).exists(_.contains("Sampling.ppsSystematic"))) :|
       s"expected the named guard error, got $e"
   }
 

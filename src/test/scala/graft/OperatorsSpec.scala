@@ -404,10 +404,7 @@ class OperatorsSpec extends AnyFunSuite {
         IntervalJoin.overlapJoin(bad, good, col("s_a"), col("e_a"),
           col("s_b"), col("e_b"), binWidth = 8L).count()
       }
-      def messages(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x =>
-          String.valueOf(x.getMessage) +: messages(x.getCause))
-      assert(messages(e).exists(_.contains("IntervalJoin.overlapJoin")),
+      assert(SharedSpark.messages(e).exists(_.contains("IntervalJoin.overlapJoin")),
         s"$label: expected the named guard error, got $e")
     }
     // null bounds follow SQL join semantics: match nothing, no error

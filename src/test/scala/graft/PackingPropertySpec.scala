@@ -42,11 +42,8 @@ object PackingPropertySpec extends Properties("Packing") {
   property("both forms fail fast on a negative token count") = {
     import spark.implicits._
     val df = Seq((1L, 5L), (2L, -3L), (3L, 7L)).toDF("id", "ntok")
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        String.valueOf(x.getMessage) +: messages(x.getCause))
     def names(run: => Unit): Seq[String] =
-      try { run; Nil } catch { case t: Throwable => messages(t) }
+      try { run; Nil } catch { case t: Throwable => SharedSpark.messages(t) }
     val w = names(Packing
       .shardByTokenBudget(df, col("ntok"), col("id"), 10L).count())
     val g = names(Packing

@@ -39,4 +39,13 @@ object SharedSpark {
     SparkSession.setActiveSession(base)
     s
   }
+
+  /** Every message down a throwable's cause chain — the named-error
+    * assertion helper for fail-fast operator guards (Spark wraps the
+    * raise_error message several causes deep). One definition; was
+    * copy-pasted across three suites before.
+    */
+  def messages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      String.valueOf(x.getMessage) +: messages(x.getCause))
 }
