@@ -96,7 +96,9 @@ object Bench {
       }
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] history read failed (re-runs disabled): $e")
+        // no history at all → every eligible query counts as
+        // first-appearance and gets the unconditional re-run below
+        System.err.println(s"[bench] history read failed (all queries treated as first-appearance): $e")
         Map.empty
     }
     // The compact stdout line keys by numeric prefix ("q52_tpch_q3" ->

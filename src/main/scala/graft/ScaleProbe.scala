@@ -116,6 +116,20 @@ object ScaleProbe {
     time("attribution_q181") { Queries.q181_attribution(spark, dir).count() }
     time("pmi_q177") { Queries.q177_pmi_bigrams(spark, dir).count() }
     time("rank_normalize_q185") { Queries.q185_rank_normalize(spark, dir).count() }
+    // round-9 knee block: the operators carrying the engine's worst-case
+    // constants, probed past the 10x step (30x-100x) to LOCATE the knee
+    // instead of extrapolating it. containment_capped runs the same join
+    // with the maxDf posting cap at a value that is recall-lossless at
+    // the base SF (sf0.1 max shingle df = 25; pairs lost at cap 12 = 0,
+    // measured) — the pair demonstrates how much knee the cap buys.
+    time("containment_q231") { Queries.q231_containment_join(spark, dir).count() }
+    time("containment_capped") {
+      graft.operators.Dedup.containmentPairs(
+        graft.core.Catalog.table(spark, dir, "documents"), "doc_id", "text",
+        shingleWidth = 3, num = 3, den = 5, maxDf = Some(12L)).count()
+    }
+    time("winnowing_pairs_q138") { Queries.q138_winnowing_pairs(spark, dir).count() }
+    time("canonical_q109") { Queries.q109_canonical_pick(spark, dir).count() }
     spark.stop()
   }
 }
