@@ -96,9 +96,9 @@ object Bench {
       }
     } catch {
       case e: Throwable =>
-        // no history at all → every eligible query counts as
-        // first-appearance and gets the unconditional re-run below
-        System.err.println(s"[bench] history read failed (all queries treated as first-appearance): $e")
+        // no history at all → NO re-runs this pass (see below: an empty
+        // map must not read as "every query is first-appearance")
+        System.err.println(s"[bench] history read failed (contention re-runs disabled this pass): $e")
         Map.empty
     }
     // The compact stdout line keys by numeric prefix ("q52_tpch_q3" ->
@@ -162,23 +162,46 @@ object Bench {
     // is inevitably warm (same JVM: codegen compiled, footers cached), so
     // the substituted value is floored at the query's own warm-pass time —
     // min(cold, rerun) alone would let a warm number impersonate cold.
-    // A query with NO committed median (first appearance) is ALWAYS
-    // re-run: the 3x trigger has nothing to compare against, which let a
-    // contended first-round number enter the record unchallenged (r8:
-    // q231 recorded 11.26 s vs 4.9 s clean because it was new).
+    // A query with NO committed median (first appearance, or an errored
+    // -1 from last round) is ALWAYS re-run: the 3x trigger has nothing to
+    // compare against, which let a contended first-round number enter the
+    // record unchallenged (r8: q231 recorded 11.26 s vs 4.9 s clean
+    // because it was new). First-appearance status requires a NON-EMPTY
+    // history — an absent/unreadable/other-SF detail file yields
+    // Map.empty, and treating that as "everything is new" would re-run
+    // essentially the whole surface a third time and blow the compact
+    // line past the collector tail; with no baseline at all, no query
+    // gets a challenge pass.
     System.gc()
     val reruns: Seq[(String, (Double, Double))] = cold.collect {
       case (name, (v, None))
         if v > 0.5 && !name.contains("stream") &&
-          history.get(name).forall(h => h > 0 && v > 3 * h) =>
+          (history.get(name) match {
+            case Some(h) if h > 0 => v > 3 * h    // spike vs committed median
+            case _               => history.nonEmpty // first appearance / errored history
+          }) =>
         name -> (v, runOnce(name, SparkEntry.queries(name))._1)
     }
     val rerunMap = reruns.toMap
     val warmByName = warm.collect { case (n, (v, None)) if v >= 0 => n -> v }.toMap
+    // Substitution rule: a HISTORY-triggered re-run already proved the
+    // cold number anomalous (3x its own committed cold median), so the
+    // min-floored-at-warm substitution stands. A FIRST-APPEARANCE re-run
+    // has no cold baseline, and its end-of-pass re-run is inevitably warm
+    // (same JVM) — unconditionally substituting would record ~warm as
+    // every new query's cold and seed a deflated median that trips next
+    // round's 3x trigger on the query's REAL cold time. So for new
+    // queries the recorded cold stands unless it exceeds 3x the
+    // warm-side evidence (clear contention); both numbers are always
+    // reported in "reruns" either way for adjudication.
     val coldTimes = cold.map { case (n, (v, _)) =>
       n -> (rerunMap.get(n) match {
         case Some((first, second)) if second >= 0 =>
-          math.max(math.min(first, second), warmByName.getOrElse(n, 0.0))
+          val floor = warmByName.getOrElse(n, 0.0)
+          val histTriggered = history.get(n).exists(_ > 0)
+          if (histTriggered || first > 3 * math.max(second, floor))
+            math.max(math.min(first, second), floor)
+          else first
         case _ => v
       })
     }

@@ -53,7 +53,7 @@ object IntervalJoin {
     * silently under the null semantics above rather than raising — it
     * matches nothing either way (the corruption modes the guard exists
     * for need two concrete bounds), but the error is not raised for it.
-    * Pinned by IntervalJoinSpec.
+    * Pinned by OperatorsSpec ("contract violations fail fast").
     */
   def overlapJoin(
       a: DataFrame,

@@ -48,10 +48,17 @@ final class LogManager(val logPath: Path) {
   // length as of this writer's last observation; a mismatch at append
   // time means a foreign writer appended (or something truncated the
   // tape) since — fail fast with a named error instead of silently
-  // weaving two sessions' records. O(1) per append (one stat call, no
-  // re-read). None = unknown, only after reset()'s crash simulation;
-  // recovery() re-syncs, which is also how a successor session legally
-  // takes over a log dir from a dead writer.
+  // weaving two sessions' records. The size check and the write happen
+  // ATOMICALLY under an exclusive file lock (a bare stat-then-append
+  // would leave a window where two writers both observe size S and both
+  // append — a weave neither ever detects if neither appends again);
+  // cross-process the second writer blocks on the lock and then sees
+  // the size mismatch, same-JVM a concurrent lock attempt surfaces as
+  // OverlappingFileLockException and is converted to the same named
+  // error. O(1) per append (one lock + one stat, no re-read).
+  // None = unknown, only after reset()'s crash simulation; append then
+  // REFUSES until recovery() re-syncs — which is also how a successor
+  // session legally takes over a log dir from a dead writer.
   private var expectedSize: Option[Long] = Some(durableSize)
 
   private def durableSize: Long =
@@ -73,24 +80,43 @@ final class LogManager(val logPath: Path) {
   def durableRecords(): Vector[(String, Long, String)] = reload()
 
   private def append(tpe: String, txn: Long, payload: String = ""): Unit = {
-    val actual = durableSize
-    expectedSize.foreach { exp =>
-      if (actual != exp) throw new IllegalStateException(
-        s"LogManager single-writer violation: $logPath is $actual bytes " +
-          s"on disk but this writer last saw $exp — a concurrent writer " +
-          "session appended to (or truncated) the log. Each log dir has " +
-          "exactly ONE live writer; open a fresh session and recover() " +
-          "to take over.")
-    }
+    val exp = expectedSize.getOrElse(throw new IllegalStateException(
+      s"LogManager protocol violation: append to $logPath after a crash/" +
+        "reset() without recovery() — the writer has no size observation " +
+        "and its in-memory mirror excludes every durable record. Call " +
+        "recovery() first (the documented post-crash protocol)."))
     Files.createDirectories(logPath.getParent)
-    // The write is flushed before the call returns — a COMMIT record on
-    // disk is the durability point (reference: FORCE policy flushes pages
-    // before logging commit, transaction_manager.cc:52-73).
     val bytes = s"$tpe\t$txn\t$payload\n".getBytes(StandardCharsets.UTF_8)
-    Files.write(logPath, bytes,
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND, StandardOpenOption.SYNC)
-    expectedSize = Some(actual + bytes.length)
-    records :+= ((tpe, txn, payload))
+    // SYNC: the write is flushed before the call returns — a COMMIT
+    // record on disk is the durability point (reference: FORCE policy
+    // flushes pages before logging commit, transaction_manager.cc:52-73).
+    val ch = java.nio.channels.FileChannel.open(logPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.APPEND, StandardOpenOption.SYNC)
+    try {
+      val lock =
+        try ch.lock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException =>
+            throw new IllegalStateException(
+              s"LogManager single-writer violation: $logPath is being " +
+                "appended CONCURRENTLY by another writer in this JVM. " +
+                "Each log dir has exactly ONE live writer.")
+        }
+      try {
+        val actual = ch.size()
+        if (actual != exp) throw new IllegalStateException(
+          s"LogManager single-writer violation: $logPath is $actual bytes " +
+            s"on disk but this writer last saw $exp — a concurrent writer " +
+            "session appended to (or truncated) the log. Each log dir has " +
+            "exactly ONE live writer; open a fresh session and recover() " +
+            "to take over.")
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        while (buf.hasRemaining) ch.write(buf)
+        expectedSize = Some(actual + bytes.length)
+        records :+= ((tpe, txn, payload))
+      } finally lock.release()
+    } finally ch.close()
   }
 
   def logBegin(txn: Long): Unit = append(LogRecord.Begin, txn)
@@ -111,7 +137,9 @@ final class LogManager(val logPath: Path) {
   /** Crash simulation: drop all in-memory state
     * (reference `LogManager::reset`, log_manager_test.cc:186-194).
     * The writer's size observation dies with it — a post-crash session
-    * must recovery() before appending (matching the real protocol).
+    * must recovery() before appending (matching the real protocol);
+    * append ENFORCES this with a named error rather than silently
+    * re-arming over a mirror that excludes every pre-crash record.
     */
   def reset(): Unit = { records = Vector.empty; expectedSize = None }
 

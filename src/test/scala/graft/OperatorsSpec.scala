@@ -407,9 +407,16 @@ class OperatorsSpec extends AnyFunSuite {
       assert(SharedSpark.messages(e).exists(_.contains("IntervalJoin.overlapJoin")),
         s"$label: expected the named guard error, got $e")
     }
-    // null bounds follow SQL join semantics: match nothing, no error
+    // null bounds follow SQL join semantics: match nothing, no error —
+    // INCLUDING a negative bound paired with a null bound on the same
+    // side (the documented guard-scope edge: Catalyst's inferred
+    // isnotnull filters prune the row below the guarded CASE, so it
+    // drops under null semantics rather than raising; this pins the
+    // scaladoc's "guard applies to rows with BOTH bounds non-null")
     val nulls = Seq((1L, Option.empty[Long], Option(10L)),
-      (2L, Option(0L), Option.empty[Long])).toDF("a_id", "s_a", "e_a")
+      (2L, Option(0L), Option.empty[Long]),
+      (3L, Option(-3L), Option.empty[Long]),
+      (4L, Option.empty[Long], Option(-7L))).toDF("a_id", "s_a", "e_a")
     assert(IntervalJoin.overlapJoin(nulls, good, col("s_a"), col("e_a"),
       col("s_b"), col("e_b"), binWidth = 8L).count() == 0)
     // untouched valid rows still join (the guard is per-row, not per-run)

@@ -276,4 +276,50 @@ class TxnSpec extends AnyFunSuite {
     assert(values(c) == Seq(2L, 3L),
       "only legally-committed rows are visible after the takeover chain")
   }
+
+  // The post-crash protocol is ENFORCED, not just documented: a crashed
+  // writer's size observation dies with reset(), and appending before
+  // recovery() would silently re-arm over an in-memory mirror that
+  // excludes every pre-crash record (totalRecords/committedState lie).
+  test("single-writer: append after crash without recovery is refused") {
+    import spark.implicits._
+    val t = freshTable()
+    val t1 = t.txns.startTxn()
+    t.insert(t1, Seq(1L).toDF("value"))
+    t.txns.commitTxn(t1)
+    t.crash()
+    val e = intercept[IllegalStateException] { t.txns.startTxn() }
+    assert(e.getMessage.contains("without recovery()"),
+      s"expected the named protocol error, got: ${e.getMessage}")
+    t.recover() // the legal path still works after the refusal
+    val t2 = t.txns.startTxn()
+    t.insert(t2, Seq(2L).toDF("value"))
+    t.txns.commitTxn(t2)
+    assert(values(t) == Seq(1L, 2L))
+  }
+
+  // The size check and the write are atomic under an exclusive file
+  // lock: a CONCURRENT append (not just a sequential foreign one) is
+  // detected at lock-acquisition time instead of weaving in the
+  // stat-then-write window. Same-JVM concurrency surfaces as an
+  // OverlappingFileLockException, converted to the same named error.
+  test("single-writer: a concurrent append attempt is detected at the lock") {
+    import spark.implicits._
+    val t = freshTable()
+    val logFile = java.nio.file.Paths.get(t.dir).resolve("log.tsv")
+    val t1 = t.txns.startTxn() // creates the log file
+    // simulate another writer mid-append: hold the exclusive lock
+    val ch = java.nio.channels.FileChannel.open(logFile,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = ch.lock()
+    try {
+      val e = intercept[IllegalStateException] { t.txns.commitTxn(t1) }
+      assert(e.getMessage.contains("single-writer violation"),
+        s"expected the named single-writer error, got: ${e.getMessage}")
+    } finally { held.release(); ch.close() }
+    // with the lock released the original writer proceeds normally
+    t.insert(t1, Seq(9L).toDF("value"))
+    t.txns.commitTxn(t1)
+    assert(values(t) == Seq(9L))
+  }
 }
