@@ -30,15 +30,23 @@ object Catalog {
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.schema("ts").dataType match {
+      def restore(): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      // restore on ANY failure (missing/corrupt file, absent ts column):
+      // leaking the conf would silently decode NANOS columns as long in
+      // every later parquet read of the session
+      val (raw, tsType) =
+        try {
+          val r = spark.read.parquet(s"$dir/$name.parquet")
+          (r, r.schema("ts").dataType)
+        } catch { case t: Throwable => restore(); throw t }
+      tsType match {
         case LongType => // nanos-as-long generation: nanos -> micros
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case other =>
-          prev match {
-            case Some(v) => spark.conf.set(key, v)
-            case None => spark.conf.unset(key)
-          }
+          restore()
           other match {
             case TimestampNTZType => // micros NTZ: same wall-clock
               raw.withColumn("ts", col("ts").cast("timestamp"))

@@ -58,9 +58,11 @@ object ZOrder {
     parts.reduce(_.bitwiseOR(_))
   }
 
-  /** Write `df` z-ordered on `colNames` into `numFiles` parquet files:
-    * one agg for the ranges, partition + sort on the z-value, drop the
-    * helper columns (projection preserves the sort), write.
+  /** Write `df` z-ordered on `colNames` into `numFiles` quadrant
+    * parquet files (plus one overflow file for rows with a null in any
+    * clustered column, when such rows exist): one agg for the ranges,
+    * partition + sort on the z-value, drop the helper columns
+    * (projection preserves the sort), write.
     *
     * Files split at BIT-ALIGNED z boundaries (`numFiles` must be a
     * power of two): every file is a union of whole z-quadrants, whose
@@ -107,12 +109,21 @@ object ZOrder {
     // element_at over ArrayBasedMapData is an O(numFiles) linear key
     // scan PER ROW; the domain is exactly 0..numFiles-1 so array
     // indexing (1-based) is the same lookup at O(1)
-    val keyFor = hashPreimages(numFiles)
+    // Rows with a null in ANY clustered column have no z-value; without
+    // an explicit route they would all hash into one arbitrary QUADRANT
+    // file (null __zp hashes to a fixed partition), widening that file's
+    // min/max stats to near-full width and silently degrading its
+    // skipping. Route them to a dedicated overflow partition instead:
+    // quadrant files keep exact bounding boxes, null rows get one file
+    // of their own (empty when no nulls exist).
+    val keyFor = hashPreimages(numFiles + 1)
     val keyArr = Array.tabulate(numFiles)(b => keyFor(b.toLong))
+    val anyNullDim = colNames.map(col(_).isNull).reduce(_ or _)
     df.withColumn("__z", zValue(ranges, bits))
       .withColumn("__zb", shiftright(col("__z"), bucketShift))
-      .withColumn("__zp", element_at(typedLit(keyArr.toSeq), (col("__zb") + 1).cast("int")))
-      .repartition(numFiles, col("__zp"))
+      .withColumn("__zp", when(anyNullDim, lit(keyFor(numFiles.toLong)))
+        .otherwise(element_at(typedLit(keyArr.toSeq), (col("__zb") + 1).cast("int"))))
+      .repartition(numFiles + 1, col("__zp"))
       .sortWithinPartitions(col("__z"))
       .drop("__z", "__zb", "__zp")
       .write.mode("overwrite").parquet(path)

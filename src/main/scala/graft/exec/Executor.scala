@@ -70,7 +70,12 @@ object Executor {
 
     val first = order.head
     var joined = Set(first.leftTable, first.rightTable)
-    var current = tables(first.leftTable).join(
+    // hint BOTH sides of the first edge: the optimizer may place a
+    // dimension table on the left, and an unhinted small left side
+    // would shuffle whenever file-size stats are unavailable (the exact
+    // case the hint exists for). With both sides hinted Catalyst picks
+    // the build side as usual.
+    var current = hinted(first.leftTable).join(
       hinted(first.rightTable),
       condition(tables(first.leftTable), tables(first.rightTable), first),
       "inner")

@@ -278,13 +278,16 @@ object HashImpls {
   */
 case class WordShingles(child: Expression, width: Int)
     extends UnaryExpression {
+  // driver-side fail-fast: w <= 0 would walk wordShingles' loop past the
+  // token array and AIOOBE per row on executors mid-job
+  require(width >= 1, s"word_shingles width must be >= 1, got $width")
   // analysis-time type check: without it, a mistyped SQL call (these are
   // registered session functions) dies mid-job with an executor
   // ClassCastException instead of a readable AnalysisException
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$$prettyName requires STRING, got ${other.sql}")
+      s"$prettyName requires STRING, got ${other.sql}")
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -303,25 +306,31 @@ case class WordShingles(child: Expression, width: Int)
 /** sig = minhash signature (array<bigint>, length numHashes) of an
   * array<string> of shingles.
   */
-case class MinHashSignature(child: Expression, coeffs: Array[Long], prime: Long)
+case class MinHashSignature(child: Expression, coeffs: IndexedSeq[Long], prime: Long)
     extends UnaryExpression {
+  // coeffs is an IndexedSeq, not Array: case-class equality on an Array
+  // param is REFERENCE equality, so two identical minhash_sig calls in
+  // one query would never be semanticEquals and Catalyst CSE could not
+  // deduplicate them (minHashCoeffArray allocates per call). The hot
+  // loop still sees a primitive long[].
+  @transient private lazy val coeffArr: Array[Long] = coeffs.toArray
   // analysis-time type check: without it, a mistyped SQL call (these are
   // registered session functions) dies mid-job with an executor
   // ClassCastException instead of a readable AnalysisException
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$$prettyName requires ARRAY<STRING>, got ${other.sql}")
+      s"$prettyName requires ARRAY<STRING>, got ${other.sql}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   override protected def nullSafeEval(input: Any): Any =
-    HashImpls.minHashSig(input.asInstanceOf[ArrayData], coeffs, prime)
+    HashImpls.minHashSig(input.asInstanceOf[ArrayData], coeffArr, prime)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val coeffsRef = ctx.addReferenceObj("coeffs", coeffs, "long[]")
+    val coeffsRef = ctx.addReferenceObj("coeffs", coeffArr, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.HashImpls.minHashSig($c, $coeffsRef, ${prime}L);")
   }
@@ -340,7 +349,7 @@ case class MinHashBandKeys(child: Expression, bands: Int)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$$prettyName requires ARRAY<BIGINT>, got ${other.sql}")
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.sql}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -365,7 +374,7 @@ case class SimHash64(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$$prettyName requires ARRAY<STRING>, got ${other.sql}")
+      s"$prettyName requires ARRAY<STRING>, got ${other.sql}")
   }
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -428,7 +437,7 @@ case class RollingFingerprint(child: Expression, mod: Long)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$$prettyName requires STRING, got ${other.sql}")
+      s"$prettyName requires STRING, got ${other.sql}")
   }
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -459,7 +468,7 @@ case class WinnowingMinima(child: Expression, k: Int, w: Int, mod: Long)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$$prettyName requires STRING, got ${other.sql}")
+      s"$prettyName requires STRING, got ${other.sql}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -483,15 +492,17 @@ case class WinnowingMinima(child: Expression, k: Int, w: Int, mod: Long)
   * references the expression instance, so the probe is one virtual call
   * per row inside whole-stage codegen.
   */
-case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+case class BloomMightContain(child: Expression, filterBytes: IndexedSeq[Byte])
     extends UnaryExpression {
+  // IndexedSeq, not Array, for the same value-equality/CSE reason as
+  // MinHashSignature.coeffs (case-class equality on Array is by ref)
   // analysis-time type check: without it, a mistyped SQL call (these are
   // registered session functions) dies mid-job with an executor
   // ClassCastException instead of a readable AnalysisException
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$$prettyName requires BIGINT, got ${other.sql}")
+      s"$prettyName requires BIGINT, got ${other.sql}")
   }
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
@@ -499,7 +510,7 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
 
   @transient lazy val filter: org.apache.spark.util.sketch.BloomFilter =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(filterBytes))
+      new java.io.ByteArrayInputStream(filterBytes.toArray))
 
   override protected def nullSafeEval(input: Any): Any =
     filter.mightContainLong(input.asInstanceOf[Long])
@@ -522,7 +533,7 @@ object exprs {
   def minhashSig(shingles: Column, coeffs: Seq[(Long, Long)], prime: Long): Column =
     GraftSqlBridge.column(MinHashSignature(
       GraftSqlBridge.expression(shingles),
-      coeffs.flatMap { case (a, b) => Seq(a, b) }.toArray, prime))
+      coeffs.flatMap { case (a, b) => Seq(a, b) }.toIndexedSeq, prime))
 
   def minhashBandKeys(sig: Column, bands: Int): Column =
     GraftSqlBridge.column(MinHashBandKeys(
@@ -537,7 +548,7 @@ object exprs {
 
   def bloomMightContain(key: Column, filterBytes: Array[Byte]): Column =
     GraftSqlBridge.column(BloomMightContain(
-      GraftSqlBridge.expression(key), filterBytes))
+      GraftSqlBridge.expression(key), filterBytes.toIndexedSeq))
 
   def rollingFingerprint(text: Column, mod: Long): Column =
     GraftSqlBridge.column(RollingFingerprint(

@@ -351,7 +351,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         val k = intArg(args(1), "numHashes")
         MinHashSignature(args.head,
-          graft.operators.Dedup.minHashCoeffArray(k),
+          graft.operators.Dedup.minHashCoeffArray(k).toIndexedSeq,
           graft.operators.Dedup.HashPrime)
       }))
 

@@ -15,12 +15,17 @@ object Formats {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  // FAILFAST honors the header contract above: Spark's default
+  // PERMISSIVE mode would silently null malformed records and let the
+  // corruption flow downstream — readCsvTolerant is the designated
+  // permissive path for feeds where malformed rows are expected
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true): DataFrame =
-    spark.read.schema(schema).option("header", header.toString).csv(path)
+    spark.read.schema(schema).option("header", header.toString)
+      .option("mode", "FAILFAST").csv(path)
 
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
   def writeParquet(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil): Unit = {

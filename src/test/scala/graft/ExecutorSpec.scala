@@ -63,5 +63,12 @@ class ExecutorSpec extends AnyFunSuite {
       2L, 100.0, 1000000L, IndexedSeq.empty))
     assert(!hasBroadcastHint(
       Executor.execute(tables, order, wide).queryExecution.optimizedPlan))
+    // a small dimension placed on the LEFT of the first edge is hinted
+    // too — only hinting the right side would shuffle the dim whenever
+    // file-size stats are unavailable (the case the hint exists for)
+    val leftOrder = Vector(JoinEdge("b", "a", "b_k", "a_k", PredicateOp.EQ))
+    val narrowLeft = Map("b" -> TableStats.fromHistograms(2L, 100.0, 1L, IndexedSeq.empty))
+    assert(hasBroadcastHint(
+      Executor.execute(tables, leftOrder, narrowLeft).queryExecution.optimizedPlan))
   }
 }

@@ -89,7 +89,17 @@ class SelingerRuleSpec extends AnyFunSuite {
       assert(e.getMessage.toLowerCase.contains("requires") ||
         e.getMessage.contains("DATATYPE_MISMATCH"),
         s"$bad: expected a type error at analysis, got: ${e.getMessage.take(120)}")
+      // the message must NAME the function — a $$-escaped interpolation
+      // once printed the literal text "$prettyName" instead
+      assert(!e.getMessage.contains("$prettyName"),
+        s"$bad: unresolved prettyName interpolation in: ${e.getMessage.take(120)}")
     }
+    // value (not type) contract: w <= 0 would walk the shingle loop past
+    // the token array and AIOOBE per row on executors — refused at
+    // construction with a named error instead
+    val ew = intercept[Exception](s2.sql("SELECT word_shingles('a b c', 0)").head())
+    assert(SharedSpark.messages(ew).exists(_.contains("width must be >= 1")),
+      s"expected the named width error, got: $ew")
   }
 
   test("registered stats: a selective filter changes the chosen order") {

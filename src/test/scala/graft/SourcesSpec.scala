@@ -103,6 +103,47 @@ class SourcesSpec extends AnyFunSuite {
       scanDesc.contains("LessThan(n_nationkey,5)"), scanDesc)
   }
 
+  test("strict CSV/JSON readers fail loudly on malformed records") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    // Spark's default PERMISSIVE mode would silently null the malformed
+    // row and let the corruption flow downstream; the strict readers'
+    // contract is drift-fails-loudly (readCsvTolerant is the designated
+    // permissive path)
+    val csvDir = Files.createTempDirectory("graft-ffcsv")
+    Files.write(csvDir.resolve("bad.csv"), "k,v\n1,10\nx,oops\n".getBytes("UTF-8"))
+    val e1 = intercept[Exception] {
+      graft.sources.Formats.readCsv(spark, csvDir.toString, schema).collect()
+    }
+    assert(SharedSpark.messages(e1).exists(m =>
+      m.contains("Malformed") || m.contains("FAILFAST")), s"got: $e1")
+    val jsonDir = Files.createTempDirectory("graft-ffjson")
+    Files.write(jsonDir.resolve("bad.json"),
+      "{\"k\": 1, \"v\": 10}\n{\"k\": \"x\"}\n".getBytes("UTF-8"))
+    val e2 = intercept[Exception] {
+      graft.sources.Formats.readJsonLines(spark, jsonDir.toString, schema).collect()
+    }
+    assert(SharedSpark.messages(e2).exists(m =>
+      m.contains("Malformed") || m.contains("FAILFAST")), s"got: $e2")
+  }
+
+  test("Catalog.table(events) restores the nanos conf when the read fails") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    // a failed events read must not leak the legacy conf into the
+    // session — leaked, it silently decodes NANOS timestamp columns as
+    // long in every later parquet read
+    intercept[Exception] {
+      graft.core.Catalog.table(spark, "/nonexistent-graft-dir", "events")
+    }
+    // getOption returns the registered default ("false") when no session
+    // override is set — the leak would be an explicit "true"
+    assert(!spark.conf.getOption(key).contains("true"),
+      "nanosAsLong leaked into the session after a failed events read")
+    // and the success path still reads events normally afterwards
+    assert(graft.core.Catalog.table(spark, dir, "events").count() > 0)
+  }
+
   test("tolerant CSV: malformed rows quarantine instead of killing the job") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-badcsv")

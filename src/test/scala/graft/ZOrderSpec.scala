@@ -117,6 +117,32 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zs(10L) < zs(15L) && zs(15L) < zs(20L))    // monotone inside
   }
 
+  test("rows with a null clustered dimension land in a dedicated overflow file") {
+    import spark.implicits._
+    // without the explicit route, null-__zp rows all hash into one
+    // arbitrary QUADRANT file, widening its min/max to near-full width
+    // and silently defeating that file's skipping
+    val df = (0L until 256L).map(i => (i, i % 16, i / 16))
+      .toDF("id", "x", "y")
+      .withColumn("x", when(col("id") % 64 === 0, lit(null).cast("long"))
+        .otherwise(col("x")))
+    val dir = Files.createTempDirectory("graft-znull").toString
+    ZOrder.writeZOrdered(df, dir, Seq("x", "y"), numFiles = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 256) // nothing dropped
+    val perFile = back
+      .groupBy(input_file_name().as("f"))
+      .agg(sum(when(col("x").isNull, 1L).otherwise(0L)).as("nulls"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // no file mixes null-dim rows with quadrant rows, and exactly one
+    // file holds all of them
+    assert(perFile.forall { case (nulls, n) => nulls == 0L || nulls == n },
+      s"mixed quadrant/overflow file: ${perFile.mkString(", ")}")
+    assert(perFile.count(_._1 > 0L) == 1)
+    assert(perFile.map(_._1).sum == 4L)
+  }
+
   test("empty input writes an empty table instead of failing on ranges") {
     val empty = graft.core.Catalog.table(spark, "/root/testdata/sf0.001", "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
