@@ -1815,8 +1815,7 @@ object Queries {
     * scan-speed predicate; the corpus itself never shuffles.
     */
   def q99_mixture_sample(s: SparkSession, dir: String): DataFrame = {
-    val mix = pmod((col("doc_id") % lit(1000000000L)) * lit(2654435761L),
-      lit(10000L))
+    val mix = Sampling.idMix(col("doc_id"), 10000L)
     val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"), mix.as("bucket"))
     Sampling.mixtureSample(docs, "lang", col("n_tokens"),
@@ -1897,8 +1896,7 @@ object Queries {
     * physical operator, reproducible on any engine.
     */
   def q104_exact_k_sample(s: SparkSession, dir: String): DataFrame = {
-    val mix = pmod((col("doc_id") % lit(1000000000L)) * lit(2654435761L),
-      lit(1000000007L))
+    val mix = Sampling.idMix(col("doc_id"))
     Sampling.exactKPerStratum(
       t(s, dir, "documents").select("doc_id", "lang"),
       "lang", "doc_id", k = 20, bucketOf = mix)
@@ -2281,8 +2279,7 @@ object Queries {
     // then stays under 2.7e18 < 2^63 for ANY doc_id, where a raw
     // doc_id*2654435761 would wrap silently in Spark but raise an
     // out-of-range error in DuckDB — a cross-engine divergence
-    val mix = pmod((col("doc_id") % lit(1000000000L)) * lit(2654435761L),
-      lit(10000L))
+    val mix = Sampling.idMix(col("doc_id"), 10000L)
     Sampling.stratifiedSample(
       t(s, dir, "documents"),
       "lang",

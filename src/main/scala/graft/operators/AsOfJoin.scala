@@ -41,6 +41,22 @@ object AsOfJoin {
     val payloadType = StructType(payload.map(c => right.schema(c)))
     val leftCols = left.columns.toSeq
 
+    // name guards (the Merge.upsert/Packing discipline): the union/window
+    // plumbing reserves the __-prefixed names, and the output carries all
+    // left columns plus the payload under its RIGHT-side names — a
+    // collision in either would surface as AMBIGUOUS_REFERENCE far
+    // downstream (or silently misbind), not here where it is caused
+    val bookkeeping = Seq("__key", "__ts", "__side", "__tie", "__payload", "__match")
+    val reserved = (left.columns ++ right.columns).filter(bookkeeping.contains).distinct
+    require(reserved.isEmpty,
+      s"AsOfJoin: reserved bookkeeping column name(s) ${reserved.mkString(", ")} " +
+        "present in an input - rename them first")
+    val dup = payload.filter(leftCols.contains)
+    require(dup.isEmpty,
+      s"AsOfJoin: payload column(s) ${dup.mkString(", ")} collide with left " +
+        "columns - the output would carry duplicate names; alias them on the " +
+        "right side first")
+
     val taggedLeft = left.select(
       Seq(col(leftKey).as("__key"), col(leftTs).as("__ts"),
         lit(1).as("__side"), // left sorts after right at equal ts

@@ -31,6 +31,7 @@ object BloomPrune {
     */
   def buildFilter(dim: DataFrame, keyCol: Column,
       expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    requireIntegralKey(dim, keyCol, "buildFilter")
     val bf = dim.stat.bloomFilter(keyCol, expectedItems, fpp)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)
@@ -40,8 +41,26 @@ object BloomPrune {
   /** `fact` with rows whose key cannot be in the filter removed — a
     * scan-speed codegen'd predicate, zero shuffle.
     */
-  def prune(fact: DataFrame, keyCol: Column, filterBytes: Array[Byte]): DataFrame =
+  def prune(fact: DataFrame, keyCol: Column, filterBytes: Array[Byte]): DataFrame = {
+    requireIntegralKey(fact, keyCol, "prune")
     fact.where(exprs.bloomMightContain(keyCol.cast("long"), filterBytes))
+  }
+
+  // The build inserts the key in its NATIVE type while the probe hashes
+  // LONGS (BloomMightContain only calls mightContainLong): a string key
+  // would be inserted as UTF-8 bytes but probed as cast-to-long (null
+  // for non-numeric strings), producing SILENT FALSE NEGATIVES — the
+  // exact contract violation the "no false negatives" guarantee above
+  // forbids. Integral keys are safe (Spark's bloomFilter puts them as
+  // longs, matching the widening cast). Fail fast on anything else.
+  private def requireIntegralKey(df: DataFrame, keyCol: Column, site: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.select(keyCol).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"BloomPrune.$site: key must be an integral type — the probe hashes " +
+        s"longs, and a ${dt.simpleString} key would silently produce false " +
+        "negatives; hash or cast the key to long on BOTH sides first")
+  }
 
   /** Inner equi-join with the fact side Bloom-pruned first; result is
     * identical to `fact.join(dim, keys)` — the final exact join removes

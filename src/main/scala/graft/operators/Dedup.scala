@@ -93,7 +93,7 @@ object Dedup {
     * `xxhash64(concat_ws(slice(...)))` form rendered every signature
     * long to a string per band before hashing.
     */
-  private def bandedCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+  private def bandedCandidates(sigs: DataFrame, bands: Int): DataFrame = {
     val banded = sigs.select(
       col("__id"),
       posexplode(graft.functions.exprs.minhashBandKeys(col("__sig"), bands))
@@ -121,7 +121,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = df.select(col(idCol).as("__id"),
       minHashSignature(shingles(col(textCol), shingleWidth), numHashes).as("__sig"))
-    bandedCandidates(sigs, bands, numHashes / bands)
+    bandedCandidates(sigs, bands)
   }
 
   def minHashPairs(
@@ -133,7 +133,6 @@ object Dedup {
       shingleWidth: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
 
     // One native-expression projection per row; persisted because the
     // relation is consumed three times (two self-join sides + the
@@ -145,7 +144,7 @@ object Dedup {
         minHashSignature(shingles(col(textCol), shingleWidth), numHashes).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val candidates = bandedCandidates(sigs, bands, rows)
+    val candidates = bandedCandidates(sigs, bands)
 
     // Verification: re-attach full signatures only for surviving pairs.
     val pairs = candidates

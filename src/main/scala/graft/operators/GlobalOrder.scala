@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Deterministic GLOBAL row numbering under a total order with NO
   * single-partition window — the scalable `row_number() OVER (ORDER BY
@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   * numbering job) — re-planning could otherwise re-sample different
   * boundaries between the two jobs and misalign the offsets.
   *
+  * The local rank is a per-partition COUNTER over the range-sorted
+  * checkpoint, not a `Window.partitionBy(spark_partition_id())`: the
+  * window form needs ClusteredDistribution on the partition id, which
+  * RangePartitioning(orderCols) does not satisfy, so Catalyst inserted
+  * a SECOND full hash exchange of the corpus (measured: 2 exchanges in
+  * the pre-checkpoint plan) — at 100 TB that extra shuffle is the whole
+  * cost of the operator. mapPartitionsWithIndex over the pinned
+  * partitions is the sanctioned per-partition imperative case; one
+  * range exchange total.
+  *
   * `orderCols` MUST be a total order (include a unique tiebreak);
   * numbering is then independent of the partitioning entirely.
   */
@@ -25,24 +35,27 @@ object GlobalOrder {
   def rowNumber(df: DataFrame, orderCols: Seq[Column],
       out: String = "rn", partitions: Int = 32): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
-    val local = df
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists in the input")
+    val sorted = df
       .repartitionByRange(partitions, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrn", row_number().over(
-        Window.partitionBy("__pid").orderBy(orderCols: _*)).cast("long"))
+      .sortWithinPartitions(orderCols: _*)
       .localCheckpoint(true) // pin sampled range boundaries across jobs
-    val counts = local.groupBy("__pid").agg(count(lit(1)).as("__c"))
+    // tiny agg: per-partition partials, #partitions rows shuffled
+    val counts = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = {
       var acc = 0L
-      (0 until partitions).map { p =>
-        val o = acc; acc += counts.getOrElse(p, 0L); p -> o
+      Array.tabulate(partitions) { p =>
+        val o = acc; acc += counts.getOrElse(p, 0L); o
       }
     }
-    val offsetMap = map(offsets.flatMap { case (p, o) =>
-      Seq(lit(p), lit(o)) }: _*)
-    local
-      .withColumn(out, col("__lrn") + element_at(offsetMap, col("__pid")))
-      .drop("__pid", "__lrn")
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val numbered = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+      var rn = offsets(p)
+      it.map { r => rn += 1L; Row.fromSeq(r.toSeq :+ rn) }
+    }
+    sorted.sparkSession.createDataFrame(numbered, schema)
   }
 }

@@ -17,6 +17,29 @@ object Sampling {
   /** Stable bucket in [0, 10000) from the id column. */
   def bucket(idCol: Column): Column = pmod(xxhash64(idCol), lit(Buckets))
 
+  /** The q82 multiplicative id mix — the cross-engine-deterministic
+    * pseudo-random order key: (id mod 1e9) * 2654435761 mod `modulus`.
+    * ONE definition on purpose: several operators and queries share
+    * this contract and external replayers reproduce it literally in
+    * SQL, so the two magic constants must stay bit-identical at every
+    * site (overflow headroom: (1e9-1) * 2654435761 < 2^62).
+    */
+  def idMix(id: Column, modulus: Long = 1000000007L): Column =
+    pmod((id % lit(1000000000L)) * lit(2654435761L), lit(modulus))
+
+  // The quota maps these samplers collect to the driver are STRING-keyed
+  // (r.getString on the stratum value, string literals in the keep
+  // predicates): a non-string stratum column would die with a bare
+  // ClassCastException on the driver — name the restriction instead.
+  private def requireStringStratum(df: DataFrame, stratumCol: String,
+      site: String): Unit = {
+    val dt = df.schema(stratumCol).dataType
+    require(dt == org.apache.spark.sql.types.StringType,
+      s"Sampling.$site: stratum column '$stratumCol' must be STRING " +
+        s"(driver-side quota maps are string-keyed), got ${dt.simpleString}" +
+        " - cast it first")
+  }
+
   /** Add a `split` column ("train" / "val" / ...) with the given
     * fractional weights (must sum to <= 1; remainder goes to the last
     * split).
@@ -102,6 +125,7 @@ object Sampling {
       bucketModulus: Long = Buckets.toLong): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "weights must be positive")
+    requireStringStratum(df, stratumCol, "mixtureSample")
     require(bucketModulus > 0, "bucketModulus must be positive")
     val w = weights.toMap
     val totals = df
@@ -163,6 +187,7 @@ object Sampling {
   def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
       budgetDiv: Long = 10L): DataFrame = {
     require(budgetDiv > 0, "budgetDiv must be positive")
+    requireStringStratum(df, stratumCol, "temperatureSample")
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "empty input")
@@ -178,8 +203,7 @@ object Sampling {
     // .toInt below would silently WRAP a >2^31 quota into a small heap
     require(kMax <= Int.MaxValue,
       s"per-stratum quota $kMax exceeds the bounded-heap Int range")
-    val mix = pmod((col(idCol) % lit(1000000000L)) * lit(2654435761L),
-      lit(1000000007L))
+    val mix = idMix(col(idCol))
     val preCut = graft.plans.TopK.perGroup(
       df.select(col(idCol), col(stratumCol)).withColumn("__b", mix),
       Seq(stratumCol), Seq("__b" -> true, idCol -> true), kMax.toInt)
@@ -215,6 +239,7 @@ object Sampling {
   def epochRepeat(df: DataFrame, stratumCol: String, idCol: String,
       budgetNum: Long, budgetDen: Long): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
+    requireStringStratum(df, stratumCol, "epochRepeat")
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "empty input")
@@ -228,8 +253,7 @@ object Sampling {
       counts.keys.foldLeft(lit(0L)) { (els, s) =>
         when(col(stratumCol) === s, lit(f(s))).otherwise(els)
       }
-    val mix = pmod((col(idCol) % lit(1000000000L)) * lit(2654435761L),
-      lit(1000000007L))
+    val mix = idMix(col(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol)).orderBy(mix.asc, col(idCol).asc)
     df.select(col(idCol), col(stratumCol))

@@ -276,8 +276,7 @@ object TextAnalysis {
     val w = spanWidth
     val m = maskOneIn
     // per-doc hash, reduced mod 1e9+7 so the per-span remix can't overflow
-    val h = pmod((col(idCol) % lit(1000000000L)) * lit(2654435761L),
-      lit(1000000007L))
+    val h = Sampling.idMix(col(idCol))
     val masked = s"((__h + i div $w) * 2654435761) % $m = 0"
     df.select(col(idCol), col(textCol).as("__text"))
       .withColumn("__h", h)

@@ -49,6 +49,14 @@ object TimeSeries {
     require(!df.columns.contains("__b") && !df.columns.contains("bucket"),
       "input already has a __b/bucket column")
     val observed = df.groupBy(col(keyCol), bucket.as("__b")).agg(aggs.head, aggs.tail: _*)
+    // the guard above covers the INPUT; an agg ALIASED "bucket"/"__b"/
+    // keyCol (aggs is caller-supplied) would equally duplicate an output
+    // or join name, throwing AMBIGUOUS_REFERENCE far downstream
+    val aggClash = observed.columns.drop(2)
+      .filter(c => c == "bucket" || c == "__b" || c == keyCol)
+    require(aggClash.isEmpty,
+      s"resample: aggregate alias(es) ${aggClash.mkString(", ")} collide with " +
+        "the reserved bucket/__b/key output names - alias them differently")
     val spine = df
       .groupBy(col(keyCol))
       .agg(min(bucket).as("__lo"), max(bucket).as("__hi"))

@@ -218,7 +218,8 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
       val ts = registered.getOrElse {
         val s = base.stats
         val bytes = s.sizeInBytes
-        val pages = ((bytes + 8195) / 8196).max(1).toLong
+        val ps = BigInt(TableStats.PageSizeBytes)
+        val pages = ((bytes + ps - 1) / ps).max(1).toLong
         // fallback guess: default in-memory row width vs (compressed)
         // file bytes — only reached when no stats were registered and
         // CBO has no rowCount

@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions.udaf
 final class HistogramAgg(minV: Long, maxV: Long, buckets: Int)
     extends Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
 
+  // same construction guard as IntHistogram: buckets = 0 would make
+  // span Infinity and idx -1, an executor-side AIOOBE mid-job instead
+  // of a named driver-side error
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+
   private val span: Double = math.max(1.0, (1.0 + maxV - minV) / buckets)
 
   override def zero: Array[Long] = new Array[Long](buckets)

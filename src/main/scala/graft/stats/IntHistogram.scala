@@ -98,6 +98,10 @@ final class IntHistogram(val buckets: Int, val minV: Long, val maxV: Long)
       }
     case PredicateOp.GE =>
       if (v < minV) 1.0
+      // v - 1 would wrap to Long.MaxValue and price a keep-everything
+      // predicate as keep-nothing (only reachable when minV is also
+      // Long.MinValue — otherwise the v < minV branch caught it)
+      else if (v == Long.MinValue) 1.0
       else if (v > maxV) 0.0
       else estimateSelectivity(PredicateOp.GT, v - 1)
     case PredicateOp.LT =>
