@@ -138,9 +138,9 @@ object Bench {
         case n => (samples(n / 2 - 1) + samples(n / 2)) / 2.0
       })
     }
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => " "
-                  case c if c < ' ' => " "; case c => c.toString }
+    // shared escaper: the old local copy lossily mapped control chars to
+    // spaces; proper \uXXXX escapes are equally single-line-safe
+    def esc(s: String): String = EnvFilter.jsonEsc(s)
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // include the third streaming pass: a query that only crashes there
@@ -245,11 +245,21 @@ object Bench {
     // quotes/backslashes — Spark's ANSI messages quote config names) and
     // are budgeted jointly: 3 query errors ×40 + 1 warmup ×60 ≈ 220
     // chars on top of a ~1700-char clean line at the 120-query surface.
-    // truncating AFTER escape may split an escape pair; an odd run of
-    // trailing backslashes means the last one is half of a pair — drop it
+    // truncating AFTER escape may split an escape sequence (a \\ pair or
+    // a 6-char \uXXXX) — walk the escapes and cut at the last position
+    // where every sequence parses completely
     def capEsc(s: String, n: Int): String = {
       val t = esc(s).take(n)
-      if (t.reverse.takeWhile(_ == '\\').length % 2 == 1) t.dropRight(1) else t
+      var i = 0
+      var good = 0
+      while (i < t.length) {
+        if (t(i) != '\\') { i += 1; good = i }
+        else {
+          val len = if (i + 1 < t.length && t(i + 1) == 'u') 6 else 2
+          if (i + len <= t.length) { i += len; good = i } else i = t.length
+        }
+      }
+      t.take(good)
     }
     val errJson2 = (errors.take(3)
       .map { case (n, e) => "\"" + short(n) + "\":\"" + capEsc(e, 40) + "\"" } ++

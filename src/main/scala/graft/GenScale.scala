@@ -37,9 +37,15 @@ import org.apache.spark.sql.functions._
   * a 4th arg `norotate` keeps document text verbatim per copy
   * (df-preserving — the realistic scaling for vocab/OOV operators like
   * q136/q139, whose df≥10% thresholds are scale-invariant under it).
-  * Tables already present in outDir (per the _SUCCESS marker) are
-  * skipped, so a rotated set can be converted by deleting only
-  * documents.parquet and re-running with `norotate`.
+  * Tables already present in outDir with MATCHING generation params
+  * (per the _SUCCESS + _genscale_params markers) are skipped; a
+  * parameter change (different base/copies/rotate) regenerates that
+  * table instead of silently keeping old-scale data. A rotated set
+  * thus converts to `norotate` by re-running with the flag — only
+  * documents.parquet (whose params changed) is rewritten. Note the
+  * rotation is periodic: beyond 26 copies rotation classes repeat
+  * (copy 26 is verbatim copy-0 text) — deliberate adversarial posture
+  * for the 30×–100× knee probes, warned at runtime.
   */
 object GenScale {
   private val Offset = 1000000000L
@@ -57,19 +63,38 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (rotate && copies > 26)
+      System.err.println(s"[genscale] WARNING: copies=$copies > 26 - the " +
+        "alphabet rotation has 26 states, so rotation classes REPEAT " +
+        "(copy 26 is byte-identical text to copy 0): shingle dfs grow " +
+        "~ceil(N/26)x and cross-copy duplicate cliques appear. That is " +
+        "the ADVERSARIAL posture the 30x-100x knee probes exploit " +
+        "(SCALE.md); it is NOT the no-verbatim-duplicates posture of " +
+        "copies <= 26.")
+
     def writeCopies(name: String, nCopies: Int,
-        copyOf: (DataFrame, Int) => DataFrame): Unit = {
+        copyOf: (DataFrame, Int) => DataFrame, extraParams: String = ""): Unit = {
       val path = s"$outDir/$name.parquet"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
+      val params = s"base=$baseDir copies=$nCopies$extraParams"
+      val marker = java.nio.file.Paths.get(s"$path/_genscale_params")
+      val upToDate =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS")) &&
+          java.nio.file.Files.exists(marker) &&
+          java.nio.file.Files.readString(marker) == params
+      if (!upToDate) {
+        // regenerate on a parameter change: the old _SUCCESS-only check
+        // silently kept 10x data when re-run with copies=100
         val base = graft.core.Catalog.table(spark, baseDir, name)
         val parts = if (nCopies == 1) 1 else 32
         (0 until nCopies).map(i => copyOf(base, i)).reduce(_ unionByName _)
           .repartition(parts).write.mode("overwrite").parquet(path)
-      }
-      println(s"[genscale] $name -> $path")
+        java.nio.file.Files.writeString(marker, params)
+        println(s"[genscale] $name -> $path")
+      } else println(s"[genscale] $name -> $path (up to date, skipped)")
     }
-    def write(name: String, copyOf: (DataFrame, Int) => DataFrame): Unit =
-      writeCopies(name, copies, copyOf)
+    def write(name: String, copyOf: (DataFrame, Int) => DataFrame,
+        extraParams: String = ""): Unit =
+      writeCopies(name, copies, copyOf, extraParams)
 
     // fixed dimensions (TPC-H semantics): one verbatim copy, one file
     writeCopies("region", 1, (df, _) => df)
@@ -88,16 +113,20 @@ object GenScale {
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * Offset))
       .withColumn("l_suppkey", col("l_suppkey") + lit(i * SmallOffset))
       .withColumn("l_partkey", col("l_partkey") + lit(i * SmallOffset)))
+    // user_id references c_custkey/o_custkey (q33/q92/q120 join them):
+    // it must shift by the SAME SmallOffset as the customer re-key, or
+    // only copy 0's events would ever match a dimension row and join
+    // density would SHRINK xN instead of staying constant
     write("events", (df, i) => df
       .withColumn("event_id", col("event_id") + lit(i * Offset))
-      .withColumn("user_id", col("user_id") + lit(i * Offset)))
+      .withColumn("user_id", col("user_id") + lit(i * SmallOffset)))
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     write("documents", (df, i) => {
       val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * Offset))
       if (rotate) shifted.withColumn("text",
         translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26)))
       else shifted
-    })
+    }, extraParams = s" rotate=$rotate")
     write("embeddings", (df, i) => {
       val shifted = df
         .withColumn("vec_id", col("vec_id") + lit(i * Offset))

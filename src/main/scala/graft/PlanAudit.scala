@@ -68,14 +68,42 @@ object PlanAudit {
     graft.core.Catalog.statsMany(spark, sfDir,
       graft.core.Catalog.tableNames, withHistograms = true)
 
+    // Every node of the pre-AQE tree PLUS plans nested inside
+    // expressions: scalar/DPP subqueries carry their own exchanges and
+    // scans, which plain .collect never visits (it traverses children
+    // only) — the audit undercounted exactly the pruning-shaped queries.
+    // Nested adaptive wrappers unwrap recursively.
+    def allNodes(plan: SparkPlan): Seq[SparkPlan] = {
+      val here = preAqe(plan).collect { case n => n }
+      here ++ here.flatMap(_.subqueries.flatMap(allNodes))
+    }
+
+    // Codegen spans only exist AFTER CollapseCodegenStages. Under AQE
+    // (the default for every exchange-containing plan) that rule runs
+    // per query stage at execution time, so the initialPlan carries
+    // ZERO WholeStageCodegenExec nodes — the old count was
+    // systematically 0 exactly where it mattered. Apply the collapse
+    // here to count the spans the planned tree gets; a non-adaptive
+    // executed plan is already collapsed and is counted as-is.
+    def codegenSpans(plan: SparkPlan): Int = {
+      val base = plan match {
+        case a: AdaptiveSparkPlanExec =>
+          org.apache.spark.sql.execution.CollapseCodegenStages()(a.initialPlan)
+        case other => other
+      }
+      val here = base.collect { case n => n }
+      here.count(_.isInstanceOf[WholeStageCodegenExec]) +
+        here.flatMap(_.subqueries).map(codegenSpans).sum
+    }
+
     def audit(p: SparkPlan): (Int, Int, Int, Int, Int, Int) = {
-      val plan = preAqe(p)
-      (plan.collect { case s: ShuffleExchangeExec => s }.size,
-        plan.collect { case b: BroadcastExchangeExec => b }.size,
-        plan.collect { case f: FileSourceScanExec => f }.size,
-        plan.collect { case w: WholeStageCodegenExec => w }.size,
-        plan.collect { case c: CartesianProductExec => c }.size,
-        plan.collect { case b: BroadcastNestedLoopJoinExec => b }.size)
+      val nodes = allNodes(p)
+      (nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
+        nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
+        nodes.count(_.isInstanceOf[FileSourceScanExec]),
+        codegenSpans(p),
+        nodes.count(_.isInstanceOf[CartesianProductExec]),
+        nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
     }
 
     val sb = new StringBuilder
@@ -85,6 +113,10 @@ object PlanAudit {
     sb ++= "Columns: shuffle/broadcast exchanges, parquet scans,\n"
     sb ++= "whole-stage-codegen spans, CartesianProduct (cross), \n"
     sb ++= "BroadcastNestedLoop (bnlj — broadcast-bounded by design).\n"
+    sb ++= "Counts include plans nested in subquery expressions (scalar/DPP);\n"
+    sb ++= "codegen spans are counted after applying CollapseCodegenStages to\n"
+    sb ++= "the pre-AQE plan (under AQE the collapse runs per stage at runtime,\n"
+    sb ++= "so the initial plan itself carries none).\n"
     sb ++= "Planless rows (—): streaming queries execute through the microbatch\n"
     sb ++= "engine (audited via SCALE.md §Streaming), q37/q126 replay the txn\n"
     sb ++= "tape, and q147 materializes via eager localCheckpoint (shuffle\n"

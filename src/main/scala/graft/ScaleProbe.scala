@@ -55,7 +55,9 @@ object ScaleProbe {
         translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26))))
     scaled("events", (df, i) => df
       .withColumn("event_id", col("event_id") + lit(i * Offset))
-      .withColumn("user_id", col("user_id") + lit(i * Offset))
+      // SmallOffset keeps copies disjoint (user ids << 1e7) and matches
+      // GenScale's FK-consistent re-key of user_id vs custkeys
+      .withColumn("user_id", col("user_id") + lit(i * 10000000L))
       // Catalog.table("events") expects the testdata layout (raw ns
       // longs it converts to µs timestamps); write ts back as ns longs
       .withColumn("ts", expr("unix_micros(ts) * 1000")))

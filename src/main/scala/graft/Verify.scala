@@ -33,20 +33,24 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a reused outDir may hold LAST run's passing parquet for this
+          // query; leaving it in place would let a crashing query pass
+          // the oracle compare on stale results — delete so the compare
+          // reports the failure instead of green
+          val stale = Paths.get(s"$outDir/$name")
+          if (Files.exists(stale)) {
+            import scala.jdk.CollectionConverters._
+            scala.util.Using.resource(Files.walk(stale)) { w =>
+              w.sorted(java.util.Comparator.reverseOrder())
+                .iterator().asScala.foreach(Files.delete)
+            }
+          }
         }
       }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // shared escaper (EnvFilter.jsonEsc): a tab or CR in builder-authored
+    // SQL would otherwise make the driver's json.load fail and silently
+    // zero the round's correctness
+    def q(s: String): String = "\"" + EnvFilter.jsonEsc(s) + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -321,7 +321,15 @@ object Streams {
       .queryName(name)
       .outputMode(outputMode)
       .start()
-    q.processAllAvailable()
+    // stop() must run even when processAllAvailable throws (interrupt,
+    // sink failure): a leaked live query keeps polling the file source
+    // for the JVM lifetime, competing with every later query
+    try q.processAllAvailable()
+    catch {
+      case t: Throwable =>
+        try q.stop() catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
+    }
     // GRAFT_STREAM_TRACE=1: dump per-trigger progress (planning, addBatch,
     // state-store commit, per-operator state metrics) to stderr — the
     // instrumentation behind SCALE.md's stream-cost floor breakdown.

@@ -248,6 +248,17 @@ final class TxnTable(spark: SparkSession, val dir: String) {
   private val root = Paths.get(dir)
   val log = new LogManager(root.resolve("log.tsv"))
   val txns = new TransactionManager(log)
+  // A TxnTable reopened over an EXISTING directory must resume txn ids
+  // past the tape, exactly like batchSeq below resumes the batch
+  // numbering: starting at 0 would reissue an already-committed txn id,
+  // and foldCommitted would then treat the new session's uncommitted
+  // (or even aborted) batches under that id as committed — instantly
+  // and permanently visible to every reader.
+  locally {
+    val onTape = log.durableRecords()
+      .foldLeft(0L) { case (m, (_, t, _)) => math.max(m, t) }
+    if (onTape > 0L) txns.recover(onTape)
+  }
 
   /** Highest sequence number already used by a `batch-<txn>-<seq>` or
     * `ckpt-<seq>` directory on disk, so a TxnTable reopened over an

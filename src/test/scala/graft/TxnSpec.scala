@@ -277,6 +277,32 @@ class TxnSpec extends AnyFunSuite {
       "only legally-committed rows are visible after the takeover chain")
   }
 
+  // A TxnTable REOPENED over an existing dir (clean close, so recover()
+  // looks unnecessary — batchSeq and the log's size observation ARE
+  // auto-resumed by the constructor) must also resume txn ids past the
+  // tape: reissuing a committed id would make the new session's
+  // uncommitted or even ABORTED batches instantly visible under the old
+  // COMMIT record.
+  test("reopen over an existing dir resumes txn ids past the tape") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-txn-reopen").toString
+    val a = new TxnTable(spark, dir)
+    val ta = a.txns.startTxn()
+    a.insert(ta, Seq(1L).toDF("value"))
+    a.txns.commitTxn(ta)
+    val b = new TxnTable(spark, dir) // plain reopen, NO recover()
+    val tb = b.txns.startTxn()
+    assert(tb != ta, "reopen must not reissue a committed txn id")
+    b.insert(tb, Seq(2L).toDF("value"))
+    assert(values(b) == Seq(1L), "uncommitted batch must stay invisible")
+    b.txns.abortTxn(tb)
+    assert(values(b) == Seq(1L), "aborted batch must stay invisible")
+    val tc = b.txns.startTxn()
+    b.insert(tc, Seq(3L).toDF("value"))
+    b.txns.commitTxn(tc)
+    assert(values(b) == Seq(1L, 3L))
+  }
+
   // The post-crash protocol is ENFORCED, not just documented: a crashed
   // writer's size observation dies with reset(), and appending before
   // recovery() would silently re-arm over an in-memory mirror that
