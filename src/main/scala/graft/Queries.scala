@@ -27,10 +27,15 @@ object Queries {
     Catalog.table(s, dir, name)
 
   /** sfDir → filesystem-safe slug for the write-path queries' scratch
-    * names (one definition; q94/q107/q121 share it).
+    * names (one definition; q94/q107/q121 share it). The readable part
+    * alone is NOT injective ('/a/b' and '/a_b' collide), and a
+    * collision would make a same-process marker-guarded scratch cache
+    * (q37's tape, the stream staging dirs) serve the WRONG dataset —
+    * append a hash of the raw path to make the slug injective in
+    * practice.
     */
   private def dirSlug(dir: String): String =
-    dir.replaceAll("[^a-zA-Z0-9]", "_")
+    dir.replaceAll("[^a-zA-Z0-9]", "_") + f"_${dir.hashCode & 0x7fffffff}%08x"
 
   /** Per-process /tmp scratch paths: pid-unique names prevent the
     * cross-session overwrite race (verify + bench over the same SF dir),
@@ -365,8 +370,7 @@ object Queries {
         TextAnalysis.tokenCount(col("text")).as("__tc"),
         TextAnalysis.stopwordCount(col("text")).as("__sc"))
       .select(col("doc_id"),
-        (least(col("__tc").cast("double") / lit(64.0), lit(1.0)) * lit(0.5) +
-          (col("__sc").cast("double") / col("__tc")) * lit(0.5)).as("quality"))
+        qualityExpr(col("__tc"), col("__sc")).as("quality"))
 
   def q25_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -1767,20 +1771,6 @@ object Queries {
       .select("doc_id", "lang", "n_tokens", "shard_id")
   }
 
-  /** Near-dup cluster canonicalization ([[Graph.componentsFor]] —
-    * alternating large-star/small-star connected components): documents
-    * sharing a blocking key (source×size-bucket OR lang×size-bucket)
-    * are duplicate evidence; transitive closure assigns every doc the
-    * min doc-id of its cluster as canonical. Edges are STAR edges (each
-    * doc → its key-group minimum, one window per key), so a g-doc group
-    * costs g edges, never g² pairs — the entity-resolution shape that
-    * survives 100 TB. The oracle replays the closure with a recursive
-    * CTE over the same edges.
-    */
-  /** Shared by q98/q109: blocking-key star edges over documents →
-    * connected components as (id, component). Key semantics must stay
-    * in lockstep with [[dupClosureCtesSql]].
-    */
   /** Blocking-key star edges over documents (source×size-bucket OR
     * lang×size-bucket) — the duplicate-evidence graph q98/q109 cluster
     * and q113 ranks. Key semantics must stay in lockstep with
@@ -1797,6 +1787,16 @@ object Queries {
       .unionByName(starEdges(concat_ws("|", col("lang"), bucket)))
   }
 
+  /** Near-dup cluster canonicalization ([[Graph.componentsFor]] —
+    * alternating large-star/small-star connected components): documents
+    * sharing a blocking key (source×size-bucket OR lang×size-bucket)
+    * are duplicate evidence; transitive closure assigns every doc the
+    * min doc-id of its cluster as canonical. Edges are STAR edges (each
+    * doc → its key-group minimum, one window per key), so a g-doc group
+    * costs g edges, never g² pairs — the entity-resolution shape that
+    * survives 100 TB. The oracle replays the closure with a recursive
+    * CTE over the same edges.
+    */
   private def docDupComponents(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Graph.componentsFor(docs, "doc_id", docBlockingEdges(docs), "a", "b")
@@ -2328,17 +2328,6 @@ object Queries {
   def q85_inverted_index(s: SparkSession, dir: String): DataFrame =
     InvertedIndex.buildRelative(t(s, dir, "documents"), "doc_id", "text", 78, 100)
 
-  /** Physical-design layer through the driver gate: write lineitem
-    * z-ordered on (l_orderkey, l_partkey) to a scratch dir, read a
-    * 2-dimensional band back. The oracle is the same band on the SOURCE
-    * table, so any clustering bug that drops, duplicates, or mutates
-    * rows across the write/read round-trip breaks the hash match. The
-    * file-SKIPPING benefit of the layout is measured in ZOrderSpec;
-    * this pins end-to-end correctness of the write path.
-    *
-    * WRITE-PATH query (PlanAudit.writePathQueries): building the
-    * DataFrame performs the /tmp write — the operator under test.
-    */
   /** XML interchange through the driver gate ([[graft.sources.Formats]]
     * over Spark 4's native XML source): customer → XML files → read
     * back with explicit schema → aggregate. Any row dropped, duplicated,
@@ -2781,7 +2770,13 @@ object Queries {
     * drops in the join.
     */
   def q153_stream_window_ndv(s0: SparkSession, dir: String): DataFrame = {
-    val s = streamSession(s0)
+    // noDataBatches: this windowed agg runs APPEND-mode (unlike q38's
+    // complete-mode), so windows only emit in a batch AFTER the
+    // watermark passes them — with the whole 4-file tape arriving in
+    // one data batch, skipping the trailing no-data batch emitted ZERO
+    // windows and the violations gate was vacuously green (unable to
+    // catch a broken HLL estimate)
+    val s = streamSession(s0, noDataBatches = true)
     val streamDir = eventsStreamDir(s, dir)
     val est = graft.streaming.Streams.runToCompletion(s,
       graft.streaming.Streams.eventsStream(s, streamDir, maxFilesPerTrigger = 4)
@@ -3630,30 +3625,27 @@ object Queries {
       orders("o_custkey") === delC("c_custkey"), "left_semi")
       .select(col("o_orderkey"))
     val li = t(s, dir, "lineitem")
-    val delL = li.join(broadcast(delO),
-      li("l_orderkey") === delO("o_orderkey"), "left_semi")
-    val cDel = delC.agg(count(lit(1)).as("n")).withColumn("t", lit("customer"))
-    val cAll = t(s, dir, "customer").agg(count(lit(1)).as("na")).withColumn("t", lit("customer"))
-    val oDel = delO.agg(count(lit(1)).as("n")).withColumn("t", lit("orders"))
-    val oAll = orders.agg(count(lit(1)).as("na")).withColumn("t", lit("orders"))
-    val lDel = delL.agg(count(lit(1)).as("n")).withColumn("t", lit("lineitem"))
-    val lAll = li.agg(count(lit(1)).as("na")).withColumn("t", lit("lineitem"))
-    cDel.unionByName(oDel).unionByName(lDel)
-      .join(cAll.unionByName(oAll).unionByName(lAll), "t")
+    // ONE conditional-aggregation scan per table: the tombstone key
+    // sets are unique (pkeys), so a marked LEFT join cannot multiply
+    // rows and count(<right key>) counts exactly the deleted matches —
+    // the old form aggregated deleted and total in separate branches,
+    // scanning lineitem (the dominant fact) twice
+    val cStats = t(s, dir, "customer").agg(
+      count(when(col("c_custkey") % 97 === 0, 1)).as("n"),
+      count(lit(1)).as("na")).withColumn("t", lit("customer"))
+    val oStats = orders.join(broadcast(delC),
+        orders("o_custkey") === delC("c_custkey"), "left")
+      .agg(count(delC("c_custkey")).as("n"), count(lit(1)).as("na"))
+      .withColumn("t", lit("orders"))
+    val lStats = li.join(broadcast(delO),
+        li("l_orderkey") === delO("o_orderkey"), "left")
+      .agg(count(delO("o_orderkey")).as("n"), count(lit(1)).as("na"))
+      .withColumn("t", lit("lineitem"))
+    cStats.unionByName(oStats).unionByName(lStats)
       .select(col("t").as("table_name"), col("n").as("n_deleted"),
         (col("na") - col("n")).as("n_kept"))
   }
 
-  /** Spark 4 `transformWithState` through the oracle gate
-    * ([[graft.streaming.Streams.runningTotals]]): per-user running
-    * (count, value-cents) ledger in a typed ValueState, update-mode
-    * emissions per trigger. Counters are monotone and values
-    * nonnegative, so the final ledger row per user is the max over
-    * emissions — which must equal the batch aggregate the oracle runs.
-    * Exercises the modern arbitrary-state API end-to-end (RocksDB
-    * store, 4 file-triggers) the way q63 exercises
-    * flatMapGroupsWithState.
-    */
   /** transformWithState with INITIAL STATE — the batch-bootstrap
     * pattern ([[graft.streaming.Streams.runningTotalsWarmStart]]):
     * the even-event_id half of the tape is "yesterday's history",
@@ -4796,6 +4788,16 @@ object Queries {
       .limit(20)
   }
 
+  /** Spark 4 `transformWithState` through the oracle gate
+    * ([[graft.streaming.Streams.runningTotals]]): per-user running
+    * (count, value-cents) ledger in a typed ValueState, update-mode
+    * emissions per trigger. Counters are monotone and values
+    * nonnegative, so the final ledger row per user is the max over
+    * emissions — which must equal the batch aggregate the oracle runs.
+    * Exercises the modern arbitrary-state API end-to-end (RocksDB
+    * store, 4 file-triggers) the way q63 exercises
+    * flatMapGroupsWithState.
+    */
   def q189_stream_running_totals(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     val streamDir = eventsStreamDir(s, dir)
@@ -4830,6 +4832,17 @@ object Queries {
         col("session_window.end").as("s_end"),
         col("n_events"))
 
+  /** Physical-design layer through the driver gate: write lineitem
+    * z-ordered on (l_orderkey, l_partkey) to a scratch dir, read a
+    * 2-dimensional band back. The oracle is the same band on the SOURCE
+    * table, so any clustering bug that drops, duplicates, or mutates
+    * rows across the write/read round-trip breaks the hash match. The
+    * file-SKIPPING benefit of the layout is measured in ZOrderSpec;
+    * this pins end-to-end correctness of the write path.
+    *
+    * WRITE-PATH query (PlanAudit.writePathQueries): building the
+    * DataFrame performs the /tmp write — the operator under test.
+    */
   def q94_zorder_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     val path = pidScratch(s"/tmp/graft_q94_zorder_${ProcessHandle.current().pid()}_${dirSlug(dir)}")
