@@ -72,9 +72,20 @@ object Bench {
     // pass showed 2-5x per-query spikes that did not reproduce minutes
     // later; calib_sec flags a contended PASS, the re-run pass keeps any
     // single spiked QUERY from entering the headline total unreplicated.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    // A SPARK_GRAFT_ONLY-filtered run must not overwrite the committed
+    // full-surface detail at the default path: the partial file would
+    // become next pass's re-run history, and every query absent from it
+    // would read as first-appearance and be challenge-re-run — the
+    // filtered detail diverts to its own file unless the path was set
+    // explicitly. History still READS the committed full-surface file,
+    // so filtered iteration keeps its per-query baselines.
+    val historyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    val detailPath =
+      if (only.isDefined && sys.env.get("SPARK_GRAFT_BENCH_DETAIL").isEmpty)
+        "bench_detail_filtered.json"
+      else historyPath
     val history: Map[String, Double] = try {
-      val f = new java.io.File(detailPath)
+      val f = new java.io.File(historyPath)
       if (!f.exists) Map.empty
       else {
         import org.json4s._
