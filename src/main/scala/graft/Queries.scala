@@ -3278,18 +3278,27 @@ object Queries {
     * repeat business). Degree-oriented wedge counting bounds the
     * out-degree at O(sqrt m) after orientation, so no hub vertex owns a
     * quadratic wedge set at any scale; the per-order supplier pair
-    * expansion is bounded by order size (~4 lineitems). The oracle
+    * expansion is basket-collected (one shuffle, then a local
+    * explosion bounded by order size — ~4 lineitems). The oracle
     * replays the canonical a<b<c three-way self-join — a different
     * algorithm (id-oriented enumeration) that must produce the
     * identical per-vertex counts.
     */
   def q176_triangles(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val pairs = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sa"))
-      .join(li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sb")), "ok")
+    // Basket-collect pair build: ONE corpus shuffle (groupBy orderkey
+    // with map-side partial collect_set) and the quadratic pair
+    // expansion happens locally AFTER the shuffle, bounded by basket
+    // size — the self-join form shuffled lineitem twice and pushed the
+    // per-order pair explosion through the join itself. collect_set
+    // dedups within the order, so each (order, pair) appears once and
+    // the co-occurrence count below is distinct-orders by construction.
+    val pairs = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_suppkey")).as("__sps"))
+      .select(explode(col("__sps")).as("sa"), col("__sps"))
+      .select(col("sa"), explode(col("__sps")).as("sb"))
       .where(col("sa") < col("sb"))
-      .select(col("ok"), col("sa").as("lo"), col("sb").as("hi"))
-      .distinct()
+      .select(col("sa").as("lo"), col("sb").as("hi"))
     val edges = pairs.groupBy("lo", "hi").agg(count(lit(1)).as("__n"))
       .where(col("__n") >= 8)
       .select("lo", "hi")
@@ -3576,19 +3585,28 @@ object Queries {
     * ≥ 2 distinct orders, scored by exact-ppm confidence
     * (supp_ab·10⁶ div supp_a) and lift
     * (supp_ab·N·10⁶ div (supp_a·supp_b)), all in decimal(38,0).
-    * Pair expansion is bounded by basket size (~4 items/order → ≤6
+    * Pair expansion is basket-collected — one corpus shuffle, then a
+    * local explosion bounded by basket size (~4 items/order → ≤6
     * pairs); item supports are an items-sized aggregate that joins
     * back broadcast. Distinct from q177's PMI: baskets not token
     * adjacency, directed confidence not a symmetric score.
     */
   def q187_assoc_rules(s: SparkSession, dir: String): DataFrame = {
-    val items = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val supp = items.groupBy("pk").agg(count(lit(1)).as("supp"))
+    // Basket-collect build: ONE corpus shuffle (groupBy orderkey,
+    // map-side partial collect_set — the set IS the per-order distinct)
+    // feeds both item supports and the locally-exploded bounded pair
+    // set; the previous items.distinct() + self-join form shuffled the
+    // item relation three times. The basket aggregate appears twice in
+    // the final plan and ReuseExchange computes it once.
+    val baskets = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(collect_set(col("l_partkey")).as("__pks"))
+    val supp = baskets.select(explode(col("__pks")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("supp"))
     val nBaskets = t(s, dir, "orders").agg(count(lit(1)).as("n_baskets"))
-    val pairs = items.select(col("ok"), col("pk").as("a"))
-      .join(items.select(col("ok"), col("pk").as("b")), "ok")
+    val pairs = baskets
+      .select(explode(col("__pks")).as("a"), col("__pks"))
+      .select(col("a"), explode(col("__pks")).as("b"))
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("supp_pair"))
       .where(col("supp_pair") >= 2)
