@@ -164,6 +164,26 @@ object Sampling {
     df.where(keep)
   }
 
+  /** Shared √count quota scaffolding for [[temperatureSample]] and
+    * [[epochRepeat]]: per-stratum row counts (driver-sized — one entry
+    * per stratum, never per row), budget = budgetOf(N), and
+    * quota_s = (budget · floor(√c_s)) div Σ floor(√c) — floor of IEEE
+    * sqrt is bit-identical in any engine for c < 2^52. Returns
+    * (counts, quotas), both keyed by stratum.
+    */
+  private def sqrtQuotas(df: DataFrame, stratumCol: String, opName: String,
+      budgetOf: Long => Long): (Map[String, Long], Map[String, Long]) = {
+    requireStringStratum(df, stratumCol, opName)
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty input")
+    val budget = budgetOf(counts.values.sum)
+    val isq = counts.map { case (s, c) => s -> math.sqrt(c.toDouble).toLong }
+    val sumIsq = isq.values.sum
+    require(sumIsq > 0, "all strata empty")
+    (counts, isq.map { case (s, q) => s -> budget * q / sumIsq })
+  }
+
   /** Temperature-rebalanced multilingual sampling (α = 0.5, the
     * XLM-R / UniMax quota shape): stratum quotas proportional to
     * √count instead of count, so low-resource strata keep a larger
@@ -187,19 +207,11 @@ object Sampling {
   def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
       budgetDiv: Long = 10L): DataFrame = {
     require(budgetDiv > 0, "budgetDiv must be positive")
-    requireStringStratum(df, stratumCol, "temperatureSample")
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(counts.nonEmpty, "empty input")
-    val n = counts.values.sum
-    val budget = n / budgetDiv
-    val isq = counts.map { case (s, c) => s -> math.sqrt(c.toDouble).toLong }
-    val sumIsq = isq.values.sum
-    require(sumIsq > 0, "all strata empty")
-    val quotas = isq.map { case (s, q) => s -> budget * q / sumIsq }
+    val (_, quotas) =
+      sqrtQuotas(df, stratumCol, "temperatureSample", _ / budgetDiv)
     val kMax = quotas.values.max
     require(kMax > 0,
-      s"budget $budget too small for any quota: raise it or cut strata")
+      s"budget (rows div $budgetDiv) too small for any quota: raise it or cut strata")
     // .toInt below would silently WRAP a >2^31 quota into a small heap
     require(kMax <= Int.MaxValue,
       s"per-stratum quota $kMax exceeds the bounded-heap Int range")
@@ -239,16 +251,8 @@ object Sampling {
   def epochRepeat(df: DataFrame, stratumCol: String, idCol: String,
       budgetNum: Long, budgetDen: Long): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
-    requireStringStratum(df, stratumCol, "epochRepeat")
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(counts.nonEmpty, "empty input")
-    val n = counts.values.sum
-    val budget = n * budgetNum / budgetDen
-    val isq = counts.map { case (s, c) => s -> math.sqrt(c.toDouble).toLong }
-    val sumIsq = isq.values.sum
-    require(sumIsq > 0, "all strata empty")
-    val quotas = isq.map { case (s, q) => s -> budget * q / sumIsq }
+    val (counts, quotas) =
+      sqrtQuotas(df, stratumCol, "epochRepeat", n => n * budgetNum / budgetDen)
     def perStratum(f: String => Long): Column =
       counts.keys.foldLeft(lit(0L)) { (els, s) =>
         when(col(stratumCol) === s, lit(f(s))).otherwise(els)
