@@ -32,7 +32,16 @@ object BloomPrune {
   def buildFilter(dim: DataFrame, keyCol: Column,
       expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
     requireIntegralKey(dim, keyCol, "buildFilter")
-    val bf = dim.stat.bloomFilter(keyCol, expectedItems, fpp)
+    // Spark's bloomFilter aggregation over ZERO non-null keys returns a
+    // filter whose bit buffer was never allocated — serialization NPEs.
+    // An empty key set means "matches nothing", which a fresh
+    // zero-insertion filter encodes correctly (all bits clear ->
+    // mightContain is always false); the detection is a limit-1 scan.
+    val bf =
+      if (dim.select(keyCol).where(keyCol.isNotNull).isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(
+          math.max(expectedItems, 1L), fpp)
+      else dim.stat.bloomFilter(keyCol, expectedItems, fpp)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)
     out.toByteArray
@@ -69,7 +78,9 @@ object BloomPrune {
   def reducedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bytes = buildFilter(dim, col(dimKey), expectedItems, fpp)
-    prune(fact, col(factKey), bytes)
-      .join(dim, col(factKey) === col(dimKey))
+    val pruned = prune(fact, col(factKey), bytes)
+    // dataframe-qualified keys: with factKey == dimKey (the common
+    // shared-name join) unqualified col(...) is AMBIGUOUS_REFERENCE
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 }

@@ -93,8 +93,11 @@ object Similarity {
     * row_number window only orders the surviving queries x k rows.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val top = graft.plans.TopK.perGroup(scored, Seq("query_id"),
-      Seq("cos" -> false, "neighbor_id" -> true), k)
+    // a NULL similarity (either vector null/malformed) is not a
+    // neighbor: without this, null-embedding corpus rows ride the
+    // bounded heap into the result and rank as somebody's "nearest"
+    val top = graft.plans.TopK.perGroup(scored.where(col("cos").isNotNull),
+      Seq("query_id"), Seq("cos" -> false, "neighbor_id" -> true), k)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     top.withColumn("rank", row_number().over(w).cast("long"))
@@ -136,9 +139,16 @@ object Similarity {
     */
   def probeAssignments(queries: DataFrame, queryIdCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame =
-    queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
-      .select(col("query_id"), col("__qv"),
-        explode(probeCells(col("__qv"), cents, nprobe)).as("cell_id"))
+    // zero centroids (empty/untrainable index) = zero probes; the
+    // expression form would be array_min over an EMPTY literal array,
+    // which Catalyst rejects as an unrelated-looking VOID extraction
+    if (cents.isEmpty)
+      queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
+        lit(null).cast("long").as("cell_id")).where(lit(false))
+    else
+      queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+        .select(col("query_id"), col("__qv"),
+          explode(probeCells(col("__qv"), cents, nprobe)).as("cell_id"))
 
   /** Map-only nearest-centroid assignment for externally supplied
     * centroids (classification / cluster-purity eval): the same
@@ -147,9 +157,14 @@ object Similarity {
     * to the lowest centroid id.
     */
   def assignNearest(df: DataFrame, vecCol: String,
-      cents: Seq[(Long, Seq[Double])], outCol: String = "assigned"): DataFrame =
+      cents: Seq[(Long, Seq[Double])], outCol: String = "assigned"): DataFrame = {
+    // an argmax over zero centroids has no answer — fail by name, not as
+    // Catalyst's VOID-extraction error on array_min(array())
+    require(cents.nonEmpty, "assignNearest: empty centroid list — train or " +
+      "supply at least one centroid")
     df.withColumn(outCol,
       bestCell(col(vecCol).cast("array<double>"), cents))
+  }
 
   /** Lloyd iterations refining IVF centroids: assign every vector to its
     * best cell (one map-only pass — [[bestCell]]), recompute element-wise
@@ -159,13 +174,19 @@ object Similarity {
     * — and training scales with the corpus. Empty cells keep their
     * previous centroid.
     */
-  def kmeansCentroids(c: DataFrame, nlist: Int, iters: Int): Seq[(Long, Seq[Double])] = {
-    val spark = c.sparkSession
+  def kmeansCentroids(c0: DataFrame, nlist: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    val spark = c0.sparkSession
     import spark.implicits._
+    // a null vector can neither seed a centroid (typedLit(null) model
+    // entries) nor contribute to a mean — drop before training
+    val c = c0.where(col("__cv").isNotNull)
     // deterministic seeds: the nlist lowest-id vectors (a TakeOrdered)
     var cents: Seq[(Long, Seq[Double])] = c.orderBy(col("neighbor_id")).limit(nlist)
       .select(col("neighbor_id"), col("__cv").cast("array<double>"))
       .as[(Long, Seq[Double])].collect().toSeq
+    // empty corpus: nothing to seed from and the Lloyd pass's bestCell
+    // would be an argmax over zero centroids — return the empty model
+    if (cents.isEmpty) return Seq.empty
     for (_ <- 1 to iters) {
       val means = c
         .withColumn("cell_id", bestCell(col("__cv"), cents))
@@ -196,7 +217,9 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       trainIters: Int = 2): DataFrame = {
+    // null-vector corpus rows can't be indexed, assigned, or returned
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .where(col("__cv").isNotNull)
 
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -205,6 +228,15 @@ object Similarity {
       else c.orderBy(col("neighbor_id")).limit(nlist)
         .select(col("neighbor_id"), col("__cv").cast("array<double>"))
         .as[(Long, Seq[Double])].collect().toSeq
+
+    // An EMPTY corpus has no cells and no neighbors: every query's
+    // top-k is empty, which is what the plain join would also produce —
+    // return that shape instead of letting bestCell crash on zero cells.
+    if (cents.isEmpty)
+      return queries.select(col(queryIdCol).as("query_id"),
+        lit(1L).as("rank"),
+        lit(null).cast(corpus.schema(corpusIdCol).dataType).as("neighbor_id"))
+        .where(lit(false))
 
     // Assign corpus vectors to their best cell — map-only, zero shuffle.
     val assigned = c

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Degenerate-input contracts for the operator surface: EMPTY input and
+  * all-NULL payload columns must produce either an empty (correctly
+  * typed) result or a NAMED error — never an obscure executor crash or,
+  * worse, silently wrong rows. Each fixed defect found by the round-9
+  * sweep is pinned here:
+  *   - ivfTopK/kmeansCentroids/probeAssignments on an empty corpus died
+  *     with Catalyst's VOID-extraction error (argmax over zero literal
+  *     centroids);
+  *   - BloomPrune.buildFilter on an empty/all-null dim NPE'd inside
+  *     sketch serialization (never-allocated bit buffer);
+  *   - BloomPrune.reducedJoin could never run with factKey == dimKey
+  *     (AMBIGUOUS_REFERENCE), contradicting its plain-join contract;
+  *   - null-embedding corpus rows rode the bounded top-k heap into
+  *     bruteForceTopK/ivfTopK results and ranked as "nearest" neighbors
+  *     with a NULL similarity.
+  */
+class DegenerateInputSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private lazy val docs0 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val edges0 = Seq.empty[(Long, Long)].toDF("src", "dst")
+  private lazy val verts0 = Seq.empty[Long].toDF("id")
+  private lazy val vecs0 = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+  private lazy val kv0 = Seq.empty[(Long, Long, Long)].toDF("id", "ts", "v")
+
+  private def assertEmpty(df: DataFrame): Unit = assert(df.count() === 0L)
+
+  test("empty input yields an empty result across the dedup/text surface") {
+    assertEmpty(Dedup.exact(docs0, "doc_id", Seq("text")))
+    assertEmpty(Dedup.minHashPairs(docs0, "doc_id", "text"))
+    assertEmpty(Dedup.simHashPairs(docs0, "doc_id", "text"))
+    assertEmpty(Dedup.winnowingPairs(docs0, "doc_id", "text"))
+    assertEmpty(Dedup.containmentPairs(docs0, "doc_id", "text", 3, 3, 5))
+    assertEmpty(Dedup.containmentPairs(docs0, "doc_id", "text", 3, 3, 5, Some(2L)))
+    assertEmpty(Dedup.prefixJaccardPairs(docs0, "doc_id", "text", 1, 2))
+    assertEmpty(FuzzyJoin.editDistanceSelfJoin(docs0, "doc_id", "text", 2))
+    assertEmpty(TextAnalysis.chunkTokens(docs0, "doc_id", "text"))
+    assertEmpty(TextAnalysis.oovStats(docs0, "doc_id", "text"))
+    assertEmpty(TextAnalysis.vocabEncode(docs0, "doc_id", "text"))
+  }
+
+  test("empty input yields an empty result across joins/graph/order/sampling") {
+    assertEmpty(Graph.connectedComponents(edges0, "src", "dst"))
+    assertEmpty(Graph.pageRank(verts0, "id", edges0, "src", "dst"))
+    assertEmpty(Graph.bfsHops(edges0, "src", "dst", verts0, "id"))
+    assertEmpty(Graph.triangleCounts(edges0, "src", "dst"))
+    assertEmpty(GlobalOrder.rowNumber(docs0, Seq(col("doc_id"))))
+    val iv0 = Seq.empty[(Long, Long, Long)].toDF("iid", "s", "e")
+    assertEmpty(IntervalJoin.overlapJoin(
+      iv0, iv0, col("s"), col("e"), col("s"), col("e"), 10L))
+    assertEmpty(TableDiff.diff(kv0, kv0, Seq("id")))
+    assertEmpty(Skyline.skyline2D(kv0, "ts", "v"))
+    assertEmpty(Sampling.ppsSystematic(kv0, col("v"), col("id"), 5L))
+    assertEmpty(Packing.shardByTokenBudget(kv0, col("v"), col("id"), 100L))
+    assertEmpty(Packing.shardByTokenBudgetGlobal(kv0, "v", "id", 100L, 4))
+    assertEmpty(graft.plans.TopK.perGroup(kv0, Seq("id"), Seq("v" -> true), 3))
+  }
+
+  test("collect-based samplers fail BY NAME on empty input, not downstream") {
+    val e1 = intercept[IllegalArgumentException](
+      Sampling.temperatureSample(docs0, "text", "doc_id"))
+    assert(e1.getMessage.contains("empty input"))
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.epochRepeat(docs0, "text", "doc_id", 2L, 1L))
+    assert(e2.getMessage.contains("empty input"))
+    val e3 = intercept[IllegalArgumentException](
+      Sampling.mixtureSample(docs0, "text", lit(1L), Seq("en" -> 1L),
+        Sampling.idMix(col("doc_id"))))
+    assert(e3.getMessage.contains("no tokens in any weighted stratum"))
+  }
+
+  test("ivfTopK over an empty corpus returns the empty top-k, typed like the full one") {
+    val out = Similarity.ivfTopK(vecs0, vecs0, "vec_id", "vec_id", "embedding", 3)
+    assert(out.columns.toSeq === Seq("query_id", "rank", "neighbor_id"))
+    assert(out.count() === 0L)
+    // and the pieces it is built from hold the same contract
+    assert(Similarity.kmeansCentroids(
+      vecs0.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv")),
+      nlist = 4, iters = 2).isEmpty)
+    assertEmpty(Similarity.probeAssignments(vecs0, "vec_id", "embedding",
+      cents = Seq.empty, nprobe = 2))
+    val e = intercept[IllegalArgumentException](
+      Similarity.assignNearest(vecs0, "embedding", Seq.empty))
+    assert(e.getMessage.contains("assignNearest"))
+  }
+
+  test("a Bloom filter of an empty or all-null dim matches nothing (and serializes)") {
+    val fact = Seq(1L, 2L, 3L).toDF("id")
+    val bytes = BloomPrune.buildFilter(kv0, col("id"), 100L)
+    assert(bytes.nonEmpty)
+    assert(BloomPrune.prune(fact, col("id"), bytes).count() === 0L)
+    val dimNull = Seq(Option.empty[Long], Option.empty[Long]).toDF("id")
+    val bytesN = BloomPrune.buildFilter(dimNull, col("id"), 100L)
+    assert(BloomPrune.prune(fact, col("id"), bytesN).count() === 0L)
+  }
+
+  test("reducedJoin works when fact and dim share the key column name") {
+    val fact = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    val dim = Seq((2L, "b"), (3L, "c"), (9L, "z")).toDF("id", "name")
+    val out = BloomPrune.reducedJoin(fact, dim, "id", "id", 10L)
+    assert(out.count() === 2L) // identical to the plain join: keys 2 and 3
+  }
+
+  test("null-embedding corpus rows are never returned as neighbors") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, null: Array[Float]))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(
+      queries, corpus, "vec_id", "vec_id", "embedding", 5)
+    assert(brute.select("neighbor_id").as[Long].collect().toSet === Set(2L))
+    val ivf = Similarity.ivfTopK(
+      queries, corpus, "vec_id", "vec_id", "embedding", 5, nlist = 2, nprobe = 2)
+    assert(ivf.select("neighbor_id").as[Long].collect().toSet === Set(2L))
+  }
+
+  test("skyline2D fails BY NAME on a null coordinate") {
+    val rows = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(3L)))
+      .toDF("x", "y")
+    val t = intercept[Throwable](Skyline.skyline2D(rows, "x", "y").count())
+    assert(SharedSpark.messages(t).exists(_.contains("Skyline.skyline2D")))
+  }
+
+  test("all-null payload columns flow through as empty results, not crashes") {
+    val docsN = Seq((1L, null: String), (2L, null: String)).toDF("doc_id", "text")
+    assertEmpty(Dedup.minHashPairs(docsN, "doc_id", "text"))
+    assertEmpty(Dedup.containmentPairs(docsN, "doc_id", "text", 3, 3, 5))
+    assertEmpty(FuzzyJoin.editDistanceSelfJoin(docsN, "doc_id", "text", 2))
+    assertEmpty(TextAnalysis.vocabEncode(docsN, "doc_id", "text"))
+    val vecsN = Seq((1L, null: Array[Float]), (2L, null: Array[Float]))
+      .toDF("vec_id", "embedding")
+    assertEmpty(Similarity.bruteForceTopK(
+      vecsN, vecsN, "vec_id", "vec_id", "embedding", 3))
+    assertEmpty(Similarity.ivfTopK(
+      vecsN, vecsN, "vec_id", "vec_id", "embedding", 3))
+    assertEmpty(Dedup.embeddingNearDupPairs(vecsN, "vec_id", "embedding", dim = 8))
+  }
+}
