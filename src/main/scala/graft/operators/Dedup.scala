@@ -304,9 +304,16 @@ object Dedup {
 
     l.join(r, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
+      // try_divide: a zero-norm vector would DIVIDE_BY_ZERO the whole
+      // job under ANSI; null fails the threshold and the pair drops.
+      // The explicit NaN guard matters because Spark orders NaN as the
+      // LARGEST double — a NaN-poisoned vector would otherwise pass
+      // ANY threshold and pair with its whole bucket.
       .select(col("id_a"), col("id_b"),
-        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
-      .where(col("cosine") >= minCosine)
+        org.apache.spark.sql.functions.try_divide(
+          Similarity.dot(col("va"), col("vb")),
+          col("na") * col("nb")).as("cosine"))
+      .where(col("cosine") >= minCosine && !isnan(col("cosine")))
       .distinct()
   }
 

@@ -32,7 +32,15 @@ object Similarity {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity, NULL where undefined: a zero-norm vector makes
+    * the denominator 0, and under the session's ANSI mode a plain
+    * division would kill the whole job with DIVIDE_BY_ZERO deep in
+    * codegen the moment ONE padding/broken embedding appears.
+    * try_divide returns null instead, and every consumer treats a null
+    * similarity as "not a neighbor / not a pair".
+    */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -87,16 +95,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** A vector the index can actually use: non-null, non-zero norm (a
+    * zero vector has no direction — cosine against it is undefined),
+    * and NaN-free (NaN poisons every dot product it touches, and Spark
+    * orders NaN as the largest double). isnan(dot(v,v)) catches a NaN
+    * in ANY element because NaN propagates through the sum.
+    */
+  private def usableVec(v: Column): Column =
+    v.isNotNull && !isnan(dot(v, v)) && dot(v, v) > 0
+
   /** Per-query top-k + rank. Selection runs through the custom
     * TopKPerGroup operator (bounded map-side heaps: the corpus-sized
     * score stream never gets fully shuffled or sorted); the final
     * row_number window only orders the surviving queries x k rows.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    // a NULL similarity (either vector null/malformed) is not a
-    // neighbor: without this, null-embedding corpus rows ride the
-    // bounded heap into the result and rank as somebody's "nearest"
-    val top = graft.plans.TopK.perGroup(scored.where(col("cos").isNotNull),
+    // a NULL or NaN similarity (either vector null, zero-norm, or
+    // NaN-poisoned) is not a neighbor: without this, broken corpus rows
+    // ride the bounded heap into the result — and Spark orders NaN as
+    // the LARGEST double, so a NaN row would rank as everyone's NEAREST
+    val top = graft.plans.TopK.perGroup(
+      scored.where(col("cos").isNotNull && !isnan(col("cos"))),
       Seq("query_id"), Seq("cos" -> false, "neighbor_id" -> true), k)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -162,6 +181,11 @@ object Similarity {
     // Catalyst's VOID-extraction error on array_min(array())
     require(cents.nonEmpty, "assignNearest: empty centroid list — train or " +
       "supply at least one centroid")
+    // a zero/NaN centroid divides by zero in cellSims at constant-fold
+    // time, surfacing as an internals-pointing DIVIDE_BY_ZERO
+    require(cents.forall { case (_, ctr) =>
+      ctr != null && ctr.exists(_ != 0.0) && !ctr.exists(_.isNaN) },
+      "assignNearest: centroids must be non-null, non-zero, NaN-free")
     df.withColumn(outCol,
       bestCell(col(vecCol).cast("array<double>"), cents))
   }
@@ -177,9 +201,10 @@ object Similarity {
   def kmeansCentroids(c0: DataFrame, nlist: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     val spark = c0.sparkSession
     import spark.implicits._
-    // a null vector can neither seed a centroid (typedLit(null) model
-    // entries) nor contribute to a mean — drop before training
-    val c = c0.where(col("__cv").isNotNull)
+    // a null/zero/NaN vector can neither seed a centroid (typedLit(null)
+    // model entries; a zero seed makes cellSims divide by zero at
+    // constant-fold time) nor contribute to a mean — drop before training
+    val c = c0.where(usableVec(col("__cv")))
     // deterministic seeds: the nlist lowest-id vectors (a TakeOrdered)
     var cents: Seq[(Long, Seq[Double])] = c.orderBy(col("neighbor_id")).limit(nlist)
       .select(col("neighbor_id"), col("__cv").cast("array<double>"))
@@ -197,7 +222,14 @@ object Similarity {
         .map { case (cell, rows) =>
           cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
         }
-      cents = cents.map { case (cell, prev) => (cell, means.getOrElse(cell, prev)) }
+      // a cell's mean CAN be the zero vector (opposed members cancel) or
+      // NaN-free-but-degenerate; keep the previous centroid then — a
+      // zero/NaN centroid would divide-by-zero in cellSims at fold time
+      cents = cents.map { case (cell, prev) =>
+        (cell, means.get(cell)
+          .filter(m => m.exists(_ != 0.0) && !m.exists(_.isNaN))
+          .getOrElse(prev))
+      }
     }
     cents
   }
@@ -217,9 +249,9 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       trainIters: Int = 2): DataFrame = {
-    // null-vector corpus rows can't be indexed, assigned, or returned
+    // null/zero/NaN corpus rows can't be indexed, assigned, or returned
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .where(col("__cv").isNotNull)
+      .where(usableVec(col("__cv")))
 
     val spark = corpus.sparkSession
     import spark.implicits._

@@ -123,6 +123,35 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(ivf.select("neighbor_id").as[Long].collect().toSet === Set(2L))
   }
 
+  test("zero-norm and NaN vectors are never neighbors and never kill the job") {
+    // zero vector: cosine denominator 0 — ANSI DIVIDE_BY_ZERO before the
+    // try_divide fix; NaN vector: Spark orders NaN as the LARGEST double,
+    // so it would rank as everyone's NEAREST neighbor
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 0f)), (4L, Array(Float.NaN, 1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(
+      queries, corpus, "vec_id", "vec_id", "embedding", 5)
+    assert(brute.select("neighbor_id").as[Long].collect().toSet === Set(1L, 2L))
+    val ivf = Similarity.ivfTopK(
+      queries, corpus, "vec_id", "vec_id", "embedding", 5, nlist = 2, nprobe = 2)
+    assert(ivf.select("neighbor_id").as[Long].collect().toSet === Set(1L, 2L))
+    // near-dup pairs: the two good vectors pair; zero/NaN pair with nothing
+    val nd = Dedup.embeddingNearDupPairs(
+      corpus.union(Seq((5L, Array(0f, 0f)), (6L, Array(Float.NaN, 1f)))
+        .toDF("vec_id", "embedding")),
+      "vec_id", "embedding", dim = 2, planes = 4, minCosine = 0.95)
+    assert(nd.select("id_a", "id_b").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L)))
+    // a zero/NaN centroid is refused by name, not as a fold-time crash
+    val e = intercept[IllegalArgumentException](
+      Similarity.assignNearest(queries, "embedding",
+        Seq((0L, Seq(0.0, 0.0)))))
+    assert(e.getMessage.contains("non-null, non-zero, NaN-free"))
+  }
+
   test("skyline2D fails BY NAME on a null coordinate") {
     val rows = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(3L)))
       .toDF("x", "y")
