@@ -78,12 +78,35 @@ object Packing {
       max(col(orderCol)).cast("long")).head()
     if (r0.isNullAt(0)) return df.withColumn("shard_id", lit(0L))
     val (lo, hi) = (r0.getLong(0), r0.getLong(1))
-    val span = math.max(1L, (hi - lo) / numBuckets + 1L)
-    def bucketOf(key: Long): Long = (key - lo) / span
+    // hi - lo in plain long WRAPS once the key range exceeds
+    // Long.MaxValue — the natural shape when the order key is a 64-bit
+    // hash (hash-ordered packing). BigInt on the driver, and a decimal
+    // SQL path only when the range genuinely needs it: the common case
+    // keeps codegen'd long arithmetic in both passes.
+    val range = BigInt(hi) - BigInt(lo)
+    val longSafe = range.isValidLong
+    // both divisions below are nonneg/positive, so SQL div, BigInt /,
+    // and long / all truncate identically (floor == truncate)
+    val bucketOf: Long => Long =
+      if (longSafe) {
+        val span = math.max(1L, range.toLong / numBuckets + 1L)
+        key => (key - lo) / span
+      } else {
+        val span = range / numBuckets + 1
+        key => ((BigInt(key) - BigInt(lo)) / span).toLong
+      }
 
     // `div`, not `/`: long / long is DOUBLE division in Spark and would
     // drift from the executor-side bucketOf at large keys
-    val bucketCol = expr(s"(CAST(`$orderCol` AS BIGINT) - ${lo}L) div ${span}L")
+    val bucketCol =
+      if (longSafe) {
+        val span = math.max(1L, range.toLong / numBuckets + 1L)
+        expr(s"(CAST(`$orderCol` AS BIGINT) - ${lo}L) div ${span}L")
+      } else {
+        val span = range / numBuckets + 1
+        expr(s"(CAST(`$orderCol` AS DECIMAL(20,0)) - CAST($lo AS DECIMAL(20,0)))" +
+          s" div CAST('$span' AS DECIMAL(20,0))")
+      }
     val totals = df
       .groupBy(bucketCol.as("b"))
       .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("tot"))

@@ -39,6 +39,35 @@ object PackingPropertySpec extends Properties("Packing") {
       ok
     }
 
+  // hash-ordered packing: the order key spans (nearly) the full long
+  // range, so hi - lo exceeds Long.MaxValue — long span arithmetic
+  // WRAPPED here before the BigInt/decimal range path
+  private val fullRangeDocsGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 40)
+    toks <- Gen.listOfN(n, Gen.choose(0L, 5000L))
+    ids <- Gen.listOfN(n, Gen.oneOf(
+      Gen.const(Long.MinValue), Gen.const(Long.MaxValue),
+      Gen.choose(Long.MinValue, Long.MaxValue))).map(_.distinct)
+  } yield ids.zip(toks)
+
+  property("global form == window form on full-long-range order keys") =
+    Prop.forAllNoShrink(fullRangeDocsGen, Gen.oneOf(1, 2, 7, 32),
+      Gen.oneOf(1L, 500L, 100000L)) { (docs0, buckets, budget) =>
+      import spark.implicits._
+      // force the wide range even if the generator drew a narrow one
+      val docs = ((Long.MinValue, 3L) :: (Long.MaxValue, 4L) :: docs0).distinct
+      val df = docs.toDF("id", "ntok")
+      val windowed = Packing
+        .shardByTokenBudget(df, col("ntok"), col("id"), budget)
+        .select("id", "shard_id").as[(Long, Long)].collect().toMap
+      val global = Packing
+        .shardByTokenBudgetGlobal(df, "ntok", "id", budget, buckets)
+        .select("id", "shard_id").as[(Long, Long)].collect().toMap
+      val ok = global == windowed
+      if (!ok) println(s"MISMATCH buckets=$buckets budget=$budget docs=$docs")
+      ok
+    }
+
   property("both forms fail fast on a negative token count") = {
     import spark.implicits._
     val df = Seq((1L, 5L), (2L, -3L), (3L, 7L)).toDF("id", "ntok")
