@@ -39,10 +39,12 @@ object ZOrder {
         s"range [$lo, $hi] wider than a long")
       val width = hi - lo // rank domain is [0, width]
       val needed = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, width))
-      // clamp BEFORE shifting: out-of-range values would otherwise drop
-      // their high bits in the per-bit extraction and alias arbitrary
-      // in-range ranks, breaking monotonicity for stale-range callers
-      val d = greatest(least(c.cast("long") - lit(lo), lit(width)), lit(0L))
+      // clamp BEFORE subtracting, not after: the saturate contract
+      // admits values far outside [lo, hi], where (c - lo) itself can
+      // exceed the long envelope — ANSI would throw on the very rows
+      // this clamp exists to absorb. Clamped-first, the difference is
+      // always within [0, width].
+      val d = greatest(least(c.cast("long"), lit(hi)), lit(lo)) - lit(lo)
       // shift every dimension to the SAME effective width: narrow dims
       // stretch left, wide dims compress right — otherwise a narrow
       // dimension only touches low-order z bits and the file splits are

@@ -115,6 +115,15 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zs(5L) == zs(10L) && zs(9L) == zs(10L))   // below range -> lo
     assert(zs(21L) == zs(20L) && zs(300L) == zs(20L)) // above range -> hi
     assert(zs(10L) < zs(15L) && zs(15L) < zs(20L))    // monotone inside
+    // EXTREME out-of-range values against a negative lo: (v - lo) alone
+    // exceeds the long envelope, so subtract-then-clamp threw ANSI
+    // ARITHMETIC_OVERFLOW on exactly the rows saturation must absorb
+    val ext = Seq(Long.MinValue, -100L, 0L, 100L, Long.MaxValue).toDF("v")
+    val ez = ext.select(col("v"),
+      ZOrder.zValue(Seq((col("v"), -100L, 100L)), bits = 8).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ez(Long.MinValue) == ez(-100L) && ez(Long.MaxValue) == ez(100L))
+    assert(ez(-100L) < ez(0L) && ez(0L) < ez(100L))
   }
 
   test("rows with a null clustered dimension land in a dedicated overflow file") {
