@@ -284,7 +284,11 @@ object Bench {
     val rerunJson2 = reruns
       .map { case (n, (a, b)) => "\"" + short(n) + "\":[" + fmt2(a) + "," + fmt2(b) + "]" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":${fmt2(calibSec)},"n_errors":${errors.size},"n_queries":${ordered.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(coldTimes)},"stream_median":${jsonMap2(streamMedians)},"reruns":$rerunJson2,"warmup_errors":$warmupJson2,"errors":$errJson2}""")
+    // distinct metric name: ONLY the tail-proof summary below carries
+    // "metric":"total" — a consumer keying on the FIRST total match
+    // would otherwise read this oversized (possibly front-truncated)
+    // line and mis-parse or double-count
+    println(s"""{"metric":"total_full","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":${fmt2(calibSec)},"n_errors":${errors.size},"n_queries":${ordered.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(coldTimes)},"stream_median":${jsonMap2(streamMedians)},"reruns":$rerunJson2,"warmup_errors":$warmupJson2,"errors":$errJson2}""")
     // LAST line: a summary small enough (~400 chars) that the collector's
     // tail window preserves it WHOLE however many queries exist — the
     // full-surface compact line above outgrew the observed ~2000-char

@@ -80,18 +80,32 @@ object ScaleProbe {
     // GRAFT_SCALE_ONLY=mad_q131,... times just those ops (local iteration)
     val only = sys.env.get("GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // After a VirtualMachineError (driver OOM, internal error) the JVM is
+    // in an undefined state — timings recorded by LATER probes in the
+    // same run could be garbage while printing as clean rows. Every row
+    // after such an error carries "suspect":true so the knee table can
+    // discard it; the expected DNF mode (executor-side disk-full /
+    // spill-abort surfaces as a NonFatal SparkException on the driver)
+    // stays a plain dnf row.
+    var vmErrorSeen: Option[String] = None
     def time(name: String)(f: => Long): Unit = {
       if (only.forall(_.contains(name))) {
         val t0 = System.nanoTime()
+        val suspect = vmErrorSeen.map(c => s""","suspect":true,"after_vm_error":"$c"""").getOrElse("")
         // one probe's failure (the known mode: uncapped containment fills
         // the disk with shuffle spill at 100x) must not abort the run —
         // the knee table needs the probes AFTER it; record a DNF row
         try {
           val rows = f
-          println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+          println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows$suspect%s}""")
         } catch {
-          case e: Throwable =>
-            println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":-1,"dnf":"${e.getClass.getSimpleName}"}""")
+          case e: VirtualMachineError =>
+            // driver-side OOM etc.: record the DNF, then taint the rest
+            // of the run rather than silently continuing as if clean
+            vmErrorSeen = Some(e.getClass.getSimpleName)
+            println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":-1,"dnf":"${e.getClass.getSimpleName}"$suspect%s}""")
+          case scala.util.control.NonFatal(e) =>
+            println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":-1,"dnf":"${e.getClass.getSimpleName}"$suspect%s}""")
         }
       }
     }

@@ -79,8 +79,16 @@ object BloomPrune {
       dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bytes = buildFilter(dim, col(dimKey), expectedItems, fpp)
     val pruned = prune(fact, col(factKey), bytes)
-    // dataframe-qualified keys: with factKey == dimKey (the common
-    // shared-name join) unqualified col(...) is AMBIGUOUS_REFERENCE
-    pruned.join(dim, pruned(factKey) === dim(dimKey))
+    if (factKey == dimKey)
+      // Seq-of-names form coalesces the shared key into ONE column —
+      // matching fact.join(dim, Seq(key)) exactly; an expression join
+      // here would keep both copies and make any later name-based
+      // reference to the key AMBIGUOUS_REFERENCE
+      pruned.join(dim, Seq(factKey))
+    else
+      // dataframe-qualified keys: distinct names can't collide, but
+      // unqualified col(...) would still be ambiguous if fact happens
+      // to also carry a column named dimKey
+      pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 }

@@ -40,7 +40,7 @@ object LogRecord {
   * in-memory state, after which [[recovery]] rebuilds it from disk.
   */
 final class LogManager(val logPath: Path) {
-  private var records: Vector[(String, Long, String)] = reload()
+  private var records: Vector[(String, Long, String)] = Vector.empty
   // Single-writer contract, DETECTED rather than assumed: the tape is
   // append-only per live writer session, and two concurrent writers
   // against one log dir would interleave records undetected (each sees
@@ -59,18 +59,63 @@ final class LogManager(val logPath: Path) {
   // None = unknown, only after reset()'s crash simulation; append then
   // REFUSES until recovery() re-syncs — which is also how a successor
   // session legally takes over a log dir from a dead writer.
-  private var expectedSize: Option[Long] = Some(durableSize)
+  private var expectedSize: Option[Long] = None
 
-  private def durableSize: Long =
-    if (Files.exists(logPath)) Files.size(logPath) else 0L
+  // The initial observation (records mirror + size baseline) is taken
+  // as ONE locked read: two separate file reads would leave a window
+  // where a foreign append lands between them, yielding an expectedSize
+  // that includes a record the mirror lacks — the next append would
+  // pass the size check and silently weave the foreign record in, the
+  // exact scenario the size check exists to detect.
+  locally {
+    val (recs, size) = lockedObservation()
+    records = recs
+    expectedSize = Some(size)
+  }
+
+  /** Tape contents AND byte size read atomically under the same
+    * exclusive file lock append() uses, so the mirror and the size
+    * baseline describe the same instant of the file.
+    */
+  private def lockedObservation(): (Vector[(String, Long, String)], Long) = {
+    if (!Files.exists(logPath)) return (Vector.empty, 0L)
+    val ch =
+      try java.nio.channels.FileChannel.open(logPath,
+        StandardOpenOption.READ, StandardOpenOption.WRITE)
+      catch { // deleted between the exists check and the open: empty tape
+        case _: java.nio.file.NoSuchFileException => return (Vector.empty, 0L)
+      }
+    try {
+      val lock =
+        try ch.lock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException =>
+            throw new IllegalStateException(
+              s"LogManager single-writer violation: $logPath is locked by " +
+                "another live writer in this JVM. Each log dir has exactly " +
+                "ONE live writer.")
+        }
+      try {
+        val size = ch.size()
+        require(size <= Int.MaxValue,
+          s"LogManager tape $logPath exceeds 2 GiB — compact() it")
+        val buf = java.nio.ByteBuffer.allocate(size.toInt)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        val text = new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
+        (parseTape(text.split("\n", -1).toVector), size)
+      } finally lock.release()
+    } finally ch.close()
+  }
+
+  private def parseTape(lines: Vector[String]): Vector[(String, Long, String)] =
+    lines.filter(_.nonEmpty).map { line =>
+      val parts = line.split("\t", 3)
+      (parts(0), parts(1).toLong, if (parts.length > 2) parts(2) else "")
+    }
 
   private def reload(): Vector[(String, Long, String)] =
     if (!Files.exists(logPath)) Vector.empty
-    else Files.readAllLines(logPath, StandardCharsets.UTF_8).asScala.toVector
-      .filter(_.nonEmpty).map { line =>
-        val parts = line.split("\t", 3)
-        (parts(0), parts(1).toLong, if (parts.length > 2) parts(2) else "")
-      }
+    else parseTape(Files.readAllLines(logPath, StandardCharsets.UTF_8).asScala.toVector)
 
   /** Parse the DURABLE tape from disk without touching in-memory state —
     * for callers that need ground truth even after a simulated crash
@@ -150,7 +195,11 @@ final class LogManager(val logPath: Path) {
     * Also re-syncs the single-writer size observation: recovery is the
     * legal way a successor session takes over the log dir.
     */
-  def recovery(): Unit = { records = reload(); expectedSize = Some(durableSize) }
+  def recovery(): Unit = {
+    val (recs, size) = lockedObservation()
+    records = recs
+    expectedSize = Some(size)
+  }
 
   /** Committed txn ids whose batches are NOT subsumed by the latest
     * checkpoint, plus the latest checkpoint base (if any).

@@ -108,6 +108,12 @@ class DegenerateInputSpec extends AnyFunSuite {
     val dim = Seq((2L, "b"), (3L, "c"), (9L, "z")).toDF("id", "name")
     val out = BloomPrune.reducedJoin(fact, dim, "id", "id", 10L)
     assert(out.count() === 2L) // identical to the plain join: keys 2 and 3
+    // ... including the SCHEMA: the shared key coalesces to ONE column,
+    // exactly like fact.join(dim, Seq("id")), so downstream name-based
+    // references to the key stay unambiguous
+    assert(out.columns.toSeq === fact.join(dim, Seq("id")).columns.toSeq)
+    assert(out.columns.count(_ == "id") === 1)
+    assert(out.select("id").as[Long].collect().sorted === Array(2L, 3L))
   }
 
   test("null-embedding corpus rows are never returned as neighbors") {
