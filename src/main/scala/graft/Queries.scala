@@ -4709,6 +4709,33 @@ object Queries {
     extra.unionByName(unexplained)
   }
 
+  /** Certification of [[Dedup.containmentFanout]] — the round-9
+    * verdict's #1 ask (knee guidance turned into API): the analytic
+    * candidate volume Σ_t dfPrefix(t)·df(t) of the UNCAPPED containment
+    * join, the corpus df stats it derives from, and the maxDf the probe
+    * recommends, each recomputed INDEPENDENTLY by the oracle from the
+    * raw documents table (shingle dfs, rarest-first ranks, prefix
+    * lengths, the shared [[Dedup.MaxDfLadder]], budget cumsums — all
+    * integer arithmetic, deterministic in both engines). Two budgets so
+    * the recommendation branch is NEVER vacuous: the default 32/doc
+    * (healthy oracle corpora → no cap, exact recall free) and a forced
+    * 1/doc (hazard fires → a real ladder cap on the same data at every
+    * SF). The probe itself is blocking-stage-only (no candidate join) —
+    * the point is that it is safe to run on a corpus whose uncapped
+    * join would DNF.
+    */
+  def q233_fanout_probe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probe = Dedup.containmentFanout(t(s, dir, "documents"),
+      "doc_id", "text", shingleWidth = 3, num = 3, den = 5,
+      maxCandidatesPerDoc = 32L)
+    Seq((probe.nDocs, probe.vocab, probe.maxShingleDf,
+      probe.uncappedCandidates, probe.recommendedMaxDf,
+      probe.recommendedMaxDfFor(1L)))
+      .toDF("n_docs", "vocab", "max_shingle_df", "uncapped_candidates",
+        "rec_default", "rec_tight")
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -5237,7 +5264,8 @@ object Queries {
     "q229_calendar_spine" -> (q229_calendar_spine _),
     "q230_max_drawdown" -> (q230_max_drawdown _),
     "q231_containment_join" -> (q231_containment_join _),
-    "q232_containment_cap" -> (q232_containment_cap _))
+    "q232_containment_cap" -> (q232_containment_cap _),
+    "q233_fanout_probe" -> (q233_fanout_probe _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -7030,6 +7058,62 @@ object Queries {
                 CAST(NULL AS BIGINT) AS id_b,
                 CAST(NULL AS VARCHAR) AS violation
          WHERE FALSE""",
+    // the fan-out probe's analytic candidate count, df stats, and maxDf
+    // recommendation, re-derived from scratch: same shingles, same
+    // rarest-first (df, tok) rank order, same prefix arithmetic, same
+    // ladder (interpolated from the ONE Scala constant both engines use)
+    "q233_fanout_probe" -> {
+      val ladderSql = graft.operators.Dedup.MaxDfLadder.mkString(", ")
+      s"""WITH sh AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [text] END) AS s
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                 FROM documents)),
+         tk AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+         dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                   FROM tk GROUP BY tok),
+         ranked AS (SELECT tok, df,
+                      CAST(row_number() OVER (ORDER BY df, tok) AS BIGINT) AS rnk
+                    FROM dfreq),
+         rt AS (SELECT tk.doc_id, ranked.rnk, ranked.df
+                FROM tk JOIN ranked ON tk.tok = ranked.tok),
+         szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                 FROM rt GROUP BY doc_id),
+         pos AS (SELECT rt.doc_id, rt.rnk,
+                   row_number() OVER (PARTITION BY rt.doc_id ORDER BY rt.rnk) AS pos,
+                   szs.n
+                 FROM rt JOIN szs ON rt.doc_id = szs.doc_id),
+         pref AS (SELECT doc_id, rnk FROM pos
+                  WHERE pos <= n - ((n * 3 + 5 - 1) // 5) + 1),
+         pdf AS (SELECT rnk, CAST(count(*) AS BIGINT) AS pdf
+                 FROM pref GROUP BY rnk),
+         contrib AS (SELECT ranked.df, COALESCE(pdf.pdf, 0) * ranked.df AS c
+                     FROM ranked LEFT JOIN pdf ON ranked.rnk = pdf.rnk),
+         tot AS (SELECT
+                   CAST((SELECT count(DISTINCT doc_id) FROM tk) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(max(df) AS BIGINT) AS max_shingle_df,
+                   CAST(COALESCE(sum(c), 0) AS BIGINT) AS uncapped_candidates
+                 FROM contrib),
+         ladder AS (SELECT CAST(unnest([$ladderSql]) AS BIGINT) AS cap),
+         cum AS (SELECT l.cap,
+                   (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT)
+                    FROM contrib WHERE df <= l.cap) AS cands
+                 FROM ladder l)
+         SELECT tot.n_docs, tot.vocab, tot.max_shingle_df,
+           tot.uncapped_candidates,
+           CASE WHEN tot.uncapped_candidates <= 32 * greatest(tot.n_docs, 1)
+                THEN CAST(NULL AS BIGINT)
+                ELSE COALESCE((SELECT max(cap) FROM cum
+                               WHERE cands <= 32 * greatest(tot.n_docs, 1)), 1)
+           END AS rec_default,
+           CASE WHEN tot.uncapped_candidates <= greatest(tot.n_docs, 1)
+                THEN CAST(NULL AS BIGINT)
+                ELSE COALESCE((SELECT max(cap) FROM cum
+                               WHERE cands <= greatest(tot.n_docs, 1)), 1)
+           END AS rec_tight
+         FROM tot""" },
     // every column recomputed independently; the one-pass form must match
     "q200_profile_table" -> {
       val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",

@@ -154,6 +154,17 @@ object ScaleProbe {
         graft.core.Catalog.table(spark, dir, "documents"), "doc_id", "text",
         shingleWidth = 3, num = 3, den = 5, maxDf = Some(12L)).count()
     }
+    // the fan-out probe FIRST at each scale: its recommendation (derived
+    // from the df distribution alone, blocking stages only — safe where
+    // the uncapped join DNFs) is the in-code form of "set maxDf to the
+    // knee-side"; the row records what it would have said at this scale
+    time("fanout_probe") {
+      val p = graft.operators.Dedup.containmentFanout(
+        graft.core.Catalog.table(spark, dir, "documents"), "doc_id", "text",
+        shingleWidth = 3, num = 3, den = 5)
+      println(s"""[scaleprobe] {"op":"fanout_probe_detail","copies":$copies,"n_docs":${p.nDocs},"vocab":${p.vocab},"max_df":${p.maxShingleDf},"uncapped_candidates":${p.uncappedCandidates},"hazard":${p.uncappedHazard},"recommended_max_df":${p.recommendedMaxDf.getOrElse(-1L)}}""")
+      p.uncappedCandidates
+    }
     time("winnowing_pairs_q138") { Queries.q138_winnowing_pairs(spark, dir).count() }
     time("canonical_q109") { Queries.q109_canonical_pick(spark, dir).count() }
     time("containment_q231") { Queries.q231_containment_join(spark, dir).count() }

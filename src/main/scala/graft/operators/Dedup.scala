@@ -562,6 +562,158 @@ object Dedup {
     verified
   }
 
+  /** Candidate caps at which [[containmentFanout]] evaluates the
+    * fan-out curve: a ~1.3× geometric ladder from 1 with a sentinel, so
+    * any recommendation is exact at a ladder point and within ~30% of
+    * the true optimum. Shared verbatim with the q233 oracle SQL — the
+    * two engines must walk the SAME ladder.
+    */
+  val MaxDfLadder: Vector[Long] = {
+    val body = Iterator.iterate(1L)(c => math.max(c + 1, c * 13 / 10))
+      .takeWhile(_ <= 4000000000000L).toVector
+    body :+ Long.MaxValue
+  }
+
+  /** Driver-side fan-out diagnosis for [[containmentPairs]] — the
+    * measured 100× DNF of the UNCAPPED form (SCALE.md §Scale knee:
+    * candidate volume Σ_t dfPrefix(t)·df(t) went 31.6 M at 30× → 322 M
+    * at 100× and filled 77 GB of spill) turned into API instead of
+    * prose. Computed ANALYTICALLY from the same blocking relations the
+    * operator builds (shingle dfs, rarest-first ranks, per-doc prefix
+    * lengths) WITHOUT running the candidate join: the prefix(A) ⋈
+    * postings(B) join emits exactly Σ_t dfPrefix(t)·df(t) rows, and
+    * capping at `cap` keeps the df ≤ cap terms of that sum. Probe cost
+    * is the operator's blocking stages once (two jobs, vocab-sized
+    * aggregates; no candidate fan-out, no verify arrays) — safe to run
+    * on a corpus whose uncapped join would DNF.
+    *
+    * `ladder` holds (cap, candidates-if-capped-at-cap) at the present
+    * [[MaxDfLadder]] points, ascending; the last point equals
+    * `uncappedCandidates`.
+    */
+  final case class ContainmentFanout(
+      nDocs: Long,
+      vocab: Long,
+      maxShingleDf: Long,
+      uncappedCandidates: Long,
+      maxCandidatesPerDoc: Long,
+      ladder: Vector[(Long, Long)]) {
+
+    /** Total candidate budget: `maxCandidatesPerDoc · nDocs` — candidate
+      * volume that grows linearly with the corpus is by construction
+      * knee-free (the measured DNF regime is the SUPERLINEAR regime
+      * where boilerplate dfs square into the candidate product).
+      */
+    def budget: Long = maxCandidatesPerDoc * math.max(nDocs, 1L)
+
+    private def candidatesAt(cap: Long): Long =
+      ladder.takeWhile(_._1 <= cap).lastOption.map(_._2).getOrElse(0L)
+
+    /** True iff the uncapped invocation's candidate volume exceeds the
+      * budget — the analytic signature of the measured DNF regime.
+      */
+    def uncappedHazard: Boolean = uncappedCandidates > budget
+
+    /** Largest [[MaxDfLadder]] cap whose capped candidate volume fits
+      * the budget — i.e. the MOST recall the budget buys (capping drops
+      * only pairs whose every shared prefix shingle is above the cap;
+      * see [[containmentPairs]]'s recall contract). `None` when the
+      * uncapped run already fits: recall is then free, run exact.
+      * `Some(1)` when even cap=1 exceeds the budget (best possible).
+      */
+    def recommendedMaxDf: Option[Long] = recommendedMaxDfFor(maxCandidatesPerDoc)
+
+    /** [[recommendedMaxDf]] at a caller-chosen budget. */
+    def recommendedMaxDfFor(budgetPerDoc: Long): Option[Long] = {
+      val b = budgetPerDoc * math.max(nDocs, 1L)
+      if (uncappedCandidates <= b) None
+      else Some(MaxDfLadder.filter(c => candidatesAt(c) <= b)
+        .lastOption.getOrElse(1L))
+    }
+
+    /** Named fail-fast for pipelines that must not enter the measured
+      * DNF regime unnoticed: throws iff [[uncappedHazard]].
+      */
+    def requireUncappedSafe(): Unit =
+      if (uncappedHazard) throw new IllegalStateException(
+        s"containmentPairs uncapped-invocation hazard: the prefix(A) x postings(B) " +
+          s"candidate join would emit $uncappedCandidates rows over $nDocs docs " +
+          s"(> budget $budget = $maxCandidatesPerDoc/doc) — the measured DNF regime " +
+          s"(SCALE.md: 322 M candidates filled 77 GB of spill at 100x). Set " +
+          s"maxDf = Some(${recommendedMaxDf.getOrElse(1L)}) (this corpus's largest " +
+          "budget-fitting cap) and pay the certified recall trade, or raise the budget.")
+  }
+
+  /** Compute [[ContainmentFanout]] for a [[containmentPairs]] invocation
+    * with the same (shingleWidth, num, den). Default budget of 32
+    * candidates/doc sits under the measured knee (SCALE.md: ~53/doc
+    * completed with a knee at 30×, ~161/doc DNF'd at 100×) and above
+    * healthy-corpus levels (a few per doc).
+    */
+  def containmentFanout(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int, num: Int, den: Int,
+      maxCandidatesPerDoc: Long = 32L): ContainmentFanout = {
+    require(num > 0 && den >= num, s"threshold must be in (0,1]: $num/$den")
+    require(maxCandidatesPerDoc >= 1, s"budget must be >= 1: $maxCandidatesPerDoc")
+    val toks = df
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(shingles(col(textCol), shingleWidth))).as("__t"))
+    val dfreq = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val ranked = dfreq.select(col("__t"), col("__df"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__df"), col("__t"))).cast("long").as("__rank"))
+    val sets = toks.join(ranked.select("__t", "__rank"), "__t")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("__rank"))).as("__set"))
+      .withColumn("__n", size(col("__set")).cast("long"))
+      .withColumn("__p", expr(s"__n - ((__n * $num + $den - 1) div $den) + 1"))
+    val prefixDf = sets
+      .select(col("__id"), explode(expr("slice(__set, 1, CAST(__p AS INT))")).as("__k"))
+      .groupBy("__k").agg(count(lit(1)).as("__pdf"))
+    // every vocab token, its df, and its candidate contribution
+    // dfPrefix·df (0 for tokens outside every prefix), bucketed to the
+    // smallest ladder cap >= df so candidates(cap) = Σ buckets <= cap is
+    // EXACT at ladder points; the collect is <= |MaxDfLadder| rows
+    val ladderLit = lit(MaxDfLadder.toArray)
+    val buckets = ranked
+      .join(prefixDf, ranked("__rank") === prefixDf("__k"), "left")
+      .select(col("__df"),
+        (coalesce(col("__pdf"), lit(0L)) * col("__df")).as("__c"))
+      .withColumn("__cap", array_min(filter(ladderLit, c => c >= col("__df"))))
+      .groupBy("__cap")
+      .agg(sum(col("__c")).as("c"), max(col("__df")).as("mx"),
+        count(lit(1)).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val nDocs = toks.select("__id").distinct().count()
+    var cum = 0L
+    val ladder = buckets.map { case (cap, c, _, _) => cum += c; (cap, cum) }.toVector
+    ContainmentFanout(
+      nDocs = nDocs,
+      vocab = buckets.map(_._4).sum,
+      maxShingleDf = if (buckets.isEmpty) 0L else buckets.map(_._3).max,
+      uncappedCandidates = cum,
+      maxCandidatesPerDoc = maxCandidatesPerDoc,
+      ladder = ladder)
+  }
+
+  /** [[containmentPairs]] with the cap chosen FROM THE CORPUS: probes
+    * the fan-out first and runs uncapped (exact) when the candidate
+    * volume fits the budget, capped at [[ContainmentFanout.recommendedMaxDf]]
+    * otherwise — the executable form of SCALE.md's "set maxDf to the
+    * knee-side of the df distribution". Returns the pairs and the probe
+    * (so callers can log what was decided and why).
+    */
+  def containmentPairsAdaptive(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int, num: Int, den: Int,
+      maxCandidatesPerDoc: Long = 32L): (DataFrame, ContainmentFanout) = {
+    val probe = containmentFanout(df, idCol, textCol, shingleWidth, num, den,
+      maxCandidatesPerDoc)
+    (containmentPairs(df, idCol, textCol, shingleWidth, num, den,
+      probe.recommendedMaxDf), probe)
+  }
+
   /** PREFIX-FILTERED set-similarity self-join (AllPairs/PPJoin family,
     * Chaudhuri/Bayardo) — the DETERMINISTIC-complete counterpart of the
     * MinHash-LSH candidates: token sets sort by ascending global

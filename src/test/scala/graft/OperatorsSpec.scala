@@ -1190,6 +1190,85 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Dedup.containmentFanout: analytic volume exact, recommendation budget-correct, hazard named") {
+    // brute model of the probe: candidate volume = Σ_t dfPrefix(t)·df(t)
+    // (the prefix(A) ⋈ postings(B) join's row count, self-pairs included)
+    def model(docs: Seq[(Long, String)], num: Int, den: Int) = {
+      val sets = docs.map { case (i, t) => i -> t.split(" ").toSet }.toMap
+      val dfreq = sets.values.flatten.groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      def prefix(a: Long): Set[String] = {
+        val ordered = sets(a).toSeq.sortBy(t => (dfreq(t), t))
+        val n = ordered.size
+        ordered.take(n - ((n * num + den - 1) / den) + 1).toSet
+      }
+      val pdf = docs.map(_._1).flatMap(prefix)
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      (dfreq, (cap: Long) =>
+        pdf.map { case (t, p) => if (dfreq(t) <= cap) p * dfreq(t) else 0L }.sum)
+    }
+    // healthy corpus: the cap test's shape — modest dfs, no boilerplate
+    val rnd = new scala.util.Random(31)
+    val vocab = ('a' to 'p').map(_.toString)
+    val healthy = (0L until 50L).map { i =>
+      val n = 3 + rnd.nextInt(6)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val (hdf, hvol) = model(healthy, 1, 2)
+    val hprobe = Dedup.containmentFanout(healthy.toDF("id", "t"), "id", "t",
+      shingleWidth = 1, num = 1, den = 2, maxCandidatesPerDoc = 10000L)
+    assert(hprobe.nDocs === 50L)
+    assert(hprobe.vocab === hdf.size.toLong)
+    assert(hprobe.maxShingleDf === hdf.values.max)
+    assert(hprobe.uncappedCandidates === hvol(Long.MaxValue))
+    // every present ladder point matches the brute capped volume EXACTLY
+    hprobe.ladder.foreach { case (cap, c) =>
+      assert(c === hvol(cap), s"ladder point $cap") }
+    // generous budget → no hazard, no cap, exact recall free
+    assert(!hprobe.uncappedHazard && hprobe.recommendedMaxDf.isEmpty)
+    hprobe.requireUncappedSafe() // must not throw
+    // the adaptive wrapper then runs UNCAPPED — identical to exact
+    val (adaptive, aprobe) = Dedup.containmentPairsAdaptive(
+      healthy.toDF("id", "t"), "id", "t", 1, 1, 2,
+      maxCandidatesPerDoc = 10000L)
+    assert(aprobe.recommendedMaxDf.isEmpty)
+    assert(adaptive.as[(Long, Long, Long, Long)].collect().toSet ===
+      Dedup.containmentPairs(healthy.toDF("id", "t"), "id", "t", 1, 1, 2)
+        .as[(Long, Long, Long, Long)].collect().toSet)
+
+    // boilerplate corpus: every doc shares a common chunk (the measured
+    // DNF shape — corpus-wide shingles square the candidate product)
+    val boiler = (0L until 60L).map { i =>
+      (i, s"u$i v$i w x y z") // 3 boilerplate tokens df=60, 2 rare df=1
+    }
+    val budgetPerDoc = 32L
+    val (bdf, bvol) = model(boiler, 1, 2)
+    val bprobe = Dedup.containmentFanout(boiler.toDF("id", "t"), "id", "t",
+      shingleWidth = 1, num = 1, den = 2, maxCandidatesPerDoc = budgetPerDoc)
+    assert(bprobe.uncappedCandidates === bvol(Long.MaxValue))
+    assert(bprobe.uncappedHazard, "boilerplate corpus must trip the hazard")
+    val err = intercept[IllegalStateException] { bprobe.requireUncappedSafe() }
+    assert(err.getMessage.contains("uncapped-invocation hazard")
+      && err.getMessage.contains("maxDf"))
+    // recommendation = the LARGEST ladder cap whose brute capped volume
+    // fits the budget (max recall subject to budget) — and it must sit
+    // below the boilerplate df (the knee-safe side of the distribution)
+    val budget = budgetPerDoc * 60L
+    val expected = Dedup.MaxDfLadder.filter(c => bvol(c) <= budget).max
+    assert(bprobe.recommendedMaxDf === Some(expected))
+    assert(expected < bdf.values.max,
+      "recommendation must exclude the boilerplate df")
+    assert(bvol(expected) <= budget)
+    // capped at the recommendation: subset of exact with identical
+    // measures (the q232 contract), and the rare-token pairs survive
+    val exactPairs = Dedup.containmentPairs(boiler.toDF("id", "t"),
+      "id", "t", 1, 1, 2).as[(Long, Long, Long, Long)].collect().toSet
+    val cappedPairs = Dedup.containmentPairs(boiler.toDF("id", "t"),
+      "id", "t", 1, 1, 2, maxDf = Some(expected))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(cappedPairs.subsetOf(exactPairs))
+  }
+
   test("Compaction merges small files without changing content") {
     val src = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
     val dst = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
