@@ -188,6 +188,90 @@ final class LogManager(val logPath: Path) {
     */
   def reset(): Unit = { records = Vector.empty; expectedSize = None }
 
+  /** Compact the tape to latest-checkpoint base + live suffix. The tape
+    * is append-only forever otherwise — checkpoints SUBSUME committed
+    * txns for recovery but never shrink the file, so a long-lived log
+    * dir replays (and stores) every record since creation. Dropped:
+    * records of txns RESOLVED before the latest checkpoint (committed →
+    * their rows live in the checkpoint base; aborted → invisible
+    * forever) and superseded CHECKPOINT records. Preserved: the latest
+    * CHECKPOINT, the entire post-checkpoint suffix, and every
+    * pre-checkpoint record of txns NOT resolved by the checkpoint —
+    * fuzzy-checkpoint straddlers (in flight at the checkpoint,
+    * committed after) keep their UPDATE records or their committed rows
+    * would vanish, and still-unresolved txns keep theirs so a later
+    * COMMIT still finds its batches.
+    *
+    * `foldCommitted` over the compacted tape is IDENTICAL to the
+    * original (same base, committed set, batch map); the deliberate
+    * loss is time travel to snapshots at or before the checkpoint
+    * ([[committedStateAsOf]] of a compacted-away txn now throws — their
+    * batches are only reachable merged into the base).
+    *
+    * Runs under the same exclusive file lock as [[append]] with the
+    * same foreign-writer size check; the rewrite is a synced temp file
+    * atomically moved onto the tape, so a crash mid-compaction leaves
+    * either the old or the new tape, never a torn one.
+    *
+    * @return number of records dropped (0 when no checkpoint exists).
+    */
+  def compact(): Int = {
+    val exp = expectedSize.getOrElse(throw new IllegalStateException(
+      s"LogManager protocol violation: compact of $logPath after a crash/" +
+        "reset() without recovery() — call recovery() first."))
+    if (!Files.exists(logPath)) return 0
+    val ch = java.nio.channels.FileChannel.open(logPath,
+      StandardOpenOption.READ, StandardOpenOption.WRITE)
+    try {
+      val lock =
+        try ch.lock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException =>
+            throw new IllegalStateException(
+              s"LogManager single-writer violation: $logPath is being " +
+                "written CONCURRENTLY by another writer in this JVM.")
+        }
+      try {
+        val actual = ch.size()
+        if (actual != exp) throw new IllegalStateException(
+          s"LogManager single-writer violation: $logPath is $actual bytes " +
+            s"on disk but this writer last saw $exp — a concurrent writer " +
+            "session appended to (or truncated) the log; recover() to take over.")
+        val lastCkpt = records.lastIndexWhere(_._1 == LogRecord.Checkpoint)
+        if (lastCkpt < 0) return 0 // nothing subsumed yet — no-op
+        val pre = records.take(lastCkpt)
+        // resolved strictly BEFORE the checkpoint: committed (subsumed
+        // by the base) or aborted (invisible forever)
+        val resolved = pre.collect {
+          case (LogRecord.Commit, t, _) => t
+          case (LogRecord.Abort, t, _) => t
+        }.toSet
+        val keptPre = pre.filter { case (tpe, t, _) =>
+          tpe != LogRecord.Checkpoint && !resolved(t) }
+        val compacted = (keptPre :+ records(lastCkpt)) ++ records.drop(lastCkpt + 1)
+        val dropped = records.size - compacted.size
+        if (dropped == 0) return 0
+        val bytes = compacted
+          .map { case (tpe, t, p) => s"$tpe\t$t\t$p\n" }
+          .mkString.getBytes(StandardCharsets.UTF_8)
+        val tmp = logPath.resolveSibling(logPath.getFileName.toString + ".compact")
+        val out = java.nio.channels.FileChannel.open(tmp,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+          StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.SYNC)
+        try {
+          val buf = java.nio.ByteBuffer.wrap(bytes)
+          while (buf.hasRemaining) out.write(buf)
+        } finally out.close()
+        Files.move(tmp, logPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        records = compacted
+        expectedSize = Some(bytes.length.toLong)
+        dropped
+      } finally lock.release()
+    } finally ch.close()
+  }
+
   /** ARIES-shaped recovery, radically simplified by immutability:
     * analysis = replay the tape to find committed txns and the last
     * checkpoint; redo = nothing (committed parquet batches are already
@@ -401,6 +485,37 @@ final class TxnTable(spark: SparkSession, val dir: String) {
       snapshot.write.mode("errorifexists").parquet(root.resolve(base).toString)
       log.logCheckpoint(base)
     }
+  }
+
+  /** [[LogManager.compact]] plus physical garbage collection: batch and
+    * checkpoint dirs no longer referenced by any record on the compacted
+    * tape (subsumed txns' batches — their rows live in the base — and
+    * superseded checkpoint bases) are deleted. Safe in the single-writer
+    * session the contract already requires: every surviving read path
+    * resolves dirs through the tape, and the compacted tape references
+    * none of the deleted ones. Returns (records dropped, dirs deleted).
+    */
+  def compact(): (Int, Int) = {
+    val dropped = log.compact()
+    val live = log.durableRecords().collect {
+      case (LogRecord.Update, _, d) => d
+      case (LogRecord.Checkpoint, _, d) => d
+    }.toSet
+    val dead =
+      if (!Files.exists(root)) Vector.empty
+      else scala.util.Using.resource(Files.list(root)) { stream =>
+        stream.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => (n.startsWith("batch-") || n.startsWith("ckpt-"))
+            && !live(n))
+          .toVector
+      }
+    dead.foreach { n =>
+      scala.util.Using.resource(Files.walk(root.resolve(n))) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    }
+    (dropped, dead.size)
   }
 
   /** Simulate a crash: all in-memory state gone. */

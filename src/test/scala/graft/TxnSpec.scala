@@ -348,4 +348,92 @@ class TxnSpec extends AnyFunSuite {
     t.txns.commitTxn(t1)
     assert(values(t) == Seq(9L))
   }
+
+  // Tape compaction: checkpoint-base + live suffix, straddlers preserved,
+  // exact record counts on the compacted tape, reads and recovery
+  // unchanged, unreferenced batch/ckpt dirs physically gone.
+  test("compact rewrites the tape to base + live suffix with exact record counts") {
+    val t = freshTable()
+    val t1 = t.txns.startTxn(); insertValues(t, t1, 1L, 2L); t.txns.commitTxn(t1)
+    val t2 = t.txns.startTxn(); insertValues(t, t2, 3L); t.txns.commitTxn(t2)
+    val t3 = t.txns.startTxn(); insertValues(t, t3, 99L); t.txns.abortTxn(t3)
+    // t4 straddles: in flight at the checkpoint, commits after
+    val t4 = t.txns.startTxn(); insertValues(t, t4, 4L)
+    t.checkpoint() // subsumes t1, t2; t3 aborted; t4's UPDATE predates it
+    t.txns.commitTxn(t4)
+    val t5 = t.txns.startTxn(); insertValues(t, t5, 5L); t.txns.commitTxn(t5)
+    // t6 unresolved at compaction time — its records must survive
+    val t6 = t.txns.startTxn(); insertValues(t, t6, 6L)
+    val before = values(t)
+    assert(before == Seq(1L, 2L, 3L, 4L, 5L))
+    // tape before: 4 (t1) + 3 (t2) + 3 (t3) + 1 CHECKPOINT +
+    //              3 (t4) + 3 (t5) + 2 (t6 so far) = 19
+    assert(t.log.totalRecords == 19)
+
+    val (dropped, deadDirs) = t.compact()
+    // dropped: t1 (4) + t2 (3) + t3 (3) = 10; deleted dirs: t1's two
+    // batches, t2's one, t3's one (aborted) = 4
+    assert(dropped == 10, s"dropped $dropped")
+    assert(deadDirs == 4, s"deleted $deadDirs dirs")
+    // compacted tape: t4 BEGIN+UPDATE (straddler, preserved) +
+    // CHECKPOINT + t4 COMMIT + t5 (3) + t6 BEGIN+UPDATE = 9
+    assert(t.log.totalRecords == 9)
+    assert(t.log.count(LogRecord.Checkpoint) == 1)
+    assert(t.log.count(LogRecord.Begin) == 3)   // t4, t5, t6
+    assert(t.log.count(LogRecord.Update) == 3)  // t4, t5, t6
+    assert(t.log.count(LogRecord.Commit) == 2)  // t4, t5
+    assert(t.log.count(LogRecord.Abort) == 0)
+    // reads identical; the straddler's pre-checkpoint batch survives
+    assert(values(t) == before)
+    // the writer keeps appending on the rewritten tape (expectedSize
+    // re-synced by compact): t6 commits and its row appears
+    t.txns.commitTxn(t6)
+    assert(values(t) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // crash + recovery over the compacted tape
+    t.crash()
+    t.recover()
+    assert(values(t) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // time travel to post-checkpoint commits still works...
+    assert(t.readAsOf(t5).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // ...and to compacted-away txns is the documented loss, failing by name
+    val e = intercept[IllegalArgumentException] { t.readAsOf(t1) }
+    assert(e.getMessage.contains("no COMMIT record"))
+    // a second checkpoint + compaction composes
+    t.checkpoint()
+    val t7 = t.txns.startTxn(); insertValues(t, t7, 7L); t.txns.commitTxn(t7)
+    val (dropped2, _) = t.compact()
+    assert(dropped2 > 0)
+    assert(values(t) == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("compact is a no-op without a checkpoint and is crash-protocol-gated") {
+    val t = freshTable()
+    val t1 = t.txns.startTxn(); insertValues(t, t1, 1L); t.txns.commitTxn(t1)
+    assert(t.log.compact() == 0) // no checkpoint — nothing subsumed
+    assert(t.log.totalRecords == 3)
+    assert(values(t) == Seq(1L))
+    // post-crash compaction without recovery is refused by name, like append
+    t.crash()
+    val e = intercept[IllegalStateException] { t.log.compact() }
+    assert(e.getMessage.contains("without recovery()"))
+    t.recover()
+    assert(values(t) == Seq(1L))
+  }
+
+  test("compact detects a foreign writer's append, same as append does") {
+    val t = freshTable()
+    val t1 = t.txns.startTxn(); insertValues(t, t1, 1L); t.txns.commitTxn(t1)
+    t.checkpoint()
+    // a foreign session appends behind this writer's back
+    val foreign = new graft.txn.LogManager(
+      java.nio.file.Paths.get(t.dir).resolve("log.tsv"))
+    foreign.logBegin(1000L)
+    val e = intercept[IllegalStateException] { t.log.compact() }
+    assert(e.getMessage.contains("single-writer violation"))
+    // legal takeover: recover, then compaction proceeds
+    t.recover()
+    assert(t.log.compact() > 0)
+    assert(values(t) == Seq(1L))
+  }
 }
