@@ -793,6 +793,17 @@ object Queries {
     if (sys.env.contains("GRAFT_STREAM_NOTRACK"))
       s2.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+    // A/B knobs for the scale-knee probes (SCALE.md §q62): the measured
+    // 100x bump is claimed to be state crossing the per-store BLOCK
+    // CACHE (8 MB default) — GRAFT_ROCKSDB_CACHE_MB sizes it directly;
+    // GRAFT_STREAM_NOCHANGELOG=1 reverts to full-snapshot commits to
+    // separate commit cost from lookup cost in the same experiment.
+    sys.env.get("GRAFT_ROCKSDB_CACHE_MB").foreach(mb =>
+      s2.conf.set("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", mb))
+    if (sys.env.contains("GRAFT_STREAM_NOCHANGELOG"))
+      s2.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "false")
     s2
   }
 
@@ -4726,18 +4737,17 @@ object Queries {
     * raw documents table (shingle dfs, rarest-first ranks, prefix
     * lengths, the shared [[Dedup.MaxDfLadder]], budget cumsums — all
     * integer arithmetic, deterministic in both engines). Two budgets so
-    * the recommendation branch is NEVER vacuous: the default 32/doc
-    * (healthy oracle corpora → no cap, exact recall free) and a forced
-    * 1/doc (hazard fires → a real ladder cap on the same data at every
-    * SF). The probe itself is blocking-stage-only (no candidate join) —
-    * the point is that it is safe to run on a corpus whose uncapped
-    * join would DNF.
+    * the recommendation branch is NEVER vacuous: the knee-calibrated
+    * default ([[Dedup.DefaultCandidatesPerDoc]]; the oracle corpora sit
+    * under it → no cap, exact recall free) and a forced 1/doc (hazard
+    * fires → a real ladder cap on the same data at every SF). The probe
+    * itself is blocking-stage-only (no candidate join) — the point is
+    * that it is safe to run on a corpus whose uncapped join would DNF.
     */
   def q233_fanout_probe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val probe = Dedup.containmentFanout(t(s, dir, "documents"),
-      "doc_id", "text", shingleWidth = 3, num = 3, den = 5,
-      maxCandidatesPerDoc = 32L)
+      "doc_id", "text", shingleWidth = 3, num = 3, den = 5)
     Seq((probe.nDocs, probe.vocab, probe.maxShingleDf,
       probe.uncappedCandidates, probe.recommendedMaxDf,
       probe.recommendedMaxDfFor(1L)))
@@ -7073,6 +7083,7 @@ object Queries {
     // ladder (interpolated from the ONE Scala constant both engines use)
     "q233_fanout_probe" -> {
       val ladderSql = graft.operators.Dedup.MaxDfLadder.mkString(", ")
+      val perDoc = graft.operators.Dedup.DefaultCandidatesPerDoc
       s"""WITH sh AS (
            SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
              THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
@@ -7112,10 +7123,10 @@ object Queries {
                  FROM ladder l)
          SELECT tot.n_docs, tot.vocab, tot.max_shingle_df,
            tot.uncapped_candidates,
-           CASE WHEN tot.uncapped_candidates <= 32 * greatest(tot.n_docs, 1)
+           CASE WHEN tot.uncapped_candidates <= $perDoc * greatest(tot.n_docs, 1)
                 THEN CAST(NULL AS BIGINT)
                 ELSE COALESCE((SELECT max(cap) FROM cum
-                               WHERE cands <= 32 * greatest(tot.n_docs, 1)), 1)
+                               WHERE cands <= $perDoc * greatest(tot.n_docs, 1)), 1)
            END AS rec_default,
            CASE WHEN tot.uncapped_candidates <= greatest(tot.n_docs, 1)
                 THEN CAST(NULL AS BIGINT)

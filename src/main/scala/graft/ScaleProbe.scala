@@ -76,6 +76,19 @@ object ScaleProbe {
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * Offset))
       .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L))
       .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L)))
+    // embeddings: fresh vec_ids per copy; each copy's vectors are a
+    // cyclic rotation of the base (length- and norm-preserving, so the
+    // corpus genuinely grows in distinct vectors and IVF cells rather
+    // than stacking N-deep duplicates). q122's fixed query set
+    // (vec_id < 16) stays the base copy's — a constant query set over a
+    // growing corpus, the honest ANN scaling shape.
+    scaled("embeddings", (df, i) => {
+      val r = i % 64
+      df.withColumn("vec_id", col("vec_id") + lit(i * Offset))
+        .withColumn("embedding",
+          if (r == 0) col("embedding")
+          else expr(s"concat(slice(embedding, ${r + 1}, 64 - $r), slice(embedding, 1, $r))"))
+    })
 
     // GRAFT_SCALE_ONLY=mad_q131,... times just those ops (local iteration)
     val only = sys.env.get("GRAFT_SCALE_ONLY")
@@ -167,6 +180,14 @@ object ScaleProbe {
     }
     time("winnowing_pairs_q138") { Queries.q138_winnowing_pairs(spark, dir).count() }
     time("canonical_q109") { Queries.q109_canonical_pick(spark, dir).count() }
+    // round-10 knee block (last unmeasured heavy tier): bucketed WRITE
+    // path, ANN-recall certification (brute force + IVF over the scaled
+    // corpus with the fixed base query set), stream session timeouts
+    // (the eviction-path stateful op), z-order write + skip roundtrip
+    time("bucketed_join_q107") { Queries.q107_bucketed_join(spark, dir).count() }
+    time("ann_recall_q122") { Queries.q122_ann_recall(spark, dir).count() }
+    time("stream_session_q127") { Queries.q127_stream_session_timeout(spark, dir).count() }
+    time("zorder_q94") { Queries.q94_zorder_roundtrip(spark, dir).count() }
     time("containment_q231") { Queries.q231_containment_join(spark, dir).count() }
     spark.stop()
   }

@@ -574,6 +574,19 @@ object Dedup {
     body :+ Long.MaxValue
   }
 
+  /** Default candidate budget for [[containmentFanout]], in candidates
+    * per document — calibrated against the measured knee curve
+    * (SCALE.md §Scale knee, all points on the rotated probe corpora):
+    * 166 candidates/doc ran CLEAN at every measured absolute scale
+    * (sf0.1 base, and its density-preserving copies to 10×), the knee
+    * surfaced at 211/doc (30×, completed with superlinear growth), and
+    * 644/doc DNF'd (100×, 77 GB of spill). 192 sits between the
+    * highest measured-clean density and the knee onset: a corpus under
+    * it matches every shape measured safe; one over it has entered the
+    * measured knee regime.
+    */
+  val DefaultCandidatesPerDoc: Long = 192L
+
   /** Driver-side fan-out diagnosis for [[containmentPairs]] — the
     * measured 100× DNF of the UNCAPPED form (SCALE.md §Scale knee:
     * candidate volume Σ_t dfPrefix(t)·df(t) went 31.6 M at 30× → 322 M
@@ -645,14 +658,12 @@ object Dedup {
   }
 
   /** Compute [[ContainmentFanout]] for a [[containmentPairs]] invocation
-    * with the same (shingleWidth, num, den). Default budget of 32
-    * candidates/doc sits under the measured knee (SCALE.md: ~53/doc
-    * completed with a knee at 30×, ~161/doc DNF'd at 100×) and above
-    * healthy-corpus levels (a few per doc).
+    * with the same (shingleWidth, num, den). The default budget is
+    * [[DefaultCandidatesPerDoc]] (knee-calibrated; see its doc).
     */
   def containmentFanout(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int, num: Int, den: Int,
-      maxCandidatesPerDoc: Long = 32L): ContainmentFanout = {
+      maxCandidatesPerDoc: Long = DefaultCandidatesPerDoc): ContainmentFanout = {
     require(num > 0 && den >= num, s"threshold must be in (0,1]: $num/$den")
     require(maxCandidatesPerDoc >= 1, s"budget must be >= 1: $maxCandidatesPerDoc")
     val toks = df
@@ -707,7 +718,7 @@ object Dedup {
     */
   def containmentPairsAdaptive(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int, num: Int, den: Int,
-      maxCandidatesPerDoc: Long = 32L): (DataFrame, ContainmentFanout) = {
+      maxCandidatesPerDoc: Long = DefaultCandidatesPerDoc): (DataFrame, ContainmentFanout) = {
     val probe = containmentFanout(df, idCol, textCol, shingleWidth, num, den,
       maxCandidatesPerDoc)
     (containmentPairs(df, idCol, textCol, shingleWidth, num, den,
