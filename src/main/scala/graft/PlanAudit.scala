@@ -19,9 +19,13 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, WholeStageCodegenExec
 object PlanAudit {
   /** Queries with no static batch plan to audit: streaming queries
     * execute through the state store, q37/q126 replay the txn tape
-    * (table state, not a plan shape), and q147 materializes eagerly
+    * (table state, not a plan shape), q147 materializes eagerly
     * via localCheckpoint (the returned plan is the checkpoint scan;
-    * its shuffle shape is documented in SCALE.md §Sparse cosine).
+    * its shuffle shape is documented in SCALE.md §Sparse cosine), and
+    * q233 returns the fan-out probe's driver-side summary as a literal
+    * row (the probe's blocking-stage jobs run during construction;
+    * their shape is the containment join's own blocking, audited via
+    * q231 + SCALE.md §Scale knee).
     * Shared with PlanShapeSpec's repo-wide cartesian check.
     */
   val planlessQueries: Set[String] =
@@ -32,7 +36,7 @@ object PlanAudit {
       "q143_stream_span_corrupt", "q148_stream_cdc_merge",
       "q153_stream_window_ndv", "q156_stream_window_topk",
       "q37_txn_visibility", "q126_txn_timetravel",
-      "q147_cosine_pairs")
+      "q147_cosine_pairs", "q233_fanout_probe")
 
   /** Queries whose OPERATOR UNDER TEST is a write: constructing the
     * DataFrame performs /tmp deletes and parquet/table writes before
@@ -119,8 +123,10 @@ object PlanAudit {
     sb ++= "so the initial plan itself carries none).\n"
     sb ++= "Planless rows (—): streaming queries execute through the microbatch\n"
     sb ++= "engine (audited via SCALE.md §Streaming), q37/q126 replay the txn\n"
-    sb ++= "tape, and q147 materializes via eager localCheckpoint (shuffle\n"
-    sb ++= "shape in SCALE.md §Sparse cosine).\n\n"
+    sb ++= "tape, q147 materializes via eager localCheckpoint (shuffle\n"
+    sb ++= "shape in SCALE.md §Sparse cosine), and q233 returns the fan-out\n"
+    sb ++= "probe's driver-side summary as a literal row (probe job shape =\n"
+    sb ++= "q231's blocking stages; SCALE.md §Scale knee).\n\n"
     sb ++= "| query | shuffles | broadcasts | scans | codegen | cross | bnlj |\n"
     sb ++= "|---|---|---|---|---|---|---|\n"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

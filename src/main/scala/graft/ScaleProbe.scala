@@ -162,10 +162,14 @@ object ScaleProbe {
     // capped FIRST: the uncapped probe is the one with a known DNF mode
     // at 100x (disk-filling candidate spill) — the comparison rows must
     // already be on record before it runs
+    // GRAFT_CONTAINMENT_CAP overrides the cap (default 12, the r9
+    // measured-safe setting) — used to measure the fan-out probe's OWN
+    // recommendation at the scale that recommended it
     time("containment_capped") {
+      val cap = sys.env.get("GRAFT_CONTAINMENT_CAP").map(_.toLong).getOrElse(12L)
       graft.operators.Dedup.containmentPairs(
         graft.core.Catalog.table(spark, dir, "documents"), "doc_id", "text",
-        shingleWidth = 3, num = 3, den = 5, maxDf = Some(12L)).count()
+        shingleWidth = 3, num = 3, den = 5, maxDf = Some(cap)).count()
     }
     // the fan-out probe FIRST at each scale: its recommendation (derived
     // from the df distribution alone, blocking stages only — safe where

@@ -697,7 +697,11 @@ object Dedup {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
-    val nDocs = toks.select("__id").distinct().count()
+    // participating docs = docs with >= 1 shingle = docs with non-null
+    // text (shingles of a short/empty text is the text itself, never an
+    // empty array) — a scan-cheap count instead of a second
+    // tokenize+distinct pass over the corpus
+    val nDocs = df.where(col(textCol).isNotNull).count()
     var cum = 0L
     val ladder = buckets.map { case (cap, c, _, _) => cum += c; (cap, cum) }.toVector
     ContainmentFanout(
