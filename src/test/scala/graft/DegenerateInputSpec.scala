@@ -42,6 +42,18 @@ class DegenerateInputSpec extends AnyFunSuite {
     assertEmpty(Dedup.containmentPairs(docs0, "doc_id", "text", 3, 3, 5))
     assertEmpty(Dedup.containmentPairs(docs0, "doc_id", "text", 3, 3, 5, Some(2L)))
     assertEmpty(Dedup.prefixJaccardPairs(docs0, "doc_id", "text", 1, 2))
+    // the fan-out probe on an empty (or all-null-text) corpus: zeroed
+    // stats, no hazard, no recommendation — and the adaptive wrapper
+    // then runs uncapped on the empty corpus without a crash
+    for (d0 <- Seq(docs0,
+        Seq((1L, null: String), (2L, null: String)).toDF("doc_id", "text"))) {
+      val probe = Dedup.containmentFanout(d0, "doc_id", "text", 3, 3, 5)
+      assert(probe.nDocs === 0L && probe.vocab === 0L &&
+        probe.maxShingleDf === 0L && probe.uncappedCandidates === 0L)
+      assert(!probe.uncappedHazard && probe.recommendedMaxDf.isEmpty)
+      probe.requireUncappedSafe()
+      assertEmpty(Dedup.containmentPairsAdaptive(d0, "doc_id", "text", 3, 3, 5)._1)
+    }
     assertEmpty(FuzzyJoin.editDistanceSelfJoin(docs0, "doc_id", "text", 2))
     assertEmpty(TextAnalysis.chunkTokens(docs0, "doc_id", "text"))
     assertEmpty(TextAnalysis.oovStats(docs0, "doc_id", "text"))
