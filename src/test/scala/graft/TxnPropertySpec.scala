@@ -28,6 +28,7 @@ object TxnPropertySpec extends Properties("TxnTape") {
   private case class Abort(slot: Int) extends Op
   private case object Checkpoint extends Op
   private case object CrashRecover extends Op
+  private case object Compact extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     3 -> Gen.const(Begin),
@@ -35,7 +36,8 @@ object TxnPropertySpec extends Properties("TxnTape") {
     3 -> Gen.choose(0, 2).map(Commit(_)),
     2 -> Gen.choose(0, 2).map(Abort(_)),
     1 -> Gen.const(Checkpoint),
-    1 -> Gen.const(CrashRecover))
+    1 -> Gen.const(CrashRecover),
+    1 -> Gen.const(Compact))
 
   private val tapeGen: Gen[List[Op]] = Gen.listOfN(14, opGen)
 
@@ -48,6 +50,9 @@ object TxnPropertySpec extends Properties("TxnTape") {
       var pending = Map.empty[Long, Vector[Long]]     // txn -> its uncommitted values
       var committedVals = Vector.empty[Long]          // visible set, in commit order
       var snapshots = Map.empty[Long, Vector[Long]]   // txn -> visible set at its commit
+      var committedAtLastCkpt = Set.empty[Long]       // subsumption set of the latest checkpoint
+      var compactedAway = Set.empty[Long]             // commits whose snapshot compaction destroyed
+      var baseExists = false                          // a checkpoint base has been written
       var nextVal = 0L
 
       tape.foreach {
@@ -73,10 +78,23 @@ object TxnPropertySpec extends Properties("TxnTape") {
           pending -= id
         case Checkpoint =>
           t.checkpoint()
+          // checkpoint() no-ops when nothing is visible (no base yet
+          // and no committed batch) — no CHECKPOINT record lands, so
+          // the subsumption set must not advance either
+          if (committedVals.nonEmpty || baseExists) {
+            baseExists = true
+            committedAtLastCkpt = snapshots.keySet
+          }
         case CrashRecover =>
           t.crash(); t.recover()
           // open txns die with the crash; their batches stay invisible
           active = Vector.empty
+        case Compact =>
+          // visible reads must be unaffected; the documented loss is
+          // time travel to txns resolved before the latest checkpoint
+          t.compact()
+          compactedAway ++= committedAtLastCkpt
+          snapshots --= committedAtLastCkpt
         case _ => () // Insert/Commit/Abort with no active txn: no-op
       }
 
@@ -89,6 +107,12 @@ object TxnPropertySpec extends Properties("TxnTape") {
       val asOfOk = snapshots.forall { case (txn, snap) =>
         t.readAsOf(txn).collect().map(_.getLong(0)).toSeq.sorted == snap.sorted
       }
-      visibleOk && asOfOk
+      // compaction destroyed exactly these snapshots — by name, not
+      // with a wrong answer
+      val compactedOk = compactedAway.forall { txn =>
+        scala.util.Try(t.readAsOf(txn)).failed.toOption
+          .exists(_.getMessage.contains("no COMMIT record"))
+      }
+      visibleOk && asOfOk && compactedOk
     }
 }
