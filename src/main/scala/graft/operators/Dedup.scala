@@ -495,6 +495,13 @@ object Dedup {
     * token it shares is corpus-boilerplate above the cap. `None` (the
     * default, q231's gate) is exact.
     *
+    * Choosing the cap: [[containmentFanout]] measures this corpus's
+    * candidate volume analytically (blocking stages only — safe where
+    * the uncapped join would not finish) and
+    * [[ContainmentFanout.recommendedMaxDf]] answers with the largest
+    * knee-safe cap, or None when exact recall is free;
+    * [[containmentPairsAdaptive]] wires the two together.
+    *
     * Output: one row per ORDERED pair (id_a, id_b, i, na) with
     * i = |A∩B|, na = |A| and i·den ≥ na·num — containment of A in B
     * (both directions of a pair can appear, each with its own quotient).
