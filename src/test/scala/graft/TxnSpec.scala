@@ -421,6 +421,28 @@ class TxnSpec extends AnyFunSuite {
     assert(values(t) == Seq(1L))
   }
 
+  test("a stale .compact temp file from a crashed compaction is inert") {
+    val t = freshTable()
+    val t1 = t.txns.startTxn(); insertValues(t, t1, 1L, 2L); t.txns.commitTxn(t1)
+    t.checkpoint()
+    val t2 = t.txns.startTxn(); insertValues(t, t2, 3L); t.txns.commitTxn(t2)
+    // a compaction that crashed after writing its temp file but before
+    // the atomic move leaves log.tsv.compact behind; the live tape is
+    // untouched, so readers, recovery, and the NEXT compaction must all
+    // ignore/overwrite the leftover
+    val tmp = java.nio.file.Paths.get(t.dir).resolve("log.tsv.compact")
+    Files.writeString(tmp, "GARBAGE\tnot-a-txn\tfrom-a-dead-compaction\n")
+    assert(values(t) == Seq(1L, 2L, 3L))
+    t.crash(); t.recover()
+    assert(values(t) == Seq(1L, 2L, 3L))
+    val (dropped, _) = t.compact() // truncates and replaces the leftover
+    assert(dropped > 0)
+    assert(!Files.exists(tmp)) // moved onto the tape
+    assert(values(t) == Seq(1L, 2L, 3L))
+    t.crash(); t.recover()
+    assert(values(t) == Seq(1L, 2L, 3L))
+  }
+
   test("compact detects a foreign writer's append, same as append does") {
     val t = freshTable()
     val t1 = t.txns.startTxn(); insertValues(t, t1, 1L); t.txns.commitTxn(t1)
