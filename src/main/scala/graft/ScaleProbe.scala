@@ -79,7 +79,11 @@ object ScaleProbe {
     // embeddings: fresh vec_ids per copy; each copy's vectors are a
     // cyclic rotation of the base (length- and norm-preserving, so the
     // corpus genuinely grows in distinct vectors and IVF cells rather
-    // than stacking N-deep duplicates). q122's fixed query set
+    // than stacking N-deep duplicates). Rotation is periodic at dim=64:
+    // beyond 64 copies the classes repeat (copy 64 duplicates copy 0) —
+    // same deliberate wrap posture as the text rotation's 26-copy
+    // period; duplicates are harmless to the recall gate (brute force
+    // and IVF see the same corpus). q122's fixed query set
     // (vec_id < 16) stays the base copy's — a constant query set over a
     // growing corpus, the honest ANN scaling shape.
     scaled("embeddings", (df, i) => {
