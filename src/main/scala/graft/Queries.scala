@@ -7084,12 +7084,17 @@ object Queries {
     "q233_fanout_probe" -> {
       val ladderSql = graft.operators.Dedup.MaxDfLadder.mkString(", ")
       val perDoc = graft.operators.Dedup.DefaultCandidatesPerDoc
+      // text IS NOT NULL up front: Spark's explode(shingles(NULL))
+      // emits no rows, while DuckDB's ELSE [text] would turn a null
+      // text into a NULL token that shifts n_docs/vocab — benign in the
+      // pair-output oracles (a NULL token never equi-joins) but a
+      // count divergence in this aggregate one
       s"""WITH sh AS (
            SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
              THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
              ELSE [text] END) AS s
            FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
-                 FROM documents)),
+                 FROM documents WHERE text IS NOT NULL)),
          tk AS (SELECT doc_id, unnest(s) AS tok FROM sh),
          dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
                    FROM tk GROUP BY tok),
@@ -7113,7 +7118,7 @@ object Queries {
          tot AS (SELECT
                    CAST((SELECT count(DISTINCT doc_id) FROM tk) AS BIGINT) AS n_docs,
                    CAST(count(*) AS BIGINT) AS vocab,
-                   CAST(max(df) AS BIGINT) AS max_shingle_df,
+                   CAST(COALESCE(max(df), 0) AS BIGINT) AS max_shingle_df,
                    CAST(COALESCE(sum(c), 0) AS BIGINT) AS uncapped_candidates
                  FROM contrib),
          ladder AS (SELECT CAST(unnest([$ladderSql]) AS BIGINT) AS cap),

@@ -168,9 +168,14 @@ object ScaleProbe {
     // already be on record before it runs
     // GRAFT_CONTAINMENT_CAP overrides the cap (default 12, the r9
     // measured-safe setting) — used to measure the fan-out probe's OWN
-    // recommendation at the scale that recommended it
+    // recommendation at the scale that recommended it. Parsed OUTSIDE
+    // the guarded probe block: a typo'd value is a config error and
+    // must abort the run, not print as a fake DNF row that the knee
+    // table can't tell from a real spill-abort measurement.
+    val containmentCap =
+      sys.env.get("GRAFT_CONTAINMENT_CAP").map(_.toLong).getOrElse(12L)
     time("containment_capped") {
-      val cap = sys.env.get("GRAFT_CONTAINMENT_CAP").map(_.toLong).getOrElse(12L)
+      val cap = containmentCap
       graft.operators.Dedup.containmentPairs(
         graft.core.Catalog.table(spark, dir, "documents"), "doc_id", "text",
         shingleWidth = 3, num = 3, den = 5, maxDf = Some(cap)).count()

@@ -704,11 +704,16 @@ object Dedup {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
-    // participating docs = docs with >= 1 shingle = docs with non-null
-    // text (shingles of a short/empty text is the text itself, never an
-    // empty array) — a scan-cheap count instead of a second
-    // tokenize+distinct pass over the corpus
-    val nDocs = df.where(col(textCol).isNotNull).count()
+    // participating docs = docs with >= 1 shingle = DISTINCT non-null
+    // ids with non-null text (shingles of a short/empty text is the
+    // text itself, never an empty array; the candidate model's unit is
+    // the per-id token SET, so repeated ids are one doc, not several) —
+    // an id-only distinct count instead of a second tokenize+distinct
+    // pass over the corpus. count(DISTINCT) drops a null id in both
+    // engines; a null-id group still contributes candidates, so on such
+    // a (contract-violating) corpus the budget is conservative by one.
+    val nDocs = df.where(col(textCol).isNotNull)
+      .agg(count_distinct(col(idCol))).head().getLong(0)
     var cum = 0L
     val ladder = buckets.map { case (cap, c, _, _) => cum += c; (cap, cum) }.toVector
     ContainmentFanout(

@@ -59,7 +59,42 @@ final class LogManager(val logPath: Path) {
   // None = unknown, only after reset()'s crash simulation; append then
   // REFUSES until recovery() re-syncs — which is also how a successor
   // session legally takes over a log dir from a dead writer.
+  //
+  // The lock lives on a SIBLING lock file (log.tsv.lock), never on the
+  // tape itself, because compact() replaces the tape's INODE (temp file
+  // + atomic move): a writer that had opened the tape and was blocked
+  // on a tape-inode lock while compaction ran would, once unblocked,
+  // hold the ORPHANED pre-compaction inode — its size check would pass
+  // (that inode never changed) and its append would land in an unlinked
+  // file, a silently lost record. The lock file is never moved or
+  // deleted, so whoever holds its lock opens the tape AFTERWARD and
+  // always sees the real directory entry.
   private var expectedSize: Option[Long] = None
+  private val lockPath: Path =
+    logPath.resolveSibling(logPath.getFileName.toString + ".lock")
+
+  /** Run `body` holding the exclusive cross-process lock every tape
+    * operation (observe/append/compact) serializes on. The tape file
+    * itself must only be opened INSIDE `body` — see the inode note on
+    * [[expectedSize]].
+    */
+  private def withTapeLock[A](doing: String)(body: => A): A = {
+    Files.createDirectories(logPath.getParent)
+    val lch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val lock =
+        try lch.lock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException =>
+            throw new IllegalStateException(
+              s"LogManager single-writer violation: $logPath is being " +
+                s"$doing CONCURRENTLY by another writer in this JVM. " +
+                "Each log dir has exactly ONE live writer.")
+        }
+      try body finally lock.release()
+    } finally lch.close()
+  }
 
   // The initial observation (records mirror + size baseline) is taken
   // as ONE locked read: two separate file reads would leave a window
@@ -77,35 +112,23 @@ final class LogManager(val logPath: Path) {
     * exclusive file lock append() uses, so the mirror and the size
     * baseline describe the same instant of the file.
     */
-  private def lockedObservation(): (Vector[(String, Long, String)], Long) = {
-    if (!Files.exists(logPath)) return (Vector.empty, 0L)
-    val ch =
-      try java.nio.channels.FileChannel.open(logPath,
-        StandardOpenOption.READ, StandardOpenOption.WRITE)
-      catch { // deleted between the exists check and the open: empty tape
-        case _: java.nio.file.NoSuchFileException => return (Vector.empty, 0L)
+  private def lockedObservation(): (Vector[(String, Long, String)], Long) =
+    withTapeLock("observed") {
+      if (!Files.exists(logPath)) (Vector.empty, 0L)
+      else {
+        val ch = java.nio.channels.FileChannel.open(logPath,
+          StandardOpenOption.READ)
+        try {
+          val size = ch.size()
+          require(size <= Int.MaxValue,
+            s"LogManager tape $logPath exceeds 2 GiB — compact() it")
+          val buf = java.nio.ByteBuffer.allocate(size.toInt)
+          while (buf.hasRemaining && ch.read(buf) >= 0) {}
+          val text = new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
+          (parseTape(text.split("\n", -1).toVector), size)
+        } finally ch.close()
       }
-    try {
-      val lock =
-        try ch.lock()
-        catch {
-          case _: java.nio.channels.OverlappingFileLockException =>
-            throw new IllegalStateException(
-              s"LogManager single-writer violation: $logPath is locked by " +
-                "another live writer in this JVM. Each log dir has exactly " +
-                "ONE live writer.")
-        }
-      try {
-        val size = ch.size()
-        require(size <= Int.MaxValue,
-          s"LogManager tape $logPath exceeds 2 GiB — compact() it")
-        val buf = java.nio.ByteBuffer.allocate(size.toInt)
-        while (buf.hasRemaining && ch.read(buf) >= 0) {}
-        val text = new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
-        (parseTape(text.split("\n", -1).toVector), size)
-      } finally lock.release()
-    } finally ch.close()
-  }
+    }
 
   private def parseTape(lines: Vector[String]): Vector[(String, Long, String)] =
     lines.filter(_.nonEmpty).map { line =>
@@ -130,24 +153,14 @@ final class LogManager(val logPath: Path) {
         "reset() without recovery() — the writer has no size observation " +
         "and its in-memory mirror excludes every durable record. Call " +
         "recovery() first (the documented post-crash protocol)."))
-    Files.createDirectories(logPath.getParent)
     val bytes = s"$tpe\t$txn\t$payload\n".getBytes(StandardCharsets.UTF_8)
-    // SYNC: the write is flushed before the call returns — a COMMIT
-    // record on disk is the durability point (reference: FORCE policy
-    // flushes pages before logging commit, transaction_manager.cc:52-73).
-    val ch = java.nio.channels.FileChannel.open(logPath,
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-      StandardOpenOption.APPEND, StandardOpenOption.SYNC)
-    try {
-      val lock =
-        try ch.lock()
-        catch {
-          case _: java.nio.channels.OverlappingFileLockException =>
-            throw new IllegalStateException(
-              s"LogManager single-writer violation: $logPath is being " +
-                "appended CONCURRENTLY by another writer in this JVM. " +
-                "Each log dir has exactly ONE live writer.")
-        }
+    withTapeLock("appended") {
+      // SYNC: the write is flushed before the call returns — a COMMIT
+      // record on disk is the durability point (reference: FORCE policy
+      // flushes pages before logging commit, transaction_manager.cc:52-73).
+      val ch = java.nio.channels.FileChannel.open(logPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.APPEND, StandardOpenOption.SYNC)
       try {
         val actual = ch.size()
         if (actual != exp) throw new IllegalStateException(
@@ -160,8 +173,8 @@ final class LogManager(val logPath: Path) {
         while (buf.hasRemaining) ch.write(buf)
         expectedSize = Some(actual + bytes.length)
         records :+= ((tpe, txn, payload))
-      } finally lock.release()
-    } finally ch.close()
+      } finally ch.close()
+    }
   }
 
   def logBegin(txn: Long): Unit = append(LogRecord.Begin, txn)
@@ -170,10 +183,22 @@ final class LogManager(val logPath: Path) {
   def logCommit(txn: Long): Unit = append(LogRecord.Commit, txn)
   def logAbort(txn: Long): Unit = append(LogRecord.Abort, txn)
   /** Checkpoint payload = the compacted base dir; batches of txns
-    * committed before the checkpoint are subsumed by it.
+    * committed before the checkpoint are subsumed by it. The record's
+    * txn field carries the tape's txn-id HIGH-WATER MARK at checkpoint
+    * time (every id ever issued has a BEGIN on the tape, so the tape
+    * max IS the mark): [[compact]] may drop every record of the
+    * highest ids (all resolved pre-checkpoint), and a reopen/recovery
+    * that resumed ids from a tape without the mark would re-issue
+    * them — aliasing [[committedStateAsOf]] of a compacted-away txn
+    * onto the NEW txn's snapshot instead of the documented "no COMMIT
+    * record" failure. Pre-checkpoint records all have ids <= the mark,
+    * so the surviving CHECKPOINT record keeps the max observable.
+    * (-1 on pre-upgrade tapes is harmless: max() ignores it.)
     */
   def logCheckpoint(baseDir: String): Unit =
-    append(LogRecord.Checkpoint, -1L, baseDir)
+    append(LogRecord.Checkpoint,
+      records.foldLeft(-1L) { case (m, (_, t, _)) => math.max(m, t) },
+      baseDir)
 
   // Record-count API (reference log_manager.h:30-44).
   def totalRecords: Int = records.size
@@ -220,25 +245,15 @@ final class LogManager(val logPath: Path) {
       s"LogManager protocol violation: compact of $logPath after a crash/" +
         "reset() without recovery() — call recovery() first."))
     if (!Files.exists(logPath)) return 0
-    val ch = java.nio.channels.FileChannel.open(logPath,
-      StandardOpenOption.READ, StandardOpenOption.WRITE)
-    try {
-      val lock =
-        try ch.lock()
-        catch {
-          case _: java.nio.channels.OverlappingFileLockException =>
-            throw new IllegalStateException(
-              s"LogManager single-writer violation: $logPath is being " +
-                "written CONCURRENTLY by another writer in this JVM.")
-        }
-      try {
-        val actual = ch.size()
-        if (actual != exp) throw new IllegalStateException(
-          s"LogManager single-writer violation: $logPath is $actual bytes " +
-            s"on disk but this writer last saw $exp — a concurrent writer " +
-            "session appended to (or truncated) the log; recover() to take over.")
-        val lastCkpt = records.lastIndexWhere(_._1 == LogRecord.Checkpoint)
-        if (lastCkpt < 0) return 0 // nothing subsumed yet — no-op
+    withTapeLock("compacted") {
+      val actual = Files.size(logPath)
+      if (actual != exp) throw new IllegalStateException(
+        s"LogManager single-writer violation: $logPath is $actual bytes " +
+          s"on disk but this writer last saw $exp — a concurrent writer " +
+          "session appended to (or truncated) the log; recover() to take over.")
+      val lastCkpt = records.lastIndexWhere(_._1 == LogRecord.Checkpoint)
+      if (lastCkpt < 0) 0 // nothing subsumed yet — no-op
+      else {
         val pre = records.take(lastCkpt)
         // resolved strictly BEFORE the checkpoint: committed (subsumed
         // by the base) or aborted (invisible forever)
@@ -250,26 +265,28 @@ final class LogManager(val logPath: Path) {
           tpe != LogRecord.Checkpoint && !resolved(t) }
         val compacted = (keptPre :+ records(lastCkpt)) ++ records.drop(lastCkpt + 1)
         val dropped = records.size - compacted.size
-        if (dropped == 0) return 0
-        val bytes = compacted
-          .map { case (tpe, t, p) => s"$tpe\t$t\t$p\n" }
-          .mkString.getBytes(StandardCharsets.UTF_8)
-        val tmp = logPath.resolveSibling(logPath.getFileName.toString + ".compact")
-        val out = java.nio.channels.FileChannel.open(tmp,
-          StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-          StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.SYNC)
-        try {
-          val buf = java.nio.ByteBuffer.wrap(bytes)
-          while (buf.hasRemaining) out.write(buf)
-        } finally out.close()
-        Files.move(tmp, logPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        records = compacted
-        expectedSize = Some(bytes.length.toLong)
-        dropped
-      } finally lock.release()
-    } finally ch.close()
+        if (dropped == 0) 0
+        else {
+          val bytes = compacted
+            .map { case (tpe, t, p) => s"$tpe\t$t\t$p\n" }
+            .mkString.getBytes(StandardCharsets.UTF_8)
+          val tmp = logPath.resolveSibling(logPath.getFileName.toString + ".compact")
+          val out = java.nio.channels.FileChannel.open(tmp,
+            StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+            StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.SYNC)
+          try {
+            val buf = java.nio.ByteBuffer.wrap(bytes)
+            while (buf.hasRemaining) out.write(buf)
+          } finally out.close()
+          Files.move(tmp, logPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          records = compacted
+          expectedSize = Some(bytes.length.toLong)
+          dropped
+        }
+      }
+    }
   }
 
   /** ARIES-shaped recovery, radically simplified by immutability:

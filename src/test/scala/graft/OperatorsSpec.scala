@@ -1267,6 +1267,16 @@ class OperatorsSpec extends AnyFunSuite {
       "id", "t", 1, 1, 2, maxDf = Some(expected))
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(cappedPairs.subsetOf(exactPairs))
+
+    // nDocs counts DISTINCT ids (the candidate model's unit is the
+    // per-id token SET — groupBy merges repeated ids into one doc) and
+    // ignores null-text rows, matching the q233 oracle's
+    // count(DISTINCT doc_id) over the non-null-text corpus
+    val dup = healthy ++ Seq((0L, "q r s"), (999L, null: String))
+    val dprobe = Dedup.containmentFanout(dup.toDF("id", "t"), "id", "t",
+      shingleWidth = 1, num = 1, den = 2, maxCandidatesPerDoc = 10000L)
+    assert(dprobe.nDocs === 50L,
+      "repeated ids are one doc and null-text rows are no doc")
   }
 
   test("Compaction merges small files without changing content") {
