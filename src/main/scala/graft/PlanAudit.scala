@@ -18,7 +18,7 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, WholeStageCodegenExec
   */
 object PlanAudit {
   /** Queries with no static batch plan to audit: streaming queries
-    * execute through the state store, q37/q126 replay the txn tape
+    * execute through the state store, q37/q126/q234 replay the txn tape
     * (table state, not a plan shape), q147 materializes eagerly
     * via localCheckpoint (the returned plan is the checkpoint scan;
     * its shuffle shape is documented in SCALE.md §Sparse cosine), and
@@ -35,7 +35,7 @@ object PlanAudit {
       "q135_stream_session_window", "q139_stream_oov_filter",
       "q143_stream_span_corrupt", "q148_stream_cdc_merge",
       "q153_stream_window_ndv", "q156_stream_window_topk",
-      "q37_txn_visibility", "q126_txn_timetravel",
+      "q37_txn_visibility", "q126_txn_timetravel", "q234_txn_compaction",
       "q147_cosine_pairs", "q233_fanout_probe")
 
   /** Queries whose OPERATOR UNDER TEST is a write: constructing the
@@ -48,7 +48,7 @@ object PlanAudit {
   val writePathQueries: Set[String] =
     Set("q94_zorder_roundtrip", "q107_bucketed_join", "q121_xml_roundtrip",
       "q133_partitioned_write", "q146_schema_evolution",
-      "q162_dynamic_pruning")
+      "q162_dynamic_pruning", "q235_file_compaction")
 
   /** The pre-AQE physical plan — the shape Catalyst chose; AQE only
     * refines it at runtime.

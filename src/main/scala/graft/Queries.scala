@@ -4755,6 +4755,114 @@ object Queries {
         "rec_default", "rec_tight")
   }
 
+  /** Certification of [[graft.txn.TxnTable.compact]] through the oracle
+    * gate (the round-9 verdict's #3 ask, landed this round with TxnSpec
+    * pins; this query re-states the CONTRACT declaratively in DuckDB):
+    * a tape with one checkpoint-subsumed commit, a fuzzy-checkpoint
+    * STRADDLER (in flight at the checkpoint, committed after — its
+    * pre-checkpoint UPDATE records must survive compaction or its rows
+    * vanish), a live post-checkpoint commit, and an abort is compacted
+    * (tape rewrite + dead-dir GC), then COLD-REOPENED — a fresh TxnTable
+    * re-deriving everything from the compacted tape alone. The gate
+    * checks BOTH surviving read paths: the current snapshot (subsumed ∪
+    * straddler ∪ live slices, aborted invisible) and time travel to the
+    * straddler's commit (base + straddler only — readAsOf must still
+    * work across a compaction for every snapshot at-or-after the
+    * checkpoint; snapshots before it are the documented loss). Structural
+    * invariants (exactly the subsumed txn's 3 records dropped, exactly
+    * its one batch dir GC'd) are asserted in-build so a compaction
+    * regression fails by name rather than shifting rows.
+    */
+  def q234_txn_compaction(s: SparkSession, dir: String): DataFrame = {
+    // Same per-process tape-caching discipline as q37 (marker file,
+    // pid + dir key); later invocations in the same process exercise
+    // the cold-open path over the compacted tape.
+    val sanitized = dirSlug(dir) // one slug convention for every scratch path
+    val tmp = pidScratch(s"/tmp/graft-q234-${ProcessHandle.current().pid()}-$sanitized")
+    val root = java.nio.file.Paths.get(tmp)
+    val marker = root.resolve("_graft_built")
+    if (!java.nio.file.Files.exists(marker)) {
+      deleteRecursively(root, strict = true)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val table = new graft.txn.TxnTable(s, tmp)
+      val t1 = table.txns.startTxn()
+      table.insert(t1, orders.where(col("o_orderkey") % 4 === 0))
+      table.txns.commitTxn(t1) // resolved before the checkpoint → subsumed
+      val t2 = table.txns.startTxn()
+      table.insert(t2, orders.where(col("o_orderkey") % 4 === 1))
+      table.checkpoint() // t2 in flight here: fuzzy straddler
+      table.txns.commitTxn(t2)
+      val t3 = table.txns.startTxn()
+      table.insert(t3, orders.where(col("o_orderkey") % 4 === 2))
+      table.txns.commitTxn(t3) // live post-checkpoint commit
+      val t4 = table.txns.startTxn()
+      table.insert(t4, orders.where(col("o_orderkey") % 4 === 3))
+      table.txns.abortTxn(t4) // unresolved by any checkpoint → records kept
+      val (dropped, deleted) = table.compact()
+      // exactly t1's BEGIN/UPDATE/COMMIT leave the tape; exactly t1's
+      // batch dir (its rows live in the checkpoint base) is GC'd — the
+      // straddler's and the aborted txn's dirs stay tape-referenced
+      require(dropped == 3 && deleted == 1,
+        s"q234 compaction contract violated: dropped $dropped records " +
+          s"(expected 3: the subsumed txn's), deleted $deleted dirs (expected 1)")
+      java.nio.file.Files.createFile(marker)
+    }
+    // cold open: committed state AND the straddler's historical snapshot
+    // both re-derived from the compacted tape (t2 is always id 2 on a
+    // fresh tape — monotonic from 1)
+    val reopened = new graft.txn.TxnTable(s, tmp)
+    reopened.read().withColumn("snap", lit("now"))
+      .unionByName(reopened.readAsOf(2L).withColumn("snap", lit("asof_straddler")))
+  }
+
+  /** Certification of [[graft.operators.Compaction.compactParquet]]'s
+    * Hive-partitioned path through the oracle gate (the operator was
+    * spec-only: OperatorsSpec pins file counts and the in-place guard,
+    * but no oracle ever checked the DATA through a compaction). A
+    * deliberately fragmented layout — events fanned out to ~16 small
+    * files per event_type partition directory — is compacted to a
+    * one-file-per-partition budget (whole files ride the (dir, salt)
+    * shuffle key; with budget 1 per partition the salt is constant, so
+    * group count == output file count even under hash collisions). The
+    * build asserts the file-count contract by name (exactly one part-
+    * file per partition value, strictly fewer than before); the gate
+    * then hashes the ENTIRE compacted relation against the raw table —
+    * compaction must lose, duplicate, or corrupt NOTHING, including the
+    * partition column round-tripped through directory names. WRITE-PATH
+    * query (PlanAudit.writePathQueries).
+    */
+  def q235_file_compaction(s: SparkSession, dir: String): DataFrame = {
+    val sanitized = dirSlug(dir) // one slug convention for every scratch path
+    val base = pidScratch(s"/tmp/graft-q235-${ProcessHandle.current().pid()}-$sanitized")
+    val root = java.nio.file.Paths.get(base)
+    val marker = root.resolve("_graft_built")
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    if (!java.nio.file.Files.exists(marker)) {
+      deleteRecursively(root, strict = true)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("v"))
+        .repartition(16, col("event_id")) // the small-file accretion under test
+        .write.mode("overwrite").partitionBy("event_type").parquet(src)
+      def partFiles(p: String): Int =
+        scala.util.Using.resource(java.nio.file.Files.walk(java.nio.file.Paths.get(p))) { w =>
+          w.filter(q => q.getFileName.toString.startsWith("part-")).count().toInt
+        }
+      val before = partFiles(src)
+      // a per-partition byte budget no partition reaches → 1 file each
+      val budget = graft.operators.Compaction.compactParquet(
+        s, src, dst, targetBytes = 1L << 40)
+      val after = partFiles(dst)
+      require(after == budget && after < before,
+        s"q235 compaction contract violated: $before files before, $after " +
+          s"after (budget $budget — expected exactly one per partition, fewer than before)")
+      java.nio.file.Files.createFile(marker)
+    }
+    s.read.parquet(dst)
+      .select("event_id", "user_id", "event_type", "v")
+  }
+
   /** Native `dropDuplicatesWithinWatermark` through the gate
     * ([[graft.streaming.Streams.dedupWithinWatermark]]): dedup on
     * (user_id, event_type) ALONE — no ts in the key — with
@@ -5284,7 +5392,9 @@ object Queries {
     "q230_max_drawdown" -> (q230_max_drawdown _),
     "q231_containment_join" -> (q231_containment_join _),
     "q232_containment_cap" -> (q232_containment_cap _),
-    "q233_fanout_probe" -> (q233_fanout_probe _))
+    "q233_fanout_probe" -> (q233_fanout_probe _),
+    "q234_txn_compaction" -> (q234_txn_compaction _),
+    "q235_file_compaction" -> (q235_file_compaction _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -7934,6 +8044,23 @@ object Queries {
     // CURRENT state but not as of t1 — a read() here would see both)
     "q126_txn_timetravel" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0",
+    // compaction preserves foldCommitted exactly: current snapshot =
+    // subsumed (%4=0) ∪ straddler (%4=1) ∪ live (%4=2) slices with the
+    // abort (%4=3) invisible; the straddler's as-of snapshot = base +
+    // its own slice — both read from the COMPACTED tape after a cold
+    // reopen, both stated declaratively here
+    "q234_txn_compaction" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, 'now' AS snap
+         FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice, 'asof_straddler' AS snap
+         FROM orders WHERE o_orderkey % 4 IN (0, 1)""",
+    // file compaction is a pure layout rewrite: the full relation —
+    // including the partition column round-tripped through directory
+    // names — must equal the source table exactly
+    "q235_file_compaction" ->
+      s"""SELECT event_id, user_id, event_type,
+            ${centsSql("value")} AS v FROM events""",
     "q38_stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
          count(*) AS n FROM events GROUP BY 1, 2""",
