@@ -205,8 +205,18 @@ object Queries {
     a.join(b, col("k1") < col("k2")).select("r1", "r2")
   }
 
+  /** Anti join with a LIVE population at every SF: customers with no
+    * order above 400k (anti: 20 / 202 / 1997 rows at sf0.001/0.01/0.1,
+    * semi complement also live). The original unfiltered form —
+    * customers with no orders AT ALL — was vacuously empty on this
+    * corpus (every customer has orders), so the gate compared empty to
+    * empty and a broken anti join returning nothing would have passed
+    * (the q153 vacuous-gate class, found by a round-10 empty-result
+    * audit).
+    */
   def q07_anti_join(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").where(col("o_totalprice") > 400000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").select("c_custkey")
   }
 
@@ -241,9 +251,18 @@ object Queries {
     c.intersect(o)
   }
 
+  /** EXCEPT with BOTH sides of the subtraction live at every SF:
+    * BUILDING customers minus high-value-order customers keeps 3 / 36 /
+    * 371 rows at sf0.001/0.01/0.1 while removing most of the left side
+    * (so the subtraction itself is exercised). The original unfiltered
+    * form — all custkeys minus all order custkeys — was vacuously empty
+    * (same audit as q07).
+    */
   def q13_except(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer").select(col("c_custkey").as("k"))
-    val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
+    val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val o = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("k"))
     c.except(o)
   }
 
@@ -5537,7 +5556,7 @@ object Queries {
     "q06_theta_join" ->
       "SELECT a.r_name AS r1, b.r_name AS r2 FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey",
     "q07_anti_join" ->
-      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)",
     "q08_semi_join" ->
       "SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)",
     "q09_distinct" ->
@@ -5552,7 +5571,7 @@ object Queries {
     "q12_intersect" ->
       "SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' INTERSECT SELECT o_custkey AS k FROM orders",
     "q13_except" ->
-      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders",
+      "SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000",
     "q14_rollup" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
     "q15_scalar_funcs" ->
