@@ -4570,19 +4570,42 @@ object Queries {
     * labeling pipeline reports; everything reduces over the
     * CONFUSION MATRIX (classes² rows), so the corpus is touched once.
     */
-  def q227_cohens_kappa(s: SparkSession, dir: String): DataFrame = {
-    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
-    val conf = t(s, dir, "documents")
+  /** Per-class confusion-matrix margins in ONE corpus pass, shared by
+    * q227/q228: each (lang, pred, c) cell contributes its count to its
+    * TRUE class's row margin (and the diagonal when lang = pred) and to
+    * its PREDICTED class's column margin via a 2-row explode over the
+    * already-aggregated (classes²-sized) matrix, then one tiny re-agg.
+    * The previous form derived the three margins as three separate
+    * aggregates OVER THE SAME conf lineage — pre-AQE that is three full
+    * corpus scans each re-running the regex-heavy langId (AQE exchange
+    * reuse recovered some of it at runtime, but the single-pass shape
+    * needs no rescue and drops the 1-row bnlj join too).
+    */
+  private def classConfusion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
       .groupBy("lang", "pred").agg(count(lit(1)).as("c"))
-    val n = conf.agg(sum(col("c")).as("n"),
-      sum(when(col("lang") === col("pred"), col("c")).otherwise(0L)).as("d"))
-    val rows = conf.groupBy("lang").agg(sum(col("c")).as("rc"))
-    val cols = conf.groupBy("pred").agg(sum(col("c")).as("cc"))
-    val p = rows.join(cols, rows("lang") === cols("pred"))
-      .agg(coalesce(sum(expr(s"${dec("rc")} * ${dec("cc")}")),
-        lit(0).cast("decimal(38,0)")).as("p"))
-    n.join(p)
+      .select(explode(array(
+        struct(col("lang").as("cls"), col("c").as("n_true"),
+          lit(0L).as("n_pred"),
+          when(col("lang") === col("pred"), col("c")).otherwise(lit(0L)).as("tp")),
+        struct(col("pred").as("cls"), lit(0L).as("n_true"),
+          col("c").as("n_pred"), lit(0L).as("tp")))).as("__m"))
+      .groupBy(col("__m.cls").as("cls"))
+      .agg(sum(col("__m.n_true")).as("n_true"),
+        sum(col("__m.n_pred")).as("n_pred"),
+        sum(col("__m.tp")).as("tp"))
+
+  def q227_cohens_kappa(s: SparkSession, dir: String): DataFrame = {
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    // N, the diagonal, and Σ row·col all reduce over the per-class
+    // margins: N = Σ n_true, D = Σ tp, and the chance term Σ rc·cc =
+    // Σ_cls n_true·n_pred (a class missing from rows or cols
+    // contributes a 0 factor — exactly the inner join's absent term)
+    classConfusion(s, dir)
+      .agg(sum(col("n_true")).as("n"), sum(col("tp")).as("d"),
+        coalesce(sum(expr(s"${dec("n_true")} * ${dec("n_pred")}")),
+          lit(0).cast("decimal(38,0)")).as("p"))
       .withColumn("__num", expr(s"${dec("n")} * ${dec("d")} - p"))
       .withColumn("__den", expr(s"${dec("n")} * ${dec("n")} - p"))
       .withColumn("kappa_ppm", expr(
@@ -4601,19 +4624,12 @@ object Queries {
     * arithmetic over the confusion matrix; one corpus pass.
     */
   def q228_class_prf(s: SparkSession, dir: String): DataFrame = {
-    val conf = t(s, dir, "documents")
-      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
-      .groupBy("lang", "pred").agg(count(lit(1)).as("c"))
-    val tp = conf.where(col("lang") === col("pred"))
-      .select(col("lang").as("cls"), col("c").as("tp"))
-    val actual = conf.groupBy(col("lang").as("cls")).agg(sum(col("c")).as("n_true"))
-    val predicted = conf.groupBy(col("pred").as("cls")).agg(sum(col("c")).as("n_pred"))
-    actual.join(predicted, Seq("cls"), "full_outer")
-      .join(tp, Seq("cls"), "left")
-      .select(col("cls"),
-        coalesce(col("tp"), lit(0L)).as("tp"),
-        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
-        coalesce(col("n_true"), lit(0L)).as("n_true"))
+    // the shared one-pass margins already carry tp / n_pred / n_true
+    // per class, with a class never predicted (or never true) keeping
+    // a genuine 0 margin — the CASE below turns it into the NULL ratio
+    // the oracle states
+    classConfusion(s, dir)
+      .select(col("cls"), col("tp"), col("n_pred"), col("n_true"))
       .withColumn("precision_ppm",
         expr("CASE WHEN n_pred > 0 THEN (tp * 1000000) div n_pred END"))
       .withColumn("recall_ppm",
