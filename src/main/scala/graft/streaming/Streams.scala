@@ -24,7 +24,20 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val schema = spark.read.parquet(dir).schema
+    // Schema comes from the existing files; an empty directory would
+    // surface as Spark's generic UNABLE_TO_INFER_SCHEMA — name the
+    // actual problem instead (a stream over a dir with no data yet
+    // needs an explicit schema, which this convenience reader is not).
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" =>
+          throw new IllegalArgumentException(
+            s"eventsStream($dir): directory holds no parquet files to " +
+              "infer the stream schema from — stage data first, or build " +
+              "the readStream with an explicit schema.", e)
+      }
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -80,6 +93,15 @@ object Streams {
     import spark.implicits._
     val gapUs = gapMs * 1000L
     events
+      // A null event time participates in NO session — the same null
+      // semantics Spark's native event-time operators apply (window()
+      // and session_window() expand a null ts to zero windows, so the
+      // row silently drops). Without this filter the row reaches
+      // micros(e.ts) inside the state function and kills the whole
+      // query with an executor NPE — found by the round-10 degenerate-
+      // input probe; StreamingSpec pins the drop. (Column filter, not a
+      // typed lambda: stays in codegen, no per-row deserialization.)
+      .where(col("ts").isNotNull)
       // EventTimeTimeout requires a watermark; it also gives sessionize
       // the standard late-data contract (events > lateness behind the
       // max seen ts are dropped before they can corrupt closed sessions).

@@ -384,6 +384,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed == Set((1L, 0L, 20L, 3L), (2L, 5L, 5L, 1L), (1L, 60L, 60L, 1L)))
   }
 
+  test("sessionize: a null event time participates in no session (native null semantics)") {
+    // Degenerate-input pin (round-10 probe): a null ts used to reach
+    // micros(e.ts) inside the state function and kill the whole query
+    // with an executor NPE. The contract now matches Spark's native
+    // event-time operators (window()/session_window() expand null to
+    // zero windows): the row silently drops, the rest of the stream
+    // sessionizes normally.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86_400_000L
+    def ts(min: Long) = new Timestamp(day + min * 60_000L)
+
+    val src = MemoryStream[Event]
+    val sessions = Streams.sessionize(spark, src.toDS(), gapMs = 30 * 60_000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_nullts")
+      .outputMode(OutputMode.Append()).start()
+    src.addData(Event(1, ts(0), 1, "a", 0), Event(2, null, 1, "a", 0),
+      Event(3, ts(10), 1, "a", 0))
+    q.processAllAvailable()
+    src.addData(Event(4, null, 2, "a", 0), Event(5, ts(100), 1, "a", 0))
+    q.processAllAvailable()
+    q.stop()
+
+    val closed = spark.table("sessions_nullts").as[Session].collect()
+      .map(s => (s.user_id, (s.start.getTime - day) / 60000,
+        (s.end.getTime - day) / 60000, s.n_events)).toSet
+    // user 1's first session closes on the 100-minute arrival with
+    // n_events = 2 (the null row counted in NOTHING); user 2 — whose
+    // only event had a null ts — never forms a session
+    assert(closed == Set((1L, 0L, 10L, 2L)))
+  }
+
+  test("eventsStream over an empty directory fails by name, not schema inference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-stream").toString
+    val e = intercept[IllegalArgumentException] {
+      Streams.eventsStream(spark, dir)
+    }
+    assert(e.getMessage.contains("no parquet files"))
+  }
+
   test("sessionize: out-of-order in-horizon event merges without regressing the interval") {
     // Regression: an event from a LATER batch with ts below the session's
     // lastTs (but above the watermark, so not late-dropped) used to be
