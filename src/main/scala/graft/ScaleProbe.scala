@@ -79,19 +79,25 @@ object ScaleProbe {
     // embeddings: fresh vec_ids per copy; each copy's vectors are a
     // cyclic rotation of the base (length- and norm-preserving, so the
     // corpus genuinely grows in distinct vectors and IVF cells rather
-    // than stacking N-deep duplicates). Rotation is periodic at dim=64:
-    // beyond 64 copies the classes repeat (copy 64 duplicates copy 0) —
-    // same deliberate wrap posture as the text rotation's 26-copy
-    // period; duplicates are harmless to the recall gate (brute force
-    // and IVF see the same corpus). q122's fixed query set
-    // (vec_id < 16) stays the base copy's — a constant query set over a
-    // growing corpus, the honest ANN scaling shape.
+    // than stacking N-deep duplicates). Rotation alone is periodic at
+    // dim=64, so copies 64+ negate the rotated vector (also
+    // norm-preserving, and a negated vector can never equal a rotation
+    // of a non-degenerate base) — distinct transforms through 128
+    // copies, which covers the 100x knee tier: at the ONE tier the
+    // probe exists to measure, a bare i%64 wrap made 36 of 100 copies
+    // byte-identical duplicates of the first 36, re-introducing the
+    // similarity-tie class GenScale's rotation fix documents. q122's
+    // fixed query set (vec_id < 16) stays the base copy's — a constant
+    // query set over a growing corpus, the honest ANN scaling shape.
     scaled("embeddings", (df, i) => {
       val r = i % 64
+      val rotated =
+        if (r == 0) "embedding"
+        else s"concat(slice(embedding, ${r + 1}, 64 - $r), slice(embedding, 1, $r))"
+      val sql =
+        if ((i / 64) % 2 == 1) s"transform($rotated, x -> -x)" else rotated
       df.withColumn("vec_id", col("vec_id") + lit(i * Offset))
-        .withColumn("embedding",
-          if (r == 0) col("embedding")
-          else expr(s"concat(slice(embedding, ${r + 1}, 64 - $r), slice(embedding, 1, $r))"))
+        .withColumn("embedding", expr(sql))
     })
 
     // GRAFT_SCALE_ONLY=mad_q131,... times just those ops (local iteration)
@@ -122,6 +128,14 @@ object ScaleProbe {
             vmErrorSeen = Some(e.getClass.getSimpleName)
             println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":-1,"dnf":"${e.getClass.getSimpleName}"$suspect%s}""")
           case scala.util.control.NonFatal(e) =>
+            println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":-1,"dnf":"${e.getClass.getSimpleName}"$suspect%s}""")
+          case e: Throwable =>
+            // fatal-but-not-VME (LinkageError, InterruptedException):
+            // the run-must-continue invariant above still holds — the
+            // knee table needs the LATER probes — but like a VME the
+            // JVM's health is no longer assured, so record the DNF and
+            // taint the remaining rows rather than abort or print clean
+            vmErrorSeen = Some(e.getClass.getSimpleName)
             println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":-1,"dnf":"${e.getClass.getSimpleName}"$suspect%s}""")
         }
       }

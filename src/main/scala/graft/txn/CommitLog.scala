@@ -108,26 +108,18 @@ final class LogManager(val logPath: Path) {
     expectedSize = Some(size)
   }
 
-  /** Tape contents AND byte size read atomically under the same
-    * exclusive file lock append() uses, so the mirror and the size
-    * baseline describe the same instant of the file.
+  /** Tape contents AND byte size read under the same exclusive file
+    * lock append() and compact() take, so the mirror and the size
+    * baseline describe the same instant of the file: every cooperating
+    * writer mutates the tape only while holding that lock, so nothing
+    * can land between the two reads. (A non-cooperating writer is the
+    * thing the size check at append time exists to DETECT, not
+    * prevent.) One tape parser — reload() — serves every reader.
     */
   private def lockedObservation(): (Vector[(String, Long, String)], Long) =
     withTapeLock("observed") {
       if (!Files.exists(logPath)) (Vector.empty, 0L)
-      else {
-        val ch = java.nio.channels.FileChannel.open(logPath,
-          StandardOpenOption.READ)
-        try {
-          val size = ch.size()
-          require(size <= Int.MaxValue,
-            s"LogManager tape $logPath exceeds 2 GiB — compact() it")
-          val buf = java.nio.ByteBuffer.allocate(size.toInt)
-          while (buf.hasRemaining && ch.read(buf) >= 0) {}
-          val text = new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
-          (parseTape(text.split("\n", -1).toVector), size)
-        } finally ch.close()
-      }
+      else (reload(), Files.size(logPath))
     }
 
   private def parseTape(lines: Vector[String]): Vector[(String, Long, String)] =
