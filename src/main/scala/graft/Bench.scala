@@ -37,7 +37,7 @@ object Bench {
       // reads an existing partitioned table; the write is not the op)
       Queries.stageDppLayout(spark, sfDir)
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] WARMUP FAILED (queries bench cold/unstaged): $e")
         warmupErrors += s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
     }
@@ -55,11 +55,15 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
         (Double, Option[String]) = {
       val t0 = System.nanoTime()
+      // NonFatal only: recording a driver OOM as a -1 and CONTINUING
+      // would time every later query (and the whole warm pass) on a
+      // heap-exhausted JVM — inflated numbers that then seed next
+      // round's re-run baselines. A fatal error aborts the bench.
       try {
         fn(spark, sfDir).count()
         ((System.nanoTime() - t0) / 1e9, None)
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           (-1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
       }
     }
@@ -106,7 +110,7 @@ object Bench {
         }
       }
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         // no history at all → NO re-runs this pass (see below: an empty
         // map must not read as "every query is first-appearance")
         System.err.println(s"[bench] history read failed (contention re-runs disabled this pass): $e")
@@ -234,10 +238,15 @@ object Bench {
       .mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":$calibSec,"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"queries_stream_median":${jsonMap(streamMedians)},"reruns":$rerunJson,"warmup_errors":$warmupJson,"errors":$errJson}"""
     try {
-      val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(detail) finally w.close()
+      // PrintWriter swallows I/O errors into an internal flag — a
+      // disk-full write would silently leave a TRUNCATED detail file
+      // that poisons next pass's history parse. Files.writeString
+      // throws, so the failure is logged like any other.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(detailPath), detail + "\n")
     } catch {
-      case e: Throwable => System.err.println(s"[bench] detail write failed: $e")
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] detail write failed: $e")
     }
     def short(n: String): String = n.indexOf('_') match {
       case -1 => n

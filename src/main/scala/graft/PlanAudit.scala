@@ -76,11 +76,18 @@ object PlanAudit {
     // expressions: scalar/DPP subqueries carry their own exchanges and
     // scans, which plain .collect never visits (it traverses children
     // only) — the audit undercounted exactly the pruning-shaped queries.
-    // Nested adaptive wrappers unwrap recursively.
-    def allNodes(plan: SparkPlan): Seq[SparkPlan] = {
-      val here = preAqe(plan).collect { case n => n }
-      here ++ here.flatMap(_.subqueries.flatMap(allNodes))
-    }
+    // A NESTED AdaptiveSparkPlanExec (under AQE every subquery plan is
+    // SubqueryExec over its own adaptive wrapper) is a LeafExecNode, so
+    // collect stops AT it — it must be expanded through its initialPlan
+    // or the subquery's exchanges and scans stay invisible (the first
+    // version of this fix unwrapped only at the top and still missed
+    // them). Each node is processed exactly once: a kept node expands
+    // its own subqueries; an adaptive leaf is replaced by its expansion.
+    def allNodes(plan: SparkPlan): Seq[SparkPlan] =
+      preAqe(plan).collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => allNodes(a)
+        case n => n +: n.subqueries.flatMap(allNodes)
+      }
 
     // Codegen spans only exist AFTER CollapseCodegenStages. Under AQE
     // (the default for every exchange-containing plan) that rule runs
@@ -95,9 +102,14 @@ object PlanAudit {
           org.apache.spark.sql.execution.CollapseCodegenStages()(a.initialPlan)
         case other => other
       }
-      val here = base.collect { case n => n }
-      here.count(_.isInstanceOf[WholeStageCodegenExec]) +
-        here.flatMap(_.subqueries).map(codegenSpans).sum
+      // same nested-adaptive expansion as allNodes: a subquery's own
+      // adaptive wrapper is a leaf here and must be collapsed+counted
+      // through its initialPlan
+      base.collect { case n => n }.map {
+        case a: AdaptiveSparkPlanExec => codegenSpans(a)
+        case n => (if (n.isInstanceOf[WholeStageCodegenExec]) 1 else 0) +
+          n.subqueries.map(codegenSpans).sum
+      }.sum
     }
 
     def audit(p: SparkPlan): (Int, Int, Int, Int, Int, Int) = {
@@ -122,8 +134,8 @@ object PlanAudit {
     sb ++= "the pre-AQE plan (under AQE the collapse runs per stage at runtime,\n"
     sb ++= "so the initial plan itself carries none).\n"
     sb ++= "Planless rows (—): streaming queries execute through the microbatch\n"
-    sb ++= "engine (audited via SCALE.md §Streaming), q37/q126 replay the txn\n"
-    sb ++= "tape, q147 materializes via eager localCheckpoint (shuffle\n"
+    sb ++= "engine (audited via SCALE.md §Streaming), q37/q126/q234 replay the\n"
+    sb ++= "txn tape, q147 materializes via eager localCheckpoint (shuffle\n"
     sb ++= "shape in SCALE.md §Sparse cosine), and q233 returns the fan-out\n"
     sb ++= "probe's driver-side summary as a literal row (probe job shape =\n"
     sb ++= "q231's blocking stages; SCALE.md §Scale knee).\n\n"

@@ -29,9 +29,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
+        // NonFatal only: a VirtualMachineError (driver OOM) must abort
+        // the run — recording the failure and continuing would dump the
+        // REMAINING queries from a corrupted JVM and let stale-looking
+        // green results mask the real problem
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           // a reused outDir may hold LAST run's passing parquet for this
           // query; leaving it in place would let a crashing query pass
@@ -51,7 +55,12 @@ object Verify {
     // SQL would otherwise make the driver's json.load fail and silently
     // zero the round's correctness
     def q(s: String): String = "\"" + EnvFilter.jsonEsc(s) + "\""
+    // a SPARK_GRAFT_ONLY-filtered run must also filter the oracle map:
+    // the checker loops over oracle_sql.json, and an entry whose parquet
+    // was never dumped reads as a spurious FAIL — the documented
+    // fast-iteration workflow was unusable without grepping around it
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -8,10 +8,11 @@ with views over <sfDir>/*.parquet, load the Spark result parquet, sort
 columns by name + rows by all columns, and compare values cell-wise
 (exact for ints/strings, tolerant 1e-9 relative for floats).
 """
-import json, math, sys
+import json, math, os, sys
 
 import duckdb
 import pandas as pd
+
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -19,10 +20,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize timestamps to UTC-naive us
+    # normalize timestamps to UTC-naive us. tz-aware columns must be
+    # CONVERTED to UTC before the tz is stripped: a bare tz_localize(None)
+    # keeps the host-local wall clock, so on a non-UTC machine a DuckDB
+    # timestamptz result would canonicalize to local time while Spark's
+    # UTC-session parquet holds UTC -- a false mismatch.
     for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
@@ -32,10 +39,24 @@ def cells_equal(a, b):
     if a is None and b is None:
         return True
     try:
-        if pd.isna(a) and pd.isna(b):
+        na, nb = pd.isna(a), pd.isna(b)
+        # array-valued cells: pd.isna returns an elementwise array whose
+        # truthiness would raise; fall through to the sequence branch
+        if isinstance(na, bool) and isinstance(nb, bool) and na and nb:
             return True
     except (TypeError, ValueError):
         pass
+    # list/array cells (collect_list / DuckDB list()): compare elementwise
+    # with the same rules, so a float inside an array keeps its tolerance
+    # and the comparison never returns an ambiguous numpy array
+    a_seq = isinstance(a, (list, tuple)) or hasattr(a, "__len__") and not isinstance(a, (str, bytes))
+    b_seq = isinstance(b, (list, tuple)) or hasattr(b, "__len__") and not isinstance(b, (str, bytes))
+    if a_seq or b_seq:
+        if not (a_seq and b_seq):
+            return False
+        if len(a) != len(b):
+            return False
+        return all(cells_equal(x, y) for x, y in zip(a, b))
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
@@ -50,7 +71,9 @@ def cells_equal(a, b):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    import os
+    # pin the session to UTC so timestamptz results are UTC regardless of
+    # the host timezone (the driver's compare runs Spark in a UTC session)
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # Spark-written tables (e.g. GenScale output) are directories of
@@ -94,7 +117,6 @@ def main():
             print(f"PASS {name} ({len(exp)} rows)")
             n_pass += 1
     # queries with no oracle entry -> rows-only check
-    import os
     for name in sorted(os.listdir(out_dir)):
         if name == "oracle_sql.json" or name in oracle:
             continue
