@@ -32,6 +32,11 @@ object HashImpls {
 
   /** One pass over the shingle array; for each permutation i keep
     * min((a_i * h + b_i) mod p). coeffs packs (a_0, b_0, a_1, b_1, ...).
+    * A NULL element contributes NOTHING — the HOF form this replaces
+    * maps null through `pmod(xxhash64(s), p)` to null and `array_min`
+    * ignores nulls; hashing the null slot instead (Spark's hash of a
+    * null value is the SEED, 42) would make every null a phantom shared
+    * shingle across all documents.
     */
   def minHashSig(shingles: ArrayData, coeffs: Array[Long], p: Long): ArrayData = {
     val k = coeffs.length / 2
@@ -39,12 +44,14 @@ object HashImpls {
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val h = hashMod(shingles.getUTF8String(i), p)
-      var j = 0
-      while (j < k) {
-        val v = (coeffs(2 * j) * h + coeffs(2 * j + 1)) % p
-        if (v < sig(j)) sig(j) = v
-        j += 1
+      if (!shingles.isNullAt(i)) {
+        val h = hashMod(shingles.getUTF8String(i), p)
+        var j = 0
+        while (j < k) {
+          val v = (coeffs(2 * j) * h + coeffs(2 * j + 1)) % p
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -62,12 +69,14 @@ object HashImpls {
     */
   def minHashBandKeys(sig: ArrayData, bands: Int): ArrayData = {
     val k = sig.numElements()
-    // Dedup's operator path guards numHashes % bands == 0, but this is
-    // also a registered SQL function: bands = 0 would divide by zero per
-    // row, and bands > k would make rows = 0 so EVERY document emits the
-    // same constant band keys — bandedCandidates then degenerates to an
-    // O(n²) single-bucket self-join. Fail loudly instead.
-    require(bands > 0 && k >= bands && k % bands == 0,
+    // Dedup's operator path guards numHashes % bands == 0, but the
+    // expression is public API (exprs.minhashBandKeys) reachable with
+    // arbitrary arrays: bands > k would make rows = 0 so EVERY document
+    // emits the same constant band keys — bandedCandidates then
+    // degenerates to an O(n²) single-bucket self-join. The signature-
+    // length half is data-dependent and so must stay per-row; bands > 0
+    // is constructor-knowable and checked there.
+    require(k >= bands && k % bands == 0,
       s"bands ($bands) must be a positive divisor of the signature length ($k)")
     val rows = k / bands
     val out = new Array[Long](bands)
@@ -77,6 +86,10 @@ object HashImpls {
       var j = b * rows
       val end = j + rows
       while (j < end) {
+        // a NULL signature slot is a contract violation (signatures are
+        // machine-produced, containsNull = false) — getLong on a null
+        // slot would silently read 0 into the band key
+        require(!sig.isNullAt(j), s"minhash signature contains NULL at $j")
         acc = (acc ^ sig.getLong(j)) * 0xC2B2AE3D27D4EB4FL
         acc ^= (acc >>> 29)
         j += 1
@@ -89,17 +102,21 @@ object HashImpls {
 
   /** 64-bit SimHash over the token array: bit j of the result is set iff
     * the count of tokens whose xxhash64 has bit j set exceeds half.
+    * A NULL token casts no votes (same skip rationale as [[minHashSig]]
+    * — hashing it would vote the constant seed's bit pattern).
     */
   def simHash64(tokens: ArrayData): Long = {
     val counters = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
-        j += 1
+      if (!tokens.isNullAt(i)) {
+        val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }
@@ -149,6 +166,34 @@ object HashImpls {
     * the format's contract, pinned by the parity test on well-formed
     * ASCII/CJK/astral/empty inputs.
     */
+  /** Decode the code point starting at byte `i` of `text` (`n` =
+    * numBytes), with the malformed-byte fallback both fingerprint loops
+    * share: a malformed lead/truncated tail hashes the raw lead byte
+    * and advances 1. Returns (codePoint << 32) | nextIndex packed in one
+    * long — zero allocation, one static call, so the hot codegen'd
+    * loops keep their profile. ONE copy of the trickiest logic in this
+    * file: the two fingerprint expressions used to carry verbatim
+    * duplicates of this loop body (the round-8 verdict's accepted
+    * duplication, folded now that both call sites are being touched).
+    */
+  @inline private def nextCp(text: UTF8String, i: Int, n: Int): Long = {
+    val b0 = text.getByte(i) & 0xFF
+    val len = UTF8String.numBytesForFirstByte(text.getByte(i))
+    if (len == 1 || i + len > n) (b0.toLong << 32) | (i + 1)
+    else {
+      val cp =
+        if (len == 2)
+          ((b0 & 0x1F) << 6) | (text.getByte(i + 1) & 0x3F)
+        else if (len == 3)
+          ((b0 & 0x0F) << 12) | ((text.getByte(i + 1) & 0x3F) << 6) |
+            (text.getByte(i + 2) & 0x3F)
+        else
+          ((b0 & 0x07) << 18) | ((text.getByte(i + 1) & 0x3F) << 12) |
+            ((text.getByte(i + 2) & 0x3F) << 6) | (text.getByte(i + 3) & 0x3F)
+      (cp.toLong << 32) | (i + len)
+    }
+  }
+
   def rollingFingerprint(text: UTF8String, mod: Long): Long = {
     // decode code points straight off the UTF-8 bytes — text.toString
     // would copy the whole document to UTF-16 per row, the exact
@@ -157,20 +202,9 @@ object HashImpls {
     var acc = 0L
     var i = 0
     while (i < n) {
-      val b0 = text.getByte(i) & 0xFF
-      val len = UTF8String.numBytesForFirstByte(text.getByte(i))
-      val cp =
-        if (len == 1 || i + len > n) b0 // ASCII, or malformed tail: raw byte
-        else if (len == 2)
-          ((b0 & 0x1F) << 6) | (text.getByte(i + 1) & 0x3F)
-        else if (len == 3)
-          ((b0 & 0x0F) << 12) | ((text.getByte(i + 1) & 0x3F) << 6) |
-            (text.getByte(i + 2) & 0x3F)
-        else
-          ((b0 & 0x07) << 18) | ((text.getByte(i + 1) & 0x3F) << 12) |
-            ((text.getByte(i + 2) & 0x3F) << 6) | (text.getByte(i + 3) & 0x3F)
-      acc = (acc * 31L + cp) % mod
-      i += (if (i + len > n) 1 else len)
+      val packed = nextCp(text, i, n)
+      acc = (acc * 31L + (packed >>> 32)) % mod
+      i = packed.toInt
     }
     acc
   }
@@ -185,27 +219,17 @@ object HashImpls {
     * may repeat (callers distinct as needed).
     */
   def winnowingMinima(text: UTF8String, k: Int, w: Int, mod: Long): ArrayData = {
-    // decode code points once (same byte-level loop + malformed-byte
-    // fallback as rollingFingerprint)
+    // decode code points once ([[nextCp]] — the same decode + malformed-
+    // byte fallback rollingFingerprint walks, so the pinned gram-hash
+    // parity is structural, not mirrored by hand)
     val nb = text.numBytes
     var cps = new Array[Int](math.max(nb, 1))
     var n = 0
     var i = 0
     while (i < nb) {
-      val b0 = text.getByte(i) & 0xFF
-      val len = UTF8String.numBytesForFirstByte(text.getByte(i))
-      val cp =
-        if (len == 1 || i + len > nb) b0
-        else if (len == 2)
-          ((b0 & 0x1F) << 6) | (text.getByte(i + 1) & 0x3F)
-        else if (len == 3)
-          ((b0 & 0x0F) << 12) | ((text.getByte(i + 1) & 0x3F) << 6) |
-            (text.getByte(i + 2) & 0x3F)
-        else
-          ((b0 & 0x07) << 18) | ((text.getByte(i + 1) & 0x3F) << 12) |
-            ((text.getByte(i + 2) & 0x3F) << 6) | (text.getByte(i + 3) & 0x3F)
-      cps(n) = cp; n += 1
-      i += (if (i + len > nb) 1 else len)
+      val packed = nextCp(text, i, nb)
+      cps(n) = (packed >>> 32).toInt; n += 1
+      i = packed.toInt
     }
     // gram hashes
     val ng = math.max(n - k + 1, 1)
@@ -254,13 +278,20 @@ object HashImpls {
 
   /** Sequential-fold dot product over float/double arrays (sides may
     * differ) — same accumulation order as the `aggregate(zip_with(...))`
-    * formulation and the DuckDB oracle's list_reduce.
+    * formulation and the DuckDB oracle's list_reduce. A NULL ELEMENT on
+    * either side yields NaN: the HOF form produced null there, which the
+    * similarity operators' null/NaN guards (added for zero-norm/NaN
+    * embeddings) drop — reading the null slot as 0.0 instead would
+    * silently compute a wrong cosine and could emit false near-dup
+    * pairs. NaN routes the row into those same guards with a primitive
+    * return type codegen can keep unboxed.
     */
   def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -343,6 +374,10 @@ case class MinHashSignature(child: Expression, coeffs: IndexedSeq[Long], prime: 
   */
 case class MinHashBandKeys(child: Expression, bands: Int)
     extends UnaryExpression {
+  // driver-side fail-fast for the constructor-knowable half (bands must
+  // divide the DATA-dependent signature length, checked per row): bands
+  // <= 0 would divide by zero on executors mid-job
+  require(bands >= 1, s"minhash_band_keys bands must be >= 1, got $bands")
   // analysis-time type check: without it, a mistyped SQL call (these are
   // registered session functions) dies mid-job with an executor
   // ClassCastException instead of a readable AnalysisException
@@ -431,6 +466,12 @@ case class DotProduct(left: Expression, right: Expression)
   */
 case class RollingFingerprint(child: Expression, mod: Long)
     extends UnaryExpression {
+  // driver-side fail-fast: mod <= 1 degenerates every fingerprint to 0
+  // (or ArithmeticExceptions per row at 0), and the rolling update
+  // acc*31 + cp needs (mod-1)*31 + maxCp < 2^63 to stay overflow-free —
+  // maxCp is 0x1FFFFF (a malformed 4-byte lead decodes up to 21 bits)
+  require(mod >= 2 && mod <= (Long.MaxValue - 0x1FFFFFL) / 31L,
+    s"rolling_fingerprint mod must be in [2, 2^63/31), got $mod")
   // analysis-time type check: without it, a mistyped SQL call (these are
   // registered session functions) dies mid-job with an executor
   // ClassCastException instead of a readable AnalysisException
@@ -462,6 +503,19 @@ case class RollingFingerprint(child: Expression, mod: Long)
   */
 case class WinnowingMinima(child: Expression, k: Int, w: Int, mod: Long)
     extends UnaryExpression {
+  // driver-side fail-fast (the WordShingles convention): k <= 0 indexes
+  // cps(g + k - 1) below the window start and AIOOBEs per row on
+  // executors; w <= 0 empties the deque silently and returns garbage
+  // minima with no error; and the ROLL-OFF product cps(g-1) * 31^(k-1)
+  // bounds mod at 2^42 — tighter than rolling_fingerprint's 2^63/31,
+  // because the rolling window multiplies a full 21-bit code point by a
+  // power that approaches mod (the cumulative form never does). Above
+  // it the subtraction wraps and every gram hash silently diverges from
+  // rollingFingerprint of the same substring.
+  require(k >= 1, s"winnowing_minima k must be >= 1, got $k")
+  require(w >= 1, s"winnowing_minima w must be >= 1, got $w")
+  require(mod >= 2 && mod <= (1L << 42),
+    s"winnowing_minima mod must be in [2, 2^42], got $mod")
   // analysis-time type check: without it, a mistyped SQL call (these are
   // registered session functions) dies mid-job with an executor
   // ClassCastException instead of a readable AnalysisException
@@ -495,7 +549,14 @@ case class WinnowingMinima(child: Expression, k: Int, w: Int, mod: Long)
 case class BloomMightContain(child: Expression, filterBytes: IndexedSeq[Byte])
     extends UnaryExpression {
   // IndexedSeq, not Array, for the same value-equality/CSE reason as
-  // MinHashSignature.coeffs (case-class equality on Array is by ref)
+  // MinHashSignature.coeffs (case-class equality on Array is by ref).
+  // hashCode is CACHED: the case-class default walks every filter byte
+  // (potentially megabytes) on each call, and Catalyst calls hashCode
+  // repeatedly during planning (ExpressionSet membership,
+  // canonicalization, rule transforms) — equals stays structural, so
+  // the full-array compare runs only on a genuine hash collision.
+  override lazy val hashCode: Int =
+    scala.util.hashing.MurmurHash3.orderedHash(Seq(child, filterBytes))
   // analysis-time type check: without it, a mistyped SQL call (these are
   // registered session functions) dies mid-job with an executor
   // ClassCastException instead of a readable AnalysisException

@@ -289,6 +289,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("native hash expressions: NULL elements skip, never hash as the seed constant") {
+    // Spark's hash of a NULL value is the SEED (42), so hashing a null
+    // array slot would make every null a phantom shared shingle / a
+    // constant simhash vote. The expressions now skip nulls — the HOF
+    // forms' semantics (null maps through pmod(xxhash64) to null, which
+    // array_min / sum ignore). Pinned: null-bearing array == the same
+    // array with nulls removed, for both signatures.
+    val df = Seq(
+      (1L, Seq[String]("alpha", null, "beta", null)),
+      (2L, Seq[String]("alpha", "beta"))
+    ).toDF("id", "toks")
+    val coeffs = (1 to 4).map(i => (i.toLong * 2 + 1, i.toLong * 7 + 3))
+    val sigs = df.select(col("id"),
+      graft.functions.exprs.minhashSig(col("toks"), coeffs, 2038074743L).as("sig"),
+      graft.functions.exprs.simhash64(col("toks")).as("sim"))
+      .as[(Long, Seq[Long], Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(sigs(1L) == sigs(2L),
+      "null elements must contribute nothing to minhash/simhash")
+    // dot: a NULL element yields NaN (routes into the similarity NaN
+    // guards), never a silent 0.0 term
+    val vecs = Seq((Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val d = vecs.select(graft.functions.exprs.dotProduct(col("a"), col("b")))
+      .as[Double].head()
+    assert(d.isNaN, s"null element must yield NaN, got $d")
+    // constructor fail-fasts (the WordShingles convention)
+    intercept[IllegalArgumentException](
+      graft.functions.exprs.winnowingMinima(col("t"), 0, 4, 97L))
+    intercept[IllegalArgumentException](
+      graft.functions.exprs.winnowingMinima(col("t"), 8, 0, 97L))
+    intercept[IllegalArgumentException](
+      graft.functions.exprs.winnowingMinima(col("t"), 8, 4, (1L << 42) + 1))
+    intercept[IllegalArgumentException](
+      graft.functions.exprs.rollingFingerprint(col("t"), 1L))
+    intercept[IllegalArgumentException](
+      graft.functions.exprs.minhashBandKeys(col("s"), 0))
+  }
+
   test("winnowing density: fingerprints are a subset of gram hashes, bounded by windows") {
     val df = Seq((1L, "x" * 5), (2L, ('a' to 'z').mkString * 10)).toDF("id", "t")
     val fps = graft.operators.Dedup.winnowingFingerprints(df, "id", "t")
