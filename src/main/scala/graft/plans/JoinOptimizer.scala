@@ -48,6 +48,21 @@ class JoinOptimizer(joins: Vector[JoinEdge]) {
       filterSelectivities: Map[String, Double],
       isPkey: (String, String) => Boolean): Vector[JoinEdge] = {
 
+    // The memo's reference-faithful identity ignores op (PlanCache keys):
+    // two edges identical up to op would share memo slots, and the DP
+    // could return a plan that repeats one edge and DROPS the other — a
+    // silently wrong join downstream (Executor.execute applies the plan
+    // as returned). SelingerJoinReorder declines such inputs before
+    // calling in; direct callers of this public API get the same
+    // contract as a named error instead of corrupt output.
+    require(joins.distinct
+      .map(e => (e.leftTable, e.rightTable, e.leftField, e.rightField))
+      .distinct.size == joins.distinct.size,
+      "orderJoins: edge set contains edges identical up to op — the " +
+        "reference-faithful memo identity ignores op, so such sets are " +
+        "ambiguous; split them into separate optimizer calls or keep " +
+        "the extra predicate as a residual filter")
+
     val pc = new PlanCache
 
     for (size <- 1 to joins.length) {

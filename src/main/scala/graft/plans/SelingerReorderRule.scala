@@ -50,13 +50,29 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
 
   private val MaxEdges = 12 // DP is exponential; the reference caps at ~10
 
-  /** Marks joins this rule already settled, so the fixed-point optimizer
-    * batch converges instead of re-deriving sub-chains each iteration.
+  /** Marks joins this rule already settled — keyed by the CONTENT of the
+    * subtree it settled (canonicalized hash), not a bare boolean. The
+    * rule is injected via `injectOptimizerRule`, which places it in the
+    * operator-optimization FIXED-POINT batch: it can fire before other
+    * rules (multi-iteration filter pushdown, collapsed projects) have
+    * finished reshaping the chain's inputs. A boolean tag would lock in
+    * that early decision forever (withNewChildren COPIES tags onto the
+    * rebuilt node), silently suppressing the histogram-driven reorder
+    * exactly when the late-arriving filter would have changed it. The
+    * hash tag re-arms automatically: a tagged join whose subtree was
+    * since rebuilt hashes differently and re-enters the DP; an untouched
+    * one skips. Convergence holds because the DP is a deterministic
+    * function of (relations, conjuncts, stats) — once the rest of the
+    * batch stops changing the subtree, one final DP run reproduces its
+    * own output and settles on the matching hash.
     */
-  private val OrderedTag = TreeNodeTag[Boolean]("graft.selinger.ordered")
+  private val OrderedTag = TreeNodeTag[Int]("graft.selinger.ordered")
+
+  private def settled(j: Join): Boolean =
+    j.getTagValue(OrderedTag).contains(j.canonicalized.hashCode)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case j @ Join(_, _, Inner, _, _) if j.getTagValue(OrderedTag).isEmpty =>
+    case j @ Join(_, _, Inner, _, _) if !settled(j) =>
       // The SPINE joins the DP constructed are tagged at construction
       // (inside reorder), so the fixed-point batch converges without
       // re-deriving them. Tagging every Join in the returned subtree
@@ -207,6 +223,16 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     // JoinGraph.scala:59): two edges identical up to op would collide.
     if (joinEdges.map(e => (e.leftTable, e.rightTable, e.leftField, e.rightField))
       .distinct.size != joinEdges.size) return None
+    // JoinEdge identity is by column NAME: two conjuncts binding
+    // DIFFERENT attributes that share a name (a flattened-opaque leaf —
+    // e.g. a hinted join — can expose duplicate output names) collapse
+    // to one JoinEdge, and the rebuilt tree would enforce only one of
+    // the two predicates — silently returning rows the authored query
+    // filtered out. Decline whenever one edge key carries more than one
+    // distinct attribute binding. (A literally duplicated conjunct —
+    // same attributes — dedups safely above.)
+    if (specs.groupBy(_._1).exists { case (_, ss) => ss.map(_._2).distinct.size > 1 })
+      return None
 
     val byName = names.map(_.swap)
     val peeled: Map[String, (LogicalPlan, Seq[Expression])] =
@@ -273,7 +299,7 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     // never joins living inside the opaque leaf subtrees
     def mkJoin(l: LogicalPlan, r: LogicalPlan, c: Expression): LogicalPlan = {
       val j = Join(l, r, Inner, Some(c), JoinHint.NONE)
-      j.setTagValue(OrderedTag, true)
+      j.setTagValue(OrderedTag, j.canonicalized.hashCode)
       j
     }
     var joined: Set[String] = Set(order.head.leftTable, order.head.rightTable)
@@ -305,10 +331,11 @@ object SelingerJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     if (tree.canonicalized == root.canonicalized) {
       // The DP reproduced the authored order: settle the root too, so the
       // fixed-point batch doesn't re-run the whole DP every iteration on
-      // a join it will never change. (The rule runs post-hoc, after the
-      // pushdown batches reached fixed point, so the inputs the DP saw
-      // are final.)
-      root.setTagValue(OrderedTag, true)
+      // a join it will never change. The hash tag keeps this safe inside
+      // the fixed-point batch (see OrderedTag): if a later iteration's
+      // pushdown reshapes the subtree, the hash no longer matches and
+      // the DP re-runs with the updated inputs.
+      root.setTagValue(OrderedTag, root.canonicalized.hashCode)
       None
     }
     // Reordering permutes the join output's attribute order; restore the
@@ -338,18 +365,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  // arity check BEFORE indexing args: a one-argument call used to die
+  // with a bare IndexOutOfBoundsException carrying no function name —
+  // built-ins raise a readable wrong-number-of-arguments error instead
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.size != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${args.size}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SelingerJoinReorder)
     ext.injectPlannerStrategy(_ => TopKStrategy)
 
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, w) - distinct word w-shingles"),
-      (args: Seq[Expression]) =>
-        WordShingles(args.head, intArg(args(1), "shingle width"))))
+      (args: Seq[Expression]) => {
+        arity("word_shingles", args, 2)
+        WordShingles(args.head, intArg(args(1), "shingle width"))
+      }))
 
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, k) - k-permutation minhash signature"),
       (args: Seq[Expression]) => {
+        arity("minhash_sig", args, 2)
         val k = intArg(args(1), "numHashes")
         MinHashSignature(args.head,
           graft.operators.Dedup.minHashCoeffArray(k).toIndexedSeq,
@@ -358,16 +395,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit simhash of a token array"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => {
+        arity("simhash64", args, 1)
+        SimHash64(args.head)
+      }))
 
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - float/double array dot product"),
-      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+      (args: Seq[Expression]) => {
+        arity("dot_product", args, 2)
+        DotProduct(args.head, args(1))
+      }))
 
     ext.injectFunction((FunctionIdentifier("rolling_fingerprint"),
       info("rolling_fingerprint",
         "rolling_fingerprint(text) - polynomial rolling-hash document fingerprint"),
-      (args: Seq[Expression]) => RollingFingerprint(args.head,
-        graft.operators.TextAnalysis.FingerprintMod)))
+      (args: Seq[Expression]) => {
+        arity("rolling_fingerprint", args, 1)
+        RollingFingerprint(args.head,
+          graft.operators.TextAnalysis.FingerprintMod)
+      }))
   }
 }

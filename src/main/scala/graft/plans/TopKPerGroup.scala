@@ -22,6 +22,15 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * and nothing is ever fully sorted. (The skew case — one hot group —
   * is exactly where the map-side bound matters most.)
   *
+  * MEMORY CONTRACT: the map-side state is a plain on-heap map of
+  * (group key → k-row heap) with no Spark memory accounting or spill
+  * path, so per-partition memory is O(distinct groups per partition × k
+  * rows). That is the right trade for the operator's target shape —
+  * bounded group cardinality with arbitrarily large groups (per-source
+  * caps, per-category rankings) — and the wrong one for a near-unique
+  * group column, where the row_number window form (which sorts with a
+  * spilling external sorter) should be used instead.
+  *
   * Exercises the custom-operator extension path end-to-end (SURVEY §7.3's
   * option (c)): `LogicalPlan` -> `Strategy` -> `SparkPlan` with proper
   * `requiredChildDistribution`, registered either via
@@ -87,9 +96,11 @@ final case class TopKPerGroupExec(
           heap.enqueue(row.copy())
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.forEach { (_, heap) => out ++= heap.toSeq }
-      out.iterator
+      // stream the heaps directly — buffering every kept row into a
+      // second collection transiently doubled the retained footprint per
+      // partition (worst exactly at high group cardinality)
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator)
     }
   }
 
@@ -119,13 +130,39 @@ object TopK {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val child = GraftSqlBridge.logicalPlan(df)
-    def attr(n: String): Attribute =
-      child.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in ${child.output.map(_.name)}"))
+    // exact-name match first, case-insensitive as the fallback; EITHER
+    // tier matching more than one attribute is ambiguous and fails by
+    // name — `find` used to silently bind whichever same-named column
+    // appeared first in the output
+    def attr(n: String): Attribute = {
+      val exact = child.output.filter(_.name == n)
+      val found =
+        if (exact.nonEmpty) exact
+        else child.output.filter(_.name.equalsIgnoreCase(n))
+      found match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in ${child.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: matches ${many.map(_.name)} — " +
+            "rename or select to disambiguate")
+      }
+    }
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+    import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    // normalize floating-point GROUP keys: the custom node bypasses
+    // Catalyst's NormalizeFloatingNumbers rule (it rewrites only
+    // Aggregate/Window/Join keys), so raw UnsafeRow key bytes would
+    // split -0.0 vs 0.0 (and distinct NaN bit patterns) into separate
+    // groups where SQL GROUP BY merges them
+    def groupKey(n: String): Expression = attr(n) match {
+      case a if a.dataType == FloatType || a.dataType == DoubleType =>
+        NormalizeNaNAndZero(a)
+      case a => a
+    }
     val plan = TopKPerGroup(
-      groupCols.map(attr),
+      groupCols.map(groupKey),
       orderCols.map { case (n, asc) =>
         SortOrder(attr(n), if (asc) Ascending else Descending)
       },

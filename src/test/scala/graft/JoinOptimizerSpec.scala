@@ -187,4 +187,26 @@ class JoinOptimizerSpec extends AnyFunSuite {
     val blind = new graft.plans.NdvAwareJoinOptimizer(Vector(e), (_, _) => None)
     assert(blind.estimateJoinCardinality(e, 4000L, 15000L, false, false) == 15000L)
   }
+
+  // The memo's reference-faithful identity ignores op (PlanCache keys):
+  // feeding orderJoins two edges identical up to op would alias one memo
+  // slot and the DP could return a plan repeating one edge and DROPPING
+  // the other — silent wrong joins downstream. The rule declines such
+  // inputs before calling in; the public API must fail by name instead
+  // of corrupting.
+  test("orderJoins refuses edge sets identical up to op") {
+    val eq = JoinEdge("a", "b", "x", "y", PredicateOp.EQ)
+    val lt = JoinEdge("a", "b", "x", "y", PredicateOp.LT)
+    val other = JoinEdge("b", "c", "y", "z", PredicateOp.EQ)
+    val stats = Map("a" -> uniformStats(1000, 2, 1),
+      "b" -> uniformStats(1000, 2, 2), "c" -> uniformStats(1000, 2, 3))
+    val err = intercept[IllegalArgumentException](
+      new JoinOptimizer(Vector(eq, lt, other))
+        .orderJoins(stats, Map.empty, (_, _) => false))
+    assert(err.getMessage.contains("identical up to op"))
+    // a literally duplicated edge (same op) stays legal — distinct()
+    // collapses it before the check
+    assert(new JoinOptimizer(Vector(eq, eq, other))
+      .orderJoins(stats, Map.empty, (_, _) => false).nonEmpty)
+  }
 }

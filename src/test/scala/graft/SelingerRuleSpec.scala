@@ -84,7 +84,7 @@ class SelingerRuleSpec extends AnyFunSuite {
       "SELECT simhash64(1)",
       "SELECT word_shingles(array(1), 2)",
       "SELECT dot_product(1.0, 2.0)",
-      "SELECT rolling_fingerprint(array('x'), 97)")) {
+      "SELECT rolling_fingerprint(array('x'))")) {
       val e = intercept[org.apache.spark.sql.AnalysisException](s2.sql(bad).head())
       assert(e.getMessage.toLowerCase.contains("requires") ||
         e.getMessage.contains("DATATYPE_MISMATCH"),
@@ -94,6 +94,11 @@ class SelingerRuleSpec extends AnyFunSuite {
       assert(!e.getMessage.contains("$prettyName"),
         s"$bad: unresolved prettyName interpolation in: ${e.getMessage.take(120)}")
     }
+    // wrong ARITY must fail with the function's name and expected count,
+    // not a bare IndexOutOfBoundsException from args(1)
+    val ea = intercept[Exception](s2.sql("SELECT word_shingles('a b c')").head())
+    assert(ea.getMessage.contains("word_shingles expects 2"),
+      s"arity error must name the function: ${ea.getMessage.take(120)}")
     // value (not type) contract: w <= 0 would walk the shingle loop past
     // the token array and AIOOBE per row on executors — refused at
     // construction with a named error instead
@@ -234,6 +239,35 @@ class SelingerRuleSpec extends AnyFunSuite {
       s"rule should decline on op-ambiguous duplicate edges: $leaves")
     // …and BOTH predicates still apply (a memo collision would drop one)
     assert(s2.sql(sql).head().getLong(0) == spark.sql(sql).head().getLong(0))
+  }
+
+  test("duplicate-name conjuncts into one opaque leaf: rule declines, both predicates hold") {
+    // JoinEdge identity is by column NAME. A HINTED join stays an opaque
+    // flattened leaf and can expose two attributes named "v"; conjuncts
+    // binding big.a to EACH of them collapse to one JoinEdge, and the
+    // rebuilt tree would enforce only one predicate — silent extra rows.
+    // The rule must decline when one edge key carries two distinct
+    // attribute bindings; parity with the plain session is the gate.
+    val s2 = SharedSpark.sparkWithExtensions
+    def q(s: org.apache.spark.sql.SparkSession): Long = {
+      import s.implicits._
+      val t1 = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      val t2 = Seq((1L, 10L), (2L, 25L), (3L, 30L)).toDF("k", "v")
+      // hinted -> JoinHint != NONE -> flatten() keeps it one leaf with
+      // duplicate output names v#1, v#2
+      val leaf = t1.join(t2.hint("broadcast"), t1("k") === t2("k"))
+      val big1 = Seq((10L, 1L), (25L, 2L), (30L, 3L)).toDF("a", "x")
+      val big2 = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("x", "pad")
+      val v1 = t1("v"); val v2 = t2("v")
+      // three relations (big1, big2, leaf), spine of unhinted inner
+      // joins; the two v-conjuncts must BOTH survive: rows where
+      // t1.v != t2.v (k=2) match only one of them
+      big1.join(big2, Seq("x"))
+        .join(leaf, big1("a") === v1 && big1("a") === v2)
+        .count()
+    }
+    assert(q(s2) == q(spark), "extension session must return the plain result")
+    assert(q(spark) == 2L) // k=1 and k=3 rows; k=2 (10 vs 25) matches neither twice
   }
 
   test("extension-installed session reorders spark.sql multi-joins") {

@@ -42,6 +42,28 @@ class TopKSpec extends AnyFunSuite {
     assert(planStr.contains("Exchange hashpartitioning(o_custkey"), planStr)
   }
 
+  test("TopK groups -0.0 with 0.0 and fails by name on ambiguous columns") {
+    import spark.implicits._
+    // the custom node bypasses Catalyst's NormalizeFloatingNumbers (it
+    // rewrites only Aggregate/Window/Join keys), so without the builder's
+    // own normalization the raw key bytes split -0.0 vs 0.0 into two
+    // groups where SQL GROUP BY merges them
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L)).toDF("g", "id")
+    val got = TopK.perGroup(df, Seq("g"), Seq("id" -> true), k = 2)
+      .select("id").as[Long].collect().toSet
+    // one merged zero group keeps ids 1,2 (top-2 by id asc); 3 is cut
+    assert(got == Set(1L, 2L, 4L), s"got $got")
+    // ambiguous column names must fail by name, not silently bind the
+    // first match: "Id" has no exact match and TWO case-insensitive ones
+    val amb = df.select(col("g"), col("id"), col("id").as("ID"))
+    val e = intercept[IllegalArgumentException](
+      TopK.perGroup(amb, Seq("Id"), Seq("g" -> true), k = 1).collect())
+    assert(e.getMessage.contains("ambiguous"))
+    // an exact match among case-variants binds unambiguously; the merged
+    // zero group + the 1.5 group make two k=1 survivors
+    assert(TopK.perGroup(amb, Seq("g"), Seq("id" -> true), k = 1).count() == 2)
+  }
+
   test("TopK handles ties, small groups, and k larger than group") {
     import spark.implicits._
     val df = Seq(
