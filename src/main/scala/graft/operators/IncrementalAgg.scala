@@ -35,6 +35,18 @@ object IncrementalAgg {
     */
   def merge(a: DataFrame, b: DataFrame, keys: Seq[String],
       values: Seq[String]): DataFrame = {
+    // mirror partials' contract checks: empty args crashed on aggs.head
+    // with a bare NoSuchElementException, and a missing partial column
+    // surfaced as a raw Catalyst resolution error nowhere near the call
+    require(keys.nonEmpty && values.nonEmpty,
+      "merge needs at least one key and one value column")
+    values.foreach { v =>
+      Seq("sum", "cnt", "min", "max").foreach { s =>
+        require(a.columns.contains(s"${v}_$s") && b.columns.contains(s"${v}_$s"),
+          s"merge: partial column '${v}_$s' missing — both inputs must be " +
+            "partials() outputs over the same value columns")
+      }
+    }
     val aggs = values.flatMap { v =>
       Seq(sum(col(s"${v}_sum")).as(s"${v}_sum"),
         sum(col(s"${v}_cnt")).as(s"${v}_cnt"),

@@ -49,10 +49,30 @@ object Merge {
     }
     require(changes.columns.contains(opCol),
       s"changes must carry the '$opCol' column")
+    // the bookkeeping-collision contract must hold on BOTH inputs: a
+    // changes data column named __prio would be silently overwritten by
+    // the priority tag (unionByName would see matching column sets and
+    // never complain) and vanish from the result
+    Seq("__prio", "__rn", "__tie").foreach { c =>
+      require(!changes.columns.contains(c),
+        s"changes column '$c' collides with upsert bookkeeping")
+    }
     val snapTagged = snapshot
       .withColumn(opCol, lit(null).cast("string"))
       .withColumn("__prio", lit(0))
-    val chTagged = changes.withColumn("__prio", lit(1))
+    // op domain enforced per row BY NAME: anything outside {I, U, D}
+    // (a lowercase 'd', 'DELETE', a typo) used to fall through the
+    // `=!= "D"` filter and be treated as an upsert — the malformed
+    // delete marker's (typically null) payload then REPLACED the
+    // snapshot row instead of deleting the key. Silent corruption in a
+    // function that fails fast on every other contract violation.
+    val chTagged = changes
+      .withColumn(opCol,
+        when(col(opCol).isin("I", "U", "D"), col(opCol))
+          .otherwise(raise_error(concat(
+            lit(s"upsert: '$opCol' must be one of I/U/D, got "),
+            coalesce(col(opCol), lit("NULL"))))))
+      .withColumn("__prio", lit(1))
     val unioned = snapTagged.unionByName(chTagged)
       // content-hash tie-break: free (one codegen'd hash per row) and
       // only ever consulted when two rows share (key, prio) — i.e. when

@@ -78,12 +78,18 @@ object Streams {
     */
   /** Timestamp ↔ epoch-microseconds (Timestamp.getTime alone is millis
     * and silently truncates the µs precision the events carry).
+    * FLOOR division/modulo, not truncation: getTime of a pre-epoch
+    * timestamp is negative, and `-500 / 1000 * 1000000` rounds toward
+    * zero — a 1969 event came out a full second off WITH THE WRONG
+    * SIGN, corrupting sort order and gap arithmetic. (getNanos is
+    * already the non-negative sub-second part, so only the seconds
+    * component needs the floor.)
     */
   private def micros(t: Timestamp): Long =
-    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
   private def tsFromMicros(us: Long): Timestamp = {
-    val t = new Timestamp(us / 1000000L * 1000L)
-    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
 
@@ -133,10 +139,19 @@ object Streams {
                   // with min/max so the interval never regresses —
                   // unconditional lastTs = t used to move the session end
                   // BACKWARD, emitting end < start. With lateness <= gap
-                  // (the default), every in-horizon old event is within
-                  // gap of lastTs and so belongs to this session; with
-                  // lateness > gap this is the closest single-interval
-                  // approximation of the batch gap rule.
+                  // (the default), every in-horizon old event within gap
+                  // of lastTs merges into the OPEN session correctly.
+                  // DOCUMENTED LIMIT: a session already CLOSED (emitted
+                  // on arrival of a later event, below) cannot be
+                  // recalled — an in-horizon bridging event landing in a
+                  // later batch between an emitted session and the open
+                  // one yields two sessions where the batch gap rule
+                  // (q34) merges them into one. Emit-on-arrival is the
+                  // deliberate low-state trade of this CUSTOM operator;
+                  // the exact arrival-order-independent form is Spark's
+                  // native session_window (q125 batch / q135 stream),
+                  // whose state store holds sessions until the watermark
+                  // proves no bridge can arrive.
                   cur = Some(SessionState(math.min(s.start, t),
                     math.max(s.lastTs, t), s.nEvents + 1))
                 case Some(s) =>
@@ -183,8 +198,12 @@ object Streams {
         col("session_window.end").as("s_end"),
         col("n_events"))
 
-  /** Watermarked streaming deduplication: exactly-once per key within
-    * the watermark horizon; state for a key is dropped once the
+  /** Watermarked streaming deduplication of exact (key, ts) duplicates —
+    * the event-time column IS part of the dedup identity, so a retried
+    * event with the same key but a different ts passes through (for
+    * key-only dedup use [[dedupWithinWatermark]], whose doc correctly
+    * described this function's semantics while this one overclaimed
+    * "exactly-once per key"). State for a (key, ts) is dropped once the
     * watermark passes, so state size tracks the horizon, not the stream.
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
@@ -239,7 +258,12 @@ object Streams {
     */
   def enrichWithDim(events: DataFrame, dim: DataFrame,
       eventKey: String, dimKey: String): DataFrame =
-    events.join(dim, events(eventKey) === dim(dimKey))
+    // Seq-form join when the two sides share the key name: the
+    // expression form keeps BOTH key columns, so the common
+    // enrichWithDim(e, d, "user_id", "user_id") call returned a frame
+    // where any downstream reference to user_id hit AMBIGUOUS_REFERENCE
+    if (eventKey == dimKey) events.join(dim, Seq(eventKey))
+    else events.join(dim, events(eventKey) === dim(dimKey))
 
   /** Stream-static LEFT ANTI join: pass through only events whose key is
     * absent from the (batch) `known` set — the at-ingest "drop
@@ -306,8 +330,15 @@ object Streams {
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
     override def handleInitialState(key: Long, initial: (Long, Long),
-        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
-      totals.update(initial)
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit = {
+      // MERGE, never overwrite: a snapshot with duplicate keys (a union
+      // of partial snapshots is the realistic producer) fires this once
+      // per row, and update(initial) kept only whichever row applied
+      // last — silently dropping the other rows' history. Summing makes
+      // the seed the deterministic merge of every row for the key.
+      val (n0, v0) = if (totals.exists()) totals.get() else (0L, 0L)
+      totals.update((n0 + initial._1, v0 + initial._2))
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
@@ -343,30 +374,30 @@ object Streams {
       .queryName(name)
       .outputMode(outputMode)
       .start()
-    // stop() must run even when processAllAvailable throws (interrupt,
-    // sink failure): a leaked live query keeps polling the file source
-    // for the JVM lifetime, competing with every later query
-    try q.processAllAvailable()
-    catch {
-      case t: Throwable =>
-        try q.stop() catch { case s: Throwable => t.addSuppressed(s) }
-        throw t
-    }
-    // GRAFT_STREAM_TRACE=1: dump per-trigger progress (planning, addBatch,
-    // state-store commit, per-operator state metrics) to stderr — the
-    // instrumentation behind SCALE.md's stream-cost floor breakdown.
-    if (sys.env.contains("GRAFT_STREAM_TRACE"))
-      q.recentProgress.foreach { p =>
-        val d = p.durationMs
-        def ms(k: String) = Option(d.get(k)).map(_.toString).getOrElse("-")
-        System.err.println(s"[stream $name] batch=${p.batchId} rows=${p.numInputRows} " +
-          s"triggerMs=${ms("triggerExecution")} planMs=${ms("queryPlanning")} " +
-          s"addBatchMs=${ms("addBatch")} offsetsMs=${ms("latestOffset")}/${ms("walCommit")} " +
-          s"commitMs=${ms("commitOffsets")} stateOps=[" +
-          p.stateOperators.map(so => s"${so.operatorName}:rows=${so.numRowsTotal}," +
-            s"commitMs=${so.commitTimeMs},mem=${so.memoryUsedBytes}").mkString(" ") + "]")
-      }
-    q.stop()
+    // stop() must run on EVERY exit path — processAllAvailable throwing,
+    // the trace dump throwing, an interrupt landing between them: a
+    // leaked live query keeps polling the file source for the JVM
+    // lifetime, competing with every later query. One try/finally covers
+    // all of it (the old shape re-ran stop() outside the protected
+    // region for the trace block).
+    try {
+      q.processAllAvailable()
+      // GRAFT_STREAM_TRACE=1: dump per-trigger progress (planning,
+      // addBatch, state-store commit, per-operator state metrics) to
+      // stderr — the instrumentation behind SCALE.md's stream-cost
+      // floor breakdown.
+      if (sys.env.contains("GRAFT_STREAM_TRACE"))
+        q.recentProgress.foreach { p =>
+          val d = p.durationMs
+          def ms(k: String) = Option(d.get(k)).map(_.toString).getOrElse("-")
+          System.err.println(s"[stream $name] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"triggerMs=${ms("triggerExecution")} planMs=${ms("queryPlanning")} " +
+            s"addBatchMs=${ms("addBatch")} offsetsMs=${ms("latestOffset")}/${ms("walCommit")} " +
+            s"commitMs=${ms("commitOffsets")} stateOps=[" +
+            p.stateOperators.map(so => s"${so.operatorName}:rows=${so.numRowsTotal}," +
+              s"commitMs=${so.commitTimeMs},mem=${so.memoryUsedBytes}").mkString(" ") + "]")
+        }
+    } finally q.stop()
     spark.table(name)
   }
 }

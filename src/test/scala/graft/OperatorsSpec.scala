@@ -953,6 +953,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq((1L, "a"), (2L, "B"), (9L, "z")))
   }
 
+  test("Merge.upsert refuses malformed op values and bookkeeping collisions by name") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // a lowercase 'd' (or 'DELETE', or a typo) used to fall through the
+    // != 'D' filter and be treated as an upsert: the malformed DELETE
+    // marker's payload silently REPLACED the snapshot row instead of
+    // deleting the key
+    val badOp = Seq((2L, "x", "d")).toDF("k", "v", "op")
+    val e = intercept[Exception](Merge.upsert(snap, badOp, Seq("k")).collect())
+    assert(SharedSpark.messages(e).exists(_.contains("must be one of I/U/D")),
+      s"expected the op-domain error, got: ${SharedSpark.messages(e).take(3)}")
+    // a changes DATA column named like the bookkeeping used to be
+    // silently overwritten by the priority tag and vanish
+    val clobber = Seq((2L, "x", "U", 7L)).toDF("k", "v", "op", "__prio")
+    val e2 = intercept[IllegalArgumentException](
+      Merge.upsert(snap, clobber, Seq("k")))
+    assert(e2.getMessage.contains("collides with upsert bookkeeping"))
+  }
+
+  test("Streams.enrichWithDim with a shared key name keeps ONE key column") {
+    val events = Seq((1L, "click"), (2L, "view")).toDF("user_id", "event_type")
+    val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val out = graft.streaming.Streams.enrichWithDim(events, dim, "user_id", "user_id")
+    // the expression-form join kept BOTH user_id columns, so any
+    // downstream reference hit AMBIGUOUS_REFERENCE
+    assert(out.columns.count(_ == "user_id") == 1)
+    assert(out.select("user_id", "tier").count() == 2)
+  }
+
   test("Packing.shardByTokenBudget: exclusive prefix sum, per-stratum") {
     val docs = Seq(
       ("en", 1L, 600L), ("en", 2L, 600L), ("en", 3L, 600L),

@@ -384,6 +384,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed == Set((1L, 0L, 20L, 3L), (2L, 5L, 5L, 1L), (1L, 60L, 60L, 1L)))
   }
 
+  test("warm-start ledger merges duplicate snapshot keys instead of keeping the last") {
+    // a snapshot with duplicate keys (union of partial snapshots) fires
+    // handleInitialState once per row; update(initial) used to keep only
+    // whichever row applied last, nondeterministically dropping history
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-warmdup").toString
+    Seq((42L, 7L)).toDF("user_id", "c").write.mode("overwrite").parquet(streamDir)
+    val live = s2.readStream.schema("user_id LONG, c LONG").parquet(streamDir)
+      .as[(Long, Long)]
+    val initial = Seq((42L, (10L, 100L)), (42L, (5L, 50L))).toDS()
+    val out = graft.streaming.Streams.runningTotalsWarmStart(live, initial)
+    val got = graft.streaming.Streams
+      .runToCompletion(s2, out.toDF, s"warmdup_${System.nanoTime()}", "update")
+      .as[(Long, Long, Long)].collect()
+    // seed = merge of BOTH snapshot rows (15, 150) + the one live row
+    assert(got.toSet == Set((42L, 16L, 157L)), s"got ${got.toSet}")
+  }
+
   test("sessionize: a null event time participates in no session (native null semantics)") {
     // Degenerate-input pin (round-10 probe): a null ts used to reach
     // micros(e.ts) inside the state function and kill the whole query
