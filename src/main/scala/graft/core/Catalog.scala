@@ -82,9 +82,14 @@ object Catalog {
     else {
       val df = table(spark, dir, name)
       val ts = graft.stats.TableStats.build(df, withHistograms = withHistograms)
-      statsCache.put(key, (ts, withHistograms))
-      graft.stats.StatsRegistry.register(df, ts)
-      ts
+      // merge, never blind put: the check-then-put had a window where a
+      // LIGHT (histogram-less) build racing a completed FULL build could
+      // overwrite it in both the cache and the registry — silently
+      // degrading every later Selinger decision to System R constants
+      val kept = statsCache.merge(key, (ts, withHistograms),
+        (oldV, newV) => if (oldV._2 && !newV._2) oldV else newV)
+      if (kept._1 eq ts) graft.stats.StatsRegistry.register(df, ts)
+      kept._1
     }
   }
 
@@ -105,8 +110,10 @@ object Catalog {
       val built = graft.stats.TableStats.buildMany(dfs,
         withHistograms = withHistograms)
       built.foreach { case (n, ts) =>
-        statsCache.put((dir, n), (ts, withHistograms))
-        graft.stats.StatsRegistry.register(dfs(n), ts)
+        // same full-beats-light merge as stats() — see the race note there
+        val kept = statsCache.merge((dir, n), (ts, withHistograms),
+          (oldV, newV) => if (oldV._2 && !newV._2) oldV else newV)
+        if (kept._1 eq ts) graft.stats.StatsRegistry.register(dfs(n), ts)
       }
     }
     names.map(n => n -> statsCache.get((dir, n))._1).toMap

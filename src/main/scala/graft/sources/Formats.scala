@@ -85,6 +85,10 @@ object Formats {
       // values — corpus text is whitespace-significant and the
       // write/read round-trip must be the row identity
       .option("ignoreSurroundingSpaces", "false")
+      // same header contract as readCsv/readJsonLines: the default
+      // PERMISSIVE mode silently nulls a malformed element's fields and
+      // lets the corruption flow into the parquet conversion
+      .option("mode", "FAILFAST")
       .format("xml").load(path)
 
   def writeXml(df: DataFrame, path: String, rowTag: String,

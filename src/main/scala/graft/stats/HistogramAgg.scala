@@ -25,19 +25,18 @@ final class HistogramAgg(minV: Long, maxV: Long, buckets: Int)
   // of a named driver-side error
   require(buckets > 0, s"buckets must be positive, got $buckets")
 
-  private val span: Double = math.max(1.0, (1.0 + maxV - minV) / buckets)
+  // shared formulas (IntHistogram companion): a hand-mirrored copy here
+  // drifting from the driver-side class would mis-assign every bucket
+  // with no error — addBucketCount only range-checks the index
+  private val span: Double = IntHistogram.spanOf(minV, maxV, buckets)
 
   override def zero: Array[Long] = new Array[Long](buckets)
 
   override def reduce(b: Array[Long], v: java.lang.Long): Array[Long] = {
     if (v != null) {
       val x = v.longValue()
-      if (x >= minV && x <= maxV) {
-        // double subtraction: long x - minV wraps when the column range
-        // exceeds Long.MaxValue (same guard as IntHistogram.bucketOf)
-        val idx = math.min(((x.toDouble - minV) / span).toInt, buckets - 1)
-        b(idx) += 1
-      }
+      if (x >= minV && x <= maxV)
+        b(IntHistogram.bucketIdx(x, minV, span, buckets)) += 1
     }
     b
   }

@@ -22,6 +22,17 @@ object PredicateOp {
   *   - bucket(v) = min(floor((v - min) / span), buckets - 1)
   *   - out-of-range adds are ignored; ntups counts in-range rows only.
   *
+  * A second REPLICATED quirk (cite-and-decide, like the integer-division
+  * wart below): the reference's range shortcuts test `v <= min_v` BEFORE
+  * `v >= max_v` (`table_stats.cc:83-90`), so on a CONSTANT column
+  * (min == max == c) GT(c) returns 1.0 where the truth is 0.0, and LE(c)
+  * = 1 − GT(c) returns 0.0 where the truth is 1.0 — and on any histogram
+  * GT(min)/LT(max) round the boundary value's own frequency away to 1.0.
+  * Kept because the estimates feed only join-ORDER costs (never
+  * results), the ported reference tests pin the formulas as written,
+  * and IntHistogramSpec pins this boundary behavior by name so the
+  * divergence from truth is documented, not accidental.
+  *
   * One deliberate fix vs the reference: its GT branch computes the
   * partial-bucket term as `(h/ntups) * ((min + (b+1)*span - v)/span)`
   * with C++ integer division (`table_stats.cc:96`, `h / ntups` on ints),
@@ -37,25 +48,37 @@ object PredicateOp {
   * [[TableStats]] via a Spark aggregation, which then feeds bucket counts
   * in through [[addBucketCount]].
   */
+/** THE definition of the reference span/bucket formulas — shared by the
+  * driver-side class below and the distributed [[HistogramAgg]] build:
+  * the two used to carry hand-mirrored copies, and a drift in either
+  * would mis-assign every bucket with no error (addBucketCount only
+  * range-checks the index).
+  */
+object IntHistogram {
+  @inline def spanOf(minV: Long, maxV: Long, buckets: Int): Double =
+    math.max(1.0, (1.0 + maxV - minV) / buckets)
+  // v - minV in DOUBLE: long subtraction wraps when the column range
+  // exceeds Long.MaxValue (minV = -2^62, v = 2^62 → -2^63) — a negative
+  // index or silent mis-bucketing. Double precision at that magnitude is
+  // approximate, but so are the bucket boundaries themselves.
+  @inline def bucketIdx(v: Long, minV: Long, span: Double, buckets: Int): Int =
+    math.min(((v.toDouble - minV) / span).toInt, buckets - 1)
+}
+
 final class IntHistogram(val buckets: Int, val minV: Long, val maxV: Long)
     extends Serializable {
   require(buckets > 0, "buckets must be positive")
 
-  val span: Double = math.max(1.0, (1.0 + maxV - minV) / buckets)
+  val span: Double = IntHistogram.spanOf(minV, maxV, buckets)
   private val counts = new Array[Long](buckets)
   private var nt: Long = 0L
 
   def ntups: Long = nt
   def bucketCounts: IndexedSeq[Long] = counts.toIndexedSeq
 
-  // v - minV is computed in DOUBLE: long subtraction wraps when the
-  // column range exceeds Long.MaxValue (minV = -2^62, v = 2^62 → -2^63),
-  // crashing the build with a negative index or silently mis-bucketing.
-  // estimateNdv guards the identical hi-lo overflow; this is the same
-  // hazard on the bucket path. Double precision at that magnitude is
-  // approximate, but so are the bucket boundaries themselves.
+  // one shared formula (companion) — the overflow rationale lives there
   @inline def bucketOf(v: Long): Int =
-    math.min(((v.toDouble - minV) / span).toInt, buckets - 1)
+    IntHistogram.bucketIdx(v, minV, span, buckets)
 
   /** O(1) ingest of one value; ignores out-of-range values. */
   def addValue(v: Long): Unit = {

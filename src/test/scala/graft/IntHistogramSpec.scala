@@ -137,4 +137,24 @@ class IntHistogramSpec extends AnyFunSuite {
     val le = hist.estimateSelectivity(PredicateOp.LE, 0L)
     assert(le >= 0.0 && le <= 1.0)
   }
+
+  // Reference quirk pinned (table_stats.cc:83-90, cite-and-decide like
+  // the :96 wart): the range shortcuts test v <= min BEFORE v >= max, so
+  // on a CONSTANT column GT(c) reads 1.0 (truth 0.0) and LE(c) reads 0.0
+  // (truth 1.0), and on any histogram GT(min)/LT(max) round the boundary
+  // value's own frequency away to 1.0. Harmless to results (estimates
+  // feed only join-order costs); this test exists so the divergence from
+  // truth is DOCUMENTED behavior — if the formulas are ever "fixed", the
+  // ported reference tests and this pin must move together.
+  test("reference boundary-shortcut quirk pinned: constant column inverts GT/LE") {
+    val const = new IntHistogram(10, 7, 7)
+    (1 to 5).foreach(_ => const.addValue(7L))
+    assert(const.estimateSelectivity(PredicateOp.GT, 7L) == 1.0)
+    assert(const.estimateSelectivity(PredicateOp.LE, 7L) == 0.0)
+    // non-constant histogram: GT(min) ignores min's own frequency
+    val h = new IntHistogram(10, 0, 9)
+    (0L to 9L).foreach(h.addValue)
+    assert(h.estimateSelectivity(PredicateOp.GT, 0L) == 1.0)
+    assert(h.estimateSelectivity(PredicateOp.LT, 9L) == 1.0)
+  }
 }
