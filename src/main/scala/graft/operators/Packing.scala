@@ -76,7 +76,18 @@ object Packing {
     guardBookkeeping(df)
     val r0 = df.agg(min(col(orderCol)).cast("long"),
       max(col(orderCol)).cast("long")).head()
-    if (r0.isNullAt(0)) return df.withColumn("shard_id", lit(0L))
+    if (r0.isNullAt(0)) {
+      // null min means EITHER an empty input (return the typed empty
+      // with the output schema) OR a non-empty input whose order column
+      // is ENTIRELY null — the latter used to take this early return and
+      // tag every row shard_id = 0 regardless of token totals, while the
+      // pass-1 null check below (and the window form) fail loudly on
+      // mixed nulls. All-null must fail the same way.
+      require(df.isEmpty,
+        s"order column '$orderCol' is entirely null — global shard " +
+          "packing needs a total order")
+      return df.withColumn("shard_id", lit(0L))
+    }
     val (lo, hi) = (r0.getLong(0), r0.getLong(1))
     // hi - lo in plain long WRAPS once the key range exceeds
     // Long.MaxValue — the natural shape when the order key is a 64-bit

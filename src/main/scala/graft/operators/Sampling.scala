@@ -47,6 +47,12 @@ object Sampling {
   def hashSplit(df: DataFrame, idCol: String,
       splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9)
+    // a NEGATIVE weight passes the sum check but makes the cumulative
+    // bounds non-monotonic: the when-chain then silently assigns that
+    // split ZERO rows and hands its range to a neighbor — same guard
+    // stratifiedSample applies to its fractions
+    require(splits.forall(_._2 >= 0),
+      s"hashSplit weights must be >= 0, got ${splits.filter(_._2 < 0)}")
     val b = bucket(col(idCol))
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(f => (f * Buckets).toLong)
     val expr = splits.zip(bounds).init.foldRight(lit(splits.last._1): Column) {
@@ -131,7 +137,16 @@ object Sampling {
     val totals = df
       .where(col(stratumCol).isin(weights.map(_._1): _*))
       .groupBy(col(stratumCol).as("__s"))
-      .agg(coalesce(sum(tokensCol.cast("long")), lit(0L)).as("__t"))
+      // negative token counts corrupt every stratum's rate silently (one
+      // -1e12 row can push a stratum's total <= 0 and drop the WHOLE
+      // stratum from the mixture); fail per row by name, folded into the
+      // summed expression so no rewrite drops it — the ppsSystematic /
+      // shardByTokenBudget discipline
+      .agg(coalesce(sum(
+        when(tokensCol.cast("long") < 0, raise_error(concat(
+          lit("mixtureSample: negative token count "),
+          tokensCol.cast("string"))))
+          .otherwise(tokensCol.cast("long"))), lit(0L)).as("__t"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
@@ -174,7 +189,15 @@ object Sampling {
   private def sqrtQuotas(df: DataFrame, stratumCol: String, opName: String,
       budgetOf: Long => Long): (Map[String, Long], Map[String, Long]) = {
     requireStringStratum(df, stratumCol, opName)
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+    // a NULL stratum can never match the string-keyed keep predicates
+    // downstream (col === null is never true), so counting its rows here
+    // inflated the budget and the Σ√c denominator while its quota share
+    // could never be emitted — every REAL stratum's output silently
+    // shrank. Exclude null-stratum rows from the quota arithmetic
+    // entirely: they participate in nothing, the SQL-null posture every
+    // other stratified operator takes.
+    val counts = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "empty input")
     val budget = budgetOf(counts.values.sum)
@@ -299,6 +322,14 @@ object Sampling {
   def ppsSystematic(df: DataFrame, weightCol: Column, orderCol: Column,
       k: Long, stratumCols: Seq[Column] = Seq.empty): DataFrame = {
     require(k > 0, "sample size k must be positive")
+    // fail fast instead of silently clobbering caller data named like
+    // the bookkeeping (the Merge.upsert / Packing.guardBookkeeping
+    // discipline): withColumn would replace an existing __cum and the
+    // trailing drop would delete the caller's column from the result
+    Seq("__w", "__cum", "__tot").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with ppsSystematic bookkeeping")
+    }
     val w0 = if (stratumCols.isEmpty)
       org.apache.spark.sql.expressions.Window.partitionBy()
     else org.apache.spark.sql.expressions.Window.partitionBy(stratumCols: _*)

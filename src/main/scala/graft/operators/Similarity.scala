@@ -186,8 +186,15 @@ object Similarity {
     require(cents.forall { case (_, ctr) =>
       ctr != null && ctr.exists(_ != 0.0) && !ctr.exists(_.isNaN) },
       "assignNearest: centroids must be non-null, non-zero, NaN-free")
-    df.withColumn(outCol,
-      bestCell(col(vecCol).cast("array<double>"), cents))
+    // a null/NaN/zero-norm INPUT row makes every cellSims entry
+    // identically null/NaN, and the argmax then falls through to the
+    // LOWEST centroid id — silently inflating one cluster with every
+    // broken row. Drop them like every other similarity entry point
+    // (usableVec is the established contract: unusable vectors
+    // participate in nothing).
+    df.where(usableVec(col(vecCol)))
+      .withColumn(outCol,
+        bestCell(col(vecCol).cast("array<double>"), cents))
   }
 
   /** Lloyd iterations refining IVF centroids: assign every vector to its
@@ -198,7 +205,17 @@ object Similarity {
     * — and training scales with the corpus. Empty cells keep their
     * previous centroid.
     */
+  /** REQUIRED INPUT SHAPE: `c0` must carry the columns `neighbor_id`
+    * (long id) and `__cv` (the vector) — the pre-shaped corpus relation
+    * [[ivfTopK]] builds; external callers (RecallProbe) rename their
+    * columns to match. Fails by name otherwise.
+    */
   def kmeansCentroids(c0: DataFrame, nlist: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    require(c0.columns.contains("neighbor_id") && c0.columns.contains("__cv"),
+      s"kmeansCentroids needs columns neighbor_id and __cv (got " +
+        s"${c0.columns.mkString(", ")}) — select/rename the id and vector " +
+        "columns to the ivfTopK corpus shape first")
+    require(nlist >= 1, s"kmeansCentroids nlist must be >= 1, got $nlist")
     val spark = c0.sparkSession
     import spark.implicits._
     // a null/zero/NaN vector can neither seed a centroid (typedLit(null)
@@ -249,6 +266,14 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       trainIters: Int = 2): DataFrame = {
+    // degenerate index params used to take the EMPTY-CORPUS early return
+    // silently: nlist = 0 seeds zero centroids and nprobe = 0 probes
+    // zero cells, so every query got an empty top-k over a FULL corpus
+    // with no error — the siblings (assignNearest, TopK.perGroup,
+    // pageRank) all fail fast on parameters like these
+    require(nlist >= 1, s"ivfTopK nlist must be >= 1, got $nlist")
+    require(nprobe >= 1, s"ivfTopK nprobe must be >= 1, got $nprobe")
+    require(k >= 1, s"ivfTopK k must be >= 1, got $k")
     // null/zero/NaN corpus rows can't be indexed, assigned, or returned
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .where(usableVec(col("__cv")))

@@ -177,6 +177,51 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(SharedSpark.messages(t).exists(_.contains("Skyline.skyline2D")))
   }
 
+  test("round-10 guards: null strata, all-null order keys, bad params fail or drop by contract") {
+    // sqrtQuotas: a NULL stratum can never match the string-keyed keep
+    // predicates, so its rows must not inflate the budget/denominator —
+    // quotas over (a + nulls) must equal quotas over (a) alone
+    val withNulls = (Seq.fill(16)(("a", 1)) ++ Seq.fill(16)((null: String, 1)))
+      .toDF("lang", "x").withColumn("doc_id", monotonically_increasing_id())
+    val justA = Seq.fill(16)(("a", 1)).toDF("lang", "x")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val sampled = Sampling.temperatureSample(withNulls, "lang", "doc_id")
+    val sampledA = Sampling.temperatureSample(justA, "lang", "doc_id")
+    assert(sampled.count() == sampledA.count(),
+      "null-stratum rows must not shrink real strata's quotas")
+    // hashSplit: a negative weight silently zeroed its split's range
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(justA, "doc_id", Seq(("train", 0.9), ("val", -0.1), ("test", 0.2))))
+    // global shard packing: an all-null order column used to tag every
+    // row shard 0 via the empty-input early return
+    val allNull = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .withColumn("ord", lit(null).cast("long"))
+    val e = intercept[IllegalArgumentException](
+      Packing.shardByTokenBudgetGlobal(allNull, "v", "ord", 100L, 4))
+    assert(e.getMessage.contains("entirely null"))
+    // ivfTopK: nlist/nprobe = 0 used to take the empty-corpus early
+    // return silently — every query got zero neighbors over a full corpus
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Similarity.ivfTopK(vecs, vecs, "vec_id", "vec_id", "embedding", 1, nlist = 0))
+    intercept[IllegalArgumentException](
+      Similarity.ivfTopK(vecs, vecs, "vec_id", "vec_id", "embedding", 1, nprobe = 0))
+    // assignNearest: a broken (null/NaN/zero) input vector used to land
+    // in the LOWEST centroid id; it now participates in nothing
+    val mixed = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, null: Array[Float])).toDF("id", "embedding")
+    val assigned = Similarity.assignNearest(mixed, "embedding",
+      Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))))
+    assert(assigned.select("id").as[Long].collect().toSet == Set(1L),
+      "only the usable vector is assigned")
+    // ppsSystematic: caller columns named like the bookkeeping must fail
+    // fast, not vanish from the result
+    intercept[IllegalArgumentException](
+      Sampling.ppsSystematic(justA.withColumn("__cum", lit(1L)),
+        lit(1L), col("doc_id"), 2L))
+  }
+
   test("all-null payload columns flow through as empty results, not crashes") {
     val docsN = Seq((1L, null: String), (2L, null: String)).toDF("doc_id", "text")
     assertEmpty(Dedup.minHashPairs(docsN, "doc_id", "text"))
