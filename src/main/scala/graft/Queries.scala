@@ -5438,6 +5438,11 @@ object Queries {
     * lists) come from the SAME Scala constants the Spark expressions use,
     * so the two sides cannot drift.
     */
+  /** Non-overlapping token-occurrence counting — mirrors
+    * [[TextAnalysis.wordOccurrences]] exactly, including the documented
+    * adjacent-repeat convention (see its scaladoc for the measured
+    * negative results on the exact alternatives).
+    */
   private def occSql(textExpr: String, w: String): String = {
     val needle = s" $w "
     s"CAST((length(' ' || $textExpr || ' ') - length(replace(' ' || $textExpr || ' ', '$needle', ''))) / ${needle.length} AS BIGINT)"
@@ -5456,12 +5461,14 @@ object Queries {
       val c = later.map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $c THEN '$l'"
     }
-    s"CASE ${conds.mkString(" ")} ELSE '${ls.last}' END"
+    // leading null branch = the Spark side's null-text guard (scores
+    // are null exactly when text is null)
+    s"CASE WHEN s_${ls.head} IS NULL THEN NULL " +
+      s"${conds.mkString(" ")} ELSE '${ls.last}' END"
   }
 
   private val stopSumSql: String =
-    Seq("the", "a", "of", "and", "to", "in", "is")
-      .map(w => occSql("text", w)).mkString("(", " + ", ")")
+    TextAnalysis.stopwords.map(w => occSql("text", w)).mkString("(", " + ", ")")
 
   /** SQL mirror of [[qualityExpr]] — q24/q97/q109 all interpolate THIS. */
   private lazy val qualitySql: String =

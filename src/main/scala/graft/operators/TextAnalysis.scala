@@ -49,8 +49,21 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
 
-  /** Occurrences of `word` as a whole token (non-overlapping replace
-    * counting — identical arithmetic to the SQL oracle).
+  /** Occurrences of `word` as a whole token — NON-OVERLAPPING replace
+    * counting, identical arithmetic to the SQL oracle's occSql.
+    *
+    * DOCUMENTED CONVENTION (round-10 audit, measured negative result):
+    * adjacent repeats of the word share their delimiting space, so the
+    * single replace pass counts ⌈n/2⌉ of an n-long repeat run ("the the
+    * the" counts 2, not 3). Exact alternatives were built and measured:
+    * the HOF form `size(filter(split(...)))` is evaluated INTERPRETED
+    * (+50% on the quality-chain queries), and a space-doubled replace
+    * (each occurrence gets its own delimiters) doubled the string
+    * passes without CSE rescuing it (q227/q228 warm 0.8 → 2.9 s). The
+    * undercount only nudges HEURISTIC scores (langId margins, stopword
+    * ratios) on repeat-heavy documents, which the Gopher `repetitive`
+    * flag targets independently — so the cheap convention stays, on
+    * BOTH engines, and this comment is the record of why.
     */
   def wordOccurrences(text: Column, word: String): Column = {
     val padded = concat(lit(" "), text, lit(" "))
@@ -84,8 +97,17 @@ object TextAnalysis {
       val later = scores.drop(i + 1)
       (later.map(x => s >= x._2).reduce(_ && _), lit(l))
     }
-    cases.foldRight(lit(scores.last._1): Column) { case ((cond, v), els) =>
-      when(cond, v).otherwise(els)
+    // NULL text has no language: every score is null, every `>=` is
+    // null, so the chain falls to the ELSE — which used to confidently
+    // classify the null document as the LAST-listed language. The guard
+    // lives on the ELSE LEAF (when(text.isNotNull, last)), NOT as a
+    // wrapper around the whole chain: wrapping pushed the 25 score
+    // subexpressions into a conditional branch, which DISABLES Spark's
+    // subexpression elimination and measured 2× on the confusion
+    // queries (q227 warm 0.98 → 1.9 s). The oracle's CASE carries the
+    // equivalent leading `WHEN s_en IS NULL THEN NULL` branch.
+    cases.foldRight(when(text.isNotNull, lit(scores.last._1)): Column) {
+      case ((cond, v), els) => when(cond, v).otherwise(els)
     }
   }
 

@@ -234,6 +234,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 6L)
     assert(math.abs(r.getDouble(1) - 17.0 / 6.0) < 1e-12)
     assert(math.abs(r.getDouble(2) - 2.0 / 6.0) < 1e-12) // "the" twice
+    // DOCUMENTED adjacent-repeat convention pinned (see the
+    // wordOccurrences scaladoc): the non-overlapping replace counts
+    // ceil(n/2) of an n-long repeat run — the exact alternatives were
+    // measured and rejected (interpreted HOF +50%, space-doubling
+    // 0.8 -> 2.9 s on the confusion queries); this pin is the record
+    // that the undercount is deliberate, engine-paired behavior
+    val rep = Seq(Tuple1("the the the"), Tuple1("the the"), Tuple1("the"))
+      .toDF("t")
+      .select(TextAnalysis.wordOccurrences(col("t"), "the").as("n"))
+      .as[Long].collect().toSeq
+    assert(rep == Seq(2L, 1L, 1L), s"adjacent-repeat convention drifted: $rep")
+    // null text has no language — the CASE chain used to fall through
+    // its ELSE and classify a null document as the last-listed language
+    val nullLang = Seq(Tuple1(null: String)).toDF("t")
+      .select(TextAnalysis.langId(col("t"))).head()
+    assert(nullLang.isNullAt(0), "langId(null) must be null, not 'zh'")
   }
 
   test("winnowing guarantee: a shared span of w+k-1 chars yields a shared fingerprint") {
