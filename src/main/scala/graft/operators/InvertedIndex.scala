@@ -106,6 +106,12 @@ object InvertedIndex {
   def build(docs: DataFrame, idCol: String, textCol: String, maxDf: Long): DataFrame = {
     val cap = math.min(maxDf + 1, Int.MaxValue.toLong).toInt
     docs
+      // a NULL doc id would count into df (count(lit(1))) but be skipped
+      // by the bounded-smallest postings aggregator — breaking the
+      // documented "df == |postings| for surviving tokens" completeness
+      // invariant that intersection sizing trusts. A document without an
+      // id cannot be indexed; exclude it from BOTH sides.
+      .where(col(idCol).isNotNull)
       .select(col(idCol).as("__doc_id"),
         explode(array_distinct(split(col(textCol), " "))).as("token"))
       .groupBy("token")

@@ -107,8 +107,12 @@ object Validate {
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val rows = cols.map { c =>
-      struct(lit(c).as("column_name"), col(s"__null_$c").as("n_null"),
-        col(s"__ndv_$c").as("n_distinct"))
+      // backtick-quoted: a source column named "a.b" makes the alias
+      // "__null_a.b", and an unquoted col() would parse the dot as
+      // struct-field access and fail resolution — breaking the
+      // works-on-any-table contract
+      struct(lit(c).as("column_name"), col(s"`__null_$c`").as("n_null"),
+        col(s"`__ndv_$c`").as("n_distinct"))
     }
     wide.select(explode(array(rows: _*)).as("p"))
       .select(col("p.column_name"), col("p.n_null"), col("p.n_distinct"))
