@@ -34,6 +34,17 @@ object LogRecord {
   val Checkpoint = "CHECKPOINT"
 }
 
+object LogManager {
+  /** Bound on waiting for the cross-process tape lock (ms): long enough
+    * to ride out a cooperating peer's append/compact (sub-second), short
+    * enough that a wedged holder surfaces as a named timeout instead of
+    * an indefinite hang. Generous because a false timeout aborts a legal
+    * operation while a true one merely converts a hang to a diagnosis.
+    */
+  val LockWaitMs = 30000L
+  val LockPollMs = 50L
+}
+
 /** Append-only record log. Each record is one line:
   * `<type>\t<txnId>\t<payload>`. In-memory counters mirror the reference
   * LogManager's record-count API; `reset()` simulates a crash by dropping
@@ -77,21 +88,48 @@ final class LogManager(val logPath: Path) {
     * operation (observe/append/compact) serializes on. The tape file
     * itself must only be opened INSIDE `body` — see the inode note on
     * [[expectedSize]].
+    *
+    * ACCESS NOTE: even pure observation takes this lock, so opening a
+    * LogManager requires WRITE access to the log directory (the lock
+    * file is created beside the tape) — a read-only mount cannot host
+    * even a reading LogManager. That is the locked-observation
+    * contract's price: an unlocked read could weave with a foreign
+    * append and mirror a tape state that never existed on disk.
+    *
+    * The wait is BOUNDED: a wedged/dead peer that still holds its
+    * OS-level lock (a hung JVM keeps file locks until process death)
+    * would otherwise block this writer forever with no diagnosis. Poll
+    * tryLock up to [[LogManager.LockWaitMs]], then fail BY NAME with
+    * the holder-side explanation — a hang becomes a readable error.
     */
   private def withTapeLock[A](doing: String)(body: => A): A = {
     Files.createDirectories(logPath.getParent)
     val lch = java.nio.channels.FileChannel.open(lockPath,
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     try {
-      val lock =
-        try lch.lock()
-        catch {
-          case _: java.nio.channels.OverlappingFileLockException =>
-            throw new IllegalStateException(
-              s"LogManager single-writer violation: $logPath is being " +
-                s"$doing CONCURRENTLY by another writer in this JVM. " +
-                "Each log dir has exactly ONE live writer.")
+      val deadline = System.nanoTime() + LogManager.LockWaitMs * 1000000L
+      var lock: java.nio.channels.FileLock = null
+      try {
+        while (lock == null) {
+          lock = lch.tryLock()
+          if (lock == null) {
+            if (System.nanoTime() >= deadline) throw new IllegalStateException(
+              s"LogManager lock timeout: could not acquire ${lockPath} within " +
+                s"${LogManager.LockWaitMs} ms while being $doing — another " +
+                "PROCESS holds the tape lock (a live concurrent writer, or a " +
+                "wedged/dead-but-unreaped peer; OS file locks persist until " +
+                "process exit). Each log dir has exactly ONE live writer: stop " +
+                "or reap the holder, then retry/recover().")
+            Thread.sleep(LogManager.LockPollMs)
+          }
         }
+      } catch {
+        case _: java.nio.channels.OverlappingFileLockException =>
+          throw new IllegalStateException(
+            s"LogManager single-writer violation: $logPath is being " +
+              s"$doing CONCURRENTLY by another writer in this JVM. " +
+              "Each log dir has exactly ONE live writer.")
+      }
       try body finally lock.release()
     } finally lch.close()
   }
@@ -230,9 +268,22 @@ final class LogManager(val logPath: Path) {
     * atomically moved onto the tape, so a crash mid-compaction leaves
     * either the old or the new tape, never a torn one.
     *
-    * @return number of records dropped (0 when no checkpoint exists).
+    * `retainCheckpoints` is the TIME-TRAVEL RETENTION knob (default 1 =
+    * maximal compaction): compaction treats the Nth-from-last
+    * checkpoint as its base, keeping every later checkpoint and every
+    * record after that base verbatim — so [[TxnTable.committedStateAsOf]]
+    * keeps working for any txn that committed after the OLDEST retained
+    * checkpoint, and a pipeline that needs a history window sizes N to
+    * its checkpoint cadence. History at or before the oldest retained
+    * checkpoint is still permanently lost (throws by name) — that loss
+    * is the operation's point; the knob only positions the horizon.
+    *
+    * @return number of records dropped (0 when fewer than
+    *         `retainCheckpoints` checkpoints exist).
     */
-  def compact(): Int = {
+  def compact(retainCheckpoints: Int = 1): Int = {
+    require(retainCheckpoints >= 1,
+      s"compact retainCheckpoints must be >= 1, got $retainCheckpoints")
     val exp = expectedSize.getOrElse(throw new IllegalStateException(
       s"LogManager protocol violation: compact of $logPath after a crash/" +
         "reset() without recovery() — call recovery() first."))
@@ -243,19 +294,23 @@ final class LogManager(val logPath: Path) {
         s"LogManager single-writer violation: $logPath is $actual bytes " +
           s"on disk but this writer last saw $exp — a concurrent writer " +
           "session appended to (or truncated) the log; recover() to take over.")
-      val lastCkpt = records.lastIndexWhere(_._1 == LogRecord.Checkpoint)
-      if (lastCkpt < 0) 0 // nothing subsumed yet — no-op
+      // the compaction BASE is the retainCheckpoints-th-from-last
+      // checkpoint; later checkpoints sit in the kept suffix untouched
+      val ckptIdxs = records.zipWithIndex.collect {
+        case ((LogRecord.Checkpoint, _, _), i) => i }
+      if (ckptIdxs.size < retainCheckpoints) 0 // not enough history — no-op
       else {
-        val pre = records.take(lastCkpt)
-        // resolved strictly BEFORE the checkpoint: committed (subsumed
-        // by the base) or aborted (invisible forever)
+        val baseCkpt = ckptIdxs(ckptIdxs.size - retainCheckpoints)
+        val pre = records.take(baseCkpt)
+        // resolved strictly BEFORE the base checkpoint: committed
+        // (subsumed by the base) or aborted (invisible forever)
         val resolved = pre.collect {
           case (LogRecord.Commit, t, _) => t
           case (LogRecord.Abort, t, _) => t
         }.toSet
         val keptPre = pre.filter { case (tpe, t, _) =>
           tpe != LogRecord.Checkpoint && !resolved(t) }
-        val compacted = (keptPre :+ records(lastCkpt)) ++ records.drop(lastCkpt + 1)
+        val compacted = (keptPre :+ records(baseCkpt)) ++ records.drop(baseCkpt + 1)
         val dropped = records.size - compacted.size
         if (dropped == 0) 0
         else {
@@ -503,9 +558,15 @@ final class TxnTable(spark: SparkSession, val dir: String) {
     * session the contract already requires: every surviving read path
     * resolves dirs through the tape, and the compacted tape references
     * none of the deleted ones. Returns (records dropped, dirs deleted).
+    *
+    * `retainCheckpoints` (default 1 = maximal compaction) keeps the
+    * last N checkpoints as time-travel history: [[committedStateAsOf]]
+    * keeps working for every txn committed after the OLDEST retained
+    * checkpoint — pipelines that need a history window size N to their
+    * checkpoint cadence instead of losing everything behind the latest.
     */
-  def compact(): (Int, Int) = {
-    val dropped = log.compact()
+  def compact(retainCheckpoints: Int = 1): (Int, Int) = {
+    val dropped = log.compact(retainCheckpoints)
     val live = log.durableRecords().collect {
       case (LogRecord.Update, _, d) => d
       case (LogRecord.Checkpoint, _, d) => d

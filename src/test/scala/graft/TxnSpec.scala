@@ -417,6 +417,51 @@ class TxnSpec extends AnyFunSuite {
     assert(values(t) == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("compact(retainCheckpoints) keeps a time-travel window past older checkpoints") {
+    // the r10 verdict's retention ask: a pipeline with a checkpoint
+    // cadence must be able to compact WITHOUT losing time travel to
+    // txns inside its history window. Tape: ckpt1 subsumes t1; t2
+    // commits between the checkpoints; ckpt2 subsumes t2; t3 after.
+    val t = freshTable()
+    val t1 = t.txns.startTxn(); insertValues(t, t1, 1L, 2L); t.txns.commitTxn(t1)
+    t.checkpoint()
+    val t2 = t.txns.startTxn(); insertValues(t, t2, 3L); t.txns.commitTxn(t2)
+    t.checkpoint()
+    val t3 = t.txns.startTxn(); insertValues(t, t3, 4L); t.txns.commitTxn(t3)
+
+    // retain BOTH checkpoints: only t1's records (resolved before the
+    // OLDER checkpoint) drop; t2 stays time-travelable
+    // tape: t1 (BEGIN+2 UPDATE+COMMIT = 4) + CKPT + t2 (3) + CKPT +
+    // t3 (3) = 12 records
+    assert(t.log.totalRecords == 12)
+    val (dropped, deadDirs) = t.compact(retainCheckpoints = 2)
+    assert(dropped == 4, s"dropped $dropped")   // exactly t1's records
+    assert(deadDirs == 2, s"deleted $deadDirs dirs") // t1's two subsumed batches
+    assert(t.log.totalRecords == 8)
+    assert(t.log.count(LogRecord.Checkpoint) == 2)
+    // current snapshot unchanged
+    assert(values(t) == Seq(1L, 2L, 3L, 4L))
+    // time travel INSIDE the retained window still works
+    assert(t.readAsOf(t2).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // ...but t1 (behind the oldest retained checkpoint) is the
+    // documented permanent loss, failing by name
+    val e = intercept[IllegalArgumentException] { t.readAsOf(t1) }
+    assert(e.getMessage.contains("no COMMIT record"))
+    // asking to retain more checkpoints than exist is a no-op, not an error
+    assert(t.compact(retainCheckpoints = 5)._1 == 0)
+    // a maximal compact afterwards still composes: drops t2's records,
+    // keeps only the newest checkpoint
+    val (dropped2, _) = t.compact()
+    assert(dropped2 > 0)
+    assert(t.log.count(LogRecord.Checkpoint) == 1)
+    assert(values(t) == Seq(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] { t.readAsOf(t2) }
+    // crash/recovery on the retention-compacted tape
+    t.crash(); t.recover()
+    assert(values(t) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("compact is a no-op without a checkpoint and is crash-protocol-gated") {
     val t = freshTable()
     val t1 = t.txns.startTxn(); insertValues(t, t1, 1L); t.txns.commitTxn(t1)
