@@ -129,12 +129,21 @@ object ScaleProbe {
             println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":-1,"dnf":"${e.getClass.getSimpleName}"$suspect%s}""")
           case scala.util.control.NonFatal(e) =>
             println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":-1,"dnf":"${e.getClass.getSimpleName}"$suspect%s}""")
+          case e: InterruptedException =>
+            // an external CANCEL, not a probe failure: swallowing it
+            // (InterruptedException is excluded from NonFatal) converted
+            // a kill/timeout into a tainted-but-running sweep that kept
+            // burning the box it was asked to vacate. Re-assert the
+            // interrupt flag for the caller/runner and abort the run.
+            Thread.currentThread().interrupt()
+            println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":-1,"dnf":"InterruptedException","aborted":true}""")
+            throw e
           case e: Throwable =>
-            // fatal-but-not-VME (LinkageError, InterruptedException):
-            // the run-must-continue invariant above still holds — the
-            // knee table needs the LATER probes — but like a VME the
-            // JVM's health is no longer assured, so record the DNF and
-            // taint the remaining rows rather than abort or print clean
+            // fatal-but-not-VME (LinkageError): the run-must-continue
+            // invariant above still holds — the knee table needs the
+            // LATER probes — but like a VME the JVM's health is no
+            // longer assured, so record the DNF and taint the remaining
+            // rows rather than abort or print clean
             vmErrorSeen = Some(e.getClass.getSimpleName)
             println(f"""[scaleprobe] {"op":"$name","copies":$copies,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":-1,"dnf":"${e.getClass.getSimpleName}"$suspect%s}""")
         }

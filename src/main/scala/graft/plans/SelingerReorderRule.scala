@@ -401,7 +401,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(a, b) - float/double array dot product"),
+      // the NULL-ELEMENT contract is part of the registered surface: the
+      // HOF formulation this replaces returned NULL on a null array
+      // element (which aggregates IGNORE), dot_product returns NaN
+      // (which POISONS sums) — SQL callers aggregating dot_product
+      // output must filter isnan() where the HOF form needed nothing
+      info("dot_product", "dot_product(a, b) - float/double array dot " +
+        "product; a NULL ELEMENT on either side yields NaN (not NULL): " +
+        "NaN propagates through arithmetic/aggregates where NULL would " +
+        "be ignored - filter with isnan() before summing"),
       (args: Seq[Expression]) => {
         arity("dot_product", args, 2)
         DotProduct(args.head, args(1))

@@ -46,17 +46,37 @@ def cells_equal(a, b):
             return True
     except (TypeError, ValueError):
         pass
+    # binary cells can arrive as bytes on one side and bytearray/
+    # memoryview on the other (engine-dependent); normalize BEFORE the
+    # sequence test, which would otherwise zip-compare a bytearray
+    # elementwise against bytes and declare equal payloads mismatched
+    if isinstance(a, (bytearray, memoryview)):
+        a = bytes(a)
+    if isinstance(b, (bytearray, memoryview)):
+        b = bytes(b)
     # list/array cells (collect_list / DuckDB list()): compare elementwise
     # with the same rules, so a float inside an array keeps its tolerance
-    # and the comparison never returns an ambiguous numpy array
-    a_seq = isinstance(a, (list, tuple)) or hasattr(a, "__len__") and not isinstance(a, (str, bytes))
-    b_seq = isinstance(b, (list, tuple)) or hasattr(b, "__len__") and not isinstance(b, (str, bytes))
+    # and the comparison never returns an ambiguous numpy array.
+    # POSITIVE detection (list/tuple/ndarray), not hasattr(__len__):
+    # the duck test also matched dicts (struct cells — zip iterates KEYS)
+    # and any sized container, silently comparing the wrong thing
+    import numpy as np
+    a_seq = isinstance(a, (list, tuple, np.ndarray))
+    b_seq = isinstance(b, (list, tuple, np.ndarray))
     if a_seq or b_seq:
         if not (a_seq and b_seq):
             return False
         if len(a) != len(b):
             return False
         return all(cells_equal(x, y) for x, y in zip(a, b))
+    # struct cells: compare as dicts, key-for-key (zip-over-keys would
+    # pass structs whose KEY SETS merely matched)
+    if isinstance(a, dict) or isinstance(b, dict):
+        if not (isinstance(a, dict) and isinstance(b, dict)):
+            return False
+        if set(a.keys()) != set(b.keys()):
+            return False
+        return all(cells_equal(a[k], b[k]) for k in a)
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
@@ -116,12 +136,23 @@ def main():
         else:
             print(f"PASS {name} ({len(exp)} rows)")
             n_pass += 1
-    # queries with no oracle entry -> rows-only check
+    # queries with no oracle entry -> rows-only check. A filtered Verify
+    # run (SPARK_GRAFT_ONLY) writes a FILTERED oracle_sql.json, so a
+    # reused out_dir can hold STALE parquet from a prior full run for
+    # every unfiltered query; those silently demoting from value-compare
+    # to this rows-only branch can read as green. Make the demotion loud.
+    stale = 0
     for name in sorted(os.listdir(out_dir)):
         if name == "oracle_sql.json" or name in oracle:
             continue
         n = len(pd.read_parquet(f"{out_dir}/{name}"))
         print(f"INFO {name}: no oracle, rows={n}")
+        stale += 1
+    if stale:
+        print(f"WARN {out_dir} holds {stale} result dir(s) absent from "
+              f"oracle_sql.json — rows-only checked above. If this was a "
+              f"filtered Verify into a reused out_dir, those results are "
+              f"STALE, not verified: use a fresh out_dir.")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
