@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Direct measurement of the streaming STATE-WRITE path behind the
+  * q62/q127 scale-knee residual (SCALE.md §Round-10): the knob A/B
+  * there showed the 100× last-step superlinearity is neither block
+  * cache nor changelog commit, leaving "memtable flush + SST
+  * compaction write amplification" attributed BY ELIMINATION. This
+  * probe records the account directly: it runs the q62 stream-stream
+  * join pipeline (identical session config) over an N× events tape cut
+  * into multiple triggers, and dumps the RocksDB state-store custom
+  * metrics per trigger — flush bytes, compaction read/write bytes,
+  * writer-stall time, live SST size — so the write-amplification curve
+  * is measured, not inferred.
+  *
+  *   sbt -batch "runMain graft.StreamWriteProbe 1 10 30 100"
+  *
+  * Reuses ScaleProbe's event re-key semantics (fresh event/user ids per
+  * copy → per-user density constant, state volume ×N) and reuses its
+  * generated tapes when present. Not part of the query surface — a
+  * numbers generator for SCALE.md, like ScaleProbe / StreamFloorProbe.
+  */
+object StreamWriteProbe {
+  private val Offset = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val tiers = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10, 30, 100)
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nFiles = sys.env.getOrElse("GRAFT_WRITEPROBE_FILES", "16").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    tiers.foreach { copies =>
+      // tape: the ScaleProbe events re-key (event_id/user_id disjoint per
+      // copy), cut into nFiles segments so state accumulates over several
+      // triggers instead of one — per-trigger metrics then show the curve
+      val scaleProbeTape = s"/tmp/graft-scaleprobe-${copies}x-v2/events.parquet"
+      val tape = s"/tmp/graft-writeprobe-${copies}x-$nFiles"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tape/_SUCCESS"))) {
+        val base: DataFrame =
+          if (java.nio.file.Files.exists(
+              java.nio.file.Paths.get(s"$scaleProbeTape/_SUCCESS")))
+            graft.core.Catalog.table(spark, s"/tmp/graft-scaleprobe-${copies}x-v2", "events")
+          else {
+            val b = graft.core.Catalog.table(spark, baseDir, "events")
+            (0 until copies).map(i => b
+              .withColumn("event_id", col("event_id") + lit(i * Offset))
+              .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+              .reduce(_ unionByName _)
+          }
+        // time-ordered segments (range-partitioned on ts, part files sort
+        // lexically = chronologically in the file source): a RANDOM cut
+        // makes every post-first trigger arrive mostly behind the
+        // watermark and silently DROP as late — state never accumulates
+        // and the probe measures nothing
+        base.repartitionByRange(nFiles, col("ts"))
+          .write.mode("overwrite").parquet(tape)
+      }
+
+      // the q62 streaming session, replicated (Queries.streamSession)
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_STREAM_PARTS", "8"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      s.conf.set("spark.sql.streaming.stateStore.unloadOnCommit", "true")
+
+      // default 4 files/trigger over 16 time-ordered files = 4 triggers
+      // of accumulating state; GRAFT_WRITEPROBE_ONESHOT=1 reproduces the
+      // q62 bench shape exactly (everything in ONE trigger, no eviction)
+      val filesPerTrigger =
+        if (sys.env.contains("GRAFT_WRITEPROBE_ONESHOT")) nFiles
+        else math.max(nFiles / 4, 1)
+      val src = graft.streaming.Streams.eventsStream(s, tape,
+        maxFilesPerTrigger = filesPerTrigger)
+      val joined = graft.streaming.Streams.streamStreamJoin(src, src)
+
+      val t0 = System.nanoTime()
+      val q = joined.writeStream.format("noop")
+        .option("checkpointLocation",
+          s"/tmp/graft-writeprobe-ckpt-${ProcessHandle.current().pid()}-$copies")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val totalSec = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+      q.stop()
+
+      // the write-path account: flush + compaction bytes are what the
+      // knob A/B could not see (neither block cache nor changelog mode
+      // touches them); stall time is RocksDB pushing back on exactly
+      // that work; sst size is the resident state the next trigger pays
+      val keys = Seq(
+        "rocksdbTotalBytesWrittenByFlush",
+        "rocksdbTotalBytesWrittenByCompaction",
+        "rocksdbTotalBytesReadByCompaction",
+        "rocksdbTotalCompactionLatencyMs",
+        "rocksdbWriterStallLatencyMs",
+        "rocksdbTotalBytesWritten", // WriteBatch (put path) bytes
+        "rocksdbSstFileSize",
+        "rocksdbCommitCompactLatency",
+        // read side: once a flush materializes L0 SSTs, gets that used
+        // to resolve in the memtable walk SST blocks through the (8 MB
+        // default) block cache — the read-path account of the same onset
+        "rocksdbTotalBytesRead",
+        "rocksdbReadBlockCacheHitCount",
+        "rocksdbReadBlockCacheMissCount",
+        "rocksdbGetCount",
+        "rocksdbGetLatency",
+        "rocksdbFlushLatency")
+      def metric(pOps: Seq[org.apache.spark.sql.streaming.StateOperatorProgress],
+          k: String): Long =
+        pOps.map(so => Option(so.customMetrics.get(k)).map(_.longValue).getOrElse(0L)).sum
+
+      var sums = Map.empty[String, Long].withDefaultValue(0L)
+      progress.filter(_.numInputRows > 0).sortBy(_.batchId).foreach { p =>
+        val ops = p.stateOperators.toSeq
+        val cols = keys.map(k => s""""$k":${metric(ops, k)}""").mkString(",")
+        println(s"""[writeprobe] {"copies":$copies,"batch":${p.batchId},""" +
+          s""""rows":${p.numInputRows},""" +
+          s""""triggerMs":${Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L)},""" +
+          s""""stateRows":${ops.map(_.numRowsTotal).sum},""" +
+          s""""commitMs":${ops.map(_.commitTimeMs).sum},$cols}""")
+        keys.foreach(k => sums += k -> (sums(k) + metric(ops, k)))
+      }
+      val rows = progress.map(_.numInputRows).sum
+      val sumCols = keys.map(k => s""""$k":${sums(k)}""").mkString(",")
+      println(s"""[writeprobe] {"copies":$copies,"summary":true,"rows":$rows,""" +
+        s""""totalSec":${f"$totalSec%.1f"},"triggers":${progress.count(_.numInputRows > 0)},$sumCols}""")
+    }
+    spark.stop()
+  }
+}
