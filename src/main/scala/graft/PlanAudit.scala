@@ -36,6 +36,7 @@ object PlanAudit {
       "q143_stream_span_corrupt", "q148_stream_cdc_merge",
       "q153_stream_window_ndv", "q156_stream_window_topk",
       "q37_txn_visibility", "q126_txn_timetravel", "q234_txn_compaction",
+      "q236_txn_retention",
       "q147_cosine_pairs", "q233_fanout_probe")
 
   /** Queries whose OPERATOR UNDER TEST is a write: constructing the

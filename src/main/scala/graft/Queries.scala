@@ -4864,6 +4864,72 @@ object Queries {
       .unionByName(reopened.readAsOf(2L).withColumn("snap", lit("asof_straddler")))
   }
 
+  /** Certification of [[graft.txn.TxnTable.compact]]'s
+    * `retainCheckpoints` history window through the oracle gate (the
+    * r10 verdict's #5 ask, landed this round with TxnSpec pins; this
+    * query re-states the RETENTION contract declaratively in DuckDB):
+    * a tape with two checkpoints — t1 committed before ckpt1, t2
+    * committed between the checkpoints, t3 after ckpt2 — is compacted
+    * with `retainCheckpoints = 2`, so the OLDER checkpoint becomes the
+    * compaction base and only t1's records drop. The gate then
+    * COLD-REOPENS the table and checks both surviving read paths: the
+    * current snapshot, and time travel to t2 — a snapshot INSIDE the
+    * retained window, served through the older checkpoint base plus
+    * t2's own batch, which a maximal compact() would have destroyed.
+    * Structural invariants asserted in-build: exactly t1's 3 records
+    * dropped, exactly its 1 batch dir GC'd, BOTH checkpoint records
+    * still on the tape, and time travel to t1 (behind the oldest
+    * retained checkpoint) failing by name — the documented permanent
+    * loss, positioned by the knob instead of abolished.
+    */
+  def q236_txn_retention(s: SparkSession, dir: String): DataFrame = {
+    val sanitized = dirSlug(dir) // one slug convention for every scratch path
+    val tmp = pidScratch(s"/tmp/graft-q236-${ProcessHandle.current().pid()}-$sanitized")
+    val root = java.nio.file.Paths.get(tmp)
+    val marker = root.resolve("_graft_built")
+    if (!java.nio.file.Files.exists(marker)) {
+      deleteRecursively(root, strict = true)
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val table = new graft.txn.TxnTable(s, tmp)
+      val t1 = table.txns.startTxn()
+      table.insert(t1, orders.where(col("o_orderkey") % 3 === 0))
+      table.txns.commitTxn(t1)
+      table.checkpoint() // ckpt1 subsumes t1
+      val t2 = table.txns.startTxn()
+      table.insert(t2, orders.where(col("o_orderkey") % 3 === 1))
+      table.txns.commitTxn(t2) // commits INSIDE the retained window
+      table.checkpoint() // ckpt2 subsumes t2
+      val t3 = table.txns.startTxn()
+      table.insert(t3, orders.where(col("o_orderkey") % 3 === 2))
+      table.txns.commitTxn(t3) // live past the newest checkpoint
+      val (dropped, deleted) = table.compact(retainCheckpoints = 2)
+      // exactly t1's BEGIN/UPDATE/COMMIT leave the tape; exactly t1's
+      // batch dir is GC'd (its rows live in ckpt1's base); both
+      // checkpoints survive — ckpt1 is the retained compaction base
+      require(dropped == 3 && deleted == 1,
+        s"q236 retention contract violated: dropped $dropped records " +
+          s"(expected 3: the pre-window txn's), deleted $deleted dirs (expected 1)")
+      require(table.log.count(graft.txn.LogRecord.Checkpoint) == 2,
+        "q236 retention contract violated: a retained checkpoint left the tape")
+      // behind the oldest retained checkpoint the loss is permanent and
+      // named — a silent wrong-rows answer here would be corruption
+      val lossNamed =
+        try { table.readAsOf(t1); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("no COMMIT record") }
+      require(lossNamed,
+        "q236 retention contract violated: time travel behind the oldest " +
+          "retained checkpoint must fail by name")
+      java.nio.file.Files.createFile(marker)
+    }
+    // cold open: the current snapshot AND the in-window historical
+    // snapshot both re-derived from the retention-compacted tape (t2 is
+    // always id 2 on a fresh tape — monotonic from 1)
+    val reopened = new graft.txn.TxnTable(s, tmp)
+    reopened.read().withColumn("snap", lit("now"))
+      .unionByName(reopened.readAsOf(2L).withColumn("snap", lit("asof_in_window")))
+  }
+
   /** Certification of [[graft.operators.Compaction.compactParquet]]'s
     * Hive-partitioned path through the oracle gate (the operator was
     * spec-only: OperatorsSpec pins file counts and the in-place guard,
@@ -5443,7 +5509,8 @@ object Queries {
     "q232_containment_cap" -> (q232_containment_cap _),
     "q233_fanout_probe" -> (q233_fanout_probe _),
     "q234_txn_compaction" -> (q234_txn_compaction _),
-    "q235_file_compaction" -> (q235_file_compaction _))
+    "q235_file_compaction" -> (q235_file_compaction _),
+    "q236_txn_retention" -> (q236_txn_retention _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -8111,6 +8178,17 @@ object Queries {
          UNION ALL
          SELECT o_orderkey, o_custkey, o_totalprice, 'asof_straddler' AS snap
          FROM orders WHERE o_orderkey % 4 IN (0, 1)""",
+    // retention compaction keeps time travel alive INSIDE the retained
+    // window: current snapshot = all three slices; the as-of snapshot
+    // of the txn committed BETWEEN the two retained checkpoints = the
+    // pre-window slice (via the older checkpoint base) + its own —
+    // both read from the retention-compacted tape after a cold reopen
+    "q236_txn_retention" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, 'now' AS snap
+         FROM orders WHERE o_orderkey % 3 IN (0, 1, 2)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice, 'asof_in_window' AS snap
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
     // file compaction is a pure layout rewrite: the full relation —
     // including the partition column round-tripped through directory
     // names — must equal the source table exactly
