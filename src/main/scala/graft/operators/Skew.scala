@@ -15,8 +15,14 @@ object Skew {
     * `buckets` reducers. Uses a hash of salt-source columns (e.g. a
     * unique id) so re-runs partition identically.
     */
-  def salt(saltSource: Column, buckets: Int): Column =
+  def salt(saltSource: Column, buckets: Int): Column = {
+    // fail at the driver, by name: buckets = 0 dies mid-job as an
+    // ANSI DIVIDE_BY_ZERO deep inside pmod, and a negative count
+    // "works" (pmod is non-negative) while silently hashing every row
+    // into salt values no replicated side will carry
+    require(buckets >= 1, s"salt buckets must be >= 1, got $buckets")
     pmod(xxhash64(saltSource), lit(buckets)).cast("int")
+  }
 
   /** Two-stage salted aggregation: stage 1 aggregates on
     * (keys..., salt) — spreading each hot key over `buckets` partial
@@ -75,6 +81,8 @@ object Skew {
       rightKey: String,
       saltSource: Column,
       buckets: Int): DataFrame = {
+    // salt() validates buckets >= 1 — without it this join is SILENTLY
+    // EMPTY (explode of a zero-length salt array drops every right row)
     val saltedLeft = left.withColumn("__salt", salt(saltSource, buckets))
     val replicatedRight = right.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))

@@ -41,4 +41,23 @@ class SkewSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.size == skewed.count())
   }
+
+  test("degenerate bucket counts fail by name, never silently empty") {
+    // buckets = 0 used to die mid-job (ANSI pmod divide-by-zero) in the
+    // aggregate and produce a SILENTLY EMPTY saltedJoin (explode of a
+    // zero-length salt array drops every right row); negative counts
+    // "worked" on the left while replicating nothing on the right
+    val dim = (0L to 10L).map(k => (k, s"n$k")).toDF("dk", "name")
+    for (b <- Seq(0, -3)) {
+      val e1 = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(skewed, dim, "k", "dk", col("v"), buckets = b)
+      }
+      assert(e1.getMessage.contains("buckets"))
+      val e2 = intercept[IllegalArgumentException] {
+        Skew.saltedAggregate(skewed, Seq("k"), col("v"), buckets = b,
+          Seq(("n", "count", col("v"))))
+      }
+      assert(e2.getMessage.contains("buckets"))
+    }
+  }
 }

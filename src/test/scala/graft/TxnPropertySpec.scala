@@ -28,7 +28,9 @@ object TxnPropertySpec extends Properties("TxnTape") {
   private case class Abort(slot: Int) extends Op
   private case object Checkpoint extends Op
   private case object CrashRecover extends Op
-  private case object Compact extends Op
+  // retain = 1 is the maximal compact(); higher retains keep a
+  // time-travel window of that many checkpoints (round-11 knob)
+  private case class Compact(retain: Int) extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     3 -> Gen.const(Begin),
@@ -37,7 +39,7 @@ object TxnPropertySpec extends Properties("TxnTape") {
     2 -> Gen.choose(0, 2).map(Abort(_)),
     1 -> Gen.const(Checkpoint),
     1 -> Gen.const(CrashRecover),
-    1 -> Gen.const(Compact))
+    1 -> Gen.choose(1, 3).map(Compact(_)))
 
   private val tapeGen: Gen[List[Op]] = Gen.listOfN(14, opGen)
 
@@ -50,7 +52,12 @@ object TxnPropertySpec extends Properties("TxnTape") {
       var pending = Map.empty[Long, Vector[Long]]     // txn -> its uncommitted values
       var committedVals = Vector.empty[Long]          // visible set, in commit order
       var snapshots = Map.empty[Long, Vector[Long]]   // txn -> visible set at its commit
-      var committedAtLastCkpt = Set.empty[Long]       // subsumption set of the latest checkpoint
+      // one subsumption set per CHECKPOINT record still on the tape,
+      // oldest first: compact(retain = N) takes the Nth-from-last as its
+      // base — destroying exactly the base's subsumption set — and drops
+      // the checkpoints before the base from the tape (so the model's
+      // vector trims to the retained suffix)
+      var ckptSubsumed = Vector.empty[Set[Long]]
       var compactedAway = Set.empty[Long]             // commits whose snapshot compaction destroyed
       var baseExists = false                          // a checkpoint base has been written
       var nextVal = 0L
@@ -80,21 +87,26 @@ object TxnPropertySpec extends Properties("TxnTape") {
           t.checkpoint()
           // checkpoint() no-ops when nothing is visible (no base yet
           // and no committed batch) — no CHECKPOINT record lands, so
-          // the subsumption set must not advance either
+          // the subsumption ledger must not advance either
           if (committedVals.nonEmpty || baseExists) {
             baseExists = true
-            committedAtLastCkpt = snapshots.keySet
+            ckptSubsumed :+= snapshots.keySet ++ compactedAway
           }
         case CrashRecover =>
           t.crash(); t.recover()
           // open txns die with the crash; their batches stay invisible
           active = Vector.empty
-        case Compact =>
+        case Compact(retain) =>
           // visible reads must be unaffected; the documented loss is
-          // time travel to txns resolved before the latest checkpoint
-          t.compact()
-          compactedAway ++= committedAtLastCkpt
-          snapshots --= committedAtLastCkpt
+          // time travel to txns resolved before the BASE checkpoint (the
+          // retain-th from last); fewer checkpoints than retain = no-op
+          t.compact(retainCheckpoints = retain)
+          if (ckptSubsumed.size >= retain) {
+            val destroyed = ckptSubsumed(ckptSubsumed.size - retain)
+            compactedAway ++= destroyed
+            snapshots --= destroyed
+            ckptSubsumed = ckptSubsumed.takeRight(retain)
+          }
         case _ => () // Insert/Commit/Abort with no active txn: no-op
       }
 
