@@ -38,6 +38,14 @@ object Similarity {
     * codegen the moment ONE padding/broken embedding appears.
     * try_divide returns null instead, and every consumer treats a null
     * similarity as "not a neighbor / not a pair".
+    *
+    * PER-PAIR USE WARNING: in a pair projection this recomputes BOTH
+    * norms for every pair (three dot products where one suffices). The
+    * operators in this file instead carry a per-row `norm(vec)` column
+    * on each side and divide by their product — same arithmetic
+    * bit-for-bit, one dot per pair (round-11 measured ~2x on the
+    * brute-force pair queries). Prefer that shape anywhere the
+    * expression runs per candidate pair.
     */
   def cosine(a: Column, b: Column): Column =
     try_divide(dot(a, b), norm(a) * norm(b))
