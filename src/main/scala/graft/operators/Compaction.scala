@@ -104,7 +104,14 @@ object Compaction {
       val k = element_at(typedLit(kByPart), relKey)
       val grp = concat_ws("#", relKey,
         pmod(xxhash64(input_file_name()), k.cast("long")).cast("string"))
-      spark.read.parquet(inPath)
+      val in = spark.read.parquet(inPath)
+      // compaction is a LAYOUT rewrite — it must never alter the
+      // relation. A data column named __grp would be silently replaced
+      // by the grouping key and then dropped: data loss in the output.
+      require(!in.columns.contains("__grp"),
+        s"compactParquet: $inPath has a '__grp' column, which collides " +
+          "with compaction bookkeeping — rename it first")
+      in
         .withColumn("__grp", grp)
         .repartition(total, col("__grp"))
         .drop("__grp")

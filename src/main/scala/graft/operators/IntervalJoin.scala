@@ -62,6 +62,17 @@ object IntervalJoin {
       bStart: Column, bEnd: Column,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // bookkeeping-name collision fail-fast (the AsOfJoin/Merge
+    // discipline): withColumn REPLACES a same-named caller column
+    // silently, and the final drop() then deletes the caller's data
+    // column from the output
+    locally {
+      val reserved = Seq("__s_a", "__e_a", "__s_b", "__e_b", "__bin")
+      val clash = (a.columns ++ b.columns).filter(reserved.contains)
+      require(clash.isEmpty,
+        s"IntervalJoin.overlapJoin: input column(s) ${clash.distinct.mkString(", ")} " +
+          "collide with join bookkeeping — rename them first")
+    }
     // the guard rides inside the bin expression so column pruning can
     // never drop it; raise_error's NullType coerces into the CASE.
     // Null bounds make both comparisons null -> ELSE -> sequence(null,…)

@@ -38,6 +38,9 @@ object Skew {
       saltSource: Column,
       buckets: Int,
       aggs: Seq[(String, String, Column)]): DataFrame = {
+    require(!df.columns.contains("__salt"),
+      "saltedAggregate: input column '__salt' collides with the salt " +
+        "bookkeeping — rename it first")
     val stage1 = df
       .withColumn("__salt", salt(saltSource, buckets))
       .groupBy((keys :+ "__salt").map(col): _*)
@@ -83,6 +86,13 @@ object Skew {
       buckets: Int): DataFrame = {
     // salt() validates buckets >= 1 — without it this join is SILENTLY
     // EMPTY (explode of a zero-length salt array drops every right row)
+    locally {
+      val clash = (left.columns ++ right.columns).filter(_ == "__salt")
+      require(clash.isEmpty,
+        "saltedJoin: input column '__salt' collides with the salt " +
+          "bookkeeping — rename it first (withColumn would silently " +
+          "replace it and drop() would delete the data column)")
+    }
     val saltedLeft = left.withColumn("__salt", salt(saltSource, buckets))
     val replicatedRight = right.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))

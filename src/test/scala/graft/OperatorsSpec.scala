@@ -415,6 +415,40 @@ class OperatorsSpec extends AnyFunSuite {
       solo(0).getLong(4) == 0L)
   }
 
+  test("bookkeeping-column collisions fail by name, never silently drop data") {
+    // withColumn REPLACES a same-named caller column and the trailing
+    // drop() then deletes the caller's DATA column from the output —
+    // the Merge/AsOfJoin guard discipline, extended to the operators
+    // that were still silently vulnerable
+    val iv = Seq((1L, 2L, 5L)).toDF("id", "s", "__bin")
+    val e1 = intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(iv, iv.withColumnRenamed("__bin", "e"),
+        col("s"), col("s"), col("s"), col("e"), binWidth = 10L)
+    }
+    assert(e1.getMessage.contains("__bin"))
+    val sk = Seq((1L, 2L)).toDF("k", "__salt")
+    val e2 = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(sk, Seq((1L, "x")).toDF("dk", "name"),
+        "k", "dk", col("k"), buckets = 4)
+    }
+    assert(e2.getMessage.contains("__salt"))
+    val e3 = intercept[IllegalArgumentException] {
+      Skew.saltedAggregate(sk, Seq("k"), col("k"), buckets = 4,
+        Seq(("n", "count", col("k"))))
+    }
+    assert(e3.getMessage.contains("__salt"))
+    // Compaction: a __grp data column in the partitioned input would be
+    // replaced by the grouping key — a layout rewrite that ALTERED the
+    // relation. Flat inputs never add __grp (coalesce path, no guard).
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-clash").toString
+    Seq((1L, "a", 2L)).toDF("id", "part", "__grp")
+      .write.mode("overwrite").partitionBy("part").parquet(s"$dir/in")
+    val e4 = intercept[IllegalArgumentException] {
+      Compaction.compactParquet(spark, s"$dir/in", s"$dir/out", 1L << 20)
+    }
+    assert(e4.getMessage.contains("__grp"))
+  }
+
   test("IntervalJoin.overlapJoin: fuzz vs brute force, duplicate-free, bin widths") {
     import graft.operators.IntervalJoin
     val rnd = new scala.util.Random(42)
