@@ -79,6 +79,16 @@ object ZOrder {
       numFiles: Int, bits: Int = 16): Unit = {
     require(numFiles > 0 && (numFiles & (numFiles - 1)) == 0,
       s"numFiles must be a power of two for bit-aligned splits, got $numFiles")
+    // bookkeeping-name collision fail-fast (the Merge/IntervalJoin/Skew
+    // discipline): withColumn would silently replace a same-named data
+    // column and the trailing drop() would delete it from the written
+    // table — a layout write that altered the relation
+    locally {
+      val clash = df.columns.filter(Seq("__z", "__zb", "__zp").contains)
+      require(clash.isEmpty,
+        s"writeZOrdered: input column(s) ${clash.mkString(", ")} collide " +
+          "with z-order bookkeeping — rename them first")
+    }
     // more files than z-value buckets would make bucketShift negative:
     // shiftright masks the count and every row lands in bucket 0 — one
     // file written, clustering silently destroyed

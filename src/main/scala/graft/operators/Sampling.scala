@@ -53,6 +53,11 @@ object Sampling {
     // stratifiedSample applies to its fractions
     require(splits.forall(_._2 >= 0),
       s"hashSplit weights must be >= 0, got ${splits.filter(_._2 < 0)}")
+    // output-name collision fails by name (the Packing shard_id /
+    // Merge opCol discipline): withColumn would silently OVERWRITE a
+    // caller's existing split assignments with the new ones
+    require(!df.columns.contains("split"),
+      "hashSplit: input already has a 'split' column — rename it first")
     val b = bucket(col(idCol))
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(f => (f * Buckets).toLong)
     val expr = splits.zip(bounds).init.foldRight(lit(splits.last._1): Column) {

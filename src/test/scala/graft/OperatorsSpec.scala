@@ -447,6 +447,17 @@ class OperatorsSpec extends AnyFunSuite {
       Compaction.compactParquet(spark, s"$dir/in", s"$dir/out", 1L << 20)
     }
     assert(e4.getMessage.contains("__grp"))
+    // ZOrder bookkeeping and hashSplit's output column, same discipline
+    val zc = Seq((1L, 2L)).toDF("k", "__zb")
+    val e5 = intercept[IllegalArgumentException] {
+      graft.core.ZOrder.writeZOrdered(zc, s"$dir/z", Seq("k"), numFiles = 2)
+    }
+    assert(e5.getMessage.contains("__zb"))
+    val e6 = intercept[IllegalArgumentException] {
+      Sampling.hashSplit(Seq((1L, "old")).toDF("id", "split"), "id",
+        Seq("train" -> 0.8, "val" -> 0.2))
+    }
+    assert(e6.getMessage.contains("split"))
   }
 
   test("IntervalJoin.overlapJoin: fuzz vs brute force, duplicate-free, bin widths") {
