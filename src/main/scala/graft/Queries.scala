@@ -53,7 +53,7 @@ object Queries {
   // numerals that must not parse as pids).
   private lazy val staleScratchReaped: Unit = {
     val pat = ("^(graft-q37|graft-q126|graft-q180|graft-q220|graft-q234|" +
-      "graft-q235|graft-dpp-fact|" +
+      "graft-q235|graft-q236|graft-writeprobe-ckpt|graft-dpp-fact|" +
       "graft-stream-src|graft-docstream-src|graft_q121_xml|graft_q146_evo|" +
       "graft_q179_zonemap|graft_q94_zorder|graft_q133_part|graft_q107_li|" +
       "graft_q107_ord)[-_]([0-9]+)[-_].*$").r

@@ -87,10 +87,14 @@ object StreamWriteProbe {
         maxFilesPerTrigger = filesPerTrigger)
       val joined = graft.streaming.Streams.streamStreamJoin(src, src)
 
+      // pidScratch registers the checkpoint dir with the repo's scratch
+      // reaper (shutdown hook + dead-pid startup sweep) — per-run
+      // streaming checkpoints are garbage the moment the probe exits
+      val ckpt = graft.Queries.pidScratch(
+        s"/tmp/graft-writeprobe-ckpt-${ProcessHandle.current().pid()}-$copies")
       val t0 = System.nanoTime()
       val q = joined.writeStream.format("noop")
-        .option("checkpointLocation",
-          s"/tmp/graft-writeprobe-ckpt-${ProcessHandle.current().pid()}-$copies")
+        .option("checkpointLocation", ckpt)
         .outputMode("append").start()
       q.processAllAvailable()
       val totalSec = (System.nanoTime() - t0) / 1e9
