@@ -461,11 +461,16 @@ object Queries {
       Similarity.norm(col("embedding")).as("nb"))
     def cosine = try_divide(Similarity.dot(col("va"), col("vb")),
       col("na") * col("nb"))
-    // threshold INSIDE the join condition, AFTER the id test: conjunct
-    // order is preserved into the generated predicate, so the cheap
-    // id_a < id_b short-circuits the dot product for the mirrored half
-    // of the id square (a trailing .where() would be pushed down and
-    // PREPENDED, evaluating the dot for all n² ordered pairs)
+    // threshold INSIDE the join condition, AFTER the id test: as
+    // CURRENTLY OBSERVED (Spark 4.1 codegen), authored conjunct order
+    // survives into the generated predicate, so the cheap id_a < id_b
+    // short-circuits the dot product for the mirrored half of the id
+    // square (a trailing .where() was measured pushed-and-PREPENDED,
+    // evaluating the dot for all n² ordered pairs — r11 bisect 522→384
+    // ms). Catalyst gives NO evaluation-order guarantee for join
+    // predicates, so this is a perf observation that could regress
+    // across Spark versions, not a contract; correctness is unaffected
+    // either way (the conjunction is symmetric).
     a.join(b, col("id_a") < col("id_b") && cosine >= 0.45)
       .select(col("id_a"), col("id_b"), cosine.as("cosine"))
   }

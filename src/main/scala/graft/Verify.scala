@@ -63,6 +63,16 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Run-shape metadata for tools/check_oracle.py, written BESIDE the
+    // out dir (never inside it — the driver's own checker may glob the
+    // dir's contents, and an extra non-parquet entry must not reach it):
+    // the checker's stale-results warning only makes sense when THIS
+    // dump was filtered (a reused out_dir then holds unverified stale
+    // parquet); on a full run, result dirs absent from oracle_sql.json
+    // are just the legitimate rows-only queries.
+    Files.writeString(
+      Paths.get(outDir.stripSuffix("/") + ".verifymeta.json"),
+      s"""{"filtered": ${only.isDefined}, "n_queries": ${SparkEntry.queries.size}}""")
     spark.stop()
   }
 }

@@ -125,12 +125,20 @@ object Similarity {
 
   /** A vector the index can actually use: non-null, non-zero norm (a
     * zero vector has no direction — cosine against it is undefined),
-    * and NaN-free (NaN poisons every dot product it touches, and Spark
-    * orders NaN as the largest double). isnan(dot(v,v)) catches a NaN
-    * in ANY element because NaN propagates through the sum.
+    * NaN-free (NaN poisons every dot product it touches, and Spark
+    * orders NaN as the largest double), and FINITE-normed: a squared
+    * norm that overflows to +Infinity passes both the isnan and the > 0
+    * tests, and Inf/Inf through try_divide yields NaN downstream — which
+    * rankTopK would rank as every query's NEAREST neighbor. Unreachable
+    * for float32-ranged embeddings (max dot ~1e77) but live for the
+    * double-array inputs the dot kernel equally supports, so the guard
+    * stays per-row here and the per-pair path stays filter-free.
+    * isnan(dot(v,v)) catches a NaN in ANY element because NaN propagates
+    * through the sum.
     */
   private[operators] def usableVec(v: Column): Column =
-    v.isNotNull && !isnan(dot(v, v)) && dot(v, v) > 0
+    v.isNotNull && !isnan(dot(v, v)) && dot(v, v) > 0 &&
+      dot(v, v) < lit(Double.MaxValue)
 
   /** Per-query top-k + rank. Selection runs through the custom
     * TopKPerGroup operator (bounded map-side heaps: the corpus-sized

@@ -35,14 +35,34 @@ object LogRecord {
 }
 
 object LogManager {
-  /** Bound on waiting for the cross-process tape lock (ms): long enough
-    * to ride out a cooperating peer's append/compact (sub-second), short
-    * enough that a wedged holder surfaces as a named timeout instead of
-    * an indefinite hang. Generous because a false timeout aborts a legal
-    * operation while a true one merely converts a hang to a diagnosis.
+  /** Default bound on waiting for the cross-process tape lock (ms): long
+    * enough to ride out a cooperating peer's append/compact (sub-second
+    * on every measured tape), short enough that a wedged holder surfaces
+    * as a named timeout instead of an indefinite hang. Generous because
+    * a false timeout aborts a legal operation while a true one merely
+    * converts a hang to a diagnosis. OVERRIDABLE — a legal peer CAN hold
+    * the lock past 30 s (a maximal compact() rewriting a huge tape on a
+    * slow disk), and a fixed bound would abort the waiter with a
+    * spurious "wedged holder" diagnosis: raise it per-instance via the
+    * LogManager/TxnTable `lockWaitMs` constructor argument, or
+    * process-wide via GRAFT_TAPE_LOCK_WAIT_MS.
     */
-  val LockWaitMs = 30000L
+  val DefaultLockWaitMs = 30000L
   val LockPollMs = 50L
+
+  /** [[DefaultLockWaitMs]] unless GRAFT_TAPE_LOCK_WAIT_MS overrides it
+    * (must parse as a positive long — fail by name, not by a silent
+    * fall-back that reintroduces the spurious-timeout hazard the
+    * override exists to fix).
+    */
+  def configuredLockWaitMs: Long = sys.env.get("GRAFT_TAPE_LOCK_WAIT_MS") match {
+    case None => DefaultLockWaitMs
+    case Some(raw) =>
+      val v = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"GRAFT_TAPE_LOCK_WAIT_MS must be a positive long (ms), got '$raw'"))
+      require(v > 0, s"GRAFT_TAPE_LOCK_WAIT_MS must be > 0, got $v")
+      v
+  }
 }
 
 /** Append-only record log. Each record is one line:
@@ -50,7 +70,9 @@ object LogManager {
   * LogManager's record-count API; `reset()` simulates a crash by dropping
   * in-memory state, after which [[recovery]] rebuilds it from disk.
   */
-final class LogManager(val logPath: Path) {
+final class LogManager(val logPath: Path,
+    val lockWaitMs: Long = LogManager.configuredLockWaitMs) {
+  require(lockWaitMs > 0, s"lockWaitMs must be > 0, got $lockWaitMs")
   private var records: Vector[(String, Long, String)] = Vector.empty
   // Single-writer contract, DETECTED rather than assumed: the tape is
   // append-only per live writer session, and two concurrent writers
@@ -99,7 +121,10 @@ final class LogManager(val logPath: Path) {
     * The wait is BOUNDED: a wedged/dead peer that still holds its
     * OS-level lock (a hung JVM keeps file locks until process death)
     * would otherwise block this writer forever with no diagnosis. Poll
-    * tryLock up to [[LogManager.LockWaitMs]], then fail BY NAME with
+    * tryLock up to [[lockWaitMs]] (default 30 s; constructor- or
+    * GRAFT_TAPE_LOCK_WAIT_MS-overridable for deployments where a legal
+    * peer holds longer, e.g. a maximal compact() of a huge tape on slow
+    * disk), then fail BY NAME with
     * the holder-side explanation — a hang becomes a readable error.
     */
   private def withTapeLock[A](doing: String)(body: => A): A = {
@@ -107,7 +132,7 @@ final class LogManager(val logPath: Path) {
     val lch = java.nio.channels.FileChannel.open(lockPath,
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     try {
-      val deadline = System.nanoTime() + LogManager.LockWaitMs * 1000000L
+      val deadline = System.nanoTime() + lockWaitMs * 1000000L
       var lock: java.nio.channels.FileLock = null
       try {
         while (lock == null) {
@@ -115,11 +140,14 @@ final class LogManager(val logPath: Path) {
           if (lock == null) {
             if (System.nanoTime() >= deadline) throw new IllegalStateException(
               s"LogManager lock timeout: could not acquire ${lockPath} within " +
-                s"${LogManager.LockWaitMs} ms while being $doing — another " +
+                s"$lockWaitMs ms while being $doing — another " +
                 "PROCESS holds the tape lock (a live concurrent writer, or a " +
                 "wedged/dead-but-unreaped peer; OS file locks persist until " +
                 "process exit). Each log dir has exactly ONE live writer: stop " +
-                "or reap the holder, then retry/recover().")
+                "or reap the holder, then retry/recover() — or, if the holder " +
+                "is a LEGAL peer legitimately holding longer (a large compact() " +
+                "on slow disk), raise the bound via the lockWaitMs constructor " +
+                "argument or GRAFT_TAPE_LOCK_WAIT_MS.")
             Thread.sleep(LogManager.LockPollMs)
           }
         }
@@ -441,9 +469,10 @@ final class TransactionManager(log: LogManager) {
 /** A transactional table: committed-visible reads over append-only
   * parquet batches + optional checkpoint compaction.
   */
-final class TxnTable(spark: SparkSession, val dir: String) {
+final class TxnTable(spark: SparkSession, val dir: String,
+    lockWaitMs: Long = LogManager.configuredLockWaitMs) {
   private val root = Paths.get(dir)
-  val log = new LogManager(root.resolve("log.tsv"))
+  val log = new LogManager(root.resolve("log.tsv"), lockWaitMs)
   val txns = new TransactionManager(log)
   // A TxnTable reopened over an EXISTING directory must resume txn ids
   // past the tape, exactly like batchSeq below resumes the batch

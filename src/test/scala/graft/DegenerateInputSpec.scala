@@ -170,6 +170,31 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-null, non-zero, NaN-free"))
   }
 
+  test("overflow-norm double vectors are never neighbors (Inf/Inf would NaN-rank first)") {
+    // dot(v,v) of (1e200, 1e200) overflows to +Infinity: NOT NaN and > 0,
+    // so the pre-r12 usableVec passed it, and Inf/Inf through try_divide
+    // is NaN — which Spark ranks ABOVE every real cosine, making the
+    // broken vector every query's "nearest" neighbor. Unreachable for
+    // float32-ranged embeddings (max dot ~1e77) but live for the
+    // double-array inputs the dot kernel equally supports. usableVec now
+    // also requires a FINITE squared norm, per-row (the per-pair path
+    // stays filter-free).
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(1e200, 1e200)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(
+      queries, corpus, "vec_id", "vec_id", "embedding", 5)
+    assert(brute.select("neighbor_id").as[Long].collect().toSet === Set(1L, 2L))
+    // as a QUERY the overflow vector returns no neighbors rather than a
+    // NaN-similarity ranking of the whole corpus
+    val asQuery = Similarity.bruteForceTopK(
+      Seq((10L, Array(1e200, 1e200))).toDF("vec_id", "embedding"),
+      corpus, "vec_id", "vec_id", "embedding", 5)
+    assert(asQuery.count() === 0)
+  }
+
   test("skyline2D fails BY NAME on a null coordinate") {
     val rows = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(3L)))
       .toDF("x", "y")

@@ -613,4 +613,26 @@ class TxnSpec extends AnyFunSuite {
     assert(lost.isEmpty, s"ACKED records lost from the tape: $lost")
     assert(updates.toSet.size == 50, s"expected 50 updates, got ${updates.size}")
   }
+
+  test("tape-lock wait bound is constructor-overridable (legal long-holding peers)") {
+    // A fixed 30 s bound aborts a LEGAL cooperating peer that holds the
+    // lock longer (a maximal compact() of a huge tape on slow disk) with
+    // a spurious "wedged holder" diagnosis. The bound is now an instance
+    // parameter (defaulted from GRAFT_TAPE_LOCK_WAIT_MS, else 30 s):
+    // pin that the override flows through construction and normal
+    // operation, that TxnTable threads it, and that a nonsensical bound
+    // fails by name instead of silently arming a zero-wait lock.
+    val dir = Files.createTempDirectory("graft-txn-lockwait")
+    val lm = new graft.txn.LogManager(dir.resolve("log.tsv"), lockWaitMs = 120000L)
+    assert(lm.lockWaitMs === 120000L)
+    lm.logUpdate(1L, "v") // the bound participates in every locked op
+    assert(lm.durableRecords().size === 1)
+    val t = new TxnTable(spark, dir.resolve("tbl").toString, lockWaitMs = 90000L)
+    assert(t.log.lockWaitMs === 90000L)
+    val bad = intercept[IllegalArgumentException](
+      new graft.txn.LogManager(dir.resolve("log2.tsv"), lockWaitMs = 0L))
+    assert(bad.getMessage.contains("lockWaitMs"))
+    assert(graft.txn.LogManager.configuredLockWaitMs ===
+      graft.txn.LogManager.DefaultLockWaitMs) // env unset in the suite
+  }
 }

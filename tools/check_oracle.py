@@ -149,10 +149,28 @@ def main():
         print(f"INFO {name}: no oracle, rows={n}")
         stale += 1
     if stale:
-        print(f"WARN {out_dir} holds {stale} result dir(s) absent from "
-              f"oracle_sql.json — rows-only checked above. If this was a "
-              f"filtered Verify into a reused out_dir, those results are "
-              f"STALE, not verified: use a fresh out_dir.")
+        # Verify writes a sidecar BESIDE the out dir recording whether the
+        # dump was SPARK_GRAFT_ONLY-filtered. Rows-only queries (dumped but
+        # deliberately oracle-less) are a legitimate steady state on FULL
+        # runs — only a filtered dump into a reused out_dir makes absent
+        # entries mean "stale, unverified". No sidecar (pre-r12 dump or a
+        # hand-assembled dir) keeps the loud warning: staleness can't be
+        # ruled out.
+        meta_path = f"{out_dir.rstrip('/')}.verifymeta.json"
+        filtered = True
+        try:
+            filtered = bool(json.load(open(meta_path)).get("filtered", True))
+        except Exception:
+            pass
+        if filtered:
+            print(f"WARN {out_dir} holds {stale} result dir(s) absent from "
+                  f"oracle_sql.json — rows-only checked above. If this was a "
+                  f"filtered Verify into a reused out_dir, those results are "
+                  f"STALE, not verified: use a fresh out_dir.")
+        else:
+            print(f"INFO {out_dir}: {stale} result dir(s) have no oracle "
+                  f"entry (rows-only queries); this dump was a FULL Verify "
+                  f"run, so nothing here is stale.")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
