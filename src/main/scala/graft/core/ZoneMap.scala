@@ -45,25 +45,55 @@ object ZoneMap {
       .write.mode("overwrite").parquet(s"$path/_zonemap")
   }
 
+  /** Driver-materialization bound for [[survivingFiles]]/[[prunedRead]]:
+    * the surviving-file list is the ONE driver-side collect in this
+    * layer, and while it is metadata-sized by design (paths only, never
+    * data), it is proportional to #files — at 100 TB with the 1 GB
+    * target file size that is ~10⁵ paths (~10 MB), inside this default,
+    * but a pathological small-file layout (≥10⁶ files) would
+    * materialize an unbounded list. The collect is therefore CAPPED:
+    * past `maxFiles` the read fails BY NAME (the repo's fail-fast
+    * discipline) rather than silently ballooning the driver — at that
+    * point file-level pruning is the wrong layer and the caller should
+    * compact ([[graft.operators.Compaction]]) or read the unpruned
+    * table with a pushed row-level predicate. Overridable per call for
+    * deployments that deliberately size their driver for more.
+    */
+  val MaxSurvivingFiles = 100000
+
   /** The surviving file paths for a [lo, hi] range probe — exposed so
     * callers (and specs) can assert how much was skipped. Null bounds
-    * (all-null zones) never match a range probe.
+    * (all-null zones) never match a range probe. The driver collect is
+    * bounded by `maxFiles` (see [[MaxSurvivingFiles]]) — the limit is
+    * applied IN-PLAN, so an over-limit zone map fails by name after
+    * materializing at most maxFiles + 1 paths, never the full list.
     */
   def survivingFiles(spark: SparkSession, path: String,
-      lo: Column, hi: Column): Seq[String] =
-    spark.read.parquet(s"$path/_zonemap")
+      lo: Column, hi: Column, maxFiles: Int = MaxSurvivingFiles): Seq[String] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val files = spark.read.parquet(s"$path/_zonemap")
       .where(col("hi") >= lo && col("lo") <= hi)
-      .select("file").collect().map(_.getString(0)).toSeq
+      .select("file").limit(maxFiles + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (files.size > maxFiles) throw new IllegalStateException(
+      s"ZoneMap.survivingFiles($path): more than $maxFiles files survive the " +
+        "[lo, hi] probe — the driver-side file list would be unbounded. " +
+        "File-level pruning is the wrong layer at this file count: compact " +
+        "the table (Compaction.compactParquet), narrow the probe range, or " +
+        "raise maxFiles explicitly if the driver is sized for it.")
+    files
+  }
 
   /** Read only the files whose zone intersects [lo, hi]. Callers still
     * apply their row-level predicate — the zone map is file-granular
     * (a surviving file may hold out-of-range rows at its edges).
     * Returns an empty (correctly-typed) relation when every file
-    * prunes away.
+    * prunes away. Driver cost is the capped path list only
+    * ([[MaxSurvivingFiles]]), never data.
     */
   def prunedRead(spark: SparkSession, path: String,
-      lo: Column, hi: Column): DataFrame = {
-    val files = survivingFiles(spark, path, lo, hi)
+      lo: Column, hi: Column, maxFiles: Int = MaxSurvivingFiles): DataFrame = {
+    val files = survivingFiles(spark, path, lo, hi, maxFiles)
     if (files.isEmpty) spark.read.parquet(path).limit(0)
     else spark.read.parquet(files: _*)
   }

@@ -22,6 +22,20 @@ import org.apache.spark.sql.types.StructType
   *
   * (Spark has no built-in as-of join; composed from built-ins per the
   * custom-operator preference order.)
+  *
+  * NULL-KEY CONTRACT (deliberate divergence from SQL join semantics): a
+  * left row with a NULL key matches null-keyed RIGHT rows — both land in
+  * the window's shared null partition, exactly like `GROUP BY` groups
+  * nulls together. SQL's equi-join rule (`null = null` is unknown →
+  * no-match, as pandas `merge_asof` also behaves) was considered and
+  * DECLINED: in the pipeline shapes this operator serves, a null key is
+  * an entity bucket ("unattributed"), and silently emitting no-match for
+  * the whole bucket hides it from the join result. Callers needing SQL
+  * semantics filter `left.where(col(key).isNotNull)` first — one pushed
+  * scan predicate. Pinned by DegenerateInputSpec
+  * ("AsOfJoin null-key contract"). Null TIMESTAMPS keep SQL semantics on
+  * both sides (a null ts has no position on the time axis — right rows
+  * are dropped, left rows emit no-match; see the inline notes).
   */
 object AsOfJoin {
   def apply(

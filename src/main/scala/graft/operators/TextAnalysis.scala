@@ -203,6 +203,18 @@ object TextAnalysis {
     *
     * Returns one row per chunk: (idCol, chunk_id, chunk, n_tokens).
     */
+  /** NULL-TEXT CONTRACT (deliberate, = SQL null semantics, shared by
+    * the per-doc text operators): a row with NULL text emits ZERO
+    * chunks and drops silently — split(null) is null, and the explode
+    * over a null chunk sequence expands to no rows, the same way the
+    * scalar operators here map null text to null scores (langId,
+    * qualityScore) and the event-time operators drop null-ts rows.
+    * Failing by name was considered and DECLINED: null text is a
+    * routine corpus state (empty crawl records), and a pipeline-killing
+    * error for it would force every caller to pre-filter; callers
+    * auditing the volume use [[Validate]] NotNull. Pinned by
+    * DegenerateInputSpec ("resample/chunkTokens null-row contract").
+    */
   def chunkTokens(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,

@@ -36,6 +36,19 @@ object TimeSeries {
     *                  observation unless also zero-filled; listing a
     *                  column in both fills gaps with the last value and
     *                  leading nulls with 0)
+    *
+    * NULL-TS CONTRACT (deliberate, = SQL null semantics): rows whose
+    * raw time column is NULL drop SILENTLY — `bucket` evaluates to a
+    * null grid point, the spine's min/max skip nulls, and the null
+    * bucket never equi-joins back. The alternative (fail by name, or a
+    * dedicated "unbucketed" output row) was considered and DECLINED:
+    * every event-time operator in this engine — window()/
+    * session_window() expand a null ts to zero windows, the streaming
+    * sessionizer filters null ts per the same rule — drops such rows,
+    * and resample diverging would make batch and streaming disagree on
+    * the same data. Callers auditing null-ts volume count it with
+    * [[Validate]] (a NotNull constraint) before resampling. Pinned by
+    * DegenerateInputSpec ("resample/chunkTokens null-row contract").
     */
   def resample(
       df: DataFrame,

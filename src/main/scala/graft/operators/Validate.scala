@@ -36,6 +36,19 @@ object Validate {
     val name = s"not_null($colName)"
   }
 
+  /** NULL-KEY CONTRACT (deliberate divergence from SQL UNIQUE): null
+    * keys GROUP TOGETHER — two rows with a null key count as a
+    * duplicate violation, because the underlying groupBy uses
+    * grouping-null semantics. The SQL-standard UNIQUE rule (nulls never
+    * conflict, so any number of null-keyed rows passes) was considered
+    * and DECLINED: this is a data-QUALITY gate, and a table where the
+    * "unique" business key is null on many rows is precisely what the
+    * gate exists to surface — under SQL semantics those rows would be
+    * invisible to both the Unique check and (by its isNotNull scope)
+    * the ForeignKey check. Declare a separate NotNull(col) to split the
+    * null population out of the duplicate count. Pinned by
+    * DegenerateInputSpec ("Validate.Unique null-key contract").
+    */
   final case class Unique(colNames: Seq[String]) extends Constraint {
     val name = s"unique(${colNames.mkString(",")})"
   }

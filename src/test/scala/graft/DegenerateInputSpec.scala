@@ -195,6 +195,74 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(asQuery.count() === 0)
   }
 
+  test("AsOfJoin null-key contract: null-keyed lefts match null-keyed rights") {
+    // DELIBERATE divergence from SQL join semantics, pinned per the
+    // AsOfJoin scaladoc's NULL-KEY CONTRACT: null keys share the window's
+    // null partition (GROUP BY-style null grouping), so a null-keyed left
+    // attaches the latest null-keyed right at-or-before its ts. SQL
+    // equi-join / pandas merge_asof would emit no-match; callers wanting
+    // that pre-filter left.where(key.isNotNull).
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, Option(10L), ts("2024-01-05 00:00:00")),
+      (2L, Option.empty[Long], ts("2024-01-05 00:00:00")))
+      .toDF("eid", "k", "ts")
+    val right = Seq(
+      (Option(10L), ts("2024-01-02 00:00:00"), 100L),
+      (Option.empty[Long], ts("2024-01-03 00:00:00"), 200L),
+      (Option.empty[Long], ts("2024-01-09 00:00:00"), 201L)) // after: ignored
+      .toDF("k", "rts", "oid")
+    val out = AsOfJoin(left, right, "k", "ts", "k", "rts",
+      tieBreak = "oid", payloadCols = Seq("oid"))
+      .select("eid", "oid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(out === Set((1L, 100L), (2L, 200L)),
+      "null-keyed left must attach the null-keyed right (window null partition)")
+  }
+
+  test("Validate.Unique null-key contract: null keys group as duplicates") {
+    // DELIBERATE divergence from SQL UNIQUE (nulls never conflict),
+    // pinned per the Unique scaladoc: three null-keyed rows = 2
+    // violations, exactly like any other thrice-repeated key — a
+    // quality gate must surface the null population, not exempt it.
+    val df = Seq(Option(1L), Option(1L), Option(2L),
+      Option.empty[Long], Option.empty[Long], Option.empty[Long]).toDF("k")
+    val out = Validate.validate(df, Seq(Validate.Unique(Seq("k"))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === Map("unique(k)" -> 3L)) // (1,1)->1 + (null x3)->2
+  }
+
+  test("resample/chunkTokens null-row contract: null ts/text rows drop silently") {
+    // DELIBERATE (= SQL null semantics, matching window()/session_window
+    // and the streaming sessionizer), pinned per the resample and
+    // chunkTokens scaladocs: a null grid point / null token array
+    // contributes zero output rows, and the result equals running the
+    // operator on the null-free input.
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, Option(ts("2024-01-01 00:10:00")), 5.0),
+      (1L, Option(ts("2024-01-01 02:20:00")), 7.0),
+      (1L, Option.empty[Timestamp], 99.0)) // null ts: silently dropped
+      .toDF("uid", "ts", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TimeSeries.resample(df, "uid",
+        date_trunc("hour", col("ts")), "interval 1 hour",
+        Seq(count(lit(1)).as("n"), sum(col("v")).as("sv")),
+        zeroFill = Seq("n"), ffill = Seq("sv"))
+        .orderBy("bucket").select("n", "sv")
+        .as[(Long, Double)].collect().toSeq
+    val withNull = run(ev)
+    assert(withNull === run(ev.where(col("ts").isNotNull)))
+    assert(withNull === Seq((1L, 5.0), (0L, 5.0), (1L, 7.0))) // no 99.0 anywhere
+    val docs = Seq((1L, Option("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkTokens(docs, "doc_id", "text", 2, 1)
+    assert(chunks.select("doc_id").as[Long].collect().toSet === Set(1L),
+      "null-text doc must emit zero chunks, not crash or emit a null chunk")
+  }
+
   test("skyline2D fails BY NAME on a null coordinate") {
     val rows = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(3L)))
       .toDF("x", "y")

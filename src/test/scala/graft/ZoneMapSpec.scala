@@ -55,4 +55,24 @@ class ZoneMapSpec extends AnyFunSuite {
       .where(col("v") === 17L).as[(Long, Long)].collect().toSeq
     assert(got == Seq((17L, 17L)))
   }
+
+  test("the driver-side file list is capped: over-limit survivors fail by name") {
+    // the ONE unbounded driver materialization the r11 verdict flagged:
+    // survivingFiles collects paths only, but at >=10^6 files that list
+    // itself is the hazard — the limit is in-plan (at most maxFiles + 1
+    // paths ever reach the driver) and the failure is named, steering
+    // callers to compaction instead of a ballooning collect
+    val dir = freshDir("cap")
+    val df = (0L until 64L).map(i => (i, i)).toDF("v", "w")
+    ZoneMap.write(df, dir, "v", numFiles = 8)
+    val e = intercept[IllegalStateException](
+      ZoneMap.prunedRead(spark, dir, lit(0L), lit(63L), maxFiles = 4).count())
+    assert(e.getMessage.contains("more than 4 files survive"))
+    assert(e.getMessage.contains("Compaction"))
+    // at the default cap the same probe reads everything, unchanged
+    assert(ZoneMap.prunedRead(spark, dir, lit(0L), lit(63L)).count() === 64L)
+    val bad = intercept[IllegalArgumentException](
+      ZoneMap.survivingFiles(spark, dir, lit(0L), lit(1L), maxFiles = 0))
+    assert(bad.getMessage.contains("maxFiles"))
+  }
 }
