@@ -31,6 +31,52 @@ object Bench {
       case None => calibSec > 1.6 * ReferenceCalibSec
     }
 
+  /** Warm the heavy engine code paths the first cold-timed queries
+    * otherwise pay for (r11 verdict: q179 read 3.61 s cold vs 1.47 s
+    * warm in the SAME driver pass — pure first-block warmup, not a plan
+    * change): the generic range probe warms codegen and the executor
+    * threads but not the parquet WRITE path (codec/encoder init, output
+    * committer), the footer/vectorized-reader path over freshly written
+    * files, the _metadata column, the shuffle writer, or window exec.
+    * One small throwaway table driven through write → read → shuffled
+    * agg → window touches all of them, so per-query cold times measure
+    * the QUERY, not JVM initialization. Runs AFTER the calibration
+    * probe is timed — calib_sec stays the identical fixed work every
+    * round — and is itself engine startup, not per-query work.
+    * Covered by BenchGuardSpec ("warmEnginePaths").
+    */
+  def warmEnginePaths(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = Queries.pidScratch(
+      s"/tmp/graft-bench-warm-${ProcessHandle.current().pid()}")
+    try {
+      spark.range(50000)
+        .select(col("id"), (col("id") % 97).as("k"),
+          (col("id") * 31 % 1001).as("v"))
+        .repartitionByRange(4, col("k"))
+        .write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      back.groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("n")).count()
+      back.select(col("_metadata.file_path")).distinct().count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("id")
+      back.select(row_number().over(w).as("rn"),
+        lag(col("v"), 1).over(w).as("pv")).count()
+    } finally {
+      // tiny scratch, deleted eagerly; pidScratch's exit hook + dead-pid
+      // reaper cover the failure paths
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(root))
+          scala.util.Using.resource(java.nio.file.Files.walk(root)) { s =>
+            s.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.delete)
+          }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -58,6 +104,10 @@ object Bench {
     val warmupErrors = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       SparkEntry.queries("q01_scan")(spark, sfDir).count()
+      // heavy-path warmup (parquet write/read, shuffle, window) so the
+      // first cold-timed queries measure themselves, not JVM init —
+      // AFTER the timed calib probe, so calib_sec stays comparable
+      warmEnginePaths(spark)
       graft.core.Catalog.statsMany(spark, sfDir,
         graft.core.Catalog.tableNames, withHistograms = true)
       // stage the streaming source copy (input plumbing, not operator
