@@ -47,8 +47,10 @@ object Bench {
     */
   def warmEnginePaths(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
+    // trailing segment so the dead-pid reaper's anchored pattern
+    // (prefix-pid-suffix) matches crash residue
     val dir = Queries.pidScratch(
-      s"/tmp/graft-bench-warm-${ProcessHandle.current().pid()}")
+      s"/tmp/graft-bench-warm-${ProcessHandle.current().pid()}-scratch")
     try {
       spark.range(50000)
         .select(col("id"), (col("id") % 97).as("k"),

@@ -54,7 +54,8 @@ object Queries {
   private lazy val staleScratchReaped: Unit = {
     val pat = ("^(graft-q37|graft-q126|graft-q180|graft-q220|graft-q234|" +
       "graft-q235|graft-q236|graft-writeprobe-ckpt|graft-dpp-fact|" +
-      "graft-stream-src|graft-docstream-src|graft_q121_xml|graft_q146_evo|" +
+      "graft-stream-src|graft-stream-late|graft-bench-warm|" +
+      "graft-docstream-src|graft_q121_xml|graft_q146_evo|" +
       "graft_q179_zonemap|graft_q94_zorder|graft_q133_part|graft_q107_li|" +
       "graft_q107_ord)[-_]([0-9]+)[-_].*$").r
     try {
@@ -767,6 +768,66 @@ object Queries {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$streamDir/_SUCCESS")))
       t(s, dir, "events").repartition(4).write.mode("overwrite").parquet(streamDir)
     streamDir
+  }
+
+  /** q237's three-trigger staging: a deterministic late-arrival tape.
+    *   - File 1 (trigger 0, the ON-TIME BULK) = events with
+    *     ts ≤ max(ts) − 5 days, event_id % 5 ≠ 0 and % 7 ≠ 0. Its max
+    *     ts sets the watermark every later row is judged against.
+    *   - File 2 (trigger 1, the CARRIER) = the on-time % 7 == 0 slice:
+    *     a second data trigger whose only job is to put one batch
+    *     between the bulk and the late file, because Spark's late-event
+    *     filter uses the watermark PREVIOUS to the current batch's
+    *     update (SPARK-40925, pinned by WmProbeSpec) — with only two
+    *     triggers the late file would arrive while that value is still
+    *     the initial 0 and nothing would ever drop.
+    *   - File 3 (trigger 2) = the TAIL (ts past the cutoff) plus the
+    *     LATE REPLAY — every event_id % 5 == 0 row at or before the
+    *     cutoff: rows arriving two full triggers behind their event
+    *     time, exactly the population watermark semantics adjudicate.
+    * All three populations are SQL-expressible, so the DuckDB oracle
+    * can replay the per-trigger watermark arithmetic. Explicit mtimes
+    * (2 minutes apart) pin the file source's modification-time listing
+    * order, making trigger assignment deterministic; same pid+dir
+    * staging contract as [[eventsStreamDir]].
+    */
+  private def lateReplayStreamDir(s: SparkSession, dir: String): String = {
+    val sanitized = dirSlug(dir)
+    val path = pidScratch(
+      s"/tmp/graft-stream-late-${ProcessHandle.current().pid()}-$sanitized")
+    val root = java.nio.file.Paths.get(path)
+    val marker = root.resolve("_graft_staged")
+    if (!java.nio.file.Files.exists(marker)) {
+      val ev = t(s, dir, "events")
+      // cutoff computed IN-ENGINE (µs-exact interval arithmetic on the
+      // driver would need nanos plumbing); one scalar to the driver
+      val cutoff = ev
+        .agg((max(col("ts")) - expr("INTERVAL 5 DAYS")).as("c"))
+        .first().getTimestamp(0)
+      val onTime = col("ts") <= lit(cutoff) && col("event_id") % 5 =!= 0
+      import scala.jdk.CollectionConverters._
+      def parts(): Set[java.nio.file.Path] =
+        scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
+          st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+        }
+      ev.where(onTime && col("event_id") % 7 =!= 0)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      val bulk = parts()
+      ev.where(onTime && col("event_id") % 7 === 0)
+        .coalesce(1).write.mode("append").parquet(path)
+      val carrier = parts() -- bulk
+      ev.where(col("ts") > lit(cutoff) || col("event_id") % 5 === 0)
+        .coalesce(1).write.mode("append").parquet(path)
+      val late = parts() -- bulk -- carrier
+      val now = System.currentTimeMillis()
+      def stamp(fs: Set[java.nio.file.Path], offsetMs: Long): Unit =
+        fs.foreach(p => java.nio.file.Files.setLastModifiedTime(
+          p, java.nio.file.attribute.FileTime.fromMillis(now - offsetMs)))
+      stamp(bulk, 240000L); stamp(carrier, 120000L); stamp(late, 0L)
+      java.nio.file.Files.createFile(marker)
+    }
+    path
   }
 
   /** Derived session for the streaming queries with shuffle partitions
@@ -4935,6 +4996,53 @@ object Queries {
       .unionByName(reopened.readAsOf(2L).withColumn("snap", lit("asof_in_window")))
   }
 
+  /** Multi-trigger watermark-eviction certification (r11 verdict #6):
+    * the one streaming contract no oracle gate covered end-to-end. The
+    * existing stream gates replay ONE data trigger (the initial
+    * watermark drops nothing), so cross-trigger semantics — the
+    * watermark advancing between triggers, late rows dropped against
+    * it, in-horizon stragglers still aggregating into open windows, and
+    * each closed window emitted EXACTLY once from evicted state — were
+    * covered only by StreamingSpec's synthetic tapes. This gate runs a
+    * watermarked 1-hour windowed count over [[lateReplayStreamDir]]'s
+    * deterministic three-trigger tape (on-time bulk, carrier, then tail
+    * + a late replay of every event_id % 5 == 0 row) in APPEND mode
+    * with the trailing no-data batch enabled, and the DuckDB oracle
+    * recomputes the exact emitted set by replaying Spark's measured
+    * integer boundary arithmetic (the q127/q132 discipline, applied to
+    * aggregation state; each rule pinned empirically by WmProbeSpec):
+    *   - the late filter of trigger 2 uses the watermark PREVIOUS to
+    *     its update = trigger 1's eviction watermark = ms-floored max
+    *     BULK ts − 120 h (this is why the carrier trigger exists — see
+    *     the staging scaladoc), and drops a row iff its WINDOW END ≤
+    *     that value (a row whose ts is behind the watermark but whose
+    *     window is still open is kept and aggregated — which is exactly
+    *     what makes the rule eviction-safe: a kept row can never
+    *     resurrect an emitted window);
+    *   - final watermark = ms-floored global max ts − 120 h (late rows
+    *     still advance the watermark: the stats collector sits below
+    *     the late filter);
+    *   - a window emits iff its end ≤ the final watermark (inclusive),
+    *     and must appear exactly once — a broken eviction re-emitting a
+    *     closed window surfaces as a duplicate row and fails the bag
+    *     compare.
+    * All populations are live at every SF (sf0.001: hundreds of
+    * replays split kept/dropped by the 120 h horizon against the 5-day
+    * tail cut, dozens of them landing in emitted windows).
+    * Streaming-tagged for the bench's median policy.
+    */
+  def q237_stream_watermark_eviction(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0, noDataBatches = true)
+    val streamDir = lateReplayStreamDir(s, dir)
+    val stream = graft.streaming.Streams
+      .eventsStream(s, streamDir, maxFilesPerTrigger = 1)
+    val counts = graft.streaming.Streams
+      .windowedCounts(stream, "1 hour", "120 hours")
+    graft.streaming.Streams
+      .runToCompletion(s, counts, s"q237_sink_${System.nanoTime()}", "append")
+      .select(col("w_start"), col("event_type"), col("n"))
+  }
+
   /** Certification of [[graft.operators.Compaction.compactParquet]]'s
     * Hive-partitioned path through the oracle gate (the operator was
     * spec-only: OperatorsSpec pins file counts and the in-place guard,
@@ -5515,7 +5623,8 @@ object Queries {
     "q233_fanout_probe" -> (q233_fanout_probe _),
     "q234_txn_compaction" -> (q234_txn_compaction _),
     "q235_file_compaction" -> (q235_file_compaction _),
-    "q236_txn_retention" -> (q236_txn_retention _))
+    "q236_txn_retention" -> (q236_txn_retention _),
+    "q237_stream_watermark_eviction" -> (q237_stream_watermark_eviction _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -8194,6 +8303,39 @@ object Queries {
          UNION ALL
          SELECT o_orderkey, o_custkey, o_totalprice, 'asof_in_window' AS snap
          FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
+    // the three-trigger watermark replay (see q237's scaladoc; rules
+    // pinned by WmProbeSpec): the late file's drop watermark = ms-
+    // floored max BULK ts - 120h (trigger 1's eviction wm — the value
+    // previous to trigger 2's update); a late row drops iff its 1-hour
+    // WINDOW END <= that wm (window-end rule, not raw ts); final
+    // watermark = ms-floored GLOBAL max ts - 120h (late rows still
+    // advance it); a window emits iff its end <= the final wm, once
+    "q237_stream_watermark_eviction" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+         bulk AS (SELECT e.ts, e.event_type FROM events e, mx
+               WHERE e.ts <= mx.m - INTERVAL 5 DAY AND e.event_id % 5 <> 0
+                 AND e.event_id % 7 <> 0),
+         carrier AS (SELECT e.ts, e.event_type FROM events e, mx
+               WHERE e.ts <= mx.m - INTERVAL 5 DAY AND e.event_id % 5 <> 0
+                 AND e.event_id % 7 = 0),
+         wmlate AS (SELECT (epoch_us(max(ts)) // 1000) - 432000000 AS w
+                    FROM bulk),
+         late AS (SELECT e.ts, e.event_type FROM events e, mx
+               WHERE e.ts > mx.m - INTERVAL 5 DAY OR e.event_id % 5 = 0),
+         surv AS (SELECT ts, event_type FROM bulk
+                  UNION ALL
+                  SELECT ts, event_type FROM carrier
+                  UNION ALL
+                  SELECT l.ts, l.event_type FROM late l, wmlate
+                  WHERE (epoch_us(date_trunc('hour', l.ts)) // 1000)
+                          + 3600000 > wmlate.w),
+         wmfin AS (SELECT (epoch_us(max(ts)) // 1000) - 432000000 AS w
+                   FROM events)
+         SELECT date_trunc('hour', ts) AS w_start, event_type,
+                CAST(count(*) AS BIGINT) AS n
+         FROM surv, wmfin
+         WHERE (epoch_us(date_trunc('hour', ts)) // 1000) + 3600000 <= wmfin.w
+         GROUP BY 1, 2""",
     // file compaction is a pure layout rewrite: the full relation —
     // including the partition column round-tripped through directory
     // names — must equal the source table exactly

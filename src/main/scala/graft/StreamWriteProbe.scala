@@ -67,7 +67,19 @@ object StreamWriteProbe {
 
       // the q62 streaming session, replicated (Queries.streamSession)
       val s = spark.newSession()
-      s.conf.set("spark.sql.shuffle.partitions",
+      // GRAFT_WRITEPROBE_AUTOPARTS=1: provision partitions through the
+      // ACTUAL API (Streams.provisionStatePartitions) from the tape's
+      // input-row count × the measured per-row join-state constant —
+      // the round-12 validation that the r11 hand-set
+      // GRAFT_STREAM_PARTS=32 result reproduces through the API path
+      if (sys.env.contains("GRAFT_WRITEPROBE_AUTOPARTS")) {
+        // numInputRows counts BOTH sides of the self-join, matching the
+        // 20 M rows the 86 B/row constant was measured against
+        val rows = 2L * spark.read.parquet(tape).count()
+        val n = graft.streaming.Streams.provisionStatePartitions(
+          s, rows, graft.streaming.Streams.MeasuredJoinStateBytesPerRow)
+        println(s"""[writeprobe] {"copies":$copies,"autoparts":$n,"rows":$rows}""")
+      } else s.conf.set("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_STREAM_PARTS", "8"))
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -19,6 +19,100 @@ import java.sql.Timestamp
   */
 object Streams {
 
+  /** Measured state-store budget constants (SCALE.md §Round-11, the
+    * per-trigger RocksDB account behind the q62 100× superlinearity):
+    * through 30× state never left the memtables (zero flush/SST/block-
+    * cache activity) at ≤ [[CleanStateMbPerStore]] MB of WriteBatch
+    * volume per store; at [[MeasuredFlushMbPerStore]] MB/store the
+    * memtable flushed 304 MB to L0 MID-BATCH and the get path changed
+    * class (1.53× per-get — the whole superlinear step). The lever is
+    * partitions: the same 100× one-shot at 32 partitions (12.8 MB/store)
+    * ran 80.3 s vs ~400 s with flush/SST/block-cache all zero.
+    * [[recommendedStatePartitions]] turns that measured clean band into
+    * provisioning arithmetic, the way `Dedup.recommendedMaxDf` turned
+    * the containment knee curve into API.
+    */
+  val CleanStateMbPerStore = 15
+  /** Per-store WriteBatch volume at which the flush regime was OBSERVED
+    * (100× tier, 51.2 MB/store): an upper bound the recommendation must
+    * stay well under, not a target.
+    */
+  val MeasuredFlushMbPerStore = 51
+  /** State stores per shuffle partition for a stream-stream join (left/
+    * right keyToNumValues + keyWithIndexToValue) — the shape the budget
+    * was measured on. A single stateful aggregation/dedup keeps ONE
+    * store per partition; pass storesPerPartition = 1 there.
+    */
+  val JoinStoresPerPartition = 4
+  /** Measured WriteBatch bytes per INPUT row for the q62 stream-stream
+    * self-join shape (SCALE.md §Round-11: 1638.0 MB over 20 M input
+    * rows ≈ 86 B/row) — the per-row constant to feed
+    * [[recommendedStatePartitions]] when the state estimate comes from
+    * an input-row count rather than a key count.
+    */
+  val MeasuredJoinStateBytesPerRow = 86L
+
+  /** Shuffle partitions that keep per-store streaming state inside the
+    * measured memtable-resident band: the smallest n with
+    * estimatedKeys·bytesPerKey ≤ n · storesPerPartition ·
+    * targetMbPerStore. Derived from, and validated against, the
+    * SCALE.md §Round-12 API-path run: the q62 100× shape provisioned
+    * through this function reproduces the zero-flush ~80 s result that
+    * GRAFT_STREAM_PARTS=32 demonstrated by hand in round 11.
+    *
+    * Sizing inputs are the caller's state model: for a windowed agg,
+    * keys = windows×groups in the watermark horizon and bytesPerKey the
+    * row width (storesPerPartition = 1); for a stream-stream join, the
+    * buffered in-horizon rows of both sides (or input rows ×
+    * [[MeasuredJoinStateBytesPerRow]] for the events shape). On a
+    * cluster the result is a spark.sql.shuffle.partitions setting —
+    * state scales OUT by key; this chooses how far.
+    */
+  def recommendedStatePartitions(
+      estimatedKeys: Long,
+      bytesPerKey: Long,
+      targetMbPerStore: Int = CleanStateMbPerStore,
+      storesPerPartition: Int = JoinStoresPerPartition): Int = {
+    require(estimatedKeys >= 0, s"estimatedKeys must be >= 0, got $estimatedKeys")
+    require(bytesPerKey > 0, s"bytesPerKey must be > 0, got $bytesPerKey")
+    require(targetMbPerStore > 0 && targetMbPerStore <= MeasuredFlushMbPerStore,
+      s"targetMbPerStore must be in (0, $MeasuredFlushMbPerStore] — " +
+        s"$MeasuredFlushMbPerStore MB/store is where the flush regime was " +
+        s"MEASURED to begin; got $targetMbPerStore")
+    require(storesPerPartition > 0,
+      s"storesPerPartition must be > 0, got $storesPerPartition")
+    val perPartitionBytes =
+      targetMbPerStore.toLong * (1L << 20) * storesPerPartition
+    // ceil-div without overflow: estimatedKeys*bytesPerKey can reach
+    // ~10^16 (100 TB of state), far inside Long, but guard anyway
+    val totalBytes =
+      try java.lang.Math.multiplyExact(estimatedKeys, bytesPerKey)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"state estimate overflows Long: $estimatedKeys keys x $bytesPerKey B")
+      }
+    val n = (totalBytes + perPartitionBytes - 1) / perPartitionBytes
+    math.max(1L, math.min(n, Int.MaxValue.toLong)).toInt
+  }
+
+  /** [[recommendedStatePartitions]] applied to a session: sets
+    * spark.sql.shuffle.partitions (the knob that shards streaming state)
+    * and returns the chosen count. Call on the stream's OWN session
+    * before building the query — shuffle partitioning is fixed at the
+    * first checkpoint, so this is a provisioning-time decision.
+    */
+  def provisionStatePartitions(
+      spark: SparkSession,
+      estimatedKeys: Long,
+      bytesPerKey: Long,
+      targetMbPerStore: Int = CleanStateMbPerStore,
+      storesPerPartition: Int = JoinStoresPerPartition): Int = {
+    val n = recommendedStatePartitions(
+      estimatedKeys, bytesPerKey, targetMbPerStore, storesPerPartition)
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    n
+  }
+
   /** File-based event stream: the same parquet dir the batch path reads,
     * consumed incrementally (one file per trigger by default).
     */
@@ -47,7 +141,10 @@ object Streams {
   /** Watermarked tumbling-window counts per event type — the streaming
     * analogue of q32_events_window. Events later than `lateness` past the
     * max seen ts are dropped; windows finalize (append mode) once the
-    * watermark passes their end.
+    * watermark passes their end. State = in-horizon windows × types, one
+    * store per partition: size spark.sql.shuffle.partitions with
+    * [[recommendedStatePartitions]] (storesPerPartition = 1) to keep
+    * per-store state in the measured memtable-resident band.
     */
   def windowedCounts(events: DataFrame,
       windowLen: String = "1 hour",
@@ -74,7 +171,9 @@ object Streams {
     * forever and (b) evicts the user's state, so the state store is
     * bounded by the set of users active inside the watermark horizon,
     * not by every user ever seen. Emits closed sessions; state per user
-    * is O(1) while it lives.
+    * is O(1) while it lives. One state store per partition: size the
+    * session's shuffle partitions with [[recommendedStatePartitions]]
+    * (storesPerPartition = 1, keys = in-horizon users).
     */
   /** Timestamp ↔ epoch-microseconds (Timestamp.getTime alone is millis
     * and silently truncates the µs precision the events carry).
@@ -218,7 +317,9 @@ object Streams {
     * its expiry instead of living forever (the failure mode of a plain
     * streaming `dropDuplicates(keys)` on an unbounded stream). The
     * complement of [[dedupStream]], which dedups exact (key, ts)
-    * duplicates.
+    * duplicates. Both dedup operators keep one store per partition —
+    * size with [[recommendedStatePartitions]] (storesPerPartition = 1,
+    * keys = in-horizon distinct keys).
     */
   def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
       lateness: String = "1 hour"): DataFrame =
@@ -232,7 +333,12 @@ object Streams {
     * additionally emits an unmatched left row with nulls once the
     * watermark proves no future right can match it (left state value
     * watermark = wm − maxGap), which is also the moment its state is
-    * evicted.
+    * evicted. This is the shape the state-write budget was MEASURED on
+    * (SCALE.md §Round-11; [[JoinStoresPerPartition]] stores per
+    * partition): provision spark.sql.shuffle.partitions with
+    * [[recommendedStatePartitions]] / [[provisionStatePartitions]] so
+    * per-store state stays under the flush threshold — the validated
+    * lever behind the 100× 80 s-vs-400 s result.
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
       lateness: String = "30 minutes",

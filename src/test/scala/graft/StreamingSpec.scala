@@ -608,4 +608,52 @@ class StreamingSpec extends AnyFunSuite {
     // user 2's session at 100 closed by the arrival-gap rule at 300
     assert(finalRows.count(_ == (2L, 100L, 100L, 1L)) == 1)
   }
+
+  test("recommendedStatePartitions encodes the measured clean band (SCALE.md r11/r12)") {
+    // the q62 100x shape: 20 M input rows x the measured 86 B/row ->
+    // 28 partitions, which puts per-store state at ~14.7 MB — inside the
+    // 15 MB/store memtable-resident band the write probe measured, and
+    // the same class as the hand-validated GRAFT_STREAM_PARTS=32 run
+    // (12.8 MB/store, zero flush, 80.3 s vs ~400). The API-path re-run
+    // at 100x is recorded in SCALE.md §Round-12.
+    val n = Streams.recommendedStatePartitions(
+      20000000L, Streams.MeasuredJoinStateBytesPerRow)
+    assert(n === 28)
+    val perStoreBytes = 20000000L * Streams.MeasuredJoinStateBytesPerRow /
+      (n.toLong * Streams.JoinStoresPerPartition)
+    assert(perStoreBytes <= Streams.CleanStateMbPerStore.toLong * (1L << 20))
+    // minimality: one partition fewer would breach the band
+    assert(20000000L * Streams.MeasuredJoinStateBytesPerRow >
+      (n - 1).toLong * Streams.JoinStoresPerPartition *
+        Streams.CleanStateMbPerStore.toLong * (1L << 20))
+    // single-store operators (windowed agg, dedup, sessionize) divide by
+    // one store per partition
+    assert(Streams.recommendedStatePartitions(
+      1000000L, 100L, storesPerPartition = 1) === 7)
+    // monotone in state volume; tiny states stay at 1 partition
+    assert(Streams.recommendedStatePartitions(1L, 1L) === 1)
+    assert(Streams.recommendedStatePartitions(0L, 1L) === 1)
+    assert(Streams.recommendedStatePartitions(40000000L, 86L) >= n)
+    // named validation: a target past the MEASURED flush onset is a lie,
+    // not a tune; degenerate inputs fail rather than under-provision
+    val e1 = intercept[IllegalArgumentException](
+      Streams.recommendedStatePartitions(1L, 1L,
+        targetMbPerStore = Streams.MeasuredFlushMbPerStore + 1))
+    assert(e1.getMessage.contains("flush regime"))
+    intercept[IllegalArgumentException](
+      Streams.recommendedStatePartitions(1L, 0L))
+    intercept[IllegalArgumentException](
+      Streams.recommendedStatePartitions(1L, 1L, storesPerPartition = 0))
+    val e2 = intercept[IllegalArgumentException](
+      Streams.recommendedStatePartitions(Long.MaxValue / 2, 3L))
+    assert(e2.getMessage.contains("overflows"))
+    // provisionStatePartitions actually sets the session's shuffle knob
+    val s2 = spark.newSession()
+    val got = Streams.provisionStatePartitions(
+      s2, 20000000L, Streams.MeasuredJoinStateBytesPerRow)
+    assert(got === 28 &&
+      s2.conf.get("spark.sql.shuffle.partitions") === "28")
+    // and the parent session's setting is untouched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") !== "28")
+  }
 }
