@@ -70,7 +70,10 @@ object ZoneMap {
     */
   def survivingFiles(spark: SparkSession, path: String,
       lo: Column, hi: Column, maxFiles: Int = MaxSurvivingFiles): Seq[String] = {
-    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    // < MaxValue so the probe's limit(maxFiles + 1) can't wrap — a caller
+    // "disabling" the cap with MaxValue would otherwise get limit(MinValue)
+    require(maxFiles >= 1 && maxFiles < Int.MaxValue,
+      s"maxFiles must be in [1, ${Int.MaxValue - 1}], got $maxFiles")
     val files = spark.read.parquet(s"$path/_zonemap")
       .where(col("hi") >= lo && col("lo") <= hi)
       .select("file").limit(maxFiles + 1)

@@ -91,7 +91,10 @@ object Streams {
         case _: ArithmeticException => throw new IllegalArgumentException(
           s"state estimate overflows Long: $estimatedKeys keys x $bytesPerKey B")
       }
-    val n = (totalBytes + perPartitionBytes - 1) / perPartitionBytes
+    // ceil-div via quotient+remainder (the add-based form could wrap on
+    // a near-Long.Max estimate that multiplyExact let through)
+    val n = totalBytes / perPartitionBytes +
+      (if (totalBytes % perPartitionBytes == 0L) 0L else 1L)
     math.max(1L, math.min(n, Int.MaxValue.toLong)).toInt
   }
 
