@@ -173,8 +173,14 @@ object Streams {
     * that (a) emits each user's FINAL session instead of holding it open
     * forever and (b) evicts the user's state, so the state store is
     * bounded by the set of users active inside the watermark horizon,
-    * not by every user ever seen. Emits closed sessions; state per user
-    * is O(1) while it lives. One state store per partition: size the
+    * not by every user ever seen. The timeout rule is also applied AT
+    * ARRIVAL when it is already true: a straggler admitted against the
+    * previous batch's watermark (the engine's late-filter rule,
+    * WmProbeSpec) can merge into a session whose `lastTs + gap` the
+    * CURRENT watermark has already passed — that session emits
+    * immediately (arming the now-illegal timeout used to kill the whole
+    * query; SessionStragglerProbeSpec pins the tape). Emits closed
+    * sessions; state per user is O(1) while it lives. One state store per partition: size the
     * session's shuffle partitions with [[recommendedStatePartitions]]
     * (storesPerPartition = 1, keys = in-horizon users).
     */
@@ -265,12 +271,36 @@ object Streams {
               }
             }
             cur.foreach { s =>
-              state.update(s)
               // Ceil to ms so the timeout never fires before the gap has
-              // truly elapsed in µs event time. Always > current watermark:
-              // every event reaching here has ts >= watermark (late rows
-              // are filtered), so lastTs + gap clears it by a full gap.
-              state.setTimeoutTimestamp((s.lastTs + gapUs + 999L) / 1000L)
+              // truly elapsed in µs event time.
+              val timeoutMs = (s.lastTs + gapUs + 999L) / 1000L
+              val wmMs = state.getCurrentWatermarkMs()
+              if (timeoutMs < wmMs) {
+                // The watermark has ALREADY passed lastTs + gap. Reachable
+                // because the late filter admits events against the
+                // PREVIOUS batch's watermark (SPARK-40925, pinned by
+                // WmProbeSpec): a straggler arriving after a > gap
+                // event-time jump between triggers merges here while the
+                // CURRENT watermark sits beyond its session's timeout —
+                // and setTimeoutTimestamp(timeoutMs) would then throw
+                // "timeout cannot be earlier than the current watermark"
+                // and kill the WHOLE query (measured; pinned by
+                // StreamingSpec's straggler test). The documented timeout
+                // rule ("emit when the watermark passes lastTs + gap with
+                // no new event") is already TRUE for this session, so
+                // apply it at arrival: emit now, keep no state — the same
+                // strict-< firing boundary the q127 oracle pins.
+                closed += Session(userId, tsFromMicros(s.start),
+                  tsFromMicros(s.lastTs), s.nEvents)
+                state.remove()
+              } else {
+                state.update(s)
+                // timeoutMs >= current watermark, so the arm is legal
+                // (Spark requires only not-earlier-than); at equality the
+                // timeout fires on the next watermark ADVANCE, preserving
+                // the strict-< firing rule.
+                state.setTimeoutTimestamp(timeoutMs)
+              }
             }
             closed.result().iterator
           }
