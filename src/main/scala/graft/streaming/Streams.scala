@@ -142,9 +142,12 @@ object Streams {
   }
 
   /** Watermarked tumbling-window counts per event type — the streaming
-    * analogue of q32_events_window. Events later than `lateness` past the
-    * max seen ts are dropped; windows finalize (append mode) once the
-    * watermark passes their end. State = in-horizon windows × types, one
+    * analogue of q32_events_window. Late events drop once their WINDOW
+    * END falls at/behind the watermark (the engine filters on window
+    * end against the PREVIOUS batch's watermark — the measured rule
+    * WmProbeSpec pins and q237's oracle replays, not a raw ts test);
+    * windows finalize (append mode) once the watermark passes their
+    * end. State = in-horizon windows × types, one
     * store per partition: size spark.sql.shuffle.partitions with
     * [[recommendedStatePartitions]] (storesPerPartition = 1) to keep
     * per-store state in the measured memtable-resident band.
@@ -217,8 +220,11 @@ object Streams {
       // typed lambda: stays in codegen, no per-row deserialization.)
       .where(col("ts").isNotNull)
       // EventTimeTimeout requires a watermark; it also gives sessionize
-      // the standard late-data contract (events > lateness behind the
-      // max seen ts are dropped before they can corrupt closed sessions).
+      // the standard late-data contract — with the measured caveat that
+      // the engine filters against the PREVIOUS batch's watermark
+      // (WmProbeSpec), so in-horizon-by-one-batch stragglers still reach
+      // the state function; the arrival-time timeout branch below is
+      // what keeps them from corrupting (or crashing) anything.
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
