@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   * At scale the win is layout: if the snapshot is bucketed by the key
   * ([[graft.core.Bucketing]]), the union's window shuffle degenerates
   * to a co-located sort within buckets.
+  *
+  * NULL-KEY CONTRACT (same family as [[AsOfJoin]]'s and
+  * `Validate.Unique`'s pinned divergences): null keys GROUP TOGETHER in
+  * the survivor window — a null-keyed change upserts/deletes THE
+  * null-keyed snapshot row, where SQL `MERGE`'s equi-match would
+  * no-match and insert a second null-keyed row. Deliberate: an
+  * "unattributed" bucket should be maintainable like any other key;
+  * callers wanting SQL behavior filter null keys into a separate
+  * insert-only path.
   */
 object Merge {
 

@@ -233,6 +233,27 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(out === Map("unique(k)" -> 3L)) // (1,1)->1 + (null x3)->2
   }
 
+  test("Merge null-key contract: null keys group in the survivor window") {
+    // Same family as the AsOfJoin / Validate.Unique pins: a null-keyed
+    // change UPSERTS/DELETES the null-keyed snapshot row (window null
+    // grouping), where SQL MERGE's equi-match would no-match and insert
+    // a second null-keyed row. Pinned per the Merge scaladoc contract.
+    val snap = Seq((Option(1L), "a"), (Option.empty[Long], "b"))
+      .toDF("k", "v")
+    val up = Seq((Option.empty[Long], "b2", "U")).toDF("k", "v", "op")
+    val out = Merge.upsert(snap, up, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1))).toSet
+    assert(out === Set((1L, "a"), (-1L, "b2")),
+      "null-keyed change must replace the null-keyed snapshot row")
+    val del = Seq((Option.empty[Long], null: String, "D")).toDF("k", "v", "op")
+    val out2 = Merge.upsert(snap, del, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1))).toSet
+    assert(out2 === Set((1L, "a")),
+      "null-keyed delete must drop the null-keyed snapshot row")
+  }
+
   test("resample/chunkTokens null-row contract: null ts/text rows drop silently") {
     // DELIBERATE (= SQL null semantics, matching window()/session_window
     // and the streaming sessionizer), pinned per the resample and
