@@ -77,4 +77,27 @@ object MaintenancePropertySpec extends Properties("Maintenance") {
       Prop(got == want) :| s"got $got want $want"
     }
   }
+
+  // recommendedStatePartitions: driver-side arithmetic, so fuzz the
+  // whole input space — the result must be the MINIMAL partition count
+  // that keeps per-store state at/below the target (the measured clean
+  // band), for any keys/bytes/target/stores combination
+  property("recommendedStatePartitions is the minimal clean-band provisioning") = {
+    import graft.streaming.Streams
+    val gen = for {
+      keys <- Gen.oneOf(Gen.choose(0L, 1000L), Gen.choose(0L, 4000000000L))
+      bytes <- Gen.choose(1L, 4096L)
+      target <- Gen.choose(1, Streams.MeasuredFlushMbPerStore)
+      stores <- Gen.oneOf(1, 2, 4, 8)
+    } yield (keys, bytes, target, stores)
+    Prop.forAllNoShrink(gen) { case (keys, bytes, target, stores) =>
+      val n = Streams.recommendedStatePartitions(keys, bytes, target, stores)
+      val per = target.toLong * (1L << 20) * stores
+      val total = BigInt(keys) * BigInt(bytes)
+      val fits = total <= BigInt(n) * per
+      val minimal = n == 1 || total > BigInt(n - 1) * per
+      Prop(n >= 1 && fits && minimal) :|
+        s"keys=$keys bytes=$bytes target=$target stores=$stores -> n=$n"
+    }
+  }
 }
