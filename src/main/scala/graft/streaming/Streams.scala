@@ -359,6 +359,15 @@ object Streams {
     * duplicates. Both dedup operators keep one store per partition —
     * size with [[recommendedStatePartitions]] (storesPerPartition = 1,
     * keys = in-horizon distinct keys).
+    *
+    * EVICTION BOUNDARY (measured, pinned by DedupEvictionProbeSpec):
+    * the within-delay guarantee ends at a precise batch edge — a
+    * duplicate arriving in the SAME batch whose watermark evicts its
+    * key still dedups (state drops at batch END), one batch later it
+    * EMITS AGAIN; and a deduped duplicate does NOT extend its key's
+    * state lifetime (expiry stays anchored to the FIRST occurrence's
+    * event time). Downstream consumers needing global uniqueness must
+    * still dedup at rest ([[graft.operators.Dedup.exact]]).
     */
   def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
       lateness: String = "1 hour"): DataFrame =
