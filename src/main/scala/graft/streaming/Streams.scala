@@ -449,7 +449,10 @@ object Streams {
     * verbatim-duplicate cold-path class risked silent divergence).
     * Update output mode: one emission per touched user per trigger,
     * counters monotone — the LAST emission per user is the final
-    * ledger entry.
+    * ledger entry. State = one (long, long) per user ever seen (no TTL
+    * here), one store per partition: size with
+    * [[recommendedStatePartitions]] (storesPerPartition = 1, keys =
+    * the full user space — or set a TTLConfig to bound it).
     */
   def runningTotals(pairs: Dataset[(Long, Long)]): Dataset[UserTotals] = {
     val spark = pairs.sparkSession
