@@ -811,15 +811,30 @@ object Queries {
           st.iterator().asScala
             .filter(_.getFileName.toString.endsWith(".parquet")).toSet
         }
+      // Every slice must land at least one part file: an empty slice
+      // (possible in principle at a tiny/degenerate SF) writes NO
+      // parquet part, collapsing the tape to fewer triggers — the
+      // oracle's previous-batch-watermark arithmetic then no longer
+      // models the run and the gate would fail as a confusing bag
+      // mismatch. Fail BY NAME at staging time instead.
+      def requireSlice(fs: Set[java.nio.file.Path], slice: String): Unit =
+        require(fs.nonEmpty,
+          s"q237 staging: the $slice slice is EMPTY at $dir — the " +
+            "three-trigger watermark contract needs all of bulk/carrier/" +
+            "late to land a part file (carrier = on-time event_id % 7 " +
+            "== 0, late = event_id % 5 == 0 at/before the 5-day cutoff)")
       ev.where(onTime && col("event_id") % 7 =!= 0)
         .coalesce(1).write.mode("overwrite").parquet(path)
       val bulk = parts()
+      requireSlice(bulk, "bulk")
       ev.where(onTime && col("event_id") % 7 === 0)
         .coalesce(1).write.mode("append").parquet(path)
       val carrier = parts() -- bulk
+      requireSlice(carrier, "carrier")
       ev.where(col("ts") > lit(cutoff) || col("event_id") % 5 === 0)
         .coalesce(1).write.mode("append").parquet(path)
       val late = parts() -- bulk -- carrier
+      requireSlice(late, "late")
       val now = System.currentTimeMillis()
       def stamp(fs: Set[java.nio.file.Path], offsetMs: Long): Unit =
         fs.foreach(p => java.nio.file.Files.setLastModifiedTime(

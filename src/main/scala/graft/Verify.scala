@@ -70,9 +70,16 @@ object Verify {
     // dump was filtered (a reused out_dir then holds unverified stale
     // parquet); on a full run, result dirs absent from oracle_sql.json
     // are just the legitimate rows-only queries.
+    // "queries" lists the CURRENT full surface by name so the checker
+    // can tell a legitimate rows-only result dir from a stale leftover
+    // of a since-removed/renamed query in a reused out_dir — a full
+    // Verify overwrites live queries' dirs but never deletes dirs no
+    // current query owns, and without the name list those leftovers
+    // would read as rows-only green.
+    val names = SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
     Files.writeString(
       Paths.get(outDir.stripSuffix("/") + ".verifymeta.json"),
-      s"""{"filtered": ${only.isDefined}, "n_queries": ${SparkEntry.queries.size}}""")
+      s"""{"filtered": ${only.isDefined}, "n_queries": ${SparkEntry.queries.size}, "queries": $names}""")
     spark.stop()
   }
 }

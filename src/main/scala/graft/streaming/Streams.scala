@@ -75,10 +75,15 @@ object Streams {
       storesPerPartition: Int = JoinStoresPerPartition): Int = {
     require(estimatedKeys >= 0, s"estimatedKeys must be >= 0, got $estimatedKeys")
     require(bytesPerKey > 0, s"bytesPerKey must be > 0, got $bytesPerKey")
-    require(targetMbPerStore > 0 && targetMbPerStore <= MeasuredFlushMbPerStore,
-      s"targetMbPerStore must be in (0, $MeasuredFlushMbPerStore] — " +
+    // STRICTLY below the measured onset: provisioning AT 51 MB/store is
+    // provisioning onto the knee itself — the constant's doc says "an
+    // upper bound the recommendation must stay well under, not a
+    // target", so the bound is exclusive
+    require(targetMbPerStore > 0 && targetMbPerStore < MeasuredFlushMbPerStore,
+      s"targetMbPerStore must be in (0, $MeasuredFlushMbPerStore) — " +
         s"$MeasuredFlushMbPerStore MB/store is where the flush regime was " +
-        s"MEASURED to begin; got $targetMbPerStore")
+        s"MEASURED to begin, so it is an exclusive bound, not a target; " +
+        s"got $targetMbPerStore")
     require(storesPerPartition > 0,
       s"storesPerPartition must be > 0, got $storesPerPartition")
     val perPartitionBytes =
@@ -103,6 +108,16 @@ object Streams {
     * and returns the chosen count. Call on the stream's OWN session
     * before building the query — shuffle partitioning is fixed at the
     * first checkpoint, so this is a provisioning-time decision.
+    *
+    * The applied count is `max(recommended, defaultParallelism)`: the
+    * state budget is a FLOOR on partitions, never a ceiling (more
+    * partitions = less state per store = still memtable-resident), so
+    * recommending below the cluster's core count only idles cores —
+    * MEASURED at the 100× one-shot (SCALE.md §Round-12/13): the bare
+    * state-budget 28 partitions ran 96.8 s on a 32-core box vs 80.3 s
+    * at 32. Callers that genuinely want fewer partitions than cores
+    * (e.g. many concurrent streams sharing the cluster) can call
+    * [[recommendedStatePartitions]] and set the knob themselves.
     */
   def provisionStatePartitions(
       spark: SparkSession,
@@ -110,8 +125,10 @@ object Streams {
       bytesPerKey: Long,
       targetMbPerStore: Int = CleanStateMbPerStore,
       storesPerPartition: Int = JoinStoresPerPartition): Int = {
-    val n = recommendedStatePartitions(
-      estimatedKeys, bytesPerKey, targetMbPerStore, storesPerPartition)
+    val n = math.max(
+      recommendedStatePartitions(
+        estimatedKeys, bytesPerKey, targetMbPerStore, storesPerPartition),
+      spark.sparkContext.defaultParallelism)
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     n
   }

@@ -87,7 +87,10 @@ object MaintenancePropertySpec extends Properties("Maintenance") {
     val gen = for {
       keys <- Gen.oneOf(Gen.choose(0L, 1000L), Gen.choose(0L, 4000000000L))
       bytes <- Gen.choose(1L, 4096L)
-      target <- Gen.choose(1, Streams.MeasuredFlushMbPerStore)
+      // the flush-onset bound is EXCLUSIVE (provisioning onto the
+      // measured knee is refused), so the legal target space tops out
+      // one below it
+      target <- Gen.choose(1, Streams.MeasuredFlushMbPerStore - 1)
       stores <- Gen.oneOf(1, 2, 4, 8)
     } yield (keys, bytes, target, stores)
     Prop.forAllNoShrink(gen) { case (keys, bytes, target, stores) =>

@@ -634,12 +634,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streams.recommendedStatePartitions(1L, 1L) === 1)
     assert(Streams.recommendedStatePartitions(0L, 1L) === 1)
     assert(Streams.recommendedStatePartitions(40000000L, 86L) >= n)
-    // named validation: a target past the MEASURED flush onset is a lie,
-    // not a tune; degenerate inputs fail rather than under-provision
+    // named validation: a target AT or past the MEASURED flush onset is
+    // a lie, not a tune — 51 MB/store is where flushing was OBSERVED, so
+    // the bound is exclusive (provisioning onto the knee is refused);
+    // degenerate inputs fail rather than under-provision
     val e1 = intercept[IllegalArgumentException](
       Streams.recommendedStatePartitions(1L, 1L,
-        targetMbPerStore = Streams.MeasuredFlushMbPerStore + 1))
-    assert(e1.getMessage.contains("flush regime"))
+        targetMbPerStore = Streams.MeasuredFlushMbPerStore))
+    assert(e1.getMessage.contains("flush regime") &&
+      e1.getMessage.contains("exclusive"))
+    // one below the onset is still a legal (if aggressive) target
+    assert(Streams.recommendedStatePartitions(1L, 1L,
+      targetMbPerStore = Streams.MeasuredFlushMbPerStore - 1) === 1)
     intercept[IllegalArgumentException](
       Streams.recommendedStatePartitions(1L, 0L))
     intercept[IllegalArgumentException](
@@ -648,6 +654,7 @@ class StreamingSpec extends AnyFunSuite {
       Streams.recommendedStatePartitions(Long.MaxValue / 2, 3L))
     assert(e2.getMessage.contains("overflows"))
     // provisionStatePartitions actually sets the session's shuffle knob
+    // (28 > the local[4] defaultParallelism, so the floor is inactive)
     val s2 = spark.newSession()
     val got = Streams.provisionStatePartitions(
       s2, 20000000L, Streams.MeasuredJoinStateBytesPerRow)
@@ -655,5 +662,14 @@ class StreamingSpec extends AnyFunSuite {
       s2.conf.get("spark.sql.shuffle.partitions") === "28")
     // and the parent session's setting is untouched
     assert(spark.conf.get("spark.sql.shuffle.partitions") !== "28")
+    // PARALLELISM FLOOR (SCALE.md §Round-12: the API's bare 28 left a
+    // 32-core box 4 cores idle — 96.8 vs 80.3 s): the state budget is a
+    // floor on partitions, never a ceiling, so provisioning never drops
+    // below defaultParallelism even when the state fits in one store
+    val s3 = spark.newSession()
+    val tiny = Streams.provisionStatePartitions(s3, 10L, 10L)
+    assert(Streams.recommendedStatePartitions(10L, 10L) === 1)
+    assert(tiny === spark.sparkContext.defaultParallelism &&
+      s3.conf.get("spark.sql.shuffle.partitions") === tiny.toString)
   }
 }

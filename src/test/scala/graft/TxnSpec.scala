@@ -632,7 +632,14 @@ class TxnSpec extends AnyFunSuite {
     val bad = intercept[IllegalArgumentException](
       new graft.txn.LogManager(dir.resolve("log2.tsv"), lockWaitMs = 0L))
     assert(bad.getMessage.contains("lockWaitMs"))
-    assert(graft.txn.LogManager.configuredLockWaitMs ===
-      graft.txn.LogManager.DefaultLockWaitMs) // env unset in the suite
+    // the env override is exactly what deployments set, so assert
+    // against whichever source is live instead of assuming it unset
+    sys.env.get("GRAFT_TAPE_LOCK_WAIT_MS") match {
+      case Some(v) =>
+        assert(graft.txn.LogManager.configuredLockWaitMs === v.toLong)
+      case None =>
+        assert(graft.txn.LogManager.configuredLockWaitMs ===
+          graft.txn.LogManager.DefaultLockWaitMs)
+    }
   }
 }

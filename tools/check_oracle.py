@@ -158,8 +158,12 @@ def main():
         # ruled out.
         meta_path = f"{out_dir.rstrip('/')}.verifymeta.json"
         filtered = True
+        surface = None  # current query-surface names, when the sidecar has them
         try:
-            filtered = bool(json.load(open(meta_path)).get("filtered", True))
+            meta = json.load(open(meta_path))
+            filtered = bool(meta.get("filtered", True))
+            if isinstance(meta.get("queries"), list):
+                surface = set(meta["queries"])
         except Exception:
             pass
         if filtered:
@@ -168,9 +172,31 @@ def main():
                   f"filtered Verify into a reused out_dir, those results are "
                   f"STALE, not verified: use a fresh out_dir.")
         else:
-            print(f"INFO {out_dir}: {stale} result dir(s) have no oracle "
-                  f"entry (rows-only queries); this dump was a FULL Verify "
-                  f"run, so nothing here is stale.")
+            # a FULL Verify overwrites live queries' dirs but never deletes
+            # dirs owned by NO current query (removed/renamed since a prior
+            # run into this out_dir) — cross-check against the sidecar's
+            # surface list so those stale leftovers stay loud instead of
+            # riding the reassuring full-run INFO
+            orphans = []
+            if surface is not None:
+                orphans = sorted(
+                    name for name in os.listdir(out_dir)
+                    if name != "oracle_sql.json" and name not in surface)
+            if orphans:
+                print(f"WARN {out_dir}: {len(orphans)} result dir(s) match NO "
+                      f"query on the current surface — stale leftovers of "
+                      f"removed/renamed queries in a reused out_dir, not "
+                      f"verified: {', '.join(orphans)}. Use a fresh out_dir.")
+            elif surface is None:
+                print(f"WARN {out_dir}: {stale} result dir(s) have no oracle "
+                      f"entry; this dump was a FULL Verify run but the sidecar "
+                      f"predates the query-name list, so staleness of those "
+                      f"dirs cannot be ruled out.")
+            else:
+                print(f"INFO {out_dir}: {stale} result dir(s) have no oracle "
+                      f"entry (rows-only queries); this dump was a FULL Verify "
+                      f"run and every result dir matches a current query, so "
+                      f"nothing here is stale.")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
