@@ -25,8 +25,24 @@ import org.apache.spark.sql.functions._
 object StreamWriteProbe {
   private val Offset = 1000000000L
 
+  /** The stateful pipeline under measurement. `join` is the original
+    * q62 stream-stream self-join (4 state stores/partition — the shape
+    * the r11 budget was measured on); `agg`/`session`/`dedup` are the
+    * single-store shapes (windowed aggregation, custom sessionize,
+    * dropDuplicatesWithinWatermark) whose per-key WriteBatch constants
+    * round 13 publishes so [[graft.streaming.Streams]]' provisionFor*
+    * helpers stop needing a hand-built state model. Run with ONESHOT=1
+    * when deriving constants: one trigger touches every key exactly
+    * once, so totalBytesWritten / keys IS the per-key put volume.
+    */
+  private val Shapes = Set("join", "agg", "session", "dedup")
+
   def main(args: Array[String]): Unit = {
-    val tiers = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10, 30, 100)
+    val (shapeArgs, tierArgs) = args.toSeq.partition(a => !a.forall(_.isDigit))
+    val shape = shapeArgs.headOption.getOrElse("join")
+    require(Shapes.contains(shape),
+      s"unknown shape '$shape' — expected one of ${Shapes.mkString("/")}")
+    val tiers = if (tierArgs.nonEmpty) tierArgs.map(_.toInt) else Seq(1, 10, 30, 100)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nFiles = sys.env.getOrElse("GRAFT_WRITEPROBE_FILES", "16").toInt
     val spark = SparkSession.builder()
@@ -72,13 +88,34 @@ object StreamWriteProbe {
       // input-row count × the measured per-row join-state constant —
       // the round-12 validation that the r11 hand-set
       // GRAFT_STREAM_PARTS=32 result reproduces through the API path
+      // the shape's state-key count, computed batch-side from the tape
+      // with the SAME key definition the streaming operator shards on —
+      // the denominator of the per-key constant (and the keys input of
+      // the per-shape provisionFor* API path)
+      lazy val shapeKeys: Long = shape match {
+        case "join" => 2L * spark.read.parquet(tape).count()
+        case "agg" => spark.read.parquet(tape)
+          .select(window(col("ts"), "1 hour"), col("event_type"))
+          .distinct().count()
+        case "session" => spark.read.parquet(tape)
+          .select(col("user_id")).distinct().count()
+        case "dedup" => spark.read.parquet(tape)
+          .select(col("event_id")).distinct().count()
+      }
       if (sys.env.contains("GRAFT_WRITEPROBE_AUTOPARTS")) {
-        // numInputRows counts BOTH sides of the self-join, matching the
-        // 20 M rows the 86 B/row constant was measured against
-        val rows = 2L * spark.read.parquet(tape).count()
-        val n = graft.streaming.Streams.provisionStatePartitions(
-          s, rows, graft.streaming.Streams.MeasuredJoinStateBytesPerRow)
-        println(s"""[writeprobe] {"copies":$copies,"autoparts":$n,"rows":$rows}""")
+        // provision through the ACTUAL API from the shape's key count ×
+        // its measured constant — join: input rows (BOTH sides of the
+        // self-join, matching the 20 M rows the 86 B/row constant was
+        // measured against) × per-row; single-store shapes: state keys
+        // × the round-13 per-key constants
+        val n = shape match {
+          case "join" => graft.streaming.Streams.provisionStatePartitions(
+            s, shapeKeys, graft.streaming.Streams.MeasuredJoinStateBytesPerRow)
+          case "agg" => graft.streaming.Streams.provisionForWindowedAgg(s, shapeKeys)
+          case "session" => graft.streaming.Streams.provisionForSessionize(s, shapeKeys)
+          case "dedup" => graft.streaming.Streams.provisionForDedupWithin(s, shapeKeys)
+        }
+        println(s"""[writeprobe] {"copies":$copies,"shape":"$shape","autoparts":$n,"keys":$shapeKeys}""")
       } else s.conf.set("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_STREAM_PARTS", "8"))
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -97,7 +134,18 @@ object StreamWriteProbe {
         else math.max(nFiles / 4, 1)
       val src = graft.streaming.Streams.eventsStream(s, tape,
         maxFilesPerTrigger = filesPerTrigger)
-      val joined = graft.streaming.Streams.streamStreamJoin(src, src)
+      val piped: DataFrame = shape match {
+        case "join" => graft.streaming.Streams.streamStreamJoin(src, src)
+        case "agg" => graft.streaming.Streams.windowedCounts(src)
+        case "session" =>
+          import s.implicits._
+          graft.streaming.Streams.sessionize(s,
+            src.select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+              .as[graft.streaming.Streams.Event]).toDF()
+        case "dedup" =>
+          graft.streaming.Streams.dedupWithinWatermark(src, Seq("event_id"))
+      }
 
       // pidScratch registers the checkpoint dir with the repo's scratch
       // reaper (shutdown hook + dead-pid startup sweep) — per-run
@@ -105,7 +153,7 @@ object StreamWriteProbe {
       val ckpt = graft.Queries.pidScratch(
         s"/tmp/graft-writeprobe-ckpt-${ProcessHandle.current().pid()}-$copies")
       val t0 = System.nanoTime()
-      val q = joined.writeStream.format("noop")
+      val q = piped.writeStream.format("noop")
         .option("checkpointLocation", ckpt)
         .outputMode("append").start()
       q.processAllAvailable()
@@ -152,7 +200,14 @@ object StreamWriteProbe {
       }
       val rows = progress.map(_.numInputRows).sum
       val sumCols = keys.map(k => s""""$k":${sums(k)}""").mkString(",")
-      println(s"""[writeprobe] {"copies":$copies,"summary":true,"rows":$rows,""" +
+      // bytesPerKey = total WriteBatch volume / state keys — the per-key
+      // constant the provisioning API wants; exact when ONESHOT=1 (every
+      // key touched exactly once per its single trigger)
+      val bpk =
+        if (shapeKeys > 0)
+          sums("rocksdbTotalBytesWritten").toDouble / shapeKeys else 0.0
+      println(s"""[writeprobe] {"copies":$copies,"shape":"$shape","summary":true,"rows":$rows,""" +
+        s""""keys":$shapeKeys,"bytesPerKey":${f"$bpk%.1f"},""" +
         s""""totalSec":${f"$totalSec%.1f"},"triggers":${progress.count(_.numInputRows > 0)},$sumCols}""")
     }
     spark.stop()

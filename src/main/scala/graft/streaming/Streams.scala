@@ -51,6 +51,29 @@ object Streams {
     * an input-row count rather than a key count.
     */
   val MeasuredJoinStateBytesPerRow = 86L
+  /** Measured WriteBatch bytes per STATE KEY for the single-store
+    * shapes (SCALE.md §Round-13, StreamWriteProbe one-shot runs where
+    * every key is touched exactly once, so totalBytesWritten / keys is
+    * exact). These turn [[recommendedStatePartitions]]' hardest input —
+    * bytesPerKey — into a published constant per stateful operator:
+    *   - windowed agg ([[windowedCounts]]-class): key = (window, group),
+    *     value = the agg buffer row — the widest value (count + sum +
+    *     the window struct key), hence the largest per-key constant;
+    *   - custom sessionize ([[sessionize]]): key = user, value =
+    *     SessionState(3 longs) plus the event-time timeout bookkeeping
+    *     the flatMapGroupsWithState store carries per key;
+    *   - dedup-within ([[dedupWithinWatermark]]): key = the dedup
+    *     columns, value = just the expiry timestamp — the smallest.
+    * Each measured EXACTLY flat across tiers (agg 97.0 at 10×/30×;
+    * session 89.0 at 10×/30×; dedup 49.0 at 10×/30× — SCALE.md
+    * §Round-13 table). Keys here are STATE keys (distinct in-horizon
+    * groups/users/dedup keys), not input rows — the join constant above
+    * is the only per-input-row one, because join state buffers every
+    * row.
+    */
+  val MeasuredWindowedAggStateBytesPerKey = 97L
+  val MeasuredSessionStateBytesPerKey = 89L
+  val MeasuredDedupStateBytesPerKey = 49L
 
   /** Shuffle partitions that keep per-store streaming state inside the
     * measured memtable-resident band: the smallest n with
@@ -133,6 +156,38 @@ object Streams {
     n
   }
 
+  /** One-call provisioning for a [[windowedCounts]]-class windowed
+    * aggregation: estimatedWindowGroups = distinct (window, group) pairs
+    * alive inside the watermark horizon (e.g. hours-of-horizon ×
+    * groups-per-hour for a 1-hour tumbling window). Uses the measured
+    * [[MeasuredWindowedAggStateBytesPerKey]] and the single store a
+    * streaming aggregation keeps per partition — the caller no longer
+    * builds a byte model by hand.
+    */
+  def provisionForWindowedAgg(spark: SparkSession,
+      estimatedWindowGroups: Long): Int =
+    provisionStatePartitions(spark, estimatedWindowGroups,
+      MeasuredWindowedAggStateBytesPerKey, storesPerPartition = 1)
+
+  /** One-call provisioning for [[sessionize]]: estimatedUsers = distinct
+    * session keys (users) active inside the watermark horizon — NOT all
+    * users ever seen; timeout eviction frees a user's state once the
+    * watermark passes its session gap. Constant:
+    * [[MeasuredSessionStateBytesPerKey]], one store per partition.
+    */
+  def provisionForSessionize(spark: SparkSession, estimatedUsers: Long): Int =
+    provisionStatePartitions(spark, estimatedUsers,
+      MeasuredSessionStateBytesPerKey, storesPerPartition = 1)
+
+  /** One-call provisioning for [[dedupWithinWatermark]] /
+    * [[dedupStream]]: estimatedKeys = distinct dedup keys arriving
+    * inside the watermark horizon (expired keys evict). Constant:
+    * [[MeasuredDedupStateBytesPerKey]], one store per partition.
+    */
+  def provisionForDedupWithin(spark: SparkSession, estimatedKeys: Long): Int =
+    provisionStatePartitions(spark, estimatedKeys,
+      MeasuredDedupStateBytesPerKey, storesPerPartition = 1)
+
   /** File-based event stream: the same parquet dir the batch path reads,
     * consumed incrementally (one file per trigger by default).
     */
@@ -165,9 +220,9 @@ object Streams {
     * WmProbeSpec pins and q237's oracle replays, not a raw ts test);
     * windows finalize (append mode) once the watermark passes their
     * end. State = in-horizon windows × types, one
-    * store per partition: size spark.sql.shuffle.partitions with
-    * [[recommendedStatePartitions]] (storesPerPartition = 1) to keep
-    * per-store state in the measured memtable-resident band.
+    * store per partition: one call to [[provisionForWindowedAgg]]
+    * (estimated in-horizon windows × groups; the 97 B/key constant is
+    * measured) keeps per-store state in the memtable-resident band.
     */
   def windowedCounts(events: DataFrame,
       windowLen: String = "1 hour",
@@ -200,9 +255,10 @@ object Streams {
     * CURRENT watermark has already passed — that session emits
     * immediately (arming the now-illegal timeout used to kill the whole
     * query; SessionStragglerProbeSpec pins the tape). Emits closed
-    * sessions; state per user is O(1) while it lives. One state store per partition: size the
-    * session's shuffle partitions with [[recommendedStatePartitions]]
-    * (storesPerPartition = 1, keys = in-horizon users).
+    * sessions; state per user is O(1) while it lives. One state store
+    * per partition: one call to [[provisionForSessionize]] (estimated
+    * in-horizon users; the 89 B/key constant is measured) sizes the
+    * session's shuffle partitions.
     */
   /** Timestamp ↔ epoch-microseconds (Timestamp.getTime alone is millis
     * and silently truncates the µs precision the events carry).
@@ -374,8 +430,11 @@ object Streams {
     * streaming `dropDuplicates(keys)` on an unbounded stream). The
     * complement of [[dedupStream]], which dedups exact (key, ts)
     * duplicates. Both dedup operators keep one store per partition —
-    * size with [[recommendedStatePartitions]] (storesPerPartition = 1,
-    * keys = in-horizon distinct keys).
+    * one call to [[provisionForDedupWithin]] (estimated in-horizon
+    * distinct keys; the 49 B/key constant is measured — and validated
+    * at the failing tier: 10 M keys unprovisioned flushed 165 MB
+    * mid-batch at 24.9 s, provisioned ran 8.8 s zero-flush) sizes the
+    * partitions.
     *
     * EVICTION BOUNDARY (measured, pinned by DedupEvictionProbeSpec):
     * the within-delay guarantee ends at a precise batch edge — a

@@ -672,4 +672,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(tiny === spark.sparkContext.defaultParallelism &&
       s3.conf.get("spark.sql.shuffle.partitions") === tiny.toString)
   }
+
+  test("per-shape state constants and provisionFor* wiring (SCALE.md r13)") {
+    // the write probe measured these EXACTLY flat across 10x/30x/100x
+    // one-shot runs (totalBytesWritten / state keys, every key touched
+    // once): agg 349200 B / 3600 (window,type) keys, session 13350000 B
+    // / 150000 users at 100x, dedup 490000000 B / 10 M event_ids at
+    // 100x. A drift here means the state-row encoding changed — re-run
+    // `runMain graft.StreamWriteProbe <shape>` and re-measure before
+    // touching the constants.
+    assert(Streams.MeasuredWindowedAggStateBytesPerKey === 97L)
+    assert(Streams.MeasuredSessionStateBytesPerKey === 89L)
+    assert(Streams.MeasuredDedupStateBytesPerKey === 49L)
+    // the validated failing tier: 10 M dedup keys x 49 B = 490 MB ->
+    // 32 partitions (14.6 MB/store, inside the clean band) — the exact
+    // provisioning that turned the measured 165 MB-flush 24.9 s run
+    // into a zero-flush 8.8 s run through the API path
+    assert(Streams.recommendedStatePartitions(
+      10000000L, Streams.MeasuredDedupStateBytesPerKey,
+      storesPerPartition = 1) === 32)
+    val sd = spark.newSession()
+    assert(Streams.provisionForDedupWithin(sd, 10000000L) === 32 &&
+      sd.conf.get("spark.sql.shuffle.partitions") === "32")
+    // sub-core state volumes ride the parallelism floor, not 1 partition
+    val sa = spark.newSession()
+    assert(Streams.provisionForWindowedAgg(sa, 3600L) ===
+      spark.sparkContext.defaultParallelism)
+    val ss = spark.newSession()
+    assert(Streams.provisionForSessionize(ss, 150000L) ===
+      spark.sparkContext.defaultParallelism)
+    // per-shape minimality at the measured constants: one partition
+    // fewer than the dedup recommendation breaches the 15 MB band
+    assert(10000000L * Streams.MeasuredDedupStateBytesPerKey >
+      31L * Streams.CleanStateMbPerStore.toLong * (1L << 20))
+  }
 }
