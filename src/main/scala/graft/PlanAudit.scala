@@ -35,7 +35,7 @@ object PlanAudit {
       "q135_stream_session_window", "q139_stream_oov_filter",
       "q143_stream_span_corrupt", "q148_stream_cdc_merge",
       "q153_stream_window_ndv", "q156_stream_window_topk",
-      "q237_stream_watermark_eviction",
+      "q237_stream_watermark_eviction", "q238_stream_session_straggler",
       "q37_txn_visibility", "q126_txn_timetravel", "q234_txn_compaction",
       "q236_txn_retention",
       "q147_cosine_pairs", "q233_fanout_probe")

@@ -845,6 +845,125 @@ object Queries {
     path
   }
 
+  /** q238's three-trigger straggler tape: the sessionize divergence
+    * boundary, staged deterministically (the q237 pattern applied to
+    * the round-12 emit-on-arrival fix). Slices, with C = max(ts) − 5
+    * days:
+    *   - File 1 (trigger 0, BULK) = events with ts ≤ C that are NOT
+    *     replay-selected. Trigger 0's watermark is still the initial 0,
+    *     so only arrival-gap closures emit; each user's last bulk
+    *     session stays open, timeout armed.
+    *   - File 2 (trigger 1, TAIL) = events with ts > C + 1 hour from
+    *     NON-REPLAY users (user_id % 3 ≠ 0). The one-hour GUARD BAND
+    *     (events in (C, C+1h] are left off the tape entirely, every
+    *     slice predicate replayed by the oracle) guarantees every tail
+    *     event is > gap (30 min) after any bulk event, so a tail user's
+    *     open bulk session closes on arrival — no cross-cutoff merges
+    *     to model. The tail also drives the final watermark ~5 days
+    *     past C. REPLAY users (user_id % 3 == 0) contribute NO
+    *     post-cutoff events to the tape at all: their open bulk session
+    *     is guaranteed to still be state when the stragglers land
+    *     (every real user base has both always-on and gone-quiet users;
+    *     the % 3 predicate makes the split deterministic and
+    *     SQL-replayable instead of hostage to which users happen to be
+    *     active near the cutoff at a given SF).
+    *   - File 3 (trigger 2, LATE REPLAY) = every event_id % 2 == 0 row
+    *     of a replay user with ts in (C − 119h, C]: in-horizon
+    *     stragglers. Admission is
+    *     judged against the watermark PREVIOUS to trigger 2's update
+    *     (= trigger 1's value, ms-floored max BULK ts − 120 h —
+    *     SPARK-40925, WmProbeSpec), and the band floor sits ≥ 1 h above
+    *     it BY CONSTRUCTION (maxBulk ≤ C ⇒ wm ≤ C − 120 h < C − 119 h),
+    *     so every replay reaches the state function regardless of the
+    *     filter's boundary inclusivity — the gate certifies the STATE
+    *     semantics, not the admission edge q237 already pins.
+    * Replays then exercise every branch of sessionize's straggler
+    * handling: merge into the still-open bulk session via the
+    * running-max rule (t − lastTs ≤ gap, including t arbitrarily far
+    * BELOW lastTs — the min/max interval merge, so the merged session
+    * absorbs stragglers the batch gap rule q34 would assign to EARLIER,
+    * already-emitted sessions: the split-vs-merge divergence), break it
+    * when a straggler lands > gap above the running max (arrival
+    * closure), restart fresh where the open session already timed out
+    * at trigger 1, and the round-12 emit-at-arrival branch (merged
+    * session whose ceil-ms timeout the current watermark already
+    * passed emits immediately — the branch that used to crash the
+    * query).
+    */
+  private def sessionStragglerStreamDir(s: SparkSession, dir: String): String = {
+    val sanitized = dirSlug(dir)
+    val path = pidScratch(
+      s"/tmp/graft-stream-straggler-${ProcessHandle.current().pid()}-$sanitized")
+    val root = java.nio.file.Paths.get(path)
+    val marker = root.resolve("_graft_staged")
+    if (!java.nio.file.Files.exists(marker)) {
+      val ev = t(s, dir, "events")
+      val row = ev.agg(
+        (max(col("ts")) - expr("INTERVAL 5 DAYS")).as("c"),
+        (max(col("ts")) - expr("INTERVAL 5 DAYS") - expr("INTERVAL 119 HOURS")).as("lo"),
+        (max(col("ts")) - expr("INTERVAL 5 DAYS") + expr("INTERVAL 1 HOUR")).as("hi"))
+        .first()
+      val (cutoff, lo, hi) =
+        (row.getTimestamp(0), row.getTimestamp(1), row.getTimestamp(2))
+      val replaySel =
+        col("ts") <= lit(cutoff) && col("ts") > lit(lo) &&
+          col("event_id") % 2 === 0 && col("user_id") % 3 === 0
+      import scala.jdk.CollectionConverters._
+      def parts(): Set[java.nio.file.Path] =
+        scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
+          st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+        }
+      def requireSlice(fs: Set[java.nio.file.Path], slice: String): Unit =
+        require(fs.nonEmpty,
+          s"q238 staging: the $slice slice is EMPTY at $dir — the " +
+            "three-trigger straggler contract needs all of bulk/tail/" +
+            "replay to land a part file (replay = user_id % 3 == 0 and " +
+            "event_id % 2 == 0 in (cutoff-119h, cutoff]; tail = " +
+            "ts > cutoff + 1h from user_id % 3 != 0)")
+      ev.where(col("ts") <= lit(cutoff) && !replaySel)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      val bulk = parts()
+      requireSlice(bulk, "bulk")
+      ev.where(col("ts") > lit(hi) && col("user_id") % 3 =!= 0)
+        .coalesce(1).write.mode("append").parquet(path)
+      val tail = parts() -- bulk
+      requireSlice(tail, "tail")
+      ev.where(replaySel)
+        .coalesce(1).write.mode("append").parquet(path)
+      val late = parts() -- bulk -- tail
+      requireSlice(late, "replay")
+      // Divergence-liveness: the headline population — a replay user
+      // whose open bulk session a straggler can merge into (first
+      // replay ≤ last bulk ts + gap, trivially true for stragglers
+      // BELOW it; the open-at-trigger-2 condition is implied: a bulk
+      // event above `lo` is within 119 h of the cutoff, far inside the
+      // 120 h timeout horizon) — must exist, or the gate would certify
+      // nothing. Fail by name at staging time, not as an oracle bag
+      // mismatch.
+      val lastBulk = ev
+        .where(col("ts") <= lit(cutoff) && !replaySel)
+        .groupBy("user_id").agg(max(col("ts")).as("last_bulk"))
+      val mergeable = ev.where(replaySel)
+        .groupBy("user_id").agg(min(col("ts")).as("first_replay"))
+        .join(lastBulk, Seq("user_id"))
+        .where(col("last_bulk") > lit(lo) &&
+          col("first_replay") <= col("last_bulk") + expr("INTERVAL 30 MINUTES"))
+        .limit(1).count()
+      require(mergeable > 0,
+        s"q238 staging: no replay user with a straggler mergeable into an " +
+          "open bulk session at this SF — the straggler-merge population " +
+          "is dead and the gate would not certify the divergence boundary")
+      val now = System.currentTimeMillis()
+      def stamp(fs: Set[java.nio.file.Path], offsetMs: Long): Unit =
+        fs.foreach(p => java.nio.file.Files.setLastModifiedTime(
+          p, java.nio.file.attribute.FileTime.fromMillis(now - offsetMs)))
+      stamp(bulk, 240000L); stamp(tail, 120000L); stamp(late, 0L)
+      java.nio.file.Files.createFile(marker)
+    }
+    path
+  }
+
   /** Derived session for the streaming queries with shuffle partitions
     * sized to the stream volume: streaming state lives PER PARTITION
     * (a stream-stream join commits four state stores per partition per
@@ -5058,6 +5177,60 @@ object Queries {
       .select(col("w_start"), col("event_type"), col("n"))
   }
 
+  /** The sessionize STRAGGLER/divergence boundary through the oracle
+    * gate (r12 verdict #3: the emit-on-arrival trade was pinned by spec
+    * tapes but never DuckDB-certified). Runs [[graft.streaming.Streams
+    * .sessionize]] (30 min gap, 120 h lateness) over
+    * [[sessionStragglerStreamDir]]'s deterministic three-trigger tape
+    * (bulk / tail / late replay band), and the DuckDB oracle replays
+    * the CUSTOM operator's exact per-batch semantics — every rule
+    * measured and pinned before being modeled (WmProbeSpec,
+    * SessionStragglerProbeSpec, the q127 boundary arithmetic):
+    *   - trigger-0 arrival closures = the plain gap rule over the bulk
+    *     slice (all but each user's last session);
+    *   - a tail user's open bulk session closes on the first tail
+    *     arrival (the guard band makes the > gap separation structural);
+    *   - a non-tail user's open session times out at trigger 1 iff its
+    *     ceil-ms timeout (last + 30 min) < ms-floored max BULK ts −
+    *     120 h, STRICT — q127's rule against the mid-stream watermark;
+    *   - trigger-2 replays segment against the RUNNING MAX of (open
+    *     session end, prior replays): within gap — including arbitrarily
+    *     far BELOW it — they merge (interval min/max, counts add),
+    *     beyond gap they close it on arrival and restart; where the
+    *     open session was already emitted, replays build fresh sessions
+    *     — the TWO-SESSION SPLIT the batch gap rule (q34) would merge,
+    *     live at every SF by a staging assertion;
+    *   - each user's final session emits iff its ceil-ms timeout < the
+    *     final watermark (ms-floored global max ts − 120 h) — covering
+    *     both the round-12 emit-at-arrival branch (merged stragglers
+    *     whose timeout the watermark already passed emit immediately;
+    *     this used to KILL the query) and never-advancing-watermark
+    *     retention (tail sessions and near-cutoff stragglers stay
+    *     unemitted, exactly as the state store holds them).
+    * The divergence vs the batch gap rule (q34's semantics on the same
+    * tape) is LIVE at every SF — measured at staging design time:
+    * sf0.001 emits 873 sessions vs the batch rule's 893 (6 Spark-only
+    * merged-straggler sessions / 26 batch-only), sf0.01 8684 vs 9029
+    * (60/405), sf0.1 86922 vs 90109 (576/3763). Streaming-tagged for
+    * the bench's median policy.
+    */
+  def q238_stream_session_straggler(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0, noDataBatches = true)
+    val streamDir = sessionStragglerStreamDir(s, dir)
+    import s.implicits._
+    val events = graft.streaming.Streams
+      .eventsStream(s, streamDir, maxFilesPerTrigger = 1)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.Streams.Event]
+    val sessions = graft.streaming.Streams
+      .sessionize(s, events, lateness = "120 hours").toDF()
+    graft.streaming.Streams
+      .runToCompletion(s, sessions, s"q238_sink_${System.nanoTime()}", "append")
+      .select(col("user_id"), col("start").as("s_start"), col("end").as("s_end"),
+        col("n_events"))
+  }
+
   /** Certification of [[graft.operators.Compaction.compactParquet]]'s
     * Hive-partitioned path through the oracle gate (the operator was
     * spec-only: OperatorsSpec pins file counts and the in-place guard,
@@ -5639,7 +5812,8 @@ object Queries {
     "q234_txn_compaction" -> (q234_txn_compaction _),
     "q235_file_compaction" -> (q235_file_compaction _),
     "q236_txn_retention" -> (q236_txn_retention _),
-    "q237_stream_watermark_eviction" -> (q237_stream_watermark_eviction _))
+    "q237_stream_watermark_eviction" -> (q237_stream_watermark_eviction _),
+    "q238_stream_session_straggler" -> (q238_stream_session_straggler _))
 
   // -------------------------------------------------------- oracle SQL
 
@@ -8351,6 +8525,129 @@ object Queries {
          FROM surv, wmfin
          WHERE (epoch_us(date_trunc('hour', ts)) // 1000) + 3600000 <= wmfin.w
          GROUP BY 1, 2""",
+    // sessionize's straggler/divergence boundary (see the q238 scaladoc
+    // for the per-batch rules being replayed; gap = 30 min = 1.8e9 us,
+    // lateness = 120 h = 4.32e8 ms; timeouts use q127's ceil-ms strict-<
+    // arithmetic). Slice predicates mirror sessionStragglerStreamDir;
+    // the guard band (cutoff, cutoff+1h] is off the tape on both sides.
+    "q238_stream_session_straggler" ->
+      """WITH par AS (SELECT max(ts) - INTERVAL 5 DAY AS c,
+                  max(ts) - INTERVAL 5 DAY - INTERVAL 119 HOUR AS lo,
+                  max(ts) - INTERVAL 5 DAY + INTERVAL 1 HOUR AS hi
+           FROM events),
+         b0 AS (SELECT e.user_id, e.ts, e.event_id FROM events e, par
+                WHERE e.ts <= par.c
+                  AND (e.ts <= par.lo OR e.event_id % 2 <> 0
+                       OR e.user_id % 3 <> 0)),
+         tl AS (SELECT e.user_id, e.ts, e.event_id FROM events e, par
+                WHERE e.ts > par.hi AND e.user_id % 3 <> 0),
+         rp AS (SELECT e.user_id, e.ts, e.event_id FROM events e, par
+                WHERE e.ts <= par.c AND e.ts > par.lo AND e.event_id % 2 = 0
+                  AND e.user_id % 3 = 0),
+         wm1 AS (SELECT (epoch_us(max(ts)) // 1000) - 432000000 AS w FROM b0),
+         wmf AS (SELECT (epoch_us(max(ts)) // 1000) - 432000000 AS w
+                 FROM events e, par
+                 WHERE e.ts <= par.c
+                    OR (e.ts > par.hi AND e.user_id % 3 <> 0)),
+         b0z AS (SELECT user_id, ts, event_id,
+                  sum(CASE WHEN pts IS NULL
+                       OR (epoch_us(ts) - epoch_us(pts)) > 1800000000
+                       THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM (SELECT user_id, ts, event_id,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pts
+                       FROM b0)),
+         b0s AS (SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end,
+                  CAST(count(*) AS BIGINT) AS n_events
+                 FROM b0z GROUP BY user_id, sid),
+         b0last AS (SELECT user_id, max(sid) AS msid FROM b0s GROUP BY user_id),
+         tlz AS (SELECT user_id, ts, event_id,
+                  sum(CASE WHEN pts IS NULL
+                       OR (epoch_us(ts) - epoch_us(pts)) > 1800000000
+                       THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM (SELECT user_id, ts, event_id,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pts
+                       FROM tl)),
+         tls AS (SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end,
+                  CAST(count(*) AS BIGINT) AS n_events
+                 FROM tlz GROUP BY user_id, sid),
+         tllast AS (SELECT user_id, max(sid) AS msid FROM tls GROUP BY user_id),
+         lastb0 AS (SELECT s.user_id, s.s_start, s.s_end, s.n_events
+                    FROM b0s s JOIN b0last l
+                      ON s.user_id = l.user_id AND s.sid = l.msid),
+         seed AS (SELECT s.* FROM lastb0 s, wm1
+                  WHERE s.user_id NOT IN (SELECT user_id FROM tl)
+                    AND NOT (((epoch_us(s.s_end) + 1800000000 + 999) // 1000)
+                             < wm1.w)),
+         rz AS (SELECT user_id, ts, event_id, seed_start, seed_end, seed_n,
+                  sum(CASE WHEN pts IS NULL AND seed_end IS NULL THEN 1
+                       WHEN epoch_us(ts) - greatest(
+                              coalesce(epoch_us(pts), -4611686018427387904),
+                              coalesce(epoch_us(seed_end), -4611686018427387904))
+                            > 1800000000
+                       THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM (SELECT r.user_id, r.ts, r.event_id,
+                         sd.s_start AS seed_start, sd.s_end AS seed_end,
+                         sd.n_events AS seed_n,
+                         lag(r.ts) OVER (PARTITION BY r.user_id
+                                         ORDER BY r.ts, r.event_id) AS pts
+                       FROM rp r LEFT JOIN seed sd ON r.user_id = sd.user_id)),
+         rs AS (SELECT user_id, sid, min(ts) AS rmin, max(ts) AS rmax,
+                  CAST(count(*) AS BIGINT) AS rcnt,
+                  min(seed_start) AS seed_start, min(seed_end) AS seed_end,
+                  min(seed_n) AS seed_n
+                 FROM rz GROUP BY user_id, sid),
+         rlast AS (SELECT user_id, max(sid) AS msid FROM rs GROUP BY user_id),
+         rses AS (SELECT r.user_id,
+                   CASE WHEN r.sid = 0 THEN least(r.seed_start, r.rmin)
+                        ELSE r.rmin END AS s_start,
+                   CASE WHEN r.sid = 0 THEN greatest(r.seed_end, r.rmax)
+                        ELSE r.rmax END AS s_end,
+                   CASE WHEN r.sid = 0 THEN r.seed_n + r.rcnt
+                        ELSE r.rcnt END AS n_events,
+                   r.sid, l.msid
+                  FROM rs r JOIN rlast l ON r.user_id = l.user_id)
+         SELECT s.user_id, s.s_start, s.s_end, s.n_events
+         FROM b0s s JOIN b0last l
+           ON s.user_id = l.user_id AND s.sid < l.msid
+         UNION ALL
+         SELECT s.user_id, s.s_start, s.s_end, s.n_events
+         FROM lastb0 s WHERE s.user_id IN (SELECT user_id FROM tl)
+         UNION ALL
+         SELECT s.user_id, s.s_start, s.s_end, s.n_events
+         FROM lastb0 s, wm1
+         WHERE s.user_id NOT IN (SELECT user_id FROM tl)
+           AND s.user_id IN (SELECT user_id FROM rp)
+           AND ((epoch_us(s.s_end) + 1800000000 + 999) // 1000) < wm1.w
+         UNION ALL
+         SELECT sd.user_id, sd.s_start, sd.s_end, sd.n_events
+         FROM seed sd
+         WHERE sd.user_id IN (SELECT user_id FROM rp)
+           AND NOT EXISTS (SELECT 1 FROM rs
+                           WHERE rs.user_id = sd.user_id AND rs.sid = 0)
+         UNION ALL
+         SELECT s.user_id, s.s_start, s.s_end, s.n_events
+         FROM lastb0 s, wmf
+         WHERE s.user_id NOT IN (SELECT user_id FROM tl)
+           AND s.user_id NOT IN (SELECT user_id FROM rp)
+           AND ((epoch_us(s.s_end) + 1800000000 + 999) // 1000) < wmf.w
+         UNION ALL
+         SELECT r.user_id, r.s_start, r.s_end, r.n_events
+         FROM rses r, wmf
+         WHERE r.sid < r.msid
+            OR ((epoch_us(r.s_end) + 1800000000 + 999) // 1000) < wmf.w
+         UNION ALL
+         SELECT s.user_id, s.s_start, s.s_end, s.n_events
+         FROM tls s JOIN tllast l ON s.user_id = l.user_id, wmf
+         WHERE s.sid < l.msid
+            OR ((epoch_us(s.s_end) + 1800000000 + 999) // 1000) < wmf.w""",
     // file compaction is a pure layout rewrite: the full relation —
     // including the partition column round-tripped through directory
     // names — must equal the source table exactly
