@@ -31,6 +31,42 @@ object Bench {
       case None => calibSec > 1.6 * ReferenceCalibSec
     }
 
+  /** Spike-adjacency detection (r12 closing note: four same-day passes
+    * spread 166.9–215.2 s cold via MULTI-QUERY transient spikes —
+    * several consecutive queries each 2–3× their committed cold, every
+    * one below the single-query 3× re-run trigger — and each spike had
+    * to be adjudicated BY HAND against the warm totals). A contention
+    * window inflates a run of adjacent queries moderately rather than
+    * one query hugely, so the signature is adjacency: ≥ `minRun`
+    * consecutive eligible queries (committed history median present,
+    * cold past the jitter floor) each STRICTLY above `ratio` × their
+    * median. Ineligible entries — no history, sub-floor, errored (−1) —
+    * are NEUTRAL: they neither extend nor break a run, because a
+    * contention window inflates small queries too, just below the
+    * floor's reliable-signal threshold (a block may therefore span
+    * neutral entries; the members listed are only the ones with
+    * evidence). Detected blocks get the same end-of-pass challenge
+    * re-run and min-floored-at-warm substitution as the 3× trigger, and
+    * the pass self-describes via "spike_blocks" in the detail record —
+    * a contended pass no longer needs manual spike adjudication.
+    */
+  def spikeBlocks(coldInOrder: Seq[(String, Double)],
+      history: Map[String, Double], ratio: Double = 2.0, minRun: Int = 3,
+      floorSec: Double = 0.5): Seq[Seq[String]] = {
+    val runs = Seq.newBuilder[Seq[String]]
+    var cur = Vector.empty[String]
+    def flush(): Unit = { if (cur.size >= minRun) runs += cur; cur = Vector.empty }
+    coldInOrder.foreach { case (n, v) =>
+      history.get(n).filter(_ > 0) match {
+        case Some(h) if v > floorSec =>
+          if (v > ratio * h) cur :+= n else flush()
+        case _ => () // neutral: no baseline or below the jitter floor
+      }
+    }
+    flush()
+    runs.result()
+  }
+
   /** Warm the heavy engine code paths the first cold-timed queries
     * otherwise pay for (r11 verdict: q179 read 3.61 s cold vs 1.47 s
     * warm in the SAME driver pass — pure first-block warmup, not a plan
@@ -289,6 +325,19 @@ object Bench {
         name -> (v, runOnce(name, SparkEntry.queries(name))._1)
     }
     val rerunMap = reruns.toMap
+    // Spike-adjacency blocks (see spikeBlocks): members are history-
+    // backed 2–3× outliers that individually dodge the 3× trigger;
+    // re-run each once (skipping queries the 3× trigger already re-ran
+    // and streaming queries, which report min-of-3 medians instead) with
+    // the same substitution rule — history-backed, so the min-floored-
+    // at-warm branch applies automatically below.
+    val blocks = spikeBlocks(cold.map { case (n, (v, _)) => n -> v }, history)
+    val coldByName = cold.map { case (n, (v, _)) => n -> v }.toMap
+    val blockReruns: Seq[(String, (Double, Double))] = blocks.flatten
+      .filterNot(rerunMap.contains).filterNot(_.contains("stream"))
+      .map(n => n -> (coldByName(n), runOnce(n, SparkEntry.queries(n))._1))
+    val allReruns = (reruns ++ blockReruns).sortBy(_._1)
+    val allRerunMap = allReruns.toMap
     val warmByName = warm.collect { case (n, (v, None)) if v >= 0 => n -> v }.toMap
     // Substitution rule: a HISTORY-triggered re-run already proved the
     // cold number anomalous (3x its own committed cold median), so the
@@ -301,7 +350,7 @@ object Bench {
     // warm-side evidence (clear contention); both numbers are always
     // reported in "reruns" either way for adjudication.
     val coldTimes = cold.map { case (n, (v, _)) =>
-      n -> (rerunMap.get(n) match {
+      n -> (allRerunMap.get(n) match {
         case Some((first, second)) if second >= 0 =>
           val floor = warmByName.getOrElse(n, 0.0)
           val histTriggered = history.get(n).exists(_ > 0)
@@ -324,12 +373,15 @@ object Bench {
     // parsed. The compact line uses the stable numeric query prefix
     // ("q52_tpch_q3" -> "q52") and 2-decimal seconds so the whole surface
     // fits in the tail with room to grow; bench_detail.json has everything.
-    val rerunJson = reruns
+    val rerunJson = allReruns
       .map { case (n, (a, b)) => "\"" + n + "\":[" + a + "," + b + "]" }
       .mkString("{", ",", "}")
+    val spikeBlocksJson = blocks
+      .map(_.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
     val calibNorm = calibNormTotal(coldTotal, calibSec)
     val contended = isContended(calibSec, histCalib)
-    val detail = s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":$calibSec,"calib_norm_total":$calibNorm,"contended":$contended,"hist_calib_sec":${histCalib.getOrElse(-1.0)},"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"queries_stream_median":${jsonMap(streamMedians)},"reruns":$rerunJson,"warmup_errors":$warmupJson,"errors":$errJson}"""
+    val detail = s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":$calibSec,"calib_norm_total":$calibNorm,"contended":$contended,"hist_calib_sec":${histCalib.getOrElse(-1.0)},"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"queries_stream_median":${jsonMap(streamMedians)},"reruns":$rerunJson,"spike_blocks":$spikeBlocksJson,"warmup_errors":$warmupJson,"errors":$errJson}"""
     try {
       // PrintWriter swallows I/O errors into an internal flag — a
       // disk-full write would silently leave a TRUNCATED detail file
@@ -383,7 +435,7 @@ object Bench {
       .mkString("[", ",", "]")
     // reruns are few by construction (3x-over-history outliers); short
     // names + 2-decimal pairs keep the compact line inside the tail
-    val rerunJson2 = reruns
+    val rerunJson2 = allReruns
       .map { case (n, (a, b)) => "\"" + short(n) + "\":[" + fmt2(a) + "," + fmt2(b) + "]" }
       .mkString("{", ",", "}")
     // distinct metric name: ONLY the tail-proof summary below carries
@@ -400,7 +452,7 @@ object Bench {
     // in for "queries" (full per-query detail is in bench_detail.json,
     // which is committed every round).
     val slowest = coldTimes.filter(_._2 >= 0).sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":${fmt2(coldTotal)},"unit":"sec","cold_total":${fmt2(coldTotal)},"warm_total":${fmt2(warmTotal)},"calib_sec":${fmt2(calibSec)},"calib_norm_total":${fmt2(calibNorm)},"contended":$contended,"n_errors":${errors.size},"n_queries":${ordered.size},"n_reruns":${reruns.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(slowest)},"queries_are_slowest10":true}""")
+    println(s"""{"metric":"total","value":${fmt2(coldTotal)},"unit":"sec","cold_total":${fmt2(coldTotal)},"warm_total":${fmt2(warmTotal)},"calib_sec":${fmt2(calibSec)},"calib_norm_total":${fmt2(calibNorm)},"contended":$contended,"n_errors":${errors.size},"n_queries":${ordered.size},"n_reruns":${allReruns.size},"n_spike_blocks":${blocks.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(slowest)},"queries_are_slowest10":true}""")
     spark.stop()
   }
 }

@@ -54,4 +54,41 @@ class BenchGuardSpec extends AnyFunSuite {
     // over the deleted dir
     Bench.warmEnginePaths(spark)
   }
+
+  test("spikeBlocks detects adjacent 2x runs the 3x trigger misses (r12 hand adjudication)") {
+    val hist = Map("qa" -> 1.0, "qb" -> 1.0, "qc" -> 1.0, "qd" -> 1.0,
+      "qe" -> 1.0, "qf" -> 0.1, "qg" -> 1.0)
+    // the r12 incident shape: several CONSECUTIVE queries at 2-3x their
+    // committed cold, each below the single-query 3x re-run trigger
+    val incident = Seq("qa" -> 2.5, "qb" -> 2.8, "qc" -> 2.2, "qd" -> 1.1)
+    assert(Bench.spikeBlocks(incident, hist) === Seq(Seq("qa", "qb", "qc")))
+    // two adjacent outliers are not a block (single-query jitter happens
+    // in pairs often enough; three is the contention signature)
+    assert(Bench.spikeBlocks(
+      Seq("qa" -> 2.5, "qb" -> 2.8, "qc" -> 1.0, "qd" -> 2.9), hist).isEmpty)
+    // an in-band eligible query BREAKS adjacency...
+    assert(Bench.spikeBlocks(
+      Seq("qa" -> 2.5, "qb" -> 1.0, "qc" -> 2.5, "qd" -> 2.5), hist).isEmpty)
+    // ...but NEUTRAL entries do not: no-history (qx), sub-floor (qf at
+    // 0.3 s, 3x its 0.1 s median but under the 0.5 s jitter floor), and
+    // errored (-1) all pass through — a contention window inflates small
+    // queries too, just below the reliable-signal threshold
+    assert(Bench.spikeBlocks(
+      Seq("qa" -> 2.5, "qx" -> 9.9, "qb" -> 2.8, "qf" -> 0.3,
+        "qc" -> 2.2, "qe" -> -1.0, "qg" -> 1.0), hist)
+      === Seq(Seq("qa", "qb", "qc")))
+    // strict >: exactly 2x the median is in band
+    assert(Bench.spikeBlocks(
+      Seq("qa" -> 2.0, "qb" -> 2.5, "qc" -> 2.5, "qd" -> 2.5), hist)
+      === Seq(Seq("qb", "qc", "qd")))
+    // two separate windows come back as two blocks, pass order kept
+    val twoBlocks = Seq("qa" -> 2.5, "qb" -> 2.5, "qc" -> 2.5, "qd" -> 1.0,
+      "qe" -> 2.5, "qg" -> 2.5, "qa2" -> 9.9) ++ Seq("qb2" -> 0.1)
+    val hist2 = hist ++ Map("qa2" -> 1.0, "qb2" -> 1.0)
+    assert(Bench.spikeBlocks(twoBlocks, hist2)
+      === Seq(Seq("qa", "qb", "qc"), Seq("qe", "qg", "qa2")))
+    // empty pass / empty history: no blocks, no crash
+    assert(Bench.spikeBlocks(Seq.empty, hist).isEmpty)
+    assert(Bench.spikeBlocks(incident, Map.empty).isEmpty)
+  }
 }
