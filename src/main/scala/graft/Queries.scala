@@ -866,7 +866,12 @@ object Queries {
     *     (every real user base has both always-on and gone-quiet users;
     *     the % 3 predicate makes the split deterministic and
     *     SQL-replayable instead of hostage to which users happen to be
-    *     active near the cutoff at a given SF).
+    *     active near the cutoff at a given SF). Two further
+    *     deterministic sub-slices keep every oracle branch live:
+    *     GONE-IDLE users (% 9 == 3; bulk drops their last 121 h, so
+    *     their session times out at trigger 1 and the stragglers
+    *     rebuild fresh) and REPLAY-ONLY users (% 9 == 6; bulk drops
+    *     all their events — sessions from nothing).
     *   - File 3 (trigger 2, LATE REPLAY) = every event_id % 2 == 0 row
     *     of a replay user with ts in (C − 119h, C]: in-horizon
     *     stragglers. Admission is
@@ -901,13 +906,29 @@ object Queries {
       val row = ev.agg(
         (max(col("ts")) - expr("INTERVAL 5 DAYS")).as("c"),
         (max(col("ts")) - expr("INTERVAL 5 DAYS") - expr("INTERVAL 119 HOURS")).as("lo"),
-        (max(col("ts")) - expr("INTERVAL 5 DAYS") + expr("INTERVAL 1 HOUR")).as("hi"))
+        (max(col("ts")) - expr("INTERVAL 5 DAYS") + expr("INTERVAL 1 HOUR")).as("hi"),
+        (max(col("ts")) - expr("INTERVAL 5 DAYS") - expr("INTERVAL 121 HOURS")).as("idleCut"))
         .first()
-      val (cutoff, lo, hi) =
-        (row.getTimestamp(0), row.getTimestamp(1), row.getTimestamp(2))
+      val (cutoff, lo, hi, idleCut) =
+        (row.getTimestamp(0), row.getTimestamp(1), row.getTimestamp(2),
+          row.getTimestamp(3))
       val replaySel =
         col("ts") <= lit(cutoff) && col("ts") > lit(lo) &&
           col("event_id") % 2 === 0 && col("user_id") % 3 === 0
+      // Replay-user sub-slices, making every oracle branch LIVE (the
+      // uniform-activity testdata has no naturally idle users, so the
+      // timed-out-then-straggler and replay-only-user branches would
+      // otherwise be dead code on both sides of the compare):
+      //   %9 == 0 — seeded merge (open bulk session absorbs stragglers);
+      //   %9 == 3 — GONE-IDLE: bulk drops their last 121 h (< cutoff),
+      //     so their open session's timeout fires at trigger 1 (below
+      //     the c−120 h watermark) and the stragglers rebuild fresh —
+      //     the emitted-then-replayed split population;
+      //   %9 == 6 — REPLAY-ONLY: bulk drops ALL their events; they
+      //     exist only as stragglers (fresh sessions from nothing).
+      val bulkDrop =
+        (col("user_id") % 9 === 3 && col("ts") > lit(idleCut)) ||
+          col("user_id") % 9 === 6
       import scala.jdk.CollectionConverters._
       def parts(): Set[java.nio.file.Path] =
         scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
@@ -921,7 +942,7 @@ object Queries {
             "replay to land a part file (replay = user_id % 3 == 0 and " +
             "event_id % 2 == 0 in (cutoff-119h, cutoff]; tail = " +
             "ts > cutoff + 1h from user_id % 3 != 0)")
-      ev.where(col("ts") <= lit(cutoff) && !replaySel)
+      ev.where(col("ts") <= lit(cutoff) && !replaySel && !bulkDrop)
         .coalesce(1).write.mode("overwrite").parquet(path)
       val bulk = parts()
       requireSlice(bulk, "bulk")
@@ -942,7 +963,7 @@ object Queries {
       // nothing. Fail by name at staging time, not as an oracle bag
       // mismatch.
       val lastBulk = ev
-        .where(col("ts") <= lit(cutoff) && !replaySel)
+        .where(col("ts") <= lit(cutoff) && !replaySel && !bulkDrop)
         .groupBy("user_id").agg(max(col("ts")).as("last_bulk"))
       val mergeable = ev.where(replaySel)
         .groupBy("user_id").agg(min(col("ts")).as("first_replay"))
@@ -954,6 +975,25 @@ object Queries {
         s"q238 staging: no replay user with a straggler mergeable into an " +
           "open bulk session at this SF — the straggler-merge population " +
           "is dead and the gate would not certify the divergence boundary")
+      // The other two branch populations, same fail-by-name discipline:
+      // a gone-idle user with BOTH old bulk (a session to time out at
+      // trigger 1) and stragglers (to rebuild after it), and a
+      // replay-only user with stragglers.
+      val idleLive = ev.where(replaySel && col("user_id") % 9 === 3)
+        .select("user_id").distinct()
+        .join(ev.where(col("user_id") % 9 === 3 && col("ts") <= lit(idleCut))
+          .select("user_id").distinct(), Seq("user_id"))
+        .limit(1).count()
+      require(idleLive > 0,
+        "q238 staging: no gone-idle (user_id % 9 == 3) user with both an " +
+          "old bulk session and stragglers at this SF — the " +
+          "timeout-then-replay split population is dead")
+      val replayOnlyLive = ev.where(replaySel && col("user_id") % 9 === 6)
+        .limit(1).count()
+      require(replayOnlyLive > 0,
+        "q238 staging: no replay-only (user_id % 9 == 6) user with " +
+          "stragglers at this SF — the fresh-sessions-from-nothing " +
+          "population is dead")
       val now = System.currentTimeMillis()
       def stamp(fs: Set[java.nio.file.Path], offsetMs: Long): Unit =
         fs.foreach(p => java.nio.file.Files.setLastModifiedTime(
@@ -5209,10 +5249,15 @@ object Queries {
     *     unemitted, exactly as the state store holds them).
     * The divergence vs the batch gap rule (q34's semantics on the same
     * tape) is LIVE at every SF — measured at staging design time:
-    * sf0.001 emits 873 sessions vs the batch rule's 893 (6 Spark-only
-    * merged-straggler sessions / 26 batch-only), sf0.01 8684 vs 9029
-    * (60/405), sf0.1 86922 vs 90109 (576/3763). Streaming-tagged for
-    * the bench's median policy.
+    * sf0.001 emits 821 sessions vs the batch rule's 837 (3 Spark-only
+    * merged-straggler sessions / 19 batch-only), sf0.01 7987 vs 8179
+    * (22/214), sf0.1 79421 vs 81177 (190/1946) — and so is EVERY
+    * oracle branch, via the staging's replay-user sub-slices (measured
+    * per SF: seeded merges 2/17/166 users, gone-idle timeout-then-
+    * replay 2/16/167, replay-only 1/16/165, in-replay segment breaks
+    * 8/166/1641; only the first-straggler-breaks-the-seed edge remains
+    * data-dependent — live at sf0.1, absent below).
+    * Streaming-tagged for the bench's median policy.
     */
   def q238_stream_session_straggler(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0, noDataBatches = true)
@@ -8538,7 +8583,10 @@ object Queries {
          b0 AS (SELECT e.user_id, e.ts, e.event_id FROM events e, par
                 WHERE e.ts <= par.c
                   AND (e.ts <= par.lo OR e.event_id % 2 <> 0
-                       OR e.user_id % 3 <> 0)),
+                       OR e.user_id % 3 <> 0)
+                  AND NOT (e.user_id % 9 = 3
+                           AND e.ts > par.c - INTERVAL 121 HOUR)
+                  AND e.user_id % 9 <> 6),
          tl AS (SELECT e.user_id, e.ts, e.event_id FROM events e, par
                 WHERE e.ts > par.hi AND e.user_id % 3 <> 0),
          rp AS (SELECT e.user_id, e.ts, e.event_id FROM events e, par

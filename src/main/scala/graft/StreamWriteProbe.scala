@@ -191,9 +191,17 @@ object StreamWriteProbe {
       progress.filter(_.numInputRows > 0).sortBy(_.batchId).foreach { p =>
         val ops = p.stateOperators.toSeq
         val cols = keys.map(k => s""""$k":${metric(ops, k)}""").mkString(",")
+        // trigger-time split (addBatch = the data plan, walCommit/
+        // commitOffsets = offset-log writes, queryPlanning = per-batch
+        // re-plan): the wall-clock account that attributes residuals the
+        // RocksDB byte counters can't see
+        def dur(k: String): Long =
+          Option(p.durationMs.get(k)).map(_.toLong).getOrElse(-1L)
         println(s"""[writeprobe] {"copies":$copies,"batch":${p.batchId},""" +
           s""""rows":${p.numInputRows},""" +
-          s""""triggerMs":${Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L)},""" +
+          s""""triggerMs":${dur("triggerExecution")},""" +
+          s""""addBatchMs":${dur("addBatch")},"planMs":${dur("queryPlanning")},""" +
+          s""""walMs":${dur("walCommit")},"offsetsMs":${dur("commitOffsets")},""" +
           s""""stateRows":${ops.map(_.numRowsTotal).sum},""" +
           s""""commitMs":${ops.map(_.commitTimeMs).sum},$cols}""")
         keys.foreach(k => sums += k -> (sums(k) + metric(ops, k)))
