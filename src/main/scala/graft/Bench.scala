@@ -46,9 +46,13 @@ object Bench {
     * floor's reliable-signal threshold (a block may therefore span
     * neutral entries; the members listed are only the ones with
     * evidence). Detected blocks get the same end-of-pass challenge
-    * re-run and min-floored-at-warm substitution as the 3× trigger, and
-    * the pass self-describes via "spike_blocks" in the detail record —
-    * a contended pass no longer needs manual spike adjudication.
+    * re-run and min-floored-at-warm substitution as the 3× trigger —
+    * except STREAMING members, which are listed in the block but not
+    * re-run: they already record a min-of-3 stream median, and a fourth
+    * lifecycle would mix two stabilization policies (same exclusion as
+    * the 3× trigger). The pass self-describes via "spike_blocks" in the
+    * detail record — a contended pass no longer needs manual spike
+    * adjudication.
     */
   def spikeBlocks(coldInOrder: Seq[(String, Double)],
       history: Map[String, Double], ratio: Double = 2.0, minRun: Int = 3,

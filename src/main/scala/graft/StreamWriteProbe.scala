@@ -38,11 +38,20 @@ object StreamWriteProbe {
   private val Shapes = Set("join", "agg", "session", "dedup")
 
   def main(args: Array[String]): Unit = {
-    val (shapeArgs, tierArgs) = args.toSeq.partition(a => !a.forall(_.isDigit))
+    val (shapeArgs, tierArgs) =
+      args.toSeq.partition(a => a.isEmpty || !a.forall(_.isDigit))
+    require(shapeArgs.size <= 1,
+      s"at most one shape per invocation, got ${shapeArgs.mkString(", ")} — " +
+        "run the probe once per shape so every requested constant is " +
+        "actually measured")
     val shape = shapeArgs.headOption.getOrElse("join")
     require(Shapes.contains(shape),
       s"unknown shape '$shape' — expected one of ${Shapes.mkString("/")}")
-    val tiers = if (tierArgs.nonEmpty) tierArgs.map(_.toInt) else Seq(1, 10, 30, 100)
+    val tiers =
+      if (tierArgs.nonEmpty) tierArgs.map(a => a.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"tier '$a' is not a valid Int copy count")))
+      else Seq(1, 10, 30, 100)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nFiles = sys.env.getOrElse("GRAFT_WRITEPROBE_FILES", "16").toInt
     val spark = SparkSession.builder()

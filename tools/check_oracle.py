@@ -181,7 +181,8 @@ def main():
             if surface is not None:
                 orphans = sorted(
                     name for name in os.listdir(out_dir)
-                    if name != "oracle_sql.json" and name not in surface)
+                    if os.path.isdir(os.path.join(out_dir, name))
+                    and name not in surface)
             if orphans:
                 print(f"WARN {out_dir}: {len(orphans)} result dir(s) match NO "
                       f"query on the current surface — stale leftovers of "
