@@ -293,11 +293,13 @@ object Streams {
       // typed lambda: stays in codegen, no per-row deserialization.)
       .where(col("ts").isNotNull)
       // EventTimeTimeout requires a watermark; it also gives sessionize
-      // the standard late-data contract — with the measured caveat that
-      // the engine filters against the PREVIOUS batch's watermark
-      // (WmProbeSpec), so in-horizon-by-one-batch stragglers still reach
-      // the state function; the arrival-time timeout branch below is
-      // what keeps them from corrupting (or crashing) anything.
+      // the standard late-data contract — with the measured caveats
+      // (WmProbeSpec) that the engine filters against the PREVIOUS
+      // batch's watermark, and drops on raw ts <= wm (a row exactly AT
+      // the watermark never reaches this function; strictly-newer rows
+      // do), so in-horizon-by-one-batch stragglers still arrive here;
+      // the arrival-time timeout branch below is what keeps them from
+      // corrupting (or crashing) anything.
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](

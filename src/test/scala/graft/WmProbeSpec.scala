@@ -78,4 +78,61 @@ class WmProbeSpec extends AnyFunSuite {
       // 12:50) unemitted — both absent from the set above
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState raw-ts admission boundary (probe; measured)") {
+    // The stateful-function admission rule q238's staging deliberately
+    // designs AROUND (its replay band sits >= 1 h above the watermark so
+    // the gate certifies state semantics, not this edge). Measured here
+    // so the margin-based design rests on a pinned rule rather than an
+    // assumption: a custom stateful operator's input rows are filtered
+    // on RAW event time (no window to compare), and the boundary's
+    // inclusivity decides whether a row AT the watermark reaches user
+    // state code. EventTimeTimeout + never arming = sessionize's config
+    // with the timeout path quiesced.
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String)]
+    val seen = src.toDF().toDF("ts", "tag")
+      .withWatermark("ts", "10 minutes")
+      .as[(Timestamp, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Int, (String, Timestamp)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (tag: String, events: Iterator[(Timestamp, String)],
+            state: GroupState[Int]) =>
+          // pass-through recorder: every event that REACHES user state
+          // code is emitted verbatim; no state kept, no timeout armed
+          events.map(e => (tag, e._1))
+      }
+    val q = seen.writeStream.format("memory")
+      .queryName("fmgwsprobe").outputMode("append").start()
+    try {
+      // batch 0: max ts 12:30:30 -> after the trailing no-data batch the
+      // watermark is exactly 12:20:30.000
+      src.addData((ts("2024-01-01 11:00:00"), "bulk"),
+        (ts("2024-01-01 12:30:30"), "bulk"))
+      q.processAllAvailable()
+      src.addData(
+        (ts("2024-01-01 12:10:00"), "y1"),     // well below wm
+        (Timestamp.valueOf("2024-01-01 12:20:29.999"), "y2"), // 1 ms below
+        (ts("2024-01-01 12:20:30"), "y3"),     // EXACTLY the watermark
+        (Timestamp.valueOf("2024-01-01 12:20:30.001"), "y4"), // 1 ms above
+        (ts("2024-01-01 12:25:00"), "y5"))     // above
+      q.processAllAvailable()
+      val tags = spark.table("fmgwsprobe").as[(String, Timestamp)]
+        .collect().map(_._1).toSet
+      // MEASURED (Spark 4.1): the admission predicate drops on
+      // ts <= wm — a row EXACTLY AT the watermark does NOT reach the
+      // state function (y3 dropped); only strictly-newer rows are
+      // admitted. The same <=-drops convention as the aggregation
+      // side's window-end rule (rule 1 above), just on raw ts. If this
+      // set changes on an engine upgrade, q238's >= 1 h staging margin
+      // still holds, but the admission note in sessionize's scaladoc
+      // and the watermark notes must be re-derived.
+      assert(tags === Set("bulk", "y4", "y5"),
+        s"flatMapGroupsWithState raw-ts admission boundary changed; got $tags")
+    } finally q.stop()
+  }
 }
