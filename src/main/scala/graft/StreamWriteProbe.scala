@@ -31,11 +31,17 @@ object StreamWriteProbe {
     * single-store shapes (windowed aggregation, custom sessionize,
     * dropDuplicatesWithinWatermark) whose per-key WriteBatch constants
     * round 13 publishes so [[graft.streaming.Streams]]' provisionFor*
-    * helpers stop needing a hand-built state model. Run with ONESHOT=1
-    * when deriving constants: one trigger touches every key exactly
-    * once, so totalBytesWritten / keys IS the per-key put volume.
+    * helpers stop needing a hand-built state model; `totals` is the
+    * transformWithState ledger ([[graft.streaming.Streams.runningTotals]]
+    * — ValueState[(Long, Long)] per key, the last stateful entry point
+    * without a measured constant), keyed here by event_id so the key
+    * space is large enough to REACH the flush regime at 100× (the
+    * per-key volume is key-value encoding, independent of which Long
+    * column feeds the key). Run with ONESHOT=1 when deriving constants:
+    * one trigger touches every key exactly once, so
+    * totalBytesWritten / keys IS the per-key put volume.
     */
-  private val Shapes = Set("join", "agg", "session", "dedup")
+  private val Shapes = Set("join", "agg", "session", "dedup", "totals")
 
   def main(args: Array[String]): Unit = {
     val (shapeArgs, tierArgs) =
@@ -110,6 +116,8 @@ object StreamWriteProbe {
           .select(col("user_id")).distinct().count()
         case "dedup" => spark.read.parquet(tape)
           .select(col("event_id")).distinct().count()
+        case "totals" => spark.read.parquet(tape)
+          .select(col("event_id")).distinct().count()
       }
       if (sys.env.contains("GRAFT_WRITEPROBE_AUTOPARTS")) {
         // provision through the ACTUAL API from the shape's key count ×
@@ -123,6 +131,7 @@ object StreamWriteProbe {
           case "agg" => graft.streaming.Streams.provisionForWindowedAgg(s, shapeKeys)
           case "session" => graft.streaming.Streams.provisionForSessionize(s, shapeKeys)
           case "dedup" => graft.streaming.Streams.provisionForDedupWithin(s, shapeKeys)
+          case "totals" => graft.streaming.Streams.provisionForRunningTotals(s, shapeKeys)
         }
         println(s"""[writeprobe] {"copies":$copies,"shape":"$shape","autoparts":$n,"keys":$shapeKeys}""")
       } else s.conf.set("spark.sql.shuffle.partitions",
@@ -154,6 +163,11 @@ object StreamWriteProbe {
               .as[graft.streaming.Streams.Event]).toDF()
         case "dedup" =>
           graft.streaming.Streams.dedupWithinWatermark(src, Seq("event_id"))
+        case "totals" =>
+          import s.implicits._
+          graft.streaming.Streams.runningTotals(
+            src.select(col("event_id"),
+              (col("value") * 100).cast("long")).as[(Long, Long)]).toDF()
       }
 
       // pidScratch registers the checkpoint dir with the repo's scratch
@@ -164,7 +178,9 @@ object StreamWriteProbe {
       val t0 = System.nanoTime()
       val q = piped.writeStream.format("noop")
         .option("checkpointLocation", ckpt)
-        .outputMode("append").start()
+        // the ledger emits updated totals per touched key per trigger —
+        // transformWithState here runs in Update mode, not Append
+        .outputMode(if (shape == "totals") "update" else "append").start()
       q.processAllAvailable()
       val totalSec = (System.nanoTime() - t0) / 1e9
       val progress = q.recentProgress.toSeq

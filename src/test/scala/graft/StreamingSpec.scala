@@ -705,5 +705,23 @@ class StreamingSpec extends AnyFunSuite {
     // fewer than the dedup recommendation breaches the 15 MB band
     assert(10000000L * Streams.MeasuredDedupStateBytesPerKey >
       31L * Streams.CleanStateMbPerStore.toLong * (1L << 20))
+    // the transformWithState ledger (runningTotals) — the last stateful
+    // entry point to get a measured constant: StreamWriteProbe `totals`
+    // one-shot, 59 B/key EXACTLY flat at 1 M/3 M/10 M keys
+    // (10×/30×/100×). The validated failing tier: 10 M keys × 59 B =
+    // 590 MB → 38 partitions (14.8 MB/store); at the unprovisioned 8
+    // (73.8 MB/store, past the 51 MB onset) the get path left the
+    // memtable (block-cache activity appears) and the 4-trigger
+    // incremental shape ran 39.5 s vs 18.7 s provisioned (2.1×).
+    assert(Streams.MeasuredRunningTotalsStateBytesPerKey === 59L)
+    assert(Streams.recommendedStatePartitions(
+      10000000L, Streams.MeasuredRunningTotalsStateBytesPerKey,
+      storesPerPartition = 1) === 38)
+    val st = spark.newSession()
+    assert(Streams.provisionForRunningTotals(st, 10000000L) === 38 &&
+      st.conf.get("spark.sql.shuffle.partitions") === "38")
+    // minimality: 37 partitions would breach the clean band
+    assert(10000000L * Streams.MeasuredRunningTotalsStateBytesPerKey >
+      37L * Streams.CleanStateMbPerStore.toLong * (1L << 20))
   }
 }
