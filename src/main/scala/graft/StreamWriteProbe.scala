@@ -96,6 +96,26 @@ object StreamWriteProbe {
           .write.mode("overwrite").parquet(tape)
       }
 
+      // Failing-tier levers for the two shapes whose NATURAL key spaces
+      // can't reach the 51 MB/store flush onset at any affordable tier
+      // (the per-key constant is key+value encoding, independent of
+      // which column feeds the key or how wide the window is — the same
+      // justification as the totals shape's event_id keying):
+      //  - GRAFT_WRITEPROBE_KEYSPREAD=1: session keys by event_id
+      //    (150 k users at 100x = 13 MB total state; event_id gives
+      //    10 M keys = enough volume to cross the onset); agg groups by
+      //    an event_id-derived string instead of event_type (the
+      //    realistic high-cardinality "windowed counts per user/doc"
+      //    shape — copies share the base timestamps, so the WINDOW
+      //    space cannot grow past the base ts span and only the group
+      //    column can carry the key spread)
+      //  - GRAFT_WRITEPROBE_AGGWINDOW=<len>: windowed-agg window length
+      //    (3 600 (1-h window, type) keys at EVERY tier — the key space
+      //    is the time range; narrower windows scale it toward the
+      //    ~100 k distinct base timestamps, a mid-scale key-density
+      //    check, not a failing-tier lever)
+      val keySpread = sys.env.contains("GRAFT_WRITEPROBE_KEYSPREAD")
+      val aggWindow = sys.env.getOrElse("GRAFT_WRITEPROBE_AGGWINDOW", "1 hour")
       // the q62 streaming session, replicated (Queries.streamSession)
       val s = spark.newSession()
       // GRAFT_WRITEPROBE_AUTOPARTS=1: provision partitions through the
@@ -110,10 +130,13 @@ object StreamWriteProbe {
       lazy val shapeKeys: Long = shape match {
         case "join" => 2L * spark.read.parquet(tape).count()
         case "agg" => spark.read.parquet(tape)
-          .select(window(col("ts"), "1 hour"), col("event_type"))
+          .select(window(col("ts"), aggWindow),
+            (if (keySpread) concat(lit("g"), col("event_id"))
+             else col("event_type")).as("event_type"))
           .distinct().count()
         case "session" => spark.read.parquet(tape)
-          .select(col("user_id")).distinct().count()
+          .select(col(if (keySpread) "event_id" else "user_id"))
+          .distinct().count()
         case "dedup" => spark.read.parquet(tape)
           .select(col("event_id")).distinct().count()
         case "totals" => spark.read.parquet(tape)
@@ -154,11 +177,17 @@ object StreamWriteProbe {
         maxFilesPerTrigger = filesPerTrigger)
       val piped: DataFrame = shape match {
         case "join" => graft.streaming.Streams.streamStreamJoin(src, src)
-        case "agg" => graft.streaming.Streams.windowedCounts(src)
+        case "agg" => graft.streaming.Streams.windowedCounts(
+          if (keySpread)
+            src.withColumn("event_type", concat(lit("g"), col("event_id")))
+          else src,
+          windowLen = aggWindow)
         case "session" =>
           import s.implicits._
           graft.streaming.Streams.sessionize(s,
-            src.select(col("event_id"), col("ts"), col("user_id"),
+            src.select(col("event_id"), col("ts"),
+              (if (keySpread) col("event_id") else col("user_id"))
+                .as("user_id"),
               col("event_type"), col("value"))
               .as[graft.streaming.Streams.Event]).toDF()
         case "dedup" =>
