@@ -3898,8 +3898,17 @@ object Queries {
       .unionByName(pairs.select(col("b").as("ante"), col("a").as("cons"), col("supp_pair")))
     def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
     directed
-      .join(broadcast(supp.select(col("pk").as("ante"), col("supp").as("supp_a"))), "ante")
-      .join(broadcast(supp.select(col("pk").as("cons"), col("supp").as("supp_b"))), "cons")
+      // NO broadcast hint on the supp joins: the item-support relation
+      // is items-sized — tiny when the item vocabulary is bounded (AQE
+      // broadcasts it at runtime, measured at bench SF), but on corpora
+      // whose ITEM SPACE grows with the data (the 300x probe re-key:
+      // 6 M items) a forced broadcast makes every task build a
+      // multi-million-entry hash map and the driver collect it twice —
+      // measured 4.0x time at 3x data; hint-less AQE re-plans to a
+      // shuffle join exactly there (SCALE.md §Round-13 cont.). The
+      // 1-row nBaskets broadcast stays: it can never grow.
+      .join(supp.select(col("pk").as("ante"), col("supp").as("supp_a")), "ante")
+      .join(supp.select(col("pk").as("cons"), col("supp").as("supp_b")), "cons")
       .join(broadcast(nBaskets))
       .withColumn("conf_ppm", expr(
         s"CAST((${dec("supp_pair")} * ${dec("1000000")}) div ${dec("supp_a")} AS BIGINT)"))
