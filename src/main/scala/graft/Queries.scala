@@ -3616,8 +3616,14 @@ object Queries {
     val nBig = bg.agg(sum(col("n_pair")).as("n_big"))
     def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
     bg.where(col("n_pair") >= 5)
-      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      // NO broadcast hint on the vocab-sized unigram joins (the q187
+      // class): vocabulary grows with the corpus (Heap's law), so a
+      // forced broadcast becomes a driver hazard at scale — stats/AQE
+      // broadcast it at bench SF (plan unchanged) and re-plan by
+      // runtime size where the vocab is large. The 1-row corpus
+      // totals keep their hints: they can never grow.
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .join(broadcast(tTok)).join(broadcast(nBig))
       .withColumn("score_ppm", expr(
         s"""CAST((${dec("1000000")} * ${dec("n_pair")} * ${dec("t_tok")} * ${dec("t_tok")})
@@ -3929,10 +3935,17 @@ object Queries {
     * scanned once each, never shuffled.
     */
   def q188_gdpr_cascade(s: SparkSession, dir: String): DataFrame = {
+    // NO broadcast hints on the tombstone joins (the q187 class): the
+    // tombstone sets are a FIXED FRACTION of their parent tables
+    // (~1% of customers; their orders), so they grow with the corpus —
+    // at 100 TB delO is billions of keys and a forced broadcast OOMs
+    // the driver. Stats/AQE broadcast them at bench SF (they are tiny
+    // there) and re-plan to the bloom-prunable shuffle semi-join this
+    // query's scaladoc describes when they are not.
     val delC = t(s, dir, "customer").where(col("c_custkey") % 97 === 0)
       .select(col("c_custkey"))
     val orders = t(s, dir, "orders")
-    val delO = orders.join(broadcast(delC),
+    val delO = orders.join(delC,
       orders("o_custkey") === delC("c_custkey"), "left_semi")
       .select(col("o_orderkey"))
     val li = t(s, dir, "lineitem")
@@ -3944,11 +3957,11 @@ object Queries {
     val cStats = t(s, dir, "customer").agg(
       count(when(col("c_custkey") % 97 === 0, 1)).as("n"),
       count(lit(1)).as("na")).withColumn("t", lit("customer"))
-    val oStats = orders.join(broadcast(delC),
+    val oStats = orders.join(delC,
         orders("o_custkey") === delC("c_custkey"), "left")
       .agg(count(delC("c_custkey")).as("n"), count(lit(1)).as("na"))
       .withColumn("t", lit("orders"))
-    val lStats = li.join(broadcast(delO),
+    val lStats = li.join(delO,
         li("l_orderkey") === delO("o_orderkey"), "left")
       .agg(count(delO("o_orderkey")).as("n"), count(lit(1)).as("na"))
       .withColumn("t", lit("lineitem"))

@@ -411,15 +411,19 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = tf.groupBy("__id").agg(sum(col("__tf") * col("__tf")).as("__n2"))
     // df cap: (id, tok) is distinct post-agg, so count == document
-    // frequency. Keep sub-cap postings by ANTI-joining the broadcast
-    // FREQUENT vocab — under Zipf the head (df > maxDf) is the small
-    // side while the rare tail grows with the corpus, so this is the
+    // frequency. Keep sub-cap postings by ANTI-joining the FREQUENT
+    // vocab — under Zipf the head (df > maxDf) is the small side while
+    // the rare tail grows with the corpus, so it is usually the
     // broadcastable direction; the aggregation itself map-side-combines,
-    // no count-over-window hot partition
+    // no count-over-window hot partition. NO broadcast hint (the q187
+    // class): the head still grows with the (Heap's-law) vocabulary at
+    // a fixed absolute maxDf, so stats/AQE broadcast it while small
+    // and fall back to the shuffle anti-join — the unavoidable shape
+    // anyway once the head outgrows a broadcast — when it is not.
     val frequentVocab = tf.groupBy("__tok").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDf)
       .select("__tok")
-    val rare = tf.join(broadcast(frequentVocab), Seq("__tok"), "left_anti")
+    val rare = tf.join(frequentVocab, Seq("__tok"), "left_anti")
     val cand = rare.as("a")
       .join(rare.as("b"),
         col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))

@@ -272,6 +272,10 @@ object TextAnalysis {
       .join(broadcast(nDocs))
       .where(col("__df") * 100 >= col("__n") * vocabPct)
       .select(col("__tok"), lit(1).as("__in"))
+    // the vocab broadcast is SAFE at any corpus size (unlike the q187
+    // class): the RELATIVE df threshold bounds it by construction —
+    // tokens in >= vocabPct% of docs number at most
+    // (avg distinct tokens per doc) x 100/vocabPct, independent of N
     toks.join(broadcast(vocab), Seq("__tok"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
