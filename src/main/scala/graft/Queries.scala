@@ -3598,9 +3598,11 @@ object Queries {
     * ppm and evaluated entirely in decimal(38,0) cross-multiplication
     * (log is monotone — ranking by the ratio IS ranking by PMI, with
     * no float in sight). One bigram agg + one unigram agg; the unigram
-    * table joins back twice as a broadcast (vocab-sized), corpus
-    * totals ride 1-row broadcast joins. Floor 5 occurrences kills
-    * hapax-pair noise.
+    * table joins back twice UNHINTED (vocab-sized: stats/AQE broadcast
+    * it while the vocabulary is small and re-plan when Heap's-law
+    * growth makes a forced broadcast a driver hazard — see the inline
+    * note), corpus totals ride 1-row broadcast joins. Floor 5
+    * occurrences kills hapax-pair noise.
     */
   def q177_pmi_bigrams(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
@@ -3930,9 +3932,11 @@ object Queries {
     * tombstone set (c_custkey % 97 = 0) propagates through the foreign
     * keys (customer → orders → lineitem), and the report states
     * per-table deleted/kept counts. Each hop is one semi/anti join
-    * with the (small) parent key set broadcast; at 100 TB this is the
-    * same bloom-prunable anti-join shape as q101 — the fact tables are
-    * scanned once each, never shuffled.
+    * with the parent key set UNHINTED (stats/AQE broadcast it at small
+    * scale; the sets are a fixed fraction of their parent tables, so a
+    * forced broadcast is a driver hazard at 100 TB — see the inline
+    * note); at 100 TB this is the same bloom-prunable anti-join shape
+    * as q101 — the fact tables are scanned once each, never shuffled.
     */
   def q188_gdpr_cascade(s: SparkSession, dir: String): DataFrame = {
     // NO broadcast hints on the tombstone joins (the q187 class): the

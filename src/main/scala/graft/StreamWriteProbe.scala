@@ -114,7 +114,16 @@ object StreamWriteProbe {
       //    is the time range; narrower windows scale it toward the
       //    ~100 k distinct base timestamps, a mid-scale key-density
       //    check, not a failing-tier lever)
-      val keySpread = sys.env.contains("GRAFT_WRITEPROBE_KEYSPREAD")
+      // value-parsed, not presence-based: KEYSPREAD=0 left in a script
+      // environment must NOT silently switch the key space a constant
+      // derivation runs against; garbage fails by name (a config error,
+      // not a fake measurement)
+      val keySpread = sys.env.get("GRAFT_WRITEPROBE_KEYSPREAD") match {
+        case None | Some("0") | Some("false") | Some("") => false
+        case Some("1") | Some("true") => true
+        case Some(other) => throw new IllegalArgumentException(
+          s"GRAFT_WRITEPROBE_KEYSPREAD must be 1/true or 0/false, got '$other'")
+      }
       val aggWindow = sys.env.getOrElse("GRAFT_WRITEPROBE_AGGWINDOW", "1 hour")
       // the q62 streaming session, replicated (Queries.streamSession)
       val s = spark.newSession()
@@ -137,9 +146,8 @@ object StreamWriteProbe {
         case "session" => spark.read.parquet(tape)
           .select(col(if (keySpread) "event_id" else "user_id"))
           .distinct().count()
-        case "dedup" => spark.read.parquet(tape)
-          .select(col("event_id")).distinct().count()
-        case "totals" => spark.read.parquet(tape)
+        // dedup and totals share one key space: distinct event_id
+        case "dedup" | "totals" => spark.read.parquet(tape)
           .select(col("event_id")).distinct().count()
       }
       if (sys.env.contains("GRAFT_WRITEPROBE_AUTOPARTS")) {
