@@ -33,7 +33,14 @@ object ScaleProbe {
     val dir = s"/tmp/graft-scaleprobe-${copies}x-v2"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // GRAFT_SCALE_SHUFFLE: shuffle-partition override for the
+      // partitions-scale-with-data demonstrations (a cluster raises
+      // this with the corpus; local probes pin it to the core count
+      // unless a residual needs the lever isolated — e.g. the q187
+      // 300x per-task memory-pressure A/B, SCALE.md §Round-13 cont.)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SCALE_SHUFFLE",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
