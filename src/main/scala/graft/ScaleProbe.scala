@@ -47,7 +47,19 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm the session
 
+    // GRAFT_SCALE_TABLES: comma-list restricting which tables get
+    // staged (default: all five). At high tiers the full set is most
+    // of the disk — the 1000x lineitem tape alone is ~30 GB, and
+    // staging it for a documents-only probe ATE THE SPILL HEADROOM the
+    // probed op needed (measured: the adaptive containment 1000x run
+    // DNF'd on disk with the full tape set staged, completed with
+    // documents-only staging — SCALE.md §Round-13 cont.). The caller
+    // owns the list; an op reading an unstaged table fails on read,
+    // loudly, at its own probe row.
+    val stageTables = sys.env.get("GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def scaled(name: String, reKey: (DataFrame, Int) => DataFrame): Unit = {
+      if (!stageTables.forall(_.contains(name))) return
       val path = s"$dir/$name.parquet"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
         val base = graft.core.Catalog.table(spark, baseDir, name)
