@@ -135,6 +135,17 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The round-13 forced-broadcast removals (q177 unigrams, q187 supp,
+    // q188 tombstones, sparse-cosine frequentVocab) rely on stats/AQE to
+    // recover the broadcast at bench SF — with adaptive execution OFF
+    // those joins silently regress to shuffle joins and the committed
+    // per-query history stops being comparable. AQE is Spark's default;
+    // assert it so a config drift fails by name instead of benching a
+    // different plan shape (ADVICE r13).
+    require(spark.conf.get("spark.sql.adaptive.enabled").toBoolean,
+      "bench requires spark.sql.adaptive.enabled=true: the unhinted " +
+        "small-side joins (q177/q187/q188/sparseCosinePairs) rely on " +
+        "AQE to broadcast at bench SF")
     // Warm the session (executor threads, codegen, parquet reader paths)
     // so the first timed query doesn't absorb startup cost, and load the
     // catalog's statistics (the reference loads Catalog.txt at startup) —

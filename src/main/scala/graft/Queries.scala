@@ -3623,7 +3623,11 @@ object Queries {
       // forced broadcast becomes a driver hazard at scale — stats/AQE
       // broadcast it at bench SF (plan unchanged) and re-plan by
       // runtime size where the vocab is large. The 1-row corpus
-      // totals keep their hints: they can never grow.
+      // totals keep their hints: they can never grow. NOTE (ADVICE
+      // r13): the small-scale broadcast therefore DEPENDS on
+      // spark.sql.adaptive.enabled (Spark's default, asserted by the
+      // bench harness); a session that disables AQE runs these as
+      // shuffle joins — correct, just the large-corpus plan early.
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .join(broadcast(tTok)).join(broadcast(nBig))

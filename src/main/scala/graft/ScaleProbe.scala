@@ -56,8 +56,19 @@ object ScaleProbe {
     // documents-only staging — SCALE.md §Round-13 cont.). The caller
     // owns the list; an op reading an unstaged table fails on read,
     // loudly, at its own probe row.
+    // value-validated like the other probe levers: an empty or
+    // comma-only value would parse to Some(empty set) and silently
+    // stage NOTHING — every probe row would then fail on read and
+    // print as a wall of fake DNFs indistinguishable from real
+    // spill-aborts. A set value must name at least one table.
     val stageTables = sys.env.get("GRAFT_SCALE_TABLES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map { raw =>
+        val s = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        require(s.nonEmpty,
+          s"GRAFT_SCALE_TABLES is set but names no tables ('$raw') — " +
+            "unset it to stage all tables, or list at least one")
+        s
+      }
     def scaled(name: String, reKey: (DataFrame, Int) => DataFrame): Unit = {
       if (!stageTables.forall(_.contains(name))) return
       val path = s"$dir/$name.parquet"

@@ -124,7 +124,17 @@ object StreamWriteProbe {
         case Some(other) => throw new IllegalArgumentException(
           s"GRAFT_WRITEPROBE_KEYSPREAD must be 1/true or 0/false, got '$other'")
       }
+      // a lever that the requested shape IGNORES must fail by name, not
+      // no-op: KEYSPREAD=1 left in a script environment while probing
+      // join/dedup/totals (whose key spaces it never touches) would
+      // silently label the derived constant with the wrong key space
+      require(!keySpread || shape == "agg" || shape == "session",
+        s"GRAFT_WRITEPROBE_KEYSPREAD is set but shape '$shape' has no " +
+          "key-spread lever (only agg/session do) — unset it for this run")
       val aggWindow = sys.env.getOrElse("GRAFT_WRITEPROBE_AGGWINDOW", "1 hour")
+      require(aggWindow == "1 hour" || shape == "agg",
+        s"GRAFT_WRITEPROBE_AGGWINDOW='$aggWindow' is set but shape " +
+          s"'$shape' has no windowed aggregation — unset it for this run")
       // the q62 streaming session, replicated (Queries.streamSession)
       val s = spark.newSession()
       // GRAFT_WRITEPROBE_AUTOPARTS=1: provision partitions through the
