@@ -64,9 +64,65 @@ object Catalog {
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (graft.stats.TableStats, Boolean)]()
 
-  /** [[graft.stats.TableStats]] memoized per (dir, table) — the analogue
-    * of the reference's persisted Catalog.txt: the fixtures are immutable,
-    * so stats built once serve every later query in the process. Each
+  /** Where built statistics persist ACROSS PROCESSES — the true analogue
+    * of the reference's `Catalog.txt` (`test/utils/utils.cc:43-46`): a
+    * fresh driver loads histogram/ndv/row-count stats from this sidecar
+    * instead of re-running the two-pass distributed build (two full
+    * corpus scans per table per process at 100 TB, for statistics that
+    * only change when the data does). Staleness is guarded by the
+    * per-entry file-set signature ([[graft.stats.StatsRegistry]]) — a
+    * regenerated table fails the signature check by name and rebuilds.
+    * `GRAFT_STATS_DIR` overrides the default `<cwd>/stats-catalog`;
+    * `GRAFT_STATS_DIR=none` disables persistence (builds stay
+    * process-local). An empty value fails by name, like the probe levers.
+    */
+  private lazy val statsPersistDir: Option[String] = {
+    val raw = sys.env.getOrElse("GRAFT_STATS_DIR",
+      s"${sys.props("user.dir")}/stats-catalog")
+    require(raw.trim.nonEmpty,
+      "GRAFT_STATS_DIR must name a directory or 'none', got an empty string")
+    if (raw.trim == "none") None else Some(raw.trim)
+  }
+
+  // one load per process; the sidecar write is guarded so concurrent
+  // builds (statsMany's futures racing a query-path stats() call) never
+  // interleave two Spark overwrites of the same directory
+  private val statsLoaded = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val statsSaveLock = new Object
+
+  private def ensureStatsLoaded(spark: SparkSession): Unit =
+    if (statsLoaded.compareAndSet(false, true)) statsPersistDir.foreach { d =>
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_SUCCESS")))
+        try {
+          val n = graft.stats.StatsRegistry.load(spark, d)
+          System.err.println(s"[stats] loaded $n persisted table-stats " +
+            s"entries from $d (signature-checked lazily on first use)")
+        } catch {
+          // a corrupt sidecar must not take down every query — name it
+          // and fall back to building (the pre-persistence behavior)
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[stats] persisted stats at $d unreadable " +
+              s"($e) — falling back to distributed builds")
+        }
+    }
+
+  private def saveStats(spark: SparkSession): Unit = statsPersistDir.foreach { d =>
+    statsSaveLock.synchronized {
+      try graft.stats.StatsRegistry.save(spark, d)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[stats] persisting stats to $d failed ($e) — " +
+            "this process keeps its in-memory registry; the next process rebuilds")
+      }
+    }
+  }
+
+  /** [[graft.stats.TableStats]] memoized per (dir, table), and persisted
+    * across processes via the stats sidecar ([[statsPersistDir]]) — the
+    * analogue of the reference's persisted Catalog.txt: the fixtures are
+    * immutable, so stats built once serve every later query in the
+    * process, and a FRESH process loads them (signature-guarded) instead
+    * of re-scanning every table. Each
     * build also registers with [[graft.stats.StatsRegistry]], so
     * [[graft.plans.SelingerJoinReorder]] sees true row counts (and, once
     * built, histogram selectivities) for SQL-path queries over these
@@ -80,16 +136,28 @@ object Catalog {
     val cached = statsCache.get(key)
     if (cached != null && (cached._2 || !withHistograms)) cached._1
     else {
+      ensureStatsLoaded(spark)
       val df = table(spark, dir, name)
-      val ts = graft.stats.TableStats.build(df, withHistograms = withHistograms)
-      // merge, never blind put: the check-then-put had a window where a
-      // LIGHT (histogram-less) build racing a completed FULL build could
-      // overwrite it in both the cache and the registry — silently
-      // degrading every later Selinger decision to System R constants
-      val kept = statsCache.merge(key, (ts, withHistograms),
-        (oldV, newV) => if (oldV._2 && !newV._2) oldV else newV)
-      if (kept._1 eq ts) graft.stats.StatsRegistry.register(df, ts)
-      kept._1
+      // persisted-catalog hit: signature-fresh and at least as complete
+      // as requested → zero scans (the whole point of the sidecar)
+      graft.stats.StatsRegistry.lookupVerified(df, needFull = withHistograms) match {
+        case Some((ts, entryFull)) =>
+          statsCache.merge(key, (ts, entryFull),
+            (oldV, newV) => if (oldV._2 && !newV._2) oldV else newV)._1
+        case None =>
+          val ts = graft.stats.TableStats.build(df, withHistograms = withHistograms)
+          // merge, never blind put: the check-then-put had a window where a
+          // LIGHT (histogram-less) build racing a completed FULL build could
+          // overwrite it in both the cache and the registry — silently
+          // degrading every later Selinger decision to System R constants
+          val kept = statsCache.merge(key, (ts, withHistograms),
+            (oldV, newV) => if (oldV._2 && !newV._2) oldV else newV)
+          if (kept._1 eq ts) {
+            graft.stats.StatsRegistry.register(df, ts, full = withHistograms)
+            saveStats(spark)
+          }
+          kept._1
+      }
     }
   }
 
@@ -103,17 +171,33 @@ object Catalog {
       c != null && (c._2 || !withHistograms)
     }
     if (missing.nonEmpty) {
+      ensureStatsLoaded(spark)
       // build the DataFrames once and reuse them for registration — a
       // second table() per name would repeat the driver-side file
       // listing/footer read (and the events ts-normalization branch)
       val dfs = missing.map(n => n -> table(spark, dir, n)).toMap
-      val built = graft.stats.TableStats.buildMany(dfs,
-        withHistograms = withHistograms)
-      built.foreach { case (n, ts) =>
-        // same full-beats-light merge as stats() — see the race note there
-        val kept = statsCache.merge((dir, n), (ts, withHistograms),
+      // split persisted-catalog hits (signature-fresh, complete enough)
+      // from the tables that genuinely need the distributed build
+      val hits = dfs.flatMap { case (n, df) =>
+        graft.stats.StatsRegistry.lookupVerified(df, needFull = withHistograms)
+          .map(n -> _)
+      }
+      hits.foreach { case (n, (ts, entryFull)) =>
+        statsCache.merge((dir, n), (ts, entryFull),
           (oldV, newV) => if (oldV._2 && !newV._2) oldV else newV)
-        if (kept._1 eq ts) graft.stats.StatsRegistry.register(dfs(n), ts)
+      }
+      val toBuild = dfs -- hits.keys
+      if (toBuild.nonEmpty) {
+        val built = graft.stats.TableStats.buildMany(toBuild,
+          withHistograms = withHistograms)
+        built.foreach { case (n, ts) =>
+          // same full-beats-light merge as stats() — see the race note there
+          val kept = statsCache.merge((dir, n), (ts, withHistograms),
+            (oldV, newV) => if (oldV._2 && !newV._2) oldV else newV)
+          if (kept._1 eq ts)
+            graft.stats.StatsRegistry.register(dfs(n), ts, full = withHistograms)
+        }
+        saveStats(spark)
       }
     }
     names.map(n => n -> statsCache.get((dir, n))._1).toMap

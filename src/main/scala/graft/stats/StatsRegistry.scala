@@ -1,14 +1,15 @@
 package graft.stats
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Process-wide registry of pre-built [[TableStats]], keyed by the file
   * paths behind a scan — the Spark-side analogue of the reference's
-  * persisted catalog (`/root/reference/src/optimizer/catalog.txt` loaded
-  * at startup): statistics are computed once per table, then every later
-  * optimization reads them for free.
+  * persisted catalog (`/root/reference/test/utils/utils.cc:43-46` writes
+  * `Catalog.txt`; `src/include/common/macros.h:26` names it): statistics
+  * are computed once per table, then every later optimization reads them
+  * for free.
   *
   * [[graft.plans.SelingerJoinReorder]] consults this during optimization
   * (never running jobs itself — looking up here is a map read), so a
@@ -19,9 +20,29 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * Keys are the sorted root paths of the scan's file index, so the same
   * parquet directory read through different DataFrames (or sessions over
   * one context) resolves to one entry.
+  *
+  * **Persistence** ([[save]]/[[load]]): the registry round-trips through
+  * a tiny JSON sidecar (100 bins × columns × tables — kilobytes), so a
+  * FRESH driver process gets histogram-driven Selinger reordering
+  * without re-running the two-pass distributed build — at 100 TB that
+  * build is two full corpus scans per table per process, which is the
+  * wrong plan for statistics that only change when the data does.
+  * Every entry carries a **file-set signature** (sha-256 over the scan's
+  * sorted (path, length, mtime) triples — strictly stronger than the
+  * stored-row-count check, and it needs no scan to verify); a loaded
+  * entry is lazily re-verified against the live file index on first
+  * lookup, and a mismatch drops the entry with a named warning so the
+  * caller rebuilds instead of optimizing against stale histograms.
   */
 object StatsRegistry {
-  private val byKey = new java.util.concurrent.ConcurrentHashMap[String, TableStats]()
+  /** `verified = true` once the entry's signature matched the live file
+    * index this process (in-process builds are born verified; loaded
+    * entries verify lazily on first lookup).
+    */
+  private final case class Entry(ts: TableStats, full: Boolean,
+      signature: Option[String], verified: Boolean)
+
+  private val byKey = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
   /** Stable key for a single-file-relation plan, if it is one. */
   def planKey(plan: LogicalPlan): Option[String] =
@@ -35,12 +56,160 @@ object StatsRegistry {
       case _ => None
     }
 
-  /** Register stats for the (single) file relation a DataFrame scans. */
-  def register(df: DataFrame, ts: TableStats): Unit =
-    planKey(df.queryExecution.analyzed).foreach(k => byKey.put(k, ts))
+  /** File-set signature of a single-file-relation plan: sha-256 over the
+    * sorted (path, length, modification time) of every file behind the
+    * scan. The file index is already materialized by analysis, so this
+    * is a driver-side walk of an in-memory list — no filesystem I/O.
+    */
+  def signatureOf(plan: LogicalPlan): Option[String] =
+    plan.collectLeaves() match {
+      case Seq(lr: LogicalRelation) =>
+        lr.relation match {
+          case hfs: HadoopFsRelation =>
+            val lines = hfs.location.listFiles(Nil, Nil)
+              .flatMap(_.files)
+              .map(f => s"${f.getPath}|${f.getLen}|${f.getModificationTime}")
+              .sorted
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            lines.foreach { l => md.update(l.getBytes("UTF-8")); md.update('\n'.toByte) }
+            Some(md.digest().map("%02x".format(_)).mkString)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Register stats for the (single) file relation a DataFrame scans.
+    * @param full whether this was a with-histograms build — persisted so
+    *        a later process asking for histograms never accepts a
+    *        row-count-only entry.
+    */
+  def register(df: DataFrame, ts: TableStats, full: Boolean = true): Unit = {
+    val plan = df.queryExecution.analyzed
+    planKey(plan).foreach { k =>
+      byKey.put(k, Entry(ts, full, signatureOf(plan), verified = true))
+    }
+  }
+
+  // verify-once: a loaded entry checks its stored signature against the
+  // live file index the first time a plan resolves to it; fresh entries
+  // flip to verified (no repeat walks), stale entries are dropped by name
+  private def verifiedStats(k: String, e: Entry, plan: LogicalPlan): Option[Entry] =
+    if (e.verified) Some(e)
+    else {
+      val live = signatureOf(plan)
+      if (live.isDefined && live == e.signature) {
+        val fresh = e.copy(verified = true)
+        byKey.replace(k, e, fresh)
+        Some(fresh)
+      } else {
+        byKey.remove(k, e)
+        System.err.println(s"[stats] persisted statistics for $k are STALE " +
+          "(the file set behind the scan changed since they were saved) — " +
+          "entry dropped; rebuild to re-register")
+        None
+      }
+    }
 
   def forPlan(plan: LogicalPlan): Option[TableStats] =
-    planKey(plan).flatMap(k => Option(byKey.get(k)))
+    planKey(plan).flatMap { k =>
+      Option(byKey.get(k)).flatMap(e => verifiedStats(k, e, plan)).map(_.ts)
+    }
+
+  /** Signature-verified lookup for a DataFrame over one file relation:
+    * `Some((stats, full))` iff an entry exists, its file-set signature
+    * matches the live scan, and it is at least as complete as
+    * `needFull` asks (a full entry satisfies a light request; never the
+    * reverse — a histogram-less entry answering range predicates would
+    * be garbage, see [[TableStats.hasHistogram]]).
+    */
+  def lookupVerified(df: DataFrame, needFull: Boolean): Option[(TableStats, Boolean)] = {
+    val plan = df.queryExecution.analyzed
+    planKey(plan).flatMap { k =>
+      Option(byKey.get(k))
+        .filter(e => e.full || !needFull)
+        .flatMap(e => verifiedStats(k, e, plan))
+        .map(e => (e.ts, e.full))
+    }
+  }
 
   def clear(): Unit = byKey.clear()
+
+  // --- persistence -------------------------------------------------------
+
+  /** One persisted histogram column / range / ndv sketch value. */
+  private[stats] case class PHist(column: String, buckets: Int,
+      minV: Long, maxV: Long, counts: Seq[Long])
+  private[stats] case class PRange(column: String, lo: Long, hi: Long)
+  private[stats] case class PNdv(column: String, ndv: Long)
+  private[stats] case class PStats(
+      key: String, signature: String, full: Boolean,
+      numTuples: Long, ioCostPerPage: Double, numPages: Long,
+      columns: Seq[String], hists: Seq[PHist], ranges: Seq[PRange],
+      ndvs: Seq[PNdv])
+
+  // local file: paths whose files are all gone are dead entries (scratch
+  // dirs, regenerated testdata) — GC'd at save so the sidecar can't
+  // accumulate garbage keys across processes. Non-file schemes are kept:
+  // existence there isn't a driver-side check.
+  private def keyAlive(key: String): Boolean =
+    key.split(";").forall { p =>
+      try {
+        val uri = new java.net.URI(p)
+        uri.getScheme != "file" ||
+          java.nio.file.Files.exists(java.nio.file.Paths.get(uri))
+      } catch { case scala.util.control.NonFatal(_) => true }
+    }
+
+  /** Persist every registered entry that has a signature (single-file
+    * relations — the only kind the registry keys) to `dir` as a JSON
+    * dataset. Entries whose local file set no longer exists are dropped
+    * (dead scratch paths must not accumulate in the sidecar). Returns
+    * the number of entries written.
+    */
+  def save(spark: SparkSession, dir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val rows = byKey.asScala.toSeq
+      .collect { case (k, e) if e.signature.isDefined && keyAlive(k) =>
+        val ts = e.ts
+        PStats(k, e.signature.get, e.full, ts.numTuples, ts.ioCostPerPage,
+          ts.numPages, ts.columns, ts.histsMap.toSeq.sortBy(_._1)
+            .map { case (c, h) => PHist(c, h.buckets, h.minV, h.maxV, h.bucketCounts) },
+          ts.rangesMap.toSeq.sortBy(_._1)
+            .map { case (c, (lo, hi)) => PRange(c, lo, hi) },
+          ts.ndvsMap.toSeq.sortBy(_._1).map { case (c, n) => PNdv(c, n) })
+      }
+      .sortBy(_.key)
+    spark.createDataset(rows)(Encoders.product[PStats])
+      .coalesce(1).write.mode("overwrite").json(dir)
+    rows.size
+  }
+
+  /** Load a [[save]]d sidecar into the registry. Loaded entries are
+    * UNVERIFIED: each checks its file-set signature against the live
+    * scan on first lookup and is dropped by name if stale (the
+    * staleness guard — a fresh process must never optimize against
+    * statistics of data that changed). Entries already registered
+    * in-process win over loaded ones. Returns the number of entries
+    * loaded.
+    */
+  def load(spark: SparkSession, dir: String): Int = {
+    val enc = Encoders.product[PStats]
+    val rows = spark.read.schema(enc.schema).json(dir).as[PStats](enc).collect()
+    rows.foreach { p =>
+      val hists = p.hists.map { ph =>
+        val h = new IntHistogram(ph.buckets, ph.minV, ph.maxV)
+        ph.counts.zipWithIndex.foreach { case (c, b) =>
+          if (c > 0) h.addBucketCount(b, c)
+        }
+        ph.column -> h
+      }.toMap
+      val ts = TableStats.fromParts(p.numTuples, p.ioCostPerPage, p.numPages,
+        p.columns.toIndexedSeq, hists,
+        p.ranges.map(r => r.column -> (r.lo, r.hi)).toMap,
+        p.ndvs.map(n => n.column -> n.ndv).toMap)
+      byKey.putIfAbsent(p.key,
+        Entry(ts, p.full, Some(p.signature), verified = false))
+    }
+    rows.length
+  }
 }

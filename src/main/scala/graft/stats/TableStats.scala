@@ -68,6 +68,14 @@ final class TableStats private (
     measured.orElse(domain).map(n => math.max(1L, math.min(n, numTuples)))
   }
 
+  /** Serialization views for the persisted stats catalog
+    * ([[StatsRegistry.save]]) — package-private: the raw parts are an
+    * implementation detail everywhere else.
+    */
+  private[stats] def histsMap: Map[String, IntHistogram] = hists
+  private[stats] def rangesMap: Map[String, (Long, Long)] = ranges
+  private[stats] def ndvsMap: Map[String, Long] = ndvs
+
   def estimateSelectivity(col: String, op: PredicateOp, v: Long): Double =
     hists(col).estimateSelectivity(op, v)
 
@@ -228,6 +236,21 @@ object TableStats {
     }
     Await.result(Future.sequence(futures), Duration.Inf).toMap
   }
+
+  /** Reconstruction from persisted parts ([[StatsRegistry.load]]) —
+    * package-private: only the persistence path may bypass the
+    * distributed build.
+    */
+  private[stats] def fromParts(
+      numTuples: Long,
+      ioCostPerPage: Double,
+      numPages: Long,
+      columns: IndexedSeq[String],
+      hists: Map[String, IntHistogram],
+      ranges: Map[String, (Long, Long)],
+      ndvs: Map[String, Long]): TableStats =
+    new TableStats(numTuples, ioCostPerPage, numPages, columns, hists,
+      ranges, ndvs)
 
   /** Test/bench constructor from pre-built histograms (no Spark). */
   def fromHistograms(
