@@ -5890,6 +5890,35 @@ object Queries {
     "q237_stream_watermark_eviction" -> (q237_stream_watermark_eviction _),
     "q238_stream_session_straggler" -> (q238_stream_session_straggler _))
 
+  /** The STREAMING-tagged queries — an explicit registry, not a name
+    * substring (r13 verdict #7): the bench's stabilization policy
+    * differs for streaming queries (min-of-3 stream medians, excluded
+    * from challenge re-runs — a fourth lifecycle would mix two
+    * policies), and keying that off `name.contains("stream")` was one
+    * honest naming accident away from silently mixing them. Every
+    * query that executes through a streaming sink belongs here;
+    * batch queries never do (q125_session_window uses the
+    * session_window EXPRESSION in batch mode — not streaming).
+    * Membership is validated against [[all]] at first use.
+    */
+  val streamingQueries: Set[String] = {
+    val s = Set(
+      "q38_stream_window", "q62_stream_join", "q63_stream_sessions",
+      "q64_stream_dedup", "q92_stream_enrich", "q120_stream_antijoin",
+      "q127_stream_session_timeout", "q132_stream_outer_join",
+      "q135_stream_session_window", "q139_stream_oov_filter",
+      "q143_stream_span_corrupt", "q148_stream_cdc_merge",
+      "q153_stream_window_ndv", "q156_stream_window_topk",
+      "q189_stream_running_totals", "q190_stream_dedup_within",
+      "q193_stream_warm_start", "q220_stream_lakehouse_sink",
+      "q237_stream_watermark_eviction", "q238_stream_session_straggler")
+    val ghosts = s -- all.keySet
+    require(ghosts.isEmpty,
+      s"streamingQueries names queries that do not exist: $ghosts — " +
+        "fix the registry when renaming a query")
+    s
+  }
+
   // -------------------------------------------------------- oracle SQL
 
   /** DuckDB-dialect equivalents. Generated pieces (lang markers, stopword

@@ -91,4 +91,42 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.spikeBlocks(Seq.empty, hist).isEmpty)
     assert(Bench.spikeBlocks(incident, Map.empty).isEmpty)
   }
+
+  test("calibration v2: true median + intra-pass spread flag (r13 verdict #2)") {
+    // true median — even counts average the middles, odd counts take it
+    assert(Bench.median(Seq(1.53, 1.395, 1.568)) == 1.53)
+    assert(Bench.median(Seq(2.0, 1.0)) == 1.5)
+    assert(Bench.median(Seq.empty) == -1.0)
+    // the r13 incident numbers: same-day legacy calib readings spread
+    // 3.04–3.92 — as a v2 triple that is a 25% intra-pass spread and
+    // MUST flag contended (the normalized ordering contradicted raw)
+    assert(Bench.calibSpreadContended(Seq(3.04, 3.49, 3.92)))
+    // the measured v2 triple on the quiet round-14 box: 11% spread, clean
+    assert(!Bench.calibSpreadContended(Seq(1.53, 1.395, 1.568)))
+    // a crashed probe (-1/0) is excluded, not treated as a zero reading;
+    // a single surviving probe can never attest a spread
+    assert(!Bench.calibSpreadContended(Seq(-1.0, 1.5, -1.0)))
+    assert(Bench.calibSpreadContended(Seq(-1.0, 1.5, 2.5)))
+    assert(!Bench.calibSpreadContended(Seq.empty))
+  }
+
+  test("streaming policy keys off the explicit registry, not a name substring (r13 verdict #7)") {
+    val reg = Queries.streamingQueries
+    // the registry names only live queries, and today covers exactly the
+    // stream-named surface (the consistency the bench tripwire enforces)
+    assert(reg.subsetOf(Queries.all.keySet))
+    assert(Queries.all.keySet.filter(_.contains("stream")) == reg)
+    // the HOSTILE-NAME case: membership is set membership — a streaming
+    // query named without "stream" would still get the stream policy
+    // once registered, and a batch query named WITH "stream" trips the
+    // bench's fail-loud guard instead of silently mixing policies
+    // (Bench.main: require(unTagged.isEmpty)). Replicate the guard's
+    // predicate here against a hostile name:
+    val hostileBatch = "q999_streaming_lookalike_batch"
+    assert(hostileBatch.contains("stream") && !reg(hostileBatch),
+      "a stream-named non-member must be caught by the tripwire predicate")
+    val hostileStream = "q998_quiet_sessionizer"
+    assert(!hostileStream.contains("stream"),
+      "registry membership, not the name, is what grants the stream policy")
+  }
 }
