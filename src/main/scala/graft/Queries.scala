@@ -907,28 +907,39 @@ object Queries {
         (max(col("ts")) - expr("INTERVAL 5 DAYS")).as("c"),
         (max(col("ts")) - expr("INTERVAL 5 DAYS") - expr("INTERVAL 119 HOURS")).as("lo"),
         (max(col("ts")) - expr("INTERVAL 5 DAYS") + expr("INTERVAL 1 HOUR")).as("hi"),
-        (max(col("ts")) - expr("INTERVAL 5 DAYS") - expr("INTERVAL 121 HOURS")).as("idleCut"))
+        (max(col("ts")) - expr("INTERVAL 5 DAYS") - expr("INTERVAL 121 HOURS")).as("idleCut"),
+        (max(col("ts")) - expr("INTERVAL 5 DAYS") - expr("INTERVAL 60 HOURS")).as("breakLo"),
+        (max(col("ts")) - expr("INTERVAL 5 DAYS") - expr("INTERVAL 61 HOURS")).as("breakCut"))
         .first()
-      val (cutoff, lo, hi, idleCut) =
+      val (cutoff, lo, hi, idleCut, breakLo, breakCut) =
         (row.getTimestamp(0), row.getTimestamp(1), row.getTimestamp(2),
-          row.getTimestamp(3))
-      val replaySel =
-        col("ts") <= lit(cutoff) && col("ts") > lit(lo) &&
-          col("event_id") % 2 === 0 && col("user_id") % 3 === 0
+          row.getTimestamp(3), row.getTimestamp(4), row.getTimestamp(5))
       // Replay-user sub-slices, making every oracle branch LIVE (the
       // uniform-activity testdata has no naturally idle users, so the
       // timed-out-then-straggler and replay-only-user branches would
       // otherwise be dead code on both sides of the compare):
-      //   %9 == 0 — seeded merge (open bulk session absorbs stragglers);
+      //   %18 == 0 — seeded merge (open bulk session absorbs stragglers);
+      //   %18 == 9 — SEED-BREAK (r13 verdict #3, the last data-dependent
+      //     branch made structural): replays restricted to the upper
+      //     half of the horizon (> cutoff − 60 h) while bulk keeps
+      //     nothing above cutoff − 61 h, so the FIRST straggler lands
+      //     ≥ 1 h (> the 30 min gap) above the open session's end and
+      //     BREAKS the seed on arrival instead of merging — previously
+      //     live at sf0.1 only, by data accident;
       //   %9 == 3 — GONE-IDLE: bulk drops their last 121 h (< cutoff),
       //     so their open session's timeout fires at trigger 1 (below
       //     the c−120 h watermark) and the stragglers rebuild fresh —
       //     the emitted-then-replayed split population;
       //   %9 == 6 — REPLAY-ONLY: bulk drops ALL their events; they
       //     exist only as stragglers (fresh sessions from nothing).
+      val replaySel =
+        col("ts") <= lit(cutoff) && col("ts") > lit(lo) &&
+          col("event_id") % 2 === 0 && col("user_id") % 3 === 0 &&
+          (col("user_id") % 18 =!= 9 || col("ts") > lit(breakLo))
       val bulkDrop =
         (col("user_id") % 9 === 3 && col("ts") > lit(idleCut)) ||
-          col("user_id") % 9 === 6
+          col("user_id") % 9 === 6 ||
+          (col("user_id") % 18 === 9 && col("ts") > lit(breakCut))
       import scala.jdk.CollectionConverters._
       def parts(): Set[java.nio.file.Path] =
         scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
@@ -994,6 +1005,25 @@ object Queries {
         "q238 staging: no replay-only (user_id % 9 == 6) user with " +
           "stragglers at this SF — the fresh-sessions-from-nothing " +
           "population is dead")
+      // Seed-break liveness: a %18 == 9 user with BOTH an open bulk
+      // session (an event in (lo, cutoff−61 h] ⇒ last_bulk > lo ⇒ its
+      // ceil-ms timeout sits > cutoff−118.5 h, above the trigger-1
+      // watermark ≤ cutoff−120 h — still state when the stragglers
+      // land) and an upper-band straggler (> cutoff−60 h ⇒ ≥ 1 h > gap
+      // above any bulk event of theirs ⇒ the first straggler closes
+      // the seed on arrival). Measured populations: 1 / 8 / 77 users
+      // at sf0.001 / 0.01 / 0.1.
+      val breakLive = ev.where(replaySel && col("user_id") % 18 === 9)
+        .select("user_id").distinct()
+        .join(ev.where(col("user_id") % 18 === 9 &&
+            col("ts") > lit(lo) && col("ts") <= lit(breakCut))
+          .select("user_id").distinct(), Seq("user_id"))
+        .limit(1).count()
+      require(breakLive > 0,
+        "q238 staging: no seed-break (user_id % 18 == 9) user with an " +
+          "open bulk session (event in (lo, cutoff-61h]) and an " +
+          "upper-band straggler (> cutoff-60h) at this SF — the " +
+          "first-straggler-breaks-the-seed population is dead")
       val now = System.currentTimeMillis()
       def stamp(fs: Set[java.nio.file.Path], offsetMs: Long): Unit =
         fs.foreach(p => java.nio.file.Files.setLastModifiedTime(
@@ -5278,15 +5308,17 @@ object Queries {
     *     retention (tail sessions and near-cutoff stragglers stay
     *     unemitted, exactly as the state store holds them).
     * The divergence vs the batch gap rule (q34's semantics on the same
-    * tape) is LIVE at every SF — measured at staging design time:
-    * sf0.001 emits 821 sessions vs the batch rule's 837 (3 Spark-only
-    * merged-straggler sessions / 19 batch-only), sf0.01 7987 vs 8179
-    * (22/214), sf0.1 79421 vs 81177 (190/1946) — and so is EVERY
-    * oracle branch, via the staging's replay-user sub-slices (measured
-    * per SF: seeded merges 2/17/166 users, gone-idle timeout-then-
-    * replay 2/16/167, replay-only 1/16/165, in-replay segment breaks
-    * 8/166/1641; only the first-straggler-breaks-the-seed edge remains
-    * data-dependent — live at sf0.1, absent below).
+    * tape) is LIVE at every SF, and so is EVERY oracle branch, via the
+    * staging's replay-user sub-slices — measured per SF under the
+    * round-14 predicates (sf0.001 / 0.01 / 0.1 / 1 users): seeded
+    * merges 1/9/82/815, SEED-BREAK 1/8/77/774 (the %18 == 9 sub-slice
+    * — r13 verdict #3 — whose upper-band restriction makes the first
+    * straggler break the open seed structurally; it was live at sf0.1
+    * only, by data accident), gone-idle timeout-then-replay 2/16/167,
+    * replay-only 1/16/165, in-replay segment breaks 8/219/2044. Every
+    * branch has a staging assert that fails by name if its population
+    * dies; the gate is oracle-green at all four SFs on these
+    * predicates.
     * Streaming-tagged for the bench's median policy.
     */
   def q238_stream_session_straggler(s0: SparkSession, dir: String): DataFrame = {
@@ -8642,15 +8674,21 @@ object Queries {
          b0 AS (SELECT e.user_id, e.ts, e.event_id FROM events e, par
                 WHERE e.ts <= par.c
                   AND (e.ts <= par.lo OR e.event_id % 2 <> 0
-                       OR e.user_id % 3 <> 0)
+                       OR e.user_id % 3 <> 0
+                       OR (e.user_id % 18 = 9
+                           AND e.ts <= par.c - INTERVAL 60 HOUR))
                   AND NOT (e.user_id % 9 = 3
                            AND e.ts > par.c - INTERVAL 121 HOUR)
-                  AND e.user_id % 9 <> 6),
+                  AND e.user_id % 9 <> 6
+                  AND NOT (e.user_id % 18 = 9
+                           AND e.ts > par.c - INTERVAL 61 HOUR)),
          tl AS (SELECT e.user_id, e.ts, e.event_id FROM events e, par
                 WHERE e.ts > par.hi AND e.user_id % 3 <> 0),
          rp AS (SELECT e.user_id, e.ts, e.event_id FROM events e, par
                 WHERE e.ts <= par.c AND e.ts > par.lo AND e.event_id % 2 = 0
-                  AND e.user_id % 3 = 0),
+                  AND e.user_id % 3 = 0
+                  AND (e.user_id % 18 <> 9
+                       OR e.ts > par.c - INTERVAL 60 HOUR)),
          wm1 AS (SELECT (epoch_us(max(ts)) // 1000) - 432000000 AS w FROM b0),
          wmf AS (SELECT (epoch_us(max(ts)) // 1000) - 432000000 AS w
                  FROM events e, par
