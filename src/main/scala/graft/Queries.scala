@@ -1230,6 +1230,31 @@ object Queries {
         col("n_events"))
   }
 
+  /** PROBE variant of q127 (ScaleProbe only — NOT part of the query
+    * surface): the identical sessionize-timeout pipeline driven through
+    * [[graft.streaming.Streams.runToCompletionBounded]], so one
+    * aggregate row per batch reaches the driver instead of every
+    * emitted session. The oracle-gated q127 keeps the memory sink
+    * (DuckDB needs the actual rows); this exists because the probe's
+    * 300× tier emits 28.6 M sessions and the memory sink's driver
+    * collect — not the operator — was the envelope there (r13 verdict
+    * #6). Returns (emitted rows, order-independent xor fingerprint).
+    */
+  def q127_probe(s0: SparkSession, dir: String): (Long, Long) = {
+    val s = streamSession(s0, noDataBatches = true)
+    val streamDir = eventsStreamDir(s, dir)
+    import s.implicits._
+    val events = graft.streaming.Streams
+      .eventsStream(s, streamDir, maxFilesPerTrigger = 4)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.Streams.Event]
+    val sessions = graft.streaming.Streams.sessionize(s, events).toDF()
+      .select(col("user_id"), col("start").as("s_start"), col("end").as("s_end"),
+        col("n_events"))
+    graft.streaming.Streams.runToCompletionBounded(s, sessions)
+  }
+
   /** Native session_window under readStream through the oracle gate —
     * the streaming form of batch q125, closing the trio: q125 (native,
     * batch), q63/q127 (custom stateful stream), q135 (native stream).

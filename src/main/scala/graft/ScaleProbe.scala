@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * edges grow exactly ×N. events re-key both event_id and user_id per
   * copy, so per-user stream-join density stays constant and state
   * volume grows ×N.
+  *
+  * The alphabet rotation CLOSES at 26 copies, so beyond that tier
+  * vocabulary-driven workloads saturate (fixed distinct vocab, N-deep
+  * duplicate cliques). `GRAFT_SCALE_VOCAB=1` switches documents to a
+  * per-copy token-suffix transform whose distinct vocabulary genuinely
+  * grows ~×N at every tier — the honest growth semantics for
+  * q110/q144/minhash-class ops (r13 verdict #5; see the inline note
+  * for the ≥3-edit suffix construction).
   */
 object ScaleProbe {
   private val Offset = 1000000000L
@@ -29,8 +37,27 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // v2: re-keyed custkeys + scaled lineitem (stale v1 dirs lack both)
-    val dir = s"/tmp/graft-scaleprobe-${copies}x-v2"
+    // GRAFT_SCALE_VOCAB=1 (r13 verdict #5): documents get a per-copy
+    // TOKEN SUFFIX instead of the alphabet rotation. The rotation is a
+    // bijection over 26 letters, so it closes at 26 copies — beyond
+    // that, vocabulary-driven workloads (q110 fuzzy join's token sets,
+    // q144's vocab encode, minhash shingle space) measure a FIXED
+    // working set with N-deep duplicate cliques, i.e. the probe
+    // saturates and stops exercising growth. Suffixing every token
+    // with the copy index ("table" -> "tablev7") makes the distinct
+    // vocabulary genuinely scale ~xN at every tier (Heap's-law-style
+    // growth), preserves within-copy near-dup structure, and keeps
+    // copies disjoint. Value-parsed like the other levers.
+    val vocabMode = sys.env.get("GRAFT_SCALE_VOCAB") match {
+      case None | Some("0") | Some("false") | Some("") => false
+      case Some("1") | Some("true") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"GRAFT_SCALE_VOCAB must be 1/true or 0/false, got '$other'")
+    }
+    // v2: re-keyed custkeys + scaled lineitem (stale v1 dirs lack both);
+    // vocab-mode tapes live in their own dirs (different text content)
+    val dir = s"/tmp/graft-scaleprobe-${copies}x-v2" +
+      (if (vocabMode) "-vocab" else "")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       // GRAFT_SCALE_SHUFFLE: shuffle-partition override for the
@@ -79,10 +106,24 @@ object ScaleProbe {
       }
     }
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    scaled("documents", (df, i) => df
-      .withColumn("doc_id", col("doc_id") + lit(i * Offset))
-      .withColumn("text",
-        translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26))))
+    scaled("documents", (df, i) => {
+      val keyed = df.withColumn("doc_id", col("doc_id") + lit(i * Offset))
+      if (vocabMode) {
+        // copy 0 stays the base corpus (1x tape == base identity);
+        // every other copy suffixes each token with its copy index,
+        // each digit TRIPLED ("table" -> "tablev777" in copy 7):
+        // any two distinct copies' suffixes then differ by >= 3 edits,
+        // so q110's maxDist=2 edit-distance join can never match a
+        // word to its own cross-copy variants — a bare "v7"/"v9"
+        // suffix would have re-created the N-deep near-dup cliques
+        // this mode exists to remove (distance("v7","v9") = 1)
+        val suf = "v" + i.toString.flatMap(c => s"$c$c$c")
+        keyed.withColumn("text",
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), "(\\S+)", s"$$1$suf"))
+      } else keyed.withColumn("text",
+        translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26)))
+    })
     scaled("events", (df, i) => df
       .withColumn("event_id", col("event_id") + lit(i * Offset))
       // SmallOffset keeps copies disjoint (user ids << 1e7) and matches
@@ -252,7 +293,16 @@ object ScaleProbe {
     // (the eviction-path stateful op), z-order write + skip roundtrip
     time("bucketed_join_q107") { Queries.q107_bucketed_join(spark, dir).count() }
     time("ann_recall_q122") { Queries.q122_ann_recall(spark, dir).count() }
-    time("stream_session_q127") { Queries.q127_stream_session_timeout(spark, dir).count() }
+    // bounded probe sink (r13 verdict #6): the memory sink's driver
+    // collect was the 300x envelope (28.6 M emitted sessions), not the
+    // operator — the probe row now measures sessionize + timeout with
+    // one aggregate row per batch reaching the driver; the xor
+    // fingerprint rides a detail line for cross-run comparison
+    time("stream_session_q127") {
+      val (n, h) = Queries.q127_probe(spark, dir)
+      println(s"""[scaleprobe] {"op":"stream_session_q127_fingerprint","copies":$copies,"rows":$n,"xor":"${java.lang.Long.toHexString(h)}"}""")
+      n
+    }
     time("zorder_q94") { Queries.q94_zorder_roundtrip(spark, dir).count() }
     time("containment_q231") { Queries.q231_containment_join(spark, dir).count() }
     spark.stop()

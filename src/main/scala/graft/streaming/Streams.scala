@@ -667,4 +667,39 @@ object Streams {
     } finally q.stop()
     spark.table(name)
   }
+
+  /** Bounded PROBE sink (r13 verdict #6): [[runToCompletion]]'s memory
+    * sink collects EVERY emitted row to the driver, which at scale-probe
+    * tiers becomes the envelope before the operator does (q127's 300×
+    * DNF was the test sink's 28.6 M-row collect, and it cascaded into
+    * the same batch's q94 row — SCALE.md §Round-13 cont.). This sink
+    * reduces each micro-batch to ONE driver-side row via a distributed
+    * aggregate — row count + an order-independent XOR of per-row
+    * xxhash64 fingerprints (xor never overflows, so it is safe under
+    * ANSI mode where a SUM of hashes would throw) — so operator scaling
+    * is measurable past the collect envelope while the emitted set
+    * still carries a verifiable fingerprint. Returns (rows, xorHash).
+    * Probe plumbing only — the oracle gates keep the memory sink, which
+    * hands DuckDB the actual rows.
+    */
+  def runToCompletionBounded(spark: SparkSession, out: DataFrame,
+      outputMode: String = "append"): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val hash = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cols = out.columns.map(c => s"`$c`").mkString(", ")
+    val q = out.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val r = batch.agg(count(lit(1)).as("n"),
+          coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("h")).head()
+        rows.addAndGet(r.getLong(0))
+        // xor-merge across batches: batch order can never matter
+        hash.updateAndGet(h => h ^ r.getLong(1))
+        ()
+      }
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (rows.get, hash.get)
+  }
 }

@@ -39,6 +39,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("bounded probe sink: (count, xor fingerprint) equals the memory sink's rows (r13 verdict #6)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.core.Catalog.table(spark, dir, "events")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-probe-sink").toString
+    events.repartition(4).write.mode("overwrite").parquet(streamDir)
+    import spark.implicits._
+    def pipeline() = Streams.sessionize(spark,
+      Streams.eventsStream(spark, streamDir, maxFilesPerTrigger = 2)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value")).as[Event]).toDF()
+      .select(col("user_id"), col("start"), col("end"), col("n_events"))
+    // ground truth through the memory sink (the oracle-gate path)
+    val viaMemory = Streams.runToCompletion(spark, pipeline(),
+      s"probe_sink_ref_${System.nanoTime()}")
+    val ref = viaMemory.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(user_id, start, end, n_events))"),
+        lit(0L))).head()
+    // the bounded sink must report the identical (count, fingerprint)
+    // WITHOUT ever moving row-sized data to the driver
+    val (rows, xorHash) = Streams.runToCompletionBounded(spark, pipeline())
+    assert(rows == ref.getLong(0) && rows > 0)
+    assert(xorHash == ref.getLong(1),
+      "order-independent xor fingerprint must match the memory sink's rows")
+  }
+
   test("transformWithState running totals: monotone per-trigger emissions, final equals batch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
