@@ -44,13 +44,16 @@ object Bench {
   }
 
   /** Pinned v2 reference speed: the quiet-box reading of the v2 probe
-    * on the round-14 build box (interleaved min-of-2 triples [1.375,
-    * 1.531, 1.493] / [1.53, 1.395, 1.568] — ~10% spread where the
-    * legacy probe spread ±25% same-day).
+    * interleaved through a FULL 237-query pass on the round-14 build
+    * box ([1.377, 1.308, 1.311] — 5% intra-pass spread where the
+    * legacy probe spread ±25% same-day). Pinned from full-pass
+    * context deliberately: short filtered passes read the same probe
+    * ~15% slower (shallower JIT/heap state), so a short-pass pin
+    * would systematically inflate full-pass normalized totals.
     * `calib_norm_total_v2 = cold_total × (this / calib_med_v2)` is the
     * cross-round comparable total going forward.
     */
-  val ReferenceCalibV2Sec = 1.5
+  val ReferenceCalibV2Sec = 1.31
 
   /** True median (even counts average the middles). */
   def median(xs: Seq[Double]): Double = {
