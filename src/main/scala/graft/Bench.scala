@@ -260,8 +260,18 @@ object Bench {
         warmupErrors += s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
     }
     // v2 machine-speed probe #1 of 3 (post-warmup — JVM state is paid;
-    // #2 runs after the cold pass, #3 after the stream pass)
-    val calibV2a = calibProbeV2(spark)
+    // #2 runs after the cold pass, #3 after the stream pass). Each
+    // probe is guarded: a transient failure records the -1 sentinel the
+    // spread logic already excludes, instead of aborting a multi-pass
+    // run AFTER its expensive passes completed (review r14).
+    def calibProbeV2Safe(): Double =
+      try calibProbeV2(spark)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] calib v2 probe failed (recorded -1): $e")
+          -1.0
+      }
+    val calibV2a = calibProbeV2Safe()
     // Two passes per query: pass 1 (cold) pays one-time costs (whole-stage
     // codegen compilation, parquet footer/schema caches, shuffle file
     // warmup); pass 2 is the steady-state throughput a long-lived engine
@@ -356,27 +366,15 @@ object Bench {
       require(collisions.isEmpty,
         s"bench compact-JSON prefix collision: $collisions — rename the queries")
     }
-    val cold = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
-    // The iterative queries (CC rounds, PageRank) localCheckpoint
-    // per-round RDDs that only release via ContextCleaner after a GC;
-    // 119 queries of that garbage couples the warm pass to the cold
-    // pass's leftovers. One explicit GC per pass boundary restores the
-    // steady-state a long-lived engine would see.
-    System.gc()
-    val calibV2b = calibProbeV2(spark) // v2 probe #2 (mid-pass)
-    val warm = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
-    // Streaming queries bounce ±25% run-to-run (microbatch scheduling,
-    // RocksDB maintenance); a third sample + median gives round-over-round
-    // comparisons a stable number instead of noise. Same GC discipline as
-    // the cold→warm boundary: the medians exist for stability, so don't
-    // sample them against the warm pass's checkpoint garbage.
-    System.gc()
     // streaming policy membership comes from the EXPLICIT registry the
     // engine exports, never a name substring (r13 verdict #7): the
     // substring was one honest naming accident away from silently
     // mixing the min-of-3 and challenge-rerun stabilization policies.
     // A stream-NAMED query missing from the registry is exactly that
-    // accident half-made — refuse by name instead of guessing.
+    // accident half-made — refuse by name instead of guessing. Checked
+    // HERE, before the cold pass: it is pure static data, and failing
+    // after the expensive passes would discard the whole run (review
+    // r14).
     val streamSet = SparkEntry.streamingQueries
     locally {
       val unTagged = SparkEntry.queries.keys
@@ -385,9 +383,24 @@ object Bench {
         s"queries named like streaming but not in SparkEntry.streamingQueries: " +
           s"$unTagged — tag them (streaming) or rename them (batch)")
     }
+    val cold = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
+    // The iterative queries (CC rounds, PageRank) localCheckpoint
+    // per-round RDDs that only release via ContextCleaner after a GC;
+    // 119 queries of that garbage couples the warm pass to the cold
+    // pass's leftovers. One explicit GC per pass boundary restores the
+    // steady-state a long-lived engine would see.
+    System.gc()
+    val calibV2b = calibProbeV2Safe() // v2 probe #2 (mid-pass)
+    val warm = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
+    // Streaming queries bounce ±25% run-to-run (microbatch scheduling,
+    // RocksDB maintenance); a third sample + median gives round-over-round
+    // comparisons a stable number instead of noise. Same GC discipline as
+    // the cold→warm boundary: the medians exist for stability, so don't
+    // sample them against the warm pass's checkpoint garbage.
+    System.gc()
     val streamers = ordered.filter { case (n, _) => streamSet(n) }
     val third = streamers.map { case (name, fn) => name -> runOnce(name, fn) }
-    val calibV2c = calibProbeV2(spark) // v2 probe #3 (post stream pass)
+    val calibV2c = calibProbeV2Safe() // v2 probe #3 (post stream pass)
     val streamMedians = streamers.map { case (name, _) =>
       val samples = (cold ++ warm ++ third)
         .collect { case (n, (v, None)) if n == name && v >= 0 => v }.sorted
@@ -509,7 +522,11 @@ object Bench {
     // the box's speed changed mid-pass
     val contended = isContended(calibSec, histCalib) ||
       calibSpreadContended(calibProbesV2)
-    val calibV2Json = calibProbesV2.map(v => f"$v%.3f").mkString("[", ",", "]")
+    // Locale.ROOT like fmt2 below: a comma-decimal default locale would
+    // render 1.31 as "1,310" and corrupt the committed JSON record
+    val calibV2Json = calibProbesV2
+      .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
+      .mkString("[", ",", "]")
     val detail = s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":$calibSec,"calib_norm_total":$calibNorm,"calib_probes_v2":$calibV2Json,"calib_med_v2":$calibMedV2,"calib_norm_total_v2":$calibNormV2,"contended":$contended,"hist_calib_sec":${histCalib.getOrElse(-1.0)},"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"queries_stream_median":${jsonMap(streamMedians)},"reruns":$rerunJson,"spike_blocks":$spikeBlocksJson,"warmup_errors":$warmupJson,"errors":$errJson}"""
     try {
       // PrintWriter swallows I/O errors into an internal flag — a

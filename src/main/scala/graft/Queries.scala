@@ -1215,6 +1215,19 @@ object Queries {
     * pins the timeout-firing rule, not just "roughly idle users".
     */
   def q127_stream_session_timeout(s0: SparkSession, dir: String): DataFrame = {
+    val (s, sessions) = q127Pipeline(s0, dir)
+    graft.streaming.Streams
+      .runToCompletion(s, sessions, s"q127_sink_${System.nanoTime()}", "append")
+      .select(col("user_id"), col("start").as("s_start"), col("end").as("s_end"),
+        col("n_events"))
+  }
+
+  /** The ONE construction of q127's sessionize-timeout pipeline, shared
+    * by the oracle-gated query and [[q127_probe]] — the probe's value
+    * depends on measuring the exact benched pipeline, so the two must
+    * not be hand-maintained copies that can desynchronize (review r14).
+    */
+  private def q127Pipeline(s0: SparkSession, dir: String): (SparkSession, DataFrame) = {
     val s = streamSession(s0, noDataBatches = true)
     val streamDir = eventsStreamDir(s, dir)
     import s.implicits._
@@ -1223,11 +1236,7 @@ object Queries {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[graft.streaming.Streams.Event]
-    val sessions = graft.streaming.Streams.sessionize(s, events).toDF()
-    graft.streaming.Streams
-      .runToCompletion(s, sessions, s"q127_sink_${System.nanoTime()}", "append")
-      .select(col("user_id"), col("start").as("s_start"), col("end").as("s_end"),
-        col("n_events"))
+    (s, graft.streaming.Streams.sessionize(s, events).toDF())
   }
 
   /** PROBE variant of q127 (ScaleProbe only — NOT part of the query
@@ -1241,18 +1250,10 @@ object Queries {
     * #6). Returns (emitted rows, order-independent xor fingerprint).
     */
   def q127_probe(s0: SparkSession, dir: String): (Long, Long) = {
-    val s = streamSession(s0, noDataBatches = true)
-    val streamDir = eventsStreamDir(s, dir)
-    import s.implicits._
-    val events = graft.streaming.Streams
-      .eventsStream(s, streamDir, maxFilesPerTrigger = 4)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .as[graft.streaming.Streams.Event]
-    val sessions = graft.streaming.Streams.sessionize(s, events).toDF()
-      .select(col("user_id"), col("start").as("s_start"), col("end").as("s_end"),
-        col("n_events"))
-    graft.streaming.Streams.runToCompletionBounded(s, sessions)
+    val (s, sessions) = q127Pipeline(s0, dir)
+    graft.streaming.Streams.runToCompletionBounded(s,
+      sessions.select(col("user_id"), col("start").as("s_start"),
+        col("end").as("s_end"), col("n_events")))
   }
 
   /** Native session_window under readStream through the oracle gate —

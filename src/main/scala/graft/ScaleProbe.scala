@@ -221,7 +221,11 @@ object ScaleProbe {
       }
     }
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // lazy: only the minhash row reads it directly — an eager read here
+    // crashed the WHOLE run (before any probe row printed) when
+    // GRAFT_SCALE_TABLES staged a documents-less subset for an
+    // events-only probe
+    lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
     time("cc_q98") { Queries.q98_dup_clusters(spark, dir).count() }
     time("tfidf_q123") { Queries.q123_tfidf(spark, dir).count() }
     time("pagerank_q113") { Queries.q113_pagerank(spark, dir).count() }

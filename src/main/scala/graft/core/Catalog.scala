@@ -92,20 +92,32 @@ object Catalog {
 
   private def ensureStatsLoaded(spark: SparkSession): Unit =
     if (statsLoaded.compareAndSet(false, true)) statsPersistDir.foreach { d =>
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_SUCCESS")))
-        try {
-          val n = graft.stats.StatsRegistry.load(spark, d)
-          System.err.println(s"[stats] loaded $n persisted table-stats " +
-            s"entries from $d (signature-checked lazily on first use)")
-        } catch {
-          // a corrupt sidecar must not take down every query — name it
-          // and fall back to building (the pre-persistence behavior)
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[stats] persisted stats at $d unreadable " +
-              s"($e) — falling back to distributed builds")
-        }
+      // under the SAME lock as saveStats: a load racing a concurrent
+      // save (statsMany's futures vs a query-path stats() call) would
+      // read a mid-overwrite sidecar, drop the whole catalog, and the
+      // racing save would then rewrite it with only its own entries —
+      // silently shrinking the persisted set (review r14)
+      statsSaveLock.synchronized {
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_SUCCESS")))
+          try {
+            val n = graft.stats.StatsRegistry.load(spark, d)
+            System.err.println(s"[stats] loaded $n persisted table-stats " +
+              s"entries from $d (signature-checked lazily on first use)")
+          } catch {
+            // a corrupt sidecar must not take down every query — name it
+            // and fall back to building (the pre-persistence behavior)
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[stats] persisted stats at $d unreadable " +
+                s"($e) — falling back to distributed builds")
+          }
+      }
     }
 
+  // Cost note (review r14): this rewrites the whole sidecar — one tiny
+  // coalesce(1) job over kilobytes — and runs at most once per table per
+  // process (the statsCache gates rebuilds), with statsMany batching all
+  // its builds into one save. Correctness-first: every completed build
+  // is durable immediately, so a later crash never loses it.
   private def saveStats(spark: SparkSession): Unit = statsPersistDir.foreach { d =>
     statsSaveLock.synchronized {
       try graft.stats.StatsRegistry.save(spark, d)

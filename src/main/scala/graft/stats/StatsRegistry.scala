@@ -165,6 +165,16 @@ object StatsRegistry {
     * dataset. Entries whose local file set no longer exists are dropped
     * (dead scratch paths must not accumulate in the sidecar). Returns
     * the number of entries written.
+    *
+    * The write lands in a temp sibling dir first and swaps in via
+    * rename, so a reader never observes a half-written catalog (a
+    * direct `mode("overwrite")` deletes the target before writing —
+    * review r14). The crash window between delete and rename leaves no
+    * `_SUCCESS` at the target, which loaders already treat as "no
+    * sidecar" and rebuild. Same-JVM load/save ordering is the CALLER's
+    * lock ([[graft.core.Catalog]] serializes both under one lock);
+    * genuinely concurrent PROCESSES sharing one sidecar dir can still
+    * interleave — point them at distinct `GRAFT_STATS_DIR`s.
     */
   def save(spark: SparkSession, dir: String): Int = {
     import scala.jdk.CollectionConverters._
@@ -179,8 +189,32 @@ object StatsRegistry {
           ts.ndvsMap.toSeq.sortBy(_._1).map { case (c, n) => PNdv(c, n) })
       }
       .sortBy(_.key)
+    val tmp = s"$dir.tmp-${ProcessHandle.current().pid()}"
     spark.createDataset(rows)(Encoders.product[PStats])
-      .coalesce(1).write.mode("overwrite").json(dir)
+      .coalesce(1).write.mode("overwrite").json(tmp)
+    val target = java.nio.file.Paths.get(dir)
+    val tmpPath = java.nio.file.Paths.get(tmp)
+    try {
+      if (java.nio.file.Files.exists(target)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(target)) { w =>
+          w.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+      }
+      java.nio.file.Files.move(tmpPath, target)
+    } catch {
+      case t: Throwable =>
+        // best-effort cleanup of the temp dir; the caller's NonFatal
+        // handler logs the failure itself
+        try {
+          scala.util.Using.resource(java.nio.file.Files.walk(tmpPath)) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.delete)
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+        throw t
+    }
     rows.size
   }
 
