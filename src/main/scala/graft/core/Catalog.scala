@@ -75,6 +75,11 @@ object Catalog {
     * `GRAFT_STATS_DIR` overrides the default `<cwd>/stats-catalog`;
     * `GRAFT_STATS_DIR=none` disables persistence (builds stay
     * process-local). An empty value fails by name, like the probe levers.
+    * Concurrent PROCESSES sharing the default dir (Bench/Verify/
+    * ScaleProbe overlap in driver rounds) are safe as of r15: save and
+    * load hold an OS file lock on `<dir>.lock`, and save merges a
+    * peer's entries forward instead of last-writer-wins
+    * ([[graft.stats.StatsRegistry.save]]).
     */
   private lazy val statsPersistDir: Option[String] = {
     val raw = sys.env.getOrElse("GRAFT_STATS_DIR",

@@ -136,6 +136,16 @@ object StatsRegistry {
 
   // --- persistence -------------------------------------------------------
 
+  /** Sidecar format version, written into every row and REFUSED on
+    * mismatch at load (r14 verdict #5: without it, a future format
+    * change would deserialize garbage by name — fields silently null or
+    * reinterpreted). 2 = the first versioned format; "1" retroactively
+    * names the unversioned r14 sidecars, whose rows carry no version
+    * field at all and are refused as pre-versioning (they rebuild once,
+    * which is the safe direction).
+    */
+  private[stats] val SidecarFormatVersion: Long = 2L
+
   /** One persisted histogram column / range / ndv sketch value. */
   private[stats] case class PHist(column: String, buckets: Int,
       minV: Long, maxV: Long, counts: Seq[Long])
@@ -145,7 +155,75 @@ object StatsRegistry {
       key: String, signature: String, full: Boolean,
       numTuples: Long, ioCostPerPage: Double, numPages: Long,
       columns: Seq[String], hists: Seq[PHist], ranges: Seq[PRange],
-      ndvs: Seq[PNdv])
+      ndvs: Seq[PNdv], version: Option[Long])
+
+  /** Cross-process mutual exclusion for one sidecar directory: an OS
+    * `FileLock` on a sibling `<dir>.lock` file, held around both the
+    * save swap and the load read (ADVICE r14: the default
+    * `<cwd>/stats-catalog` is shared by every graft process launched
+    * from the repo root — Bench, Verify, ScaleProbe overlap in driver
+    * rounds — so an unguarded save could delete the target mid-load of
+    * a peer, and two saves were last-writer-wins). In-JVM re-entry is
+    * serialized by a process-wide monitor first (same-JVM `FileLock`
+    * re-acquisition throws instead of blocking). The wait is a bounded
+    * tryLock poll — same discipline as the txn tape lock — so a wedged
+    * peer is diagnosed by name instead of hanging the caller forever;
+    * `GRAFT_STATS_LOCK_WAIT_MS` overrides the 30 s default.
+    */
+  private val jvmSidecarLock = new Object
+  private def withSidecarLock[T](dir: String)(body: => T): T =
+    jvmSidecarLock.synchronized {
+      val lockPath = java.nio.file.Paths.get(dir + ".lock")
+      Option(lockPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val waitMs = sys.env.get("GRAFT_STATS_LOCK_WAIT_MS").map(_.toLong).getOrElse(30000L)
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val deadline = System.nanoTime() + waitMs * 1000000L
+        var lock: java.nio.channels.FileLock = null
+        while (lock == null) {
+          lock = ch.tryLock()
+          if (lock == null) {
+            if (System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                s"could not acquire the stats sidecar lock $lockPath within " +
+                  s"${waitMs} ms — another graft process is saving/loading this " +
+                  "sidecar (or died holding the lock is NOT possible: OS file " +
+                  "locks release on process exit, so a long hold means a live " +
+                  "peer mid-save). Raise GRAFT_STATS_LOCK_WAIT_MS or point this " +
+                  "process at a distinct GRAFT_STATS_DIR")
+            Thread.sleep(100)
+          }
+        }
+        try body finally lock.release()
+      } finally ch.close()
+    }
+
+  /** Raw sidecar rows (no registry side effects) — shared by [[load]]
+    * and [[save]]'s merge-on-save re-read.
+    */
+  private def readRows(spark: SparkSession, dir: String): Seq[PStats] = {
+    val enc = Encoders.product[PStats]
+    spark.read.schema(enc.schema).json(dir).as[PStats](enc).collect().toSeq
+  }
+
+  /** Split sidecar rows into (current-version, refused); the refused
+    * side is named on stderr — never silently deserialized (r14 verdict
+    * #5: a pre-versioning or future-format row must not answer by name).
+    */
+  private def versionGate(rows: Seq[PStats], dir: String): Seq[PStats] = {
+    val (ok, refused) = rows.partition(_.version.contains(SidecarFormatVersion))
+    if (refused.nonEmpty) {
+      val kinds = refused.map(_.version.map(_.toString).getOrElse("pre-versioning"))
+        .distinct.sorted.mkString(", ")
+      System.err.println(s"[stats] sidecar $dir: refused ${refused.size} " +
+        s"entr${if (refused.size == 1) "y" else "ies"} with format version " +
+        s"[$kinds] != $SidecarFormatVersion — those tables rebuild (and the " +
+        "next save rewrites the sidecar in the current format)")
+    }
+    ok
+  }
 
   // local file: paths whose files are all gone are dead entries (scratch
   // dirs, regenerated testdata) — GC'd at save so the sidecar can't
@@ -171,12 +249,29 @@ object StatsRegistry {
     * direct `mode("overwrite")` deletes the target before writing —
     * review r14). The crash window between delete and rename leaves no
     * `_SUCCESS` at the target, which loaders already treat as "no
-    * sidecar" and rebuild. Same-JVM load/save ordering is the CALLER's
-    * lock ([[graft.core.Catalog]] serializes both under one lock);
-    * genuinely concurrent PROCESSES sharing one sidecar dir can still
-    * interleave — point them at distinct `GRAFT_STATS_DIR`s.
+    * sidecar" and rebuild.
+    *
+    * Three hardenings (ADVICE r14 + r14 verdict #5):
+    *  - **delete guard**: the swap recursively deletes the target, so a
+    *    misconfigured `GRAFT_STATS_DIR` (pointed at testdata, an output
+    *    dir, …) would be silently destroyed on the first build.
+    *    Deletion now requires the target to be empty or to carry a
+    *    prior sidecar's markers (`_SUCCESS` / `part-*.json`); anything
+    *    else refuses by name without touching it.
+    *  - **cross-process lock**: save and load both run under
+    *    [[withSidecarLock]], so a peer process can neither observe the
+    *    delete-to-rename window nor interleave its own swap.
+    *  - **merge-on-save**: under the lock, a prior sidecar's
+    *    current-version entries for keys this process never built are
+    *    re-read and carried forward (still [[keyAlive]]-GC'd), so two
+    *    processes saving different tables to one dir both survive —
+    *    the last-writer-wins data loss is gone. On a key conflict the
+    *    in-memory entry wins (it is the fresher build); an entry a
+    *    LOADER dropped as stale may be re-carried from disk here, which
+    *    is harmless — its signature still fails verification for every
+    *    later reader until a rebuild overwrites it.
     */
-  def save(spark: SparkSession, dir: String): Int = {
+  def save(spark: SparkSession, dir: String): Int = withSidecarLock(dir) {
     import scala.jdk.CollectionConverters._
     val rows = byKey.asScala.toSeq
       .collect { case (k, e) if e.signature.isDefined && keyAlive(k) =>
@@ -186,17 +281,47 @@ object StatsRegistry {
             .map { case (c, h) => PHist(c, h.buckets, h.minV, h.maxV, h.bucketCounts) },
           ts.rangesMap.toSeq.sortBy(_._1)
             .map { case (c, (lo, hi)) => PRange(c, lo, hi) },
-          ts.ndvsMap.toSeq.sortBy(_._1).map { case (c, n) => PNdv(c, n) })
+          ts.ndvsMap.toSeq.sortBy(_._1).map { case (c, n) => PNdv(c, n) },
+          Some(SidecarFormatVersion))
       }
-      .sortBy(_.key)
-    val tmp = s"$dir.tmp-${ProcessHandle.current().pid()}"
-    spark.createDataset(rows)(Encoders.product[PStats])
-      .coalesce(1).write.mode("overwrite").json(tmp)
     val target = java.nio.file.Paths.get(dir)
+    // delete guard FIRST: a target we may not delete must fail before
+    // any write work, and with the prior sidecar intact
+    val targetIsSidecar = java.nio.file.Files.exists(target) && {
+      require(java.nio.file.Files.isDirectory(target),
+        s"stats sidecar target $dir exists and is not a directory — " +
+          "refusing to replace it; point GRAFT_STATS_DIR elsewhere")
+      val names = scala.util.Using.resource(java.nio.file.Files.list(target)) {
+        _.iterator().asScala.map(_.getFileName.toString).toList
+      }
+      val marker = names.isEmpty || names.contains("_SUCCESS") ||
+        names.exists(n => n.startsWith("part-") && n.endsWith(".json"))
+      require(marker,
+        s"stats sidecar target $dir is non-empty and carries no prior " +
+          "sidecar marker (_SUCCESS / part-*.json) — refusing to delete " +
+          "it; point GRAFT_STATS_DIR at an empty or sidecar directory")
+      names.contains("_SUCCESS")
+    }
+    // merge-on-save: carry forward a peer's current-version entries for
+    // keys this process has no build of (fresh in-memory beats disk)
+    val memKeys = rows.map(_.key).toSet
+    val carried =
+      if (!targetIsSidecar) Seq.empty[PStats]
+      else try versionGate(readRows(spark, dir), dir)
+        .filter(p => !memKeys(p.key) && keyAlive(p.key))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[stats] prior sidecar at $dir unreadable during " +
+            s"merge-on-save ($e) — writing this process's entries only")
+          Seq.empty[PStats]
+      }
+    val all = (rows ++ carried).sortBy(_.key)
+    val tmp = s"$dir.tmp-${ProcessHandle.current().pid()}"
+    spark.createDataset(all)(Encoders.product[PStats])
+      .coalesce(1).write.mode("overwrite").json(tmp)
     val tmpPath = java.nio.file.Paths.get(tmp)
     try {
       if (java.nio.file.Files.exists(target)) {
-        import scala.jdk.CollectionConverters._
         scala.util.Using.resource(java.nio.file.Files.walk(target)) { w =>
           w.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(java.nio.file.Files.delete)
@@ -215,7 +340,7 @@ object StatsRegistry {
         } catch { case scala.util.control.NonFatal(_) => () }
         throw t
     }
-    rows.size
+    all.size
   }
 
   /** Load a [[save]]d sidecar into the registry. Loaded entries are
@@ -223,12 +348,14 @@ object StatsRegistry {
     * scan on first lookup and is dropped by name if stale (the
     * staleness guard — a fresh process must never optimize against
     * statistics of data that changed). Entries already registered
-    * in-process win over loaded ones. Returns the number of entries
-    * loaded.
+    * in-process win over loaded ones. Rows whose format version is not
+    * [[SidecarFormatVersion]] are refused by name ([[versionGate]]) —
+    * never deserialized into live statistics. Runs under the sidecar
+    * file lock so a peer's save can never delete the dir mid-read.
+    * Returns the number of entries loaded.
     */
-  def load(spark: SparkSession, dir: String): Int = {
-    val enc = Encoders.product[PStats]
-    val rows = spark.read.schema(enc.schema).json(dir).as[PStats](enc).collect()
+  def load(spark: SparkSession, dir: String): Int = withSidecarLock(dir) {
+    val rows = versionGate(readRows(spark, dir), dir)
     rows.foreach { p =>
       val hists = p.hists.map { ph =>
         val h = new IntHistogram(ph.buckets, ph.minV, ph.maxV)

@@ -119,6 +119,119 @@ class StatsPersistSpec extends AnyFunSuite {
     assert(StatsRegistry.lookupVerified(df, needFull = false).exists(_._2))
   }
 
+  test("save refuses to delete a non-sidecar target (ADVICE r14 delete guard)") {
+    val spark = SharedSpark.spark
+    val tableDir = scratch("guard")
+    val df = writeTable(tableDir, seed = 21)
+    StatsRegistry.clear()
+    StatsRegistry.register(df, TableStats.build(df), full = true)
+    // a dir holding innocent non-sidecar content: the misconfigured
+    // GRAFT_STATS_DIR scenario (pointed at testdata / an output dir) —
+    // pre-guard, save() recursively destroyed it on the first build
+    val victim = scratch("victim")
+    val innocent = java.nio.file.Paths.get(victim, "precious.txt")
+    java.nio.file.Files.writeString(innocent, "not a sidecar")
+    val e = intercept[IllegalArgumentException] { StatsRegistry.save(spark, victim) }
+    assert(e.getMessage.contains("refusing to delete"))
+    assert(java.nio.file.Files.exists(innocent), "the guarded dir must be untouched")
+    assert(java.nio.file.Files.readString(innocent) == "not a sidecar")
+    // an empty dir IS a legal target, and so is a prior sidecar (the
+    // overwrite path the guard must not break)
+    val ok = scratch("guard-ok")
+    assert(StatsRegistry.save(spark, ok) >= 1)
+    assert(StatsRegistry.save(spark, ok) >= 1)
+    // a plain FILE at the target refuses by name too
+    val filePath = java.nio.file.Paths.get(scratch("guard-file"), "f")
+    java.nio.file.Files.writeString(filePath, "x")
+    val e2 = intercept[IllegalArgumentException] {
+      StatsRegistry.save(spark, filePath.toString)
+    }
+    assert(e2.getMessage.contains("not a directory"))
+    assert(java.nio.file.Files.readString(filePath) == "x")
+  }
+
+  test("format version: future and pre-versioning rows are refused by name (r14 verdict #5)") {
+    val spark = SharedSpark.spark
+    val tableDir = scratch("ver")
+    val sidecar = scratch("ver-sidecar")
+    val df = writeTable(tableDir, seed = 31)
+    StatsRegistry.clear()
+    StatsRegistry.register(df, TableStats.build(df), full = true)
+    assert(StatsRegistry.save(spark, sidecar) == 1)
+    // doctor the sidecar rows in place (drop the .crc twins so the local
+    // checksum filesystem does not veto the edited bytes)
+    def rewrite(f: String => String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val entries = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(sidecar)))(
+        _.iterator().asScala.toList)
+      entries.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(".") && n.endsWith(".crc")) java.nio.file.Files.delete(p)
+        else if (n.startsWith("part-") && n.endsWith(".json"))
+          java.nio.file.Files.writeString(p, f(java.nio.file.Files.readString(p)))
+      }
+    }
+    // a FUTURE format version: deserializing it by name would read
+    // arbitrarily-reinterpreted fields as live statistics
+    rewrite(_.replace("\"version\":2", "\"version\":99"))
+    StatsRegistry.clear()
+    assert(StatsRegistry.load(spark, sidecar) == 0, "future-version rows must not load")
+    assert(StatsRegistry.forPlan(df.queryExecution.analyzed).isEmpty)
+    // the pre-versioning r14 format: no version field at all
+    rewrite(_.replace(",\"version\":99}", "}"))
+    StatsRegistry.clear()
+    assert(StatsRegistry.load(spark, sidecar) == 0, "pre-versioning rows must be refused")
+    // a rebuild + save rewrites the sidecar in the current format (the
+    // merge-on-save re-read must refuse the doctored rows too, not carry
+    // them forward)
+    StatsRegistry.register(df, TableStats.build(df), full = true)
+    assert(StatsRegistry.save(spark, sidecar) == 1)
+    StatsRegistry.clear()
+    assert(StatsRegistry.load(spark, sidecar) == 1)
+    assert(StatsRegistry.forPlan(df.queryExecution.analyzed).isDefined)
+  }
+
+  test("two-process save survivorship: merge-on-save keeps a peer's entries (ADVICE r14)") {
+    val spark = SharedSpark.spark
+    val sidecar = scratch("merge-sidecar")
+    val dfA = writeTable(scratch("merge-a"), seed = 41)
+    val dirB = scratch("merge-b")
+    val dfB = writeTable(dirB, seed = 43, n = 6000)
+    StatsRegistry.clear()
+    StatsRegistry.register(dfA, TableStats.build(dfA), full = true)
+    assert(StatsRegistry.save(spark, sidecar) == 1)
+    // "process 2": a fresh registry that only ever built B saves to the
+    // SAME dir — pre-merge this was last-writer-wins and silently erased
+    // A's entry (ADVICE r14 / r14 verdict #5)
+    StatsRegistry.clear()
+    StatsRegistry.register(dfB, TableStats.build(dfB), full = true)
+    assert(StatsRegistry.save(spark, sidecar) == 2, "the save must carry A forward")
+    StatsRegistry.clear()
+    assert(StatsRegistry.load(spark, sidecar) == 2)
+    assert(StatsRegistry.forPlan(dfA.queryExecution.analyzed).exists(_.numTuples == 5000L))
+    assert(StatsRegistry.forPlan(dfB.queryExecution.analyzed).exists(_.numTuples == 6000L))
+    // key conflict: the in-memory (fresher) build wins over the carried
+    // disk row — B regenerated at 7000 rows replaces the 6000-row entry
+    val dfB2 = writeTable(dirB, seed = 44, n = 7000)
+    StatsRegistry.clear()
+    StatsRegistry.register(dfB2, TableStats.build(dfB2), full = true)
+    assert(StatsRegistry.save(spark, sidecar) == 2)
+    StatsRegistry.clear()
+    StatsRegistry.load(spark, sidecar)
+    assert(StatsRegistry.forPlan(dfB2.queryExecution.analyzed).exists(_.numTuples == 7000L))
+    // and the sidecar lock released cleanly: a fresh exclusive claim on
+    // the lock file succeeds immediately after save/load returned
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(sidecar + ".lock"),
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val l = ch.tryLock()
+      assert(l != null, "sidecar lock must be free after save/load")
+      l.release()
+    } finally ch.close()
+  }
+
   test("save GCs entries whose local file set is gone (dead scratch paths)") {
     val spark = SharedSpark.spark
     val tableDir = scratch("gone")
