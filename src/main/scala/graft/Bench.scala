@@ -1,18 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** Pinned reference machine speed for cross-round comparison: the
-    * fixed-work calibration probe's seconds on the r9/r10 adjudication
-    * baseline (r9 driver 2.91, r10 builder 3.05–3.2 clean passes). A
-    * pass's cold total scaled by referenceCalib/calib_sec is directly
-    * comparable round-over-round even when the driver box is loaded —
-    * the r10 verdict adjudicated a 26% apparent regression down to
-    * calib 5.07-vs-2.91 contention BY HAND; calib_norm_total is that
-    * division, done in the record itself.
+  /** LEGACY (lineage-only from r15, r14 verdict #2): pinned reference
+    * machine speed of the ORIGINAL one-shot calibration probe (r9
+    * driver 2.91, r10 builder 3.05–3.2 clean passes). The probe is
+    * cold-JVM-dominated (±25% same-day; an 8.79 s outlier on a box
+    * whose v2 median was in band), so `calib_norm_total` computed from
+    * it can be 2× wrong. It is still emitted for lineage continuity
+    * with r10–r14 records; `calib_norm_total_v2` is the one comparable
+    * (see [[ReferenceCalibV2Sec]]), and the `contended` flag is keyed
+    * off the v2 probes ([[isContendedV2]]).
     */
   val ReferenceCalibSec = 3.0
 
-  /** Cold total normalized to the pinned reference machine speed. */
+  /** LEGACY (lineage-only from r15): cold total normalized to the
+    * legacy probe's pinned speed — see [[ReferenceCalibSec]].
+    */
   def calibNormTotal(coldTotal: Double, calibSec: Double): Double =
     if (calibSec > 0) coldTotal * (ReferenceCalibSec / calibSec) else coldTotal
 
@@ -79,20 +82,118 @@ object Bench {
     }
   }
 
-  /** A pass is flagged `contended` when its calibration probe ran
-    * outside the committed history's band: > 1.4x the last committed
-    * pass's calib_sec (the clean-pass ratio r8–r10 stayed within
-    * ~1.25x), or with no usable history > 1.6x the pinned reference.
-    * The flag is advisory — per-query challenge re-runs still do the
-    * per-query adjudication — but it makes a loaded driver box
-    * self-describing at the PASS level instead of requiring next
-    * round's judge to divide by hand.
+  /** LEGACY (lineage-only from r15, r14 verdict #2): the original
+    * contended flag keyed off the one-shot legacy calib probe, which is
+    * cold-JVM-dominated and can read 2–3× off on a box whose v2 median
+    * is in band (the r14 judge's own pass read legacy 8.79 s at v2
+    * median 1.33). [[isContendedV2]] owns the `contended` decision now;
+    * this is computed only into the `contended_legacy` lineage field
+    * (and as the fallback when every v2 probe failed).
     */
   def isContended(calibSec: Double, histCalib: Option[Double]): Boolean =
     histCalib.filter(_ > 0) match {
       case Some(h) => calibSec > 1.4 * h
       case None => calibSec > 1.6 * ReferenceCalibSec
     }
+
+  /** The v2 calibration median EXCLUDES the -1 failure sentinels the
+    * guarded probes record (ADVICE r14: median of [-1, a, b] is
+    * min(a, b) — biasing calib_med_v2 low and calib_norm_total_v2 high
+    * exactly on the runs that had a probe hiccup). The raw triple,
+    * sentinels included, stays in `calib_probes_v2` for lineage.
+    * Returns -1 when no probe survived.
+    */
+  def calibMedianV2(probes: Seq[Double]): Double = median(probes.filter(_ > 0))
+
+  /** The pass-level contended decision, keyed off the v2 calibration
+    * (r14 verdict #2: the legacy probe's cold-JVM noise produced both
+    * false alarms and a 2×-wrong normalized total; the v2 probes are
+    * real fixed work, pre-warmed, min-of-2, ×3 interleaved through the
+    * pass). Fires when EITHER
+    *  - the intra-pass spread exceeds 20% of the median (the box's
+    *    speed CHANGED mid-pass — [[calibSpreadContended]]), or
+    *  - the median exceeds `medRatio` × the quiet pin (the box ran
+    *    uniformly slow: r14's driver pass read median 1.644 vs the
+    *    1.31 pin = 1.25×, which the judge adjudicated as ~25% slow).
+    * `None` when every probe failed — the caller falls back to the
+    * legacy flag and says so in `contended_by`.
+    */
+  def isContendedV2(probes: Seq[Double], pin: Double = ReferenceCalibV2Sec,
+      medRatio: Double = 1.25, maxSpread: Double = 0.2): Option[Boolean] = {
+    val valid = probes.filter(_ > 0)
+    if (valid.isEmpty) None
+    else Some(calibSpreadContended(valid, maxSpread) ||
+      calibMedianV2(valid) > medRatio * pin)
+  }
+
+  /** Post-pass challenge-rerun policy for STREAMING queries (r14
+    * verdict next-round #1a): batch spikes get end-of-pass reruns, but
+    * the 20 stream medians were computed from 3 in-pass runs that can
+    * ALL sit inside a contended window (r14: q62 median 8.05 vs 3.85
+    * quiet on the same tree — unrecovered in the headline). A streaming
+    * query is re-run once after the pass when its in-pass median
+    * exceeds `ratio` × its committed quiet reference — and a CONTENDED
+    * pass lowers the trigger to `contendedRatio` (the whole point is
+    * recovering a contended pass's streaming block; q63's 1.8× would
+    * dodge a flat 2×). Sub-floor medians never trigger (stream floor
+    * noise), and a query with no committed reference keeps its
+    * min-of-3 median unchallenged — the reference file is the only
+    * quiet-box evidence worth re-running against.
+    */
+  def streamRerunCandidates(streamMedians: Seq[(String, Double)],
+      ref: Map[String, Double], contended: Boolean, ratio: Double = 2.0,
+      contendedRatio: Double = 1.5, floorSec: Double = 0.5): Seq[String] = {
+    val trigger = if (contended) contendedRatio else ratio
+    streamMedians.collect {
+      case (n, m) if m > floorSec &&
+        ref.get(n).exists(r => r > 0 && m > trigger * r) => n
+    }
+  }
+
+  /** Per-query effective times — the usable headline's inputs (r14
+    * verdict next-round #1b). Batch queries keep their substituted cold
+    * (min(cold, challenge-rerun) floored at warm — the existing rule);
+    * STREAMING queries take their best stream evidence: the min-of-3
+    * in-pass median, improved to min(median, post-pass rerun) when a
+    * challenge rerun ran. A streaming query whose every stream sample
+    * errored (-1 median) falls back to its cold entry so the error
+    * accounting stays in one place. `effective_total` = the sum of the
+    * non-negative values — the number a contended pass can LEAD with
+    * instead of a raw cold sum that needs judge archaeology.
+    */
+  def effectiveTimes(coldTimes: Seq[(String, Double)],
+      streamMedians: Map[String, Double], streamReruns: Map[String, Double],
+      streamSet: String => Boolean): Seq[(String, Double)] =
+    coldTimes.map { case (n, c) =>
+      n -> (if (!streamSet(n)) c
+      else streamMedians.get(n).filter(_ >= 0) match {
+        case Some(m) =>
+          streamReruns.get(n).filter(_ >= 0).map(math.min(m, _)).getOrElse(m)
+        case None => c
+      })
+    }
+
+  /** Per-query ratios vs the committed quiet reference (r14 verdict
+    * next-round #3: this round's acquittal required three-pass git
+    * archaeology; the next judge reads ratio columns off the record).
+    * Only pairs where both sides are positive produce a ratio.
+    */
+  def ratiosVsRef(effective: Seq[(String, Double)],
+      ref: Map[String, Double]): Seq[(String, Double)] =
+    effective.collect {
+      case (n, v) if v >= 0 && ref.get(n).exists(_ > 0) => n -> v / ref(n)
+    }
+
+  /** Whether this pass may refresh the committed quiet reference
+    * (bench_ref.json): only a FULL, uncontended, error-free pass is
+    * quiet-box evidence — a contended driver pass must leave the
+    * reference alone (otherwise one loaded box poisons every later
+    * ratio), and a SPARK_GRAFT_ONLY-filtered pass covers too little
+    * surface to stand as the reference.
+    */
+  def shouldUpdateRef(fullPass: Boolean, contended: Boolean,
+      nErrors: Int, nWarmupErrors: Int): Boolean =
+    fullPass && !contended && nErrors == 0 && nWarmupErrors == 0
 
   /** Spike-adjacency detection (r12 closing note: four same-day passes
     * spread 166.9–215.2 s cold via MULTI-QUERY transient spikes —
@@ -356,6 +457,39 @@ object Bench {
         System.err.println(s"[bench] history read failed (contention re-runs disabled this pass): $e")
         (Map.empty[String, Double], None)
     }
+    // Committed quiet reference medians (r14 verdict next-round #3):
+    // query → effective seconds from the last quiet closing pass. Two
+    // consumers: the per-query ratio_vs_ref columns in the detail (so a
+    // judge reads round-over-round drift off ONE file instead of
+    // three-pass git archaeology), and the streaming challenge-rerun
+    // trigger (stream medians have no other quiet-box baseline —
+    // bench_detail history may itself be a contended driver pass, as
+    // the committed r14 record is). sf-gated like history.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
+    val refQueries: Map[String, Double] = try {
+      val f = new java.io.File(refPath)
+      if (!f.exists) Map.empty
+      else {
+        import org.json4s._
+        val parsed = org.json4s.jackson.JsonMethods.parse(
+          scala.io.Source.fromFile(f, "UTF-8").mkString)
+        val refSf = parsed \ "sf" match { case JString(s) => s; case _ => "" }
+        if (refSf != sfDir) Map.empty
+        else parsed \ "queries" match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] reference read failed (ratios and stream " +
+          s"reruns disabled this pass): $e")
+        Map.empty
+    }
     // The compact stdout line keys by numeric prefix ("q52_tpch_q3" ->
     // "q52"); two queries sharing a prefix would silently collide into
     // one JSON key with last-writer-wins timings — fail loudly instead.
@@ -480,6 +614,28 @@ object Bench {
       .map(n => n -> (coldByName(n), runOnce(n, SparkEntry.queries(n))._1))
     val allReruns = (reruns ++ blockReruns).sortBy(_._1)
     val allRerunMap = allReruns.toMap
+    // Pass-level contention adjudication, decided HERE because the
+    // streaming challenge-rerun trigger below depends on it. From r15
+    // the decision is keyed off the v2 calibration (r14 verdict #2):
+    // the legacy probe's flag is computed only into contended_legacy
+    // (and used as fallback iff every v2 probe failed — contended_by
+    // says which calibration adjudicated).
+    val calibProbesV2 = Seq(calibV2a, calibV2b, calibV2c)
+    val contendedLegacy = isContended(calibSec, histCalib)
+    val contendedV2 = isContendedV2(calibProbesV2)
+    val contended = contendedV2.getOrElse(contendedLegacy)
+    val contendedBy = if (contendedV2.isDefined) "v2" else "legacy-fallback"
+    // Streaming challenge reruns (r14 verdict next-round #1a): stream
+    // medians computed from 3 in-pass runs can all sit inside a
+    // contended window; members over their quiet-reference trigger get
+    // ONE post-pass lifecycle each, recorded alongside, and the
+    // effective time takes min(median, rerun).
+    System.gc()
+    val streamReruns: Seq[(String, (Double, Double))] =
+      streamRerunCandidates(streamMedians, refQueries, contended).map { n =>
+        n -> (streamMedians.toMap.apply(n), runOnce(n, SparkEntry.queries(n))._1)
+      }
+    val streamRerunVals = streamReruns.map { case (n, (_, r)) => n -> r }.toMap
     val warmByName = warm.collect { case (n, (v, None)) if v >= 0 => n -> v }.toMap
     // Substitution rule: a HISTORY-triggered re-run already proved the
     // cold number anomalous (3x its own committed cold median), so the
@@ -525,22 +681,34 @@ object Bench {
       .map(_.map("\"" + _ + "\"").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     val calibNorm = calibNormTotal(coldTotal, calibSec)
-    val calibProbesV2 = Seq(calibV2a, calibV2b, calibV2c)
-    val calibMedV2 = median(calibProbesV2)
+    // sentinel-safe median (ADVICE r14): a failed probe's -1 must not
+    // drag the cross-round comparable low; raw triple stays for lineage
+    val calibMedV2 = calibMedianV2(calibProbesV2)
     val calibNormV2 =
       if (calibMedV2 > 0) coldTotal * (ReferenceCalibV2Sec / calibMedV2)
       else coldTotal
-    // contended = the legacy vs-history flag OR the intra-pass v2
-    // spread: three probes bracketing the pass that disagree >20% mean
-    // the box's speed changed mid-pass
-    val contended = isContended(calibSec, histCalib) ||
-      calibSpreadContended(calibProbesV2)
+    // The usable headline (r14 verdict next-round #1b): batch takes the
+    // substituted cold (min(cold, challenge-rerun) floored at warm),
+    // streaming takes its best stream evidence (min-of-3 median,
+    // improved by any post-pass challenge rerun). "value" IS this from
+    // r15 on — self-described via value_is; cold_total keeps the raw
+    // substituted-cold lineage meaning r3–r14 records carry.
+    val effTimes = effectiveTimes(coldTimes, streamMedians.toMap,
+      streamRerunVals, streamSet)
+    val effectiveTotal = effTimes.map(_._2).filter(_ >= 0).sum
+    val ratios = ratiosVsRef(effTimes, refQueries)
+    val ratioMedian = if (ratios.isEmpty) -1.0 else median(ratios.map(_._2))
+    val ratioGt2 = ratios.collect { case (n, r) if r > 2.0 => n }.sorted
     // Locale.ROOT like fmt2 below: a comma-decimal default locale would
     // render 1.31 as "1,310" and corrupt the committed JSON record
     val calibV2Json = calibProbesV2
       .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
       .mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":$calibSec,"calib_norm_total":$calibNorm,"calib_probes_v2":$calibV2Json,"calib_med_v2":$calibMedV2,"calib_norm_total_v2":$calibNormV2,"contended":$contended,"hist_calib_sec":${histCalib.getOrElse(-1.0)},"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"queries_stream_median":${jsonMap(streamMedians)},"reruns":$rerunJson,"spike_blocks":$spikeBlocksJson,"warm_spike_blocks":$warmSpikeBlocksJson,"warmup_errors":$warmupJson,"errors":$errJson}"""
+    val streamRerunJson = streamReruns
+      .map { case (n, (m, r)) => "\"" + n + "\":[" + m + "," + r + "]" }
+      .mkString("{", ",", "}")
+    val ratioGt2Json = ratioGt2.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = s"""{"metric":"total","value":$effectiveTotal,"value_is":"effective_total","unit":"sec","effective_total":$effectiveTotal,"cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":$calibSec,"calib_norm_total":$calibNorm,"calib_probes_v2":$calibV2Json,"calib_med_v2":$calibMedV2,"calib_norm_total_v2":$calibNormV2,"contended":$contended,"contended_by":"$contendedBy","contended_legacy":$contendedLegacy,"hist_calib_sec":${histCalib.getOrElse(-1.0)},"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"queries_stream_median":${jsonMap(streamMedians)},"queries_effective":${jsonMap(effTimes)},"reruns":$rerunJson,"stream_reruns":$streamRerunJson,"spike_blocks":$spikeBlocksJson,"warm_spike_blocks":$warmSpikeBlocksJson,"ratio_vs_ref":${jsonMap(ratios)},"ratio_vs_ref_median":$ratioMedian,"n_ratio_gt2":${ratioGt2.size},"ratio_gt2":$ratioGt2Json,"ref_path":"${esc(refPath)}","n_ref_queries":${refQueries.size},"warmup_errors":$warmupJson,"errors":$errJson}"""
     try {
       // PrintWriter swallows I/O errors into an internal flag — a
       // disk-full write would silently leave a TRUNCATED detail file
@@ -551,6 +719,49 @@ object Bench {
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] detail write failed: $e")
+    }
+    // Quiet-reference maintenance (r14 verdict next-round #3): every
+    // FULL pass writes its effective per-query values as a CANDIDATE
+    // file; the committed bench_ref.json auto-refreshes only from a
+    // quiet, error-free full pass (shouldUpdateRef) whose sf matches
+    // any existing reference — a contended driver pass or a filtered /
+    // off-sf run can never move the baseline it is judged against.
+    locally {
+      def refJson(note: String): String = {
+        val qs = effTimes.filter(_._2 >= 0).sortBy(_._1)
+          .map { case (n, v) =>
+            "\"" + n + "\":" + "%.4f".formatLocal(java.util.Locale.ROOT, v) }
+          .mkString("{", ",", "}")
+        s"""{"sf":"$sfDir","note":"${esc(note)}","calib_med_v2":${fmtRef(calibMedV2)},"contended":$contended,"queries":$qs}"""
+      }
+      def fmtRef(v: Double): String =
+        "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      if (only.isEmpty) try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_ref_candidate.json"),
+          refJson("candidate: this pass's effective per-query values") + "\n")
+        if (shouldUpdateRef(fullPass = true, contended = contended,
+            nErrors = errors.size, nWarmupErrors = warmupErrors.size)) {
+          val refFile = java.nio.file.Paths.get(refPath)
+          val sfMatches = !java.nio.file.Files.exists(refFile) || {
+            import org.json4s._
+            org.json4s.jackson.JsonMethods.parse(
+              java.nio.file.Files.readString(refFile)) \ "sf" match {
+              case JString(s) => s == sfDir
+              case _ => true // malformed existing ref: replace it
+            }
+          }
+          if (sfMatches)
+            java.nio.file.Files.writeString(refFile,
+              refJson("quiet full-pass effective medians — the committed " +
+                "per-query reference (r14 verdict #3)") + "\n")
+          else System.err.println(s"[bench] ref not updated: existing $refPath " +
+            s"is for a different sf than $sfDir (candidate file written)")
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] ref write failed: $e")
+      }
     }
     def short(n: String): String = n.indexOf('_') match {
       case -1 => n
@@ -601,7 +812,7 @@ object Bench {
     // "metric":"total" — a consumer keying on the FIRST total match
     // would otherwise read this oversized (possibly front-truncated)
     // line and mis-parse or double-count
-    println(s"""{"metric":"total_full","value":$coldTotal,"unit":"sec","cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":${fmt2(calibSec)},"n_errors":${errors.size},"n_queries":${ordered.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(coldTimes)},"stream_median":${jsonMap2(streamMedians)},"reruns":$rerunJson2,"warmup_errors":$warmupJson2,"errors":$errJson2}""")
+    println(s"""{"metric":"total_full","value":${fmt2(effectiveTotal)},"value_is":"effective_total","unit":"sec","effective_total":${fmt2(effectiveTotal)},"cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":${fmt2(calibSec)},"n_errors":${errors.size},"n_queries":${ordered.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(coldTimes)},"stream_median":${jsonMap2(streamMedians)},"reruns":$rerunJson2,"warmup_errors":$warmupJson2,"errors":$errJson2}""")
     // LAST line: a summary small enough (~400 chars) that the collector's
     // tail window preserves it WHOLE however many queries exist — the
     // full-surface compact line above outgrew the observed ~2000-char
@@ -610,8 +821,11 @@ object Bench {
     // stdout from the FRONT; the final line survives. Slowest-10 stands
     // in for "queries" (full per-query detail is in bench_detail.json,
     // which is committed every round).
-    val slowest = coldTimes.filter(_._2 >= 0).sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":${fmt2(coldTotal)},"unit":"sec","cold_total":${fmt2(coldTotal)},"warm_total":${fmt2(warmTotal)},"calib_sec":${fmt2(calibSec)},"calib_norm_total":${fmt2(calibNorm)},"calib_med_v2":${fmt2(calibMedV2)},"calib_norm_total_v2":${fmt2(calibNormV2)},"contended":$contended,"n_errors":${errors.size},"n_queries":${ordered.size},"n_reruns":${allReruns.size},"n_spike_blocks":${blocks.size},"n_warm_spike_blocks":${warmBlocks.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(slowest)},"queries_are_slowest10":true}""")
+    // slowest-10 ranks by EFFECTIVE time — the number the headline sums
+    // (a contended stream median that a challenge rerun acquitted must
+    // not head this list)
+    val slowest = effTimes.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    println(s"""{"metric":"total","value":${fmt2(effectiveTotal)},"value_is":"effective_total","unit":"sec","effective_total":${fmt2(effectiveTotal)},"cold_total":${fmt2(coldTotal)},"warm_total":${fmt2(warmTotal)},"calib_sec":${fmt2(calibSec)},"calib_norm_total":${fmt2(calibNorm)},"calib_med_v2":${fmt2(calibMedV2)},"calib_norm_total_v2":${fmt2(calibNormV2)},"contended":$contended,"contended_by":"$contendedBy","ratio_vs_ref_median":${fmt2(ratioMedian)},"n_ratio_gt2":${ratioGt2.size},"n_errors":${errors.size},"n_queries":${ordered.size},"n_reruns":${allReruns.size},"n_stream_reruns":${streamReruns.size},"n_spike_blocks":${blocks.size},"n_warm_spike_blocks":${warmBlocks.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(slowest)},"queries_are_slowest10":true}""")
     spark.stop()
   }
 }

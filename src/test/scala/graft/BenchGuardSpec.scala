@@ -110,6 +110,121 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.calibSpreadContended(Seq.empty))
   }
 
+  test("calib_med_v2 excludes failure sentinels (ADVICE r14)") {
+    // median of [-1, a, b] used to be min(a, b): biased low exactly on
+    // runs with a probe hiccup, inflating calib_norm_total_v2
+    assert(Bench.calibMedianV2(Seq(-1.0, 1.5, 1.6)) == 1.55)
+    assert(Bench.calibMedianV2(Seq(1.38, 1.865, 1.644)) == 1.644)
+    // no surviving probe: the -1 no-reading sentinel, not a crash
+    assert(Bench.calibMedianV2(Seq(-1.0, -1.0, -1.0)) == -1.0)
+    assert(Bench.calibMedianV2(Seq.empty) == -1.0)
+  }
+
+  test("contended is keyed off the v2 calibration (r14 verdict #2 / next-round #2)") {
+    // the r14 DRIVER pass: [1.38, 1.865, 1.644] — 29.5% intra-pass
+    // spread AND median 1.644 = 1.25x the 1.31 pin; the judge
+    // adjudicated it contended by hand, the flag now says so itself
+    assert(Bench.isContendedV2(Seq(1.38, 1.865, 1.644)) == Some(true))
+    // the r14 quiet builder pass: 6% spread, median 1.265 — clean
+    assert(Bench.isContendedV2(Seq(1.227, 1.265, 1.308)) == Some(false))
+    // uniformly slow box (tight spread, median over the 1.25x pin):
+    // the spread rule alone would miss it
+    assert(Bench.isContendedV2(Seq(1.70, 1.71, 1.72)) == Some(true))
+    // the judge's own r14 pass: early-window contention then settled —
+    // the spread fires even though the median is in band
+    assert(Bench.isContendedV2(Seq(2.30, 1.27, 1.33)) == Some(true))
+    // failure sentinels are excluded, not read as fast probes
+    assert(Bench.isContendedV2(Seq(-1.0, 1.27, 1.30)) == Some(false))
+    // every probe failed: no v2 evidence — None, and the caller falls
+    // back to the legacy flag with contended_by = "legacy-fallback"
+    assert(Bench.isContendedV2(Seq(-1.0, -1.0, -1.0)).isEmpty)
+    // the legacy 8.79 s cold-JVM outlier can NOT fire the v2 flag (it
+    // was the legacy probe misreading a box whose v2 median was in
+    // band — the exact case that retired the legacy calibration)
+    assert(Bench.isContendedV2(Seq(1.33, 1.27, 1.30)) == Some(false))
+  }
+
+  test("streaming challenge reruns: trigger policy (r14 verdict next-round #1a)") {
+    // the r14 unrecovered case: q62 stream median 8.05 vs 3.85 quiet
+    // reference = 2.09x — over the 2x trigger even on a quiet pass
+    val ref = Map("q62" -> 3.85, "q63" -> 1.36, "q132" -> 3.69)
+    val medians = Seq("q62" -> 8.05, "q63" -> 2.46, "q132" -> 3.80)
+    assert(Bench.streamRerunCandidates(medians, ref, contended = false)
+      == Seq("q62"))
+    // a CONTENDED pass lowers the trigger to 1.5x: q63's 1.81x (which
+    // dodges the flat 2x) is recovered exactly when it matters
+    assert(Bench.streamRerunCandidates(medians, ref, contended = true)
+      == Seq("q62", "q63"))
+    // in-band medians never re-run (q132 at 1.03x), no reference means
+    // no trigger (min-of-3 stands), sub-floor and errored medians are
+    // never re-run
+    assert(Bench.streamRerunCandidates(
+      Seq("qnew" -> 9.9, "qtiny" -> 0.4, "qerr" -> -1.0),
+      ref ++ Map("qtiny" -> 0.1, "qerr" -> 1.0), contended = true).isEmpty)
+    // a garbage (non-positive) reference can not divide its way into a
+    // trigger
+    assert(Bench.streamRerunCandidates(Seq("qz" -> 5.0),
+      Map("qz" -> 0.0), contended = false).isEmpty)
+  }
+
+  test("effective_total recovers a contended pass's headline (r14 verdict next-round #1b)") {
+    val streamSet = Set("q62", "q63")
+    // post-substitution cold times as Bench computes them: the batch
+    // spike (q80 18.94 -> rerun 2.07, warm 2.10) already substituted;
+    // streaming colds still raw (8.4 / 2.6 from the contended window)
+    val coldTimes = Seq("q80" -> 2.10, "q62" -> 8.40, "q63" -> 2.60,
+      "q01" -> 1.00, "qerr" -> -1.0)
+    val medians = Map("q62" -> 8.05, "q63" -> 2.46)
+    val reruns = Map("q62" -> 3.90) // post-pass challenge landed in band
+    val eff = Bench.effectiveTimes(coldTimes, medians, reruns, streamSet).toMap
+    assert(eff("q80") == 2.10, "batch keeps its substituted cold")
+    assert(eff("q62") == 3.90, "stream takes min(median, challenge rerun)")
+    assert(eff("q63") == 2.46, "stream without a rerun takes its min-of-3 median")
+    assert(eff("q01") == 1.00)
+    assert(eff("qerr") == -1.0, "errors stay errors")
+    val total = eff.values.filter(_ >= 0).sum
+    assert(math.abs(total - (2.10 + 3.90 + 2.46 + 1.00)) < 1e-9,
+      "the headline sums the recovered values and skips errors")
+    // raw cold total would have read 8.40 + 2.60 + ... — the synthetic
+    // contended fixture: effective recovers 4.64 s of pure contention
+    assert(total < coldTimes.collect { case (_, v) if v >= 0 => v }.sum)
+    // a stream query whose EVERY stream sample errored falls back to
+    // its cold entry (error accounting stays in one place)
+    val eff2 = Bench.effectiveTimes(Seq("q62" -> -1.0), Map("q62" -> -1.0),
+      Map.empty, streamSet).toMap
+    assert(eff2("q62") == -1.0)
+    // a rerun that itself errored (-1) must not replace a good median
+    val eff3 = Bench.effectiveTimes(Seq("q62" -> 8.4), Map("q62" -> 8.05),
+      Map("q62" -> -1.0), streamSet).toMap
+    assert(eff3("q62") == 8.05)
+  }
+
+  test("ratio_vs_ref: per-query ratios off the committed quiet reference (r14 verdict next-round #3)") {
+    val ref = Map("qa" -> 2.0, "qb" -> 1.0, "qz" -> 0.0)
+    val eff = Seq("qa" -> 2.2, "qb" -> 3.0, "qc" -> 1.0, "qz" -> 5.0, "qe" -> -1.0)
+    val ratios = Bench.ratiosVsRef(eff, ref).toMap
+    assert(math.abs(ratios("qa") - 1.1) < 1e-9)
+    assert(math.abs(ratios("qb") - 3.0) < 1e-9)
+    assert(!ratios.contains("qc"), "no reference, no ratio")
+    assert(!ratios.contains("qz"), "a zero reference can not divide")
+    assert(!ratios.contains("qe"), "errored queries produce no ratio")
+  }
+
+  test("bench_ref refresh policy: only a quiet, error-free full pass moves the baseline") {
+    assert(Bench.shouldUpdateRef(fullPass = true, contended = false,
+      nErrors = 0, nWarmupErrors = 0))
+    // the r14 driver pass (contended) must leave the reference alone —
+    // otherwise one loaded box poisons every later ratio
+    assert(!Bench.shouldUpdateRef(fullPass = true, contended = true,
+      nErrors = 0, nWarmupErrors = 0))
+    assert(!Bench.shouldUpdateRef(fullPass = false, contended = false,
+      nErrors = 0, nWarmupErrors = 0))
+    assert(!Bench.shouldUpdateRef(fullPass = true, contended = false,
+      nErrors = 1, nWarmupErrors = 0))
+    assert(!Bench.shouldUpdateRef(fullPass = true, contended = false,
+      nErrors = 0, nWarmupErrors = 1))
+  }
+
   test("streaming policy keys off the explicit registry, not a name substring (r13 verdict #7)") {
     val reg = Queries.streamingQueries
     // the registry names only live queries, and today covers exactly the
