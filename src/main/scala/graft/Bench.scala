@@ -190,10 +190,29 @@ object Bench {
     * reference alone (otherwise one loaded box poisons every later
     * ratio), and a SPARK_GRAFT_ONLY-filtered pass covers too little
     * surface to stand as the reference.
+    *
+    * The pass's OWN ratio evidence gates too (measured incident, this
+    * round's first closing pass): the v2 probes are CPU-bound fixed
+    * work, so HOST-side I/O contention can read v2-clean (median
+    * 1.08× the pin, 17% spread) while shuffle/write-heavy queries run
+    * 2–4× — that pass carried ratio_vs_ref_median 1.27 with 27
+    * queries >2× and, pre-gate, silently REPLACED the quiet baseline
+    * with its inflated values. A pass may only move the reference
+    * when it broadly AGREES with it (median ratio ≤ `maxMedianRatio`,
+    * >2× outliers ≤ max(2, 2% of covered queries)) or when no
+    * reference exists yet (bootstrap). A genuine tree-wide slowdown
+    * therefore keeps reading against the old quiet baseline — which
+    * is the honest record — until the builder promotes
+    * bench_ref_candidate.json by hand with the regression named.
     */
   def shouldUpdateRef(fullPass: Boolean, contended: Boolean,
-      nErrors: Int, nWarmupErrors: Int): Boolean =
-    fullPass && !contended && nErrors == 0 && nWarmupErrors == 0
+      nErrors: Int, nWarmupErrors: Int, ratioMedian: Double = 1.0,
+      nRatioGt2: Int = 0, nRefCovered: Int = 0,
+      maxMedianRatio: Double = 1.15): Boolean =
+    fullPass && !contended && nErrors == 0 && nWarmupErrors == 0 &&
+      (nRefCovered == 0 ||
+        (ratioMedian > 0 && ratioMedian <= maxMedianRatio &&
+          nRatioGt2 <= math.max(2, nRefCovered / 50)))
 
   /** Spike-adjacency detection (r12 closing note: four same-day passes
     * spread 166.9–215.2 s cold via MULTI-QUERY transient spikes —
@@ -740,8 +759,19 @@ object Bench {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_ref_candidate.json"),
           refJson("candidate: this pass's effective per-query values") + "\n")
-        if (shouldUpdateRef(fullPass = true, contended = contended,
-            nErrors = errors.size, nWarmupErrors = warmupErrors.size)) {
+        val baseOk = shouldUpdateRef(fullPass = true, contended = contended,
+          nErrors = errors.size, nWarmupErrors = warmupErrors.size)
+        val refOk = shouldUpdateRef(fullPass = true, contended = contended,
+          nErrors = errors.size, nWarmupErrors = warmupErrors.size,
+          ratioMedian = ratioMedian, nRatioGt2 = ratioGt2.size,
+          nRefCovered = ratios.size)
+        if (baseOk && !refOk)
+          System.err.println(f"[bench] ref not updated: pass disagrees with " +
+            f"the existing reference (median ratio $ratioMedian%.3f, " +
+            s"${ratioGt2.size} queries >2x) — box-side contention the v2 " +
+            "probe can miss, or a genuine tree-wide shift; promote " +
+            "bench_ref_candidate.json by hand if it is the latter")
+        if (refOk) {
           val refFile = java.nio.file.Paths.get(refPath)
           val sfMatches = !java.nio.file.Files.exists(refFile) || {
             import org.json4s._

@@ -223,6 +223,29 @@ class BenchGuardSpec extends AnyFunSuite {
       nErrors = 1, nWarmupErrors = 0))
     assert(!Bench.shouldUpdateRef(fullPass = true, contended = false,
       nErrors = 0, nWarmupErrors = 1))
+    // the measured r15 incident: HOST-side I/O contention read v2-clean
+    // (contended:false) while the pass carried ratio_vs_ref_median 1.27
+    // with 27 queries >2x — the ratio evidence must block the refresh
+    assert(!Bench.shouldUpdateRef(fullPass = true, contended = false,
+      nErrors = 0, nWarmupErrors = 0,
+      ratioMedian = 1.27, nRatioGt2 = 27, nRefCovered = 237))
+    // either signal alone blocks: inflated median with few outliers,
+    // and in-band median with an outlier pile
+    assert(!Bench.shouldUpdateRef(fullPass = true, contended = false,
+      nErrors = 0, nWarmupErrors = 0,
+      ratioMedian = 1.20, nRatioGt2 = 0, nRefCovered = 237))
+    assert(!Bench.shouldUpdateRef(fullPass = true, contended = false,
+      nErrors = 0, nWarmupErrors = 0,
+      ratioMedian = 1.00, nRatioGt2 = 8, nRefCovered = 237))
+    // a quiet pass that agrees with the reference refreshes it (normal
+    // round-over-round drift, a couple of jitter outliers allowed)
+    assert(Bench.shouldUpdateRef(fullPass = true, contended = false,
+      nErrors = 0, nWarmupErrors = 0,
+      ratioMedian = 1.05, nRatioGt2 = 2, nRefCovered = 237))
+    // bootstrap: no existing reference — the base conditions suffice
+    assert(Bench.shouldUpdateRef(fullPass = true, contended = false,
+      nErrors = 0, nWarmupErrors = 0,
+      ratioMedian = -1.0, nRatioGt2 = 0, nRefCovered = 0))
   }
 
   test("streaming policy keys off the explicit registry, not a name substring (r13 verdict #7)") {
