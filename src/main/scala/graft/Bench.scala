@@ -200,18 +200,22 @@ object Bench {
     * with its inflated values. A pass may only move the reference
     * when it broadly AGREES with it (median ratio ≤ `maxMedianRatio`,
     * >2× outliers ≤ max(2, 2% of covered queries)) or when no
-    * reference exists yet (bootstrap). A genuine tree-wide slowdown
+    * reference FILE exists yet (bootstrap — `refExists`, checked
+    * against the filesystem, NOT against the parsed map: an existing
+    * ref that read as empty means torn file / wrong format / renamed
+    * surface, and an ungated overwrite there is exactly the poisoning
+    * this gate exists for — review r15). A genuine tree-wide slowdown
     * therefore keeps reading against the old quiet baseline — which
     * is the honest record — until the builder promotes
     * bench_ref_candidate.json by hand with the regression named.
     */
   def shouldUpdateRef(fullPass: Boolean, contended: Boolean,
-      nErrors: Int, nWarmupErrors: Int, ratioMedian: Double = 1.0,
-      nRatioGt2: Int = 0, nRefCovered: Int = 0,
+      nErrors: Int, nWarmupErrors: Int, refExists: Boolean = false,
+      ratioMedian: Double = 1.0, nRatioGt2: Int = 0, nRefCovered: Int = 0,
       maxMedianRatio: Double = 1.15): Boolean =
     fullPass && !contended && nErrors == 0 && nWarmupErrors == 0 &&
-      (nRefCovered == 0 ||
-        (ratioMedian > 0 && ratioMedian <= maxMedianRatio &&
+      (!refExists ||
+        (nRefCovered > 0 && ratioMedian > 0 && ratioMedian <= maxMedianRatio &&
           nRatioGt2 <= math.max(2, nRefCovered / 50)))
 
   /** Spike-adjacency detection (r12 closing note: four same-day passes
@@ -570,13 +574,6 @@ object Bench {
     def esc(s: String): String = EnvFilter.jsonEsc(s)
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // include the third streaming pass: a query that only crashes there
-    // must still surface in errors/n_errors
-    val errors = (cold ++ warm ++ third).collect { case (n, (_, Some(e))) => n -> e }
-      .groupBy(_._1).map { case (n, es) => n -> es.head._2 }.toSeq.sortBy(_._1)
-    val errJson = errors
-      .map { case (n, e) => s"\"" + n + "\":\"" + esc(e) + "\"" }
-      .mkString("{", ",", "}")
     // Contention re-runs (r7 verdict #3): any query whose cold time beats
     // 3x its committed historical value (and is past an absolute floor so
     // sub-second jitter never triggers) is re-measured ONCE at end of
@@ -650,11 +647,25 @@ object Bench {
     // ONE post-pass lifecycle each, recorded alongside, and the
     // effective time takes min(median, rerun).
     System.gc()
-    val streamReruns: Seq[(String, (Double, Double))] =
+    val streamRerunsRaw: Seq[(String, (Double, Double, Option[String]))] =
       streamRerunCandidates(streamMedians, refQueries, contended).map { n =>
-        n -> (streamMedians.toMap.apply(n), runOnce(n, SparkEntry.queries(n))._1)
+        val (t, err) = runOnce(n, SparkEntry.queries(n))
+        n -> (streamMedians.toMap.apply(n), t, err)
       }
+    val streamReruns: Seq[(String, (Double, Double))] =
+      streamRerunsRaw.map { case (n, (m, t, _)) => n -> (m, t) }
     val streamRerunVals = streamReruns.map { case (n, (_, r)) => n -> r }.toMap
+    // include the third streaming pass AND the post-pass stream reruns:
+    // a query that only crashes in either must still surface in
+    // errors/n_errors (a crashed stream rerun would otherwise hide as a
+    // -1 inside stream_reruns while the pass read error-free and could
+    // refresh the committed reference — review r15)
+    val errors = ((cold ++ warm ++ third).collect { case (n, (_, Some(e))) => n -> e } ++
+      streamRerunsRaw.collect { case (n, (_, _, Some(e))) => n -> s"(stream rerun) $e" })
+      .groupBy(_._1).map { case (n, es) => n -> es.head._2 }.toSeq.sortBy(_._1)
+    val errJson = errors
+      .map { case (n, e) => s"\"" + n + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
     val warmByName = warm.collect { case (n, (v, None)) if v >= 0 => n -> v }.toMap
     // Substitution rule: a HISTORY-triggered re-run already proved the
     // cold number anomalous (3x its own committed cold median), so the
@@ -755,14 +766,31 @@ object Bench {
       }
       def fmtRef(v: Double): String =
         "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      // temp + atomic rename, the stats-sidecar discipline: a crash (or
+      // concurrent reader — Bench/Verify/ScaleProbe overlap in driver
+      // rounds) must never leave/observe a torn reference, which the
+      // next pass would read as "no ratios" (review r15)
+      def writeAtomic(path: java.nio.file.Path, content: String): Unit = {
+        val tmp = path.toAbsolutePath.resolveSibling(
+          path.getFileName.toString + s".tmp-${ProcessHandle.current().pid()}")
+        java.nio.file.Files.writeString(tmp, content)
+        java.nio.file.Files.move(tmp, path.toAbsolutePath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       if (only.isEmpty) try {
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("bench_ref_candidate.json"),
+        writeAtomic(java.nio.file.Paths.get("bench_ref_candidate.json"),
           refJson("candidate: this pass's effective per-query values") + "\n")
+        // bootstrap is a FILESYSTEM fact, not a parsed-map one: an
+        // existing ref that read as empty (torn file, renamed surface)
+        // must block, not bootstrap (review r15)
+        val refFileExists =
+          java.nio.file.Files.exists(java.nio.file.Paths.get(refPath))
         val baseOk = shouldUpdateRef(fullPass = true, contended = contended,
           nErrors = errors.size, nWarmupErrors = warmupErrors.size)
         val refOk = shouldUpdateRef(fullPass = true, contended = contended,
           nErrors = errors.size, nWarmupErrors = warmupErrors.size,
+          refExists = refFileExists,
           ratioMedian = ratioMedian, nRatioGt2 = ratioGt2.size,
           nRefCovered = ratios.size)
         if (baseOk && !refOk)
@@ -782,7 +810,7 @@ object Bench {
             }
           }
           if (sfMatches)
-            java.nio.file.Files.writeString(refFile,
+            writeAtomic(refFile,
               refJson("quiet full-pass effective medians — the committed " +
                 "per-query reference (r14 verdict #3)") + "\n")
           else System.err.println(s"[bench] ref not updated: existing $refPath " +

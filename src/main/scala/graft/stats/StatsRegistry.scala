@@ -170,12 +170,32 @@ object StatsRegistry {
     * peer is diagnosed by name instead of hanging the caller forever;
     * `GRAFT_STATS_LOCK_WAIT_MS` overrides the 30 s default.
     */
-  private val jvmSidecarLock = new Object
-  private def withSidecarLock[T](dir: String)(body: => T): T =
-    jvmSidecarLock.synchronized {
-      val lockPath = java.nio.file.Paths.get(dir + ".lock")
+  // per-DIR monitors (review r15): one global monitor would serialize a
+  // save to dir X (which may sleep up to the full lock-wait poll behind
+  // a peer process) with loads/saves of unrelated dirs
+  private val jvmSidecarLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withSidecarLock[T](dir: String)(body: => T): T = {
+    // normalize BEFORE deriving the lock path: a trailing-slash dir
+    // ("/x/stats/") would otherwise put ".lock" INSIDE the target —
+    // the delete guard then refuses every save of a fresh dir, and the
+    // swap would delete the held lock file out from under a peer
+    // (review r15)
+    val norm = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    val monitor =
+      jvmSidecarLocks.computeIfAbsent(norm.toString, _ => new Object)
+    monitor.synchronized {
+      val lockPath = norm.resolveSibling(norm.getFileName.toString + ".lock")
       Option(lockPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      val waitMs = sys.env.get("GRAFT_STATS_LOCK_WAIT_MS").map(_.toLong).getOrElse(30000L)
+      // fails by name like the probe levers — a bare NumberFormatException
+      // from inside every save/load would never point at the env var
+      val waitMs = sys.env.get("GRAFT_STATS_LOCK_WAIT_MS").map { raw =>
+        try raw.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"GRAFT_STATS_LOCK_WAIT_MS must be an integer (milliseconds), got '$raw'")
+        }
+      }.getOrElse(30000L)
       val ch = java.nio.channels.FileChannel.open(lockPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
@@ -199,6 +219,7 @@ object StatsRegistry {
         try body finally lock.release()
       } finally ch.close()
     }
+  }
 
   /** Raw sidecar rows (no registry side effects) — shared by [[load]]
     * and [[save]]'s merge-on-save re-read.
@@ -273,6 +294,11 @@ object StatsRegistry {
     */
   def save(spark: SparkSession, dir: String): Int = withSidecarLock(dir) {
     import scala.jdk.CollectionConverters._
+    // normalized like the lock path: a trailing-slash dir would place
+    // the ".tmp-<pid>" sibling INSIDE the target, where the swap's
+    // delete walk destroys it before the rename (review r15)
+    val normDir =
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
     val rows = byKey.asScala.toSeq
       .collect { case (k, e) if e.signature.isDefined && keyAlive(k) =>
         val ts = e.ts
@@ -284,7 +310,7 @@ object StatsRegistry {
           ts.ndvsMap.toSeq.sortBy(_._1).map { case (c, n) => PNdv(c, n) },
           Some(SidecarFormatVersion))
       }
-    val target = java.nio.file.Paths.get(dir)
+    val target = java.nio.file.Paths.get(normDir)
     // delete guard FIRST: a target we may not delete must fail before
     // any write work, and with the prior sidecar intact
     val targetIsSidecar = java.nio.file.Files.exists(target) && {
@@ -294,12 +320,16 @@ object StatsRegistry {
       val names = scala.util.Using.resource(java.nio.file.Files.list(target)) {
         _.iterator().asScala.map(_.getFileName.toString).toList
       }
-      val marker = names.isEmpty || names.contains("_SUCCESS") ||
+      // the marker is part-*.json SPECIFICALLY, not _SUCCESS: every
+      // Spark output directory carries _SUCCESS (a parquet table IS the
+      // misconfigured-GRAFT_STATS_DIR scenario this guard exists for),
+      // while only a JSON sidecar carries json part files (review r15)
+      val marker = names.isEmpty ||
         names.exists(n => n.startsWith("part-") && n.endsWith(".json"))
       require(marker,
         s"stats sidecar target $dir is non-empty and carries no prior " +
-          "sidecar marker (_SUCCESS / part-*.json) — refusing to delete " +
-          "it; point GRAFT_STATS_DIR at an empty or sidecar directory")
+          "sidecar marker (part-*.json) — refusing to delete it; point " +
+          "GRAFT_STATS_DIR at an empty or sidecar directory")
       names.contains("_SUCCESS")
     }
     // merge-on-save: carry forward a peer's current-version entries for
@@ -307,7 +337,7 @@ object StatsRegistry {
     val memKeys = rows.map(_.key).toSet
     val carried =
       if (!targetIsSidecar) Seq.empty[PStats]
-      else try versionGate(readRows(spark, dir), dir)
+      else try versionGate(readRows(spark, normDir), normDir)
         .filter(p => !memKeys(p.key) && keyAlive(p.key))
       catch {
         case scala.util.control.NonFatal(e) =>
@@ -316,7 +346,7 @@ object StatsRegistry {
           Seq.empty[PStats]
       }
     val all = (rows ++ carried).sortBy(_.key)
-    val tmp = s"$dir.tmp-${ProcessHandle.current().pid()}"
+    val tmp = s"$normDir.tmp-${ProcessHandle.current().pid()}"
     spark.createDataset(all)(Encoders.product[PStats])
       .coalesce(1).write.mode("overwrite").json(tmp)
     val tmpPath = java.nio.file.Paths.get(tmp)

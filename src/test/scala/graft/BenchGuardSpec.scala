@@ -227,24 +227,32 @@ class BenchGuardSpec extends AnyFunSuite {
     // (contended:false) while the pass carried ratio_vs_ref_median 1.27
     // with 27 queries >2x — the ratio evidence must block the refresh
     assert(!Bench.shouldUpdateRef(fullPass = true, contended = false,
-      nErrors = 0, nWarmupErrors = 0,
+      nErrors = 0, nWarmupErrors = 0, refExists = true,
       ratioMedian = 1.27, nRatioGt2 = 27, nRefCovered = 237))
     // either signal alone blocks: inflated median with few outliers,
     // and in-band median with an outlier pile
     assert(!Bench.shouldUpdateRef(fullPass = true, contended = false,
-      nErrors = 0, nWarmupErrors = 0,
+      nErrors = 0, nWarmupErrors = 0, refExists = true,
       ratioMedian = 1.20, nRatioGt2 = 0, nRefCovered = 237))
     assert(!Bench.shouldUpdateRef(fullPass = true, contended = false,
-      nErrors = 0, nWarmupErrors = 0,
+      nErrors = 0, nWarmupErrors = 0, refExists = true,
       ratioMedian = 1.00, nRatioGt2 = 8, nRefCovered = 237))
     // a quiet pass that agrees with the reference refreshes it (normal
     // round-over-round drift, a couple of jitter outliers allowed)
     assert(Bench.shouldUpdateRef(fullPass = true, contended = false,
-      nErrors = 0, nWarmupErrors = 0,
+      nErrors = 0, nWarmupErrors = 0, refExists = true,
       ratioMedian = 1.05, nRatioGt2 = 2, nRefCovered = 237))
-    // bootstrap: no existing reference — the base conditions suffice
+    // bootstrap is a FILESYSTEM fact: no ref file — base conditions
+    // suffice (there is nothing to poison)
     assert(Bench.shouldUpdateRef(fullPass = true, contended = false,
-      nErrors = 0, nWarmupErrors = 0,
+      nErrors = 0, nWarmupErrors = 0, refExists = false,
+      ratioMedian = -1.0, nRatioGt2 = 0, nRefCovered = 0))
+    // ...but an EXISTING ref that read as empty (torn file, renamed
+    // surface — zero ratio coverage) must block, not bootstrap: an
+    // ungated overwrite there is exactly the poisoning the gate
+    // prevents (review r15)
+    assert(!Bench.shouldUpdateRef(fullPass = true, contended = false,
+      nErrors = 0, nWarmupErrors = 0, refExists = true,
       ratioMedian = -1.0, nRatioGt2 = 0, nRefCovered = 0))
   }
 

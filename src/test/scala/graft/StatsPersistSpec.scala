@@ -148,6 +148,26 @@ class StatsPersistSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("not a directory"))
     assert(java.nio.file.Files.readString(filePath) == "x")
+    // a SPARK OUTPUT directory (parquet table: part-*.parquet +
+    // _SUCCESS) is the canonical misconfigured-GRAFT_STATS_DIR victim —
+    // _SUCCESS alone must NOT read as a sidecar marker (review r15)
+    val parquetDir = scratch("guard-parquet")
+    writeTable(parquetDir, seed = 22, n = 100)
+    val e3 = intercept[IllegalArgumentException] {
+      StatsRegistry.save(spark, parquetDir)
+    }
+    assert(e3.getMessage.contains("refusing to delete"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(parquetDir, "_SUCCESS")),
+      "the parquet table must be untouched")
+    // and a trailing-slash target resolves the SAME lock/guard paths as
+    // its normalized form (a naive dir+'.lock' would land the lock file
+    // INSIDE the target and refuse every save of a fresh dir)
+    val slashed = scratch("guard-slash")
+    assert(StatsRegistry.save(spark, slashed + "/") >= 1)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(slashed + ".lock")),
+      "the lock file must be a SIBLING of the normalized target")
   }
 
   test("format version: future and pre-versioning rows are refused by name (r14 verdict #5)") {
