@@ -126,6 +126,24 @@ object Bench {
       calibMedianV2(valid) > medRatio * pin)
   }
 
+  /** Warm-over-cold contention signature (measured incident, r15):
+    * host-side I/O contention can GROW through a pass, leaving the
+    * warm pass slower than cold (the incident read warm 295 vs cold
+    * 273) while the CPU-bound v2 probes stay in band — a healthy warm
+    * total sits well below cold (0.77–0.95 across every committed
+    * pass; warm re-executes identical work with codegen compiled and
+    * footers cached). warm > `margin` × cold is therefore contention
+    * evidence regardless of what the calibration probes say; the 5%
+    * margin keeps small-sum filtered passes from firing on noise.
+    * Feeds the pass-level `contended` OR (and is emitted separately
+    * as `warm_exceeds_cold`), so the streaming challenge reruns drop
+    * to their contended trigger exactly on the pass shape that needs
+    * them.
+    */
+  def warmExceedsCold(coldTotal: Double, warmTotal: Double,
+      margin: Double = 1.05): Boolean =
+    coldTotal > 0 && warmTotal > margin * coldTotal
+
   /** Post-pass challenge-rerun policy for STREAMING queries (r14
     * verdict next-round #1a): batch spikes get end-of-pass reruns, but
     * the 20 stream medians were computed from 3 in-pass runs that can
@@ -639,7 +657,13 @@ object Bench {
     val calibProbesV2 = Seq(calibV2a, calibV2b, calibV2c)
     val contendedLegacy = isContended(calibSec, histCalib)
     val contendedV2 = isContendedV2(calibProbesV2)
-    val contended = contendedV2.getOrElse(contendedLegacy)
+    // warm-over-cold signature on the RAW pass sums (pre-substitution —
+    // the substitutions exist to remove contention, this flag exists to
+    // report it); errored entries excluded on both sides
+    val warmOverCold = warmExceedsCold(
+      cold.collect { case (_, (v, None)) if v >= 0 => v }.sum,
+      warm.collect { case (_, (v, None)) if v >= 0 => v }.sum)
+    val contended = contendedV2.getOrElse(contendedLegacy) || warmOverCold
     val contendedBy = if (contendedV2.isDefined) "v2" else "legacy-fallback"
     // Streaming challenge reruns (r14 verdict next-round #1a): stream
     // medians computed from 3 in-pass runs can all sit inside a
@@ -738,7 +762,7 @@ object Bench {
       .map { case (n, (m, r)) => "\"" + n + "\":[" + m + "," + r + "]" }
       .mkString("{", ",", "}")
     val ratioGt2Json = ratioGt2.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$effectiveTotal,"value_is":"effective_total","unit":"sec","effective_total":$effectiveTotal,"cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":$calibSec,"calib_norm_total":$calibNorm,"calib_probes_v2":$calibV2Json,"calib_med_v2":$calibMedV2,"calib_norm_total_v2":$calibNormV2,"contended":$contended,"contended_by":"$contendedBy","contended_legacy":$contendedLegacy,"hist_calib_sec":${histCalib.getOrElse(-1.0)},"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"queries_stream_median":${jsonMap(streamMedians)},"queries_effective":${jsonMap(effTimes)},"reruns":$rerunJson,"stream_reruns":$streamRerunJson,"spike_blocks":$spikeBlocksJson,"warm_spike_blocks":$warmSpikeBlocksJson,"ratio_vs_ref":${jsonMap(ratios)},"ratio_vs_ref_median":$ratioMedian,"n_ratio_gt2":${ratioGt2.size},"ratio_gt2":$ratioGt2Json,"ref_path":"${esc(refPath)}","n_ref_queries":${refQueries.size},"warmup_errors":$warmupJson,"errors":$errJson}"""
+    val detail = s"""{"metric":"total","value":$effectiveTotal,"value_is":"effective_total","unit":"sec","effective_total":$effectiveTotal,"cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":$calibSec,"calib_norm_total":$calibNorm,"calib_probes_v2":$calibV2Json,"calib_med_v2":$calibMedV2,"calib_norm_total_v2":$calibNormV2,"contended":$contended,"contended_by":"$contendedBy","contended_legacy":$contendedLegacy,"warm_exceeds_cold":$warmOverCold,"hist_calib_sec":${histCalib.getOrElse(-1.0)},"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"queries_stream_median":${jsonMap(streamMedians)},"queries_effective":${jsonMap(effTimes)},"reruns":$rerunJson,"stream_reruns":$streamRerunJson,"spike_blocks":$spikeBlocksJson,"warm_spike_blocks":$warmSpikeBlocksJson,"ratio_vs_ref":${jsonMap(ratios)},"ratio_vs_ref_median":$ratioMedian,"n_ratio_gt2":${ratioGt2.size},"ratio_gt2":$ratioGt2Json,"ref_path":"${esc(refPath)}","n_ref_queries":${refQueries.size},"warmup_errors":$warmupJson,"errors":$errJson}"""
     try {
       // PrintWriter swallows I/O errors into an internal flag — a
       // disk-full write would silently leave a TRUNCATED detail file
@@ -883,7 +907,7 @@ object Bench {
     // (a contended stream median that a challenge rerun acquitted must
     // not head this list)
     val slowest = effTimes.filter(_._2 >= 0).sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":${fmt2(effectiveTotal)},"value_is":"effective_total","unit":"sec","effective_total":${fmt2(effectiveTotal)},"cold_total":${fmt2(coldTotal)},"warm_total":${fmt2(warmTotal)},"calib_sec":${fmt2(calibSec)},"calib_norm_total":${fmt2(calibNorm)},"calib_med_v2":${fmt2(calibMedV2)},"calib_norm_total_v2":${fmt2(calibNormV2)},"contended":$contended,"contended_by":"$contendedBy","ratio_vs_ref_median":${fmt2(ratioMedian)},"n_ratio_gt2":${ratioGt2.size},"n_errors":${errors.size},"n_queries":${ordered.size},"n_reruns":${allReruns.size},"n_stream_reruns":${streamReruns.size},"n_spike_blocks":${blocks.size},"n_warm_spike_blocks":${warmBlocks.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(slowest)},"queries_are_slowest10":true}""")
+    println(s"""{"metric":"total","value":${fmt2(effectiveTotal)},"value_is":"effective_total","unit":"sec","effective_total":${fmt2(effectiveTotal)},"cold_total":${fmt2(coldTotal)},"warm_total":${fmt2(warmTotal)},"calib_sec":${fmt2(calibSec)},"calib_norm_total":${fmt2(calibNorm)},"calib_med_v2":${fmt2(calibMedV2)},"calib_norm_total_v2":${fmt2(calibNormV2)},"contended":$contended,"contended_by":"$contendedBy","warm_exceeds_cold":$warmOverCold,"ratio_vs_ref_median":${fmt2(ratioMedian)},"n_ratio_gt2":${ratioGt2.size},"n_errors":${errors.size},"n_queries":${ordered.size},"n_reruns":${allReruns.size},"n_stream_reruns":${streamReruns.size},"n_spike_blocks":${blocks.size},"n_warm_spike_blocks":${warmBlocks.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(slowest)},"queries_are_slowest10":true}""")
     spark.stop()
   }
 }

@@ -144,6 +144,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.isContendedV2(Seq(1.33, 1.27, 1.30)) == Some(false))
   }
 
+  test("warm-over-cold contention signature (measured r15 incident)") {
+    // the incident pass: warm 295.00 over cold 273.23 while the v2
+    // probes read in-band — the flag must fire on the totals alone
+    assert(Bench.warmExceedsCold(273.23, 295.00))
+    // every committed healthy pass sits well below (0.77–0.95)
+    assert(!Bench.warmExceedsCold(220.72, 191.35))
+    assert(!Bench.warmExceedsCold(237.74, 181.89))
+    // the 5% margin absorbs small-sum noise (warm 0.25 vs cold 0.24)
+    assert(!Bench.warmExceedsCold(0.24, 0.25))
+    assert(Bench.warmExceedsCold(0.24, 0.26))
+    // degenerate: an all-errored cold pass (sum 0) never fires
+    assert(!Bench.warmExceedsCold(0.0, 10.0))
+  }
+
   test("streaming challenge reruns: trigger policy (r14 verdict next-round #1a)") {
     // the r14 unrecovered case: q62 stream median 8.05 vs 3.85 quiet
     // reference = 2.09x — over the 2x trigger even on a quiet pass
