@@ -144,6 +144,66 @@ object Bench {
       margin: Double = 1.05): Boolean =
     coldTotal > 0 && warmTotal > margin * coldTotal
 
+  /** Like-for-like cold/warm sums for [[warmExceedsCold]] (ADVICE r15):
+    * summing each pass's own error-free queries lets asymmetric errors
+    * (a query erroring only in the cold pass) make the two sums cover
+    * DIFFERENT query sets — a missing 6 s cold entry reads as "warm
+    * grew 6 s" and spuriously fires (or masks) the contention flag.
+    * Only queries that completed error-free in BOTH passes contribute,
+    * so the comparison is the same work on both sides.
+    */
+  def likeForLikeTotals(cold: Seq[(String, Double)],
+      warm: Seq[(String, Double)]): (Double, Double) = {
+    val cm = cold.filter(_._2 >= 0).toMap
+    val wm = warm.filter(_._2 >= 0).toMap
+    val both = cm.keySet intersect wm.keySet
+    (both.toSeq.map(cm).sum, both.toSeq.map(wm).sum)
+  }
+
+  /** Lineage guard on the quiet-reference ratchet (r15 verdict
+    * next-round #1): [[shouldUpdateRef]]'s agreement gate (≤1.15×
+    * median vs the CURRENT reference) still permits compounding drift —
+    * repeated slightly-slow quiet passes could each refresh the
+    * baseline ~15% higher with no record. Every refresh now appends a
+    * row to the committed `bench_ref_lineage.jsonl`, and a refresh
+    * whose effective total exceeds `maxRatio` × the BEST-EVER accepted
+    * quiet total (same sf) is refused by name — the anchor is absolute,
+    * so drift cannot ratchet past 1.25× of the best baseline the engine
+    * ever recorded without a hand promotion that names the regression.
+    * Faster-than-best passes always pass (the ratchet only resists the
+    * slow direction; r15 converged DOWN and re-pinned the floor).
+    * `None` best-ever (no lineage yet) allows — bootstrap.
+    */
+  def refRatchetAllows(newTotal: Double, bestEverQuiet: Option[Double],
+      maxRatio: Double = 1.25): Boolean =
+    newTotal > 0 && bestEverQuiet.filter(_ > 0).forall(best =>
+      newTotal <= maxRatio * best)
+
+  /** Best-ever ACCEPTED quiet total for `sf` from lineage JSONL lines —
+    * the [[refRatchetAllows]] anchor. Refused rows are recorded for the
+    * drift trace but never anchor (they never became the baseline);
+    * rows for other SFs or with unparsable/non-positive totals are
+    * ignored rather than poisoning the minimum.
+    */
+  def bestEverQuietTotal(lineageLines: Seq[String], sf: String): Option[Double] = {
+    import org.json4s._
+    val totals = lineageLines.flatMap { line =>
+      try {
+        val p = org.json4s.jackson.JsonMethods.parse(line)
+        val rowSf = p \ "sf" match { case JString(s) => s; case _ => "" }
+        val accepted = p \ "accepted" match { case JBool(b) => b; case _ => false }
+        val total = p \ "effective_total" match {
+          case JDouble(v) => v
+          case JInt(v) => v.toDouble
+          case JDecimal(v) => v.toDouble
+          case _ => -1.0
+        }
+        if (rowSf == sf && accepted && total > 0) Some(total) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    totals.sorted.headOption
+  }
+
   /** Post-pass challenge-rerun policy for STREAMING queries (r14
     * verdict next-round #1a): batch spikes get end-of-pass reruns, but
     * the 20 stream medians were computed from 3 in-pass runs that can
@@ -457,10 +517,6 @@ object Bench {
     // explicitly. History still READS the committed full-surface file,
     // so filtered iteration keeps its per-query baselines.
     val historyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
-    val detailPath =
-      if (only.isDefined && sys.env.get("SPARK_GRAFT_BENCH_DETAIL").isEmpty)
-        "bench_detail_filtered.json"
-      else historyPath
     val (history: Map[String, Double], histCalib: Option[Double]) = try {
       val f = new java.io.File(historyPath)
       if (!f.exists) (Map.empty[String, Double], None)
@@ -507,30 +563,36 @@ object Bench {
     // bench_detail history may itself be a contended driver pass, as
     // the committed r14 record is). sf-gated like history.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
-    val refQueries: Map[String, Double] = try {
+    // refSfRead: Some(sf-string) when the ref file exists and parsed —
+    // the sf-mismatch case is detected HERE, at the pass-start read
+    // (ADVICE r15: an off-sf ref made nRefCovered=0, so the refresh gate
+    // blocked forever while the emitted message misattributed the block
+    // to ratio disagreement with a -1.000 median)
+    val (refQueries: Map[String, Double], refSfRead: Option[String]) = try {
       val f = new java.io.File(refPath)
-      if (!f.exists) Map.empty
+      if (!f.exists) (Map.empty[String, Double], None)
       else {
         import org.json4s._
         val parsed = org.json4s.jackson.JsonMethods.parse(
           scala.io.Source.fromFile(f, "UTF-8").mkString)
         val refSf = parsed \ "sf" match { case JString(s) => s; case _ => "" }
-        if (refSf != sfDir) Map.empty
-        else parsed \ "queries" match {
+        if (refSf != sfDir) (Map.empty[String, Double], Some(refSf))
+        else (parsed \ "queries" match {
           case JObject(fields) => fields.collect {
             case (k, JDouble(v)) => k -> v
             case (k, JInt(v)) => k -> v.toDouble
             case (k, JDecimal(v)) => k -> v.toDouble
           }.toMap
-          case _ => Map.empty
-        }
+          case _ => Map.empty[String, Double]
+        }, Some(refSf))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] reference read failed (ratios and stream " +
           s"reruns disabled this pass): $e")
-        Map.empty
+        (Map.empty[String, Double], None)
     }
+    val refSfMismatch = refSfRead.exists(_ != sfDir)
     // The compact stdout line keys by numeric prefix ("q52_tpch_q3" ->
     // "q52"); two queries sharing a prefix would silently collide into
     // one JSON key with last-writer-wins timings — fail loudly instead.
@@ -659,10 +721,13 @@ object Bench {
     val contendedV2 = isContendedV2(calibProbesV2)
     // warm-over-cold signature on the RAW pass sums (pre-substitution —
     // the substitutions exist to remove contention, this flag exists to
-    // report it); errored entries excluded on both sides
-    val warmOverCold = warmExceedsCold(
-      cold.collect { case (_, (v, None)) if v >= 0 => v }.sum,
-      warm.collect { case (_, (v, None)) if v >= 0 => v }.sum)
+    // report it); like-for-like (ADVICE r15): only queries error-free
+    // in BOTH passes contribute, so an asymmetric error can neither
+    // fire nor mask the flag by shrinking one side's query set
+    val (l4lCold, l4lWarm) = likeForLikeTotals(
+      cold.collect { case (n, (v, None)) => n -> v },
+      warm.collect { case (n, (v, None)) => n -> v })
+    val warmOverCold = warmExceedsCold(l4lCold, l4lWarm)
     val contended = contendedV2.getOrElse(contendedLegacy) || warmOverCold
     // names every contributor: the adjudicating calibration, plus the
     // warm-over-cold signature when it fired (a judge reading
@@ -757,6 +822,51 @@ object Bench {
     val ratios = ratiosVsRef(effTimes, refQueries)
     val ratioMedian = if (ratios.isEmpty) -1.0 else median(ratios.map(_._2))
     val ratioGt2 = ratios.collect { case (n, r) if r > 2.0 => n }.sorted
+    // ---- quiet-reference refresh decision, made HERE (before the
+    // detail write) because two things hang off it: the detail file
+    // self-describes "ref_refreshed", and a pass that will NOT refresh
+    // the reference diverts its detail to bench_detail_live.json — so a
+    // contended/disagreeing driver pass can never overwrite the
+    // committed quiet record that every later ratio reads (r15 verdict
+    // next-round #6; the r15 driver pass's overwrite was recovered via
+    // git by hand). The pass-start ref read is authoritative for the
+    // sf-mismatch case (ADVICE r15: detected explicitly now, instead of
+    // surfacing as a permanently-false agreement gate with a -1.000
+    // median message). ----
+    val refFileExists =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(refPath))
+    // lineage sits next to the ref: bench_ref.json -> bench_ref_lineage.jsonl
+    val lineagePath = refPath.stripSuffix(".json") + "_lineage.jsonl"
+    val lineageLines: Seq[String] = try {
+      val p = java.nio.file.Paths.get(lineagePath)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala.toSeq
+      } else Seq.empty
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] lineage read failed (ratchet anchors on " +
+          s"nothing this pass): $e")
+        Seq.empty
+    }
+    val bestEver = bestEverQuietTotal(lineageLines, sfDir)
+    val ratchetOk = refRatchetAllows(effectiveTotal, bestEver)
+    val baseOk = shouldUpdateRef(fullPass = only.isEmpty, contended = contended,
+      nErrors = errors.size, nWarmupErrors = warmupErrors.size)
+    val agreeOk = shouldUpdateRef(fullPass = only.isEmpty, contended = contended,
+      nErrors = errors.size, nWarmupErrors = warmupErrors.size,
+      refExists = refFileExists, ratioMedian = ratioMedian,
+      nRatioGt2 = ratioGt2.size, nRefCovered = ratios.size)
+    val willRefreshRef = baseOk && agreeOk && !refSfMismatch && ratchetOk
+    // single-writer discipline: only a pass that refreshes the reference
+    // writes the committed detail path; an explicit SPARK_GRAFT_BENCH_DETAIL
+    // overrides everything (the caller owns the path), and filtered
+    // passes keep their own diversion
+    val detailPath =
+      if (sys.env.get("SPARK_GRAFT_BENCH_DETAIL").isDefined) historyPath
+      else if (only.isDefined) "bench_detail_filtered.json"
+      else if (willRefreshRef) "bench_detail.json"
+      else "bench_detail_live.json"
     // Locale.ROOT like fmt2 below: a comma-decimal default locale would
     // render 1.31 as "1,310" and corrupt the committed JSON record
     val calibV2Json = calibProbesV2
@@ -766,7 +876,7 @@ object Bench {
       .map { case (n, (m, r)) => "\"" + n + "\":[" + m + "," + r + "]" }
       .mkString("{", ",", "}")
     val ratioGt2Json = ratioGt2.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$effectiveTotal,"value_is":"effective_total","unit":"sec","effective_total":$effectiveTotal,"cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":$calibSec,"calib_norm_total":$calibNorm,"calib_probes_v2":$calibV2Json,"calib_med_v2":$calibMedV2,"calib_norm_total_v2":$calibNormV2,"contended":$contended,"contended_by":"$contendedBy","contended_legacy":$contendedLegacy,"warm_exceeds_cold":$warmOverCold,"hist_calib_sec":${histCalib.getOrElse(-1.0)},"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"queries_stream_median":${jsonMap(streamMedians)},"queries_effective":${jsonMap(effTimes)},"reruns":$rerunJson,"stream_reruns":$streamRerunJson,"spike_blocks":$spikeBlocksJson,"warm_spike_blocks":$warmSpikeBlocksJson,"ratio_vs_ref":${jsonMap(ratios)},"ratio_vs_ref_median":$ratioMedian,"n_ratio_gt2":${ratioGt2.size},"ratio_gt2":$ratioGt2Json,"ref_path":"${esc(refPath)}","n_ref_queries":${refQueries.size},"warmup_errors":$warmupJson,"errors":$errJson}"""
+    val detail = s"""{"metric":"total","value":$effectiveTotal,"value_is":"effective_total","unit":"sec","effective_total":$effectiveTotal,"cold_total":$coldTotal,"warm_total":$warmTotal,"calib_sec":$calibSec,"calib_norm_total":$calibNorm,"calib_probes_v2":$calibV2Json,"calib_med_v2":$calibMedV2,"calib_norm_total_v2":$calibNormV2,"contended":$contended,"contended_by":"$contendedBy","contended_legacy":$contendedLegacy,"warm_exceeds_cold":$warmOverCold,"hist_calib_sec":${histCalib.getOrElse(-1.0)},"n_errors":${errors.size},"queries":${jsonMap(coldTimes)},"sf":"$sfDir","queries_warm":${jsonMap(warmTimes)},"queries_stream_median":${jsonMap(streamMedians)},"queries_effective":${jsonMap(effTimes)},"reruns":$rerunJson,"stream_reruns":$streamRerunJson,"spike_blocks":$spikeBlocksJson,"warm_spike_blocks":$warmSpikeBlocksJson,"ratio_vs_ref":${jsonMap(ratios)},"ratio_vs_ref_median":$ratioMedian,"n_ratio_gt2":${ratioGt2.size},"ratio_gt2":$ratioGt2Json,"ref_path":"${esc(refPath)}","n_ref_queries":${refQueries.size},"ref_refreshed":$willRefreshRef,"ref_sf_mismatch":$refSfMismatch,"ref_ratchet_best_ever":${bestEver.getOrElse(-1.0)},"warmup_errors":$warmupJson,"errors":$errJson}"""
     try {
       // PrintWriter swallows I/O errors into an internal flag — a
       // disk-full write would silently leave a TRUNCATED detail file
@@ -806,43 +916,57 @@ object Bench {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
+      // one lineage row per refresh ATTEMPT that passed the agreement
+      // gates (accepted or ratchet-refused) — the committed drift trace
+      // the r15 verdict asked for: repeated quiet-but-slightly-slow
+      // refreshes are now visible as a row sequence, and a refusal is
+      // on record next to the total that earned it
+      def appendLineage(accepted: Boolean, reason: String): Unit = {
+        val prevRefTotal = refQueries.values.sum
+        val row = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir",""" +
+          f""""effective_total":$effectiveTotal%.4f,"calib_med_v2":${calibMedV2}%.3f,""" +
+          f""""ratio_vs_prev_ref_median":$ratioMedian%.3f,""" +
+          f""""prev_ref_total":$prevRefTotal%.4f,""" +
+          s""""best_ever_quiet":${bestEver.getOrElse(-1.0)},"accepted":$accepted,""" +
+          s""""reason":"${esc(reason)}"}"""
+        java.nio.file.Files.write(java.nio.file.Paths.get(lineagePath),
+          java.util.Arrays.asList(row),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
       if (only.isEmpty) try {
         writeAtomic(java.nio.file.Paths.get("bench_ref_candidate.json"),
           refJson("candidate: this pass's effective per-query values") + "\n")
-        // bootstrap is a FILESYSTEM fact, not a parsed-map one: an
-        // existing ref that read as empty (torn file, renamed surface)
-        // must block, not bootstrap (review r15)
-        val refFileExists =
-          java.nio.file.Files.exists(java.nio.file.Paths.get(refPath))
-        val baseOk = shouldUpdateRef(fullPass = true, contended = contended,
-          nErrors = errors.size, nWarmupErrors = warmupErrors.size)
-        val refOk = shouldUpdateRef(fullPass = true, contended = contended,
-          nErrors = errors.size, nWarmupErrors = warmupErrors.size,
-          refExists = refFileExists,
-          ratioMedian = ratioMedian, nRatioGt2 = ratioGt2.size,
-          nRefCovered = ratios.size)
-        if (baseOk && !refOk)
+        if (refSfMismatch)
+          System.err.println(s"[bench] ref not updated: existing $refPath is " +
+            s"for sf '${refSfRead.getOrElse("")}', this pass ran $sfDir — an " +
+            "sf switch never auto-refreshes (the old-sf baseline would vanish " +
+            "silently); promote bench_ref_candidate.json by hand to move the " +
+            "reference to the new sf")
+        else if (baseOk && !agreeOk)
           System.err.println(f"[bench] ref not updated: pass disagrees with " +
             f"the existing reference (median ratio $ratioMedian%.3f, " +
             s"${ratioGt2.size} queries >2x) — box-side contention the v2 " +
             "probe can miss, or a genuine tree-wide shift; promote " +
             "bench_ref_candidate.json by hand if it is the latter")
-        if (refOk) {
-          val refFile = java.nio.file.Paths.get(refPath)
-          val sfMatches = !java.nio.file.Files.exists(refFile) || {
-            import org.json4s._
-            org.json4s.jackson.JsonMethods.parse(
-              java.nio.file.Files.readString(refFile)) \ "sf" match {
-              case JString(s) => s == sfDir
-              case _ => true // malformed existing ref: replace it
-            }
-          }
-          if (sfMatches)
-            writeAtomic(refFile,
-              refJson("quiet full-pass effective medians — the committed " +
-                "per-query reference (r14 verdict #3)") + "\n")
-          else System.err.println(s"[bench] ref not updated: existing $refPath " +
-            s"is for a different sf than $sfDir (candidate file written)")
+        else if (baseOk && agreeOk && !ratchetOk) {
+          System.err.println(f"[bench] ref not updated: lineage ratchet " +
+            f"refused — effective total $effectiveTotal%.2f exceeds 1.25x " +
+            f"the best-ever accepted quiet total (${bestEver.getOrElse(-1.0)}%.2f " +
+            s"from $lineagePath). Agreement with the CURRENT ref alone would " +
+            "let slightly-slow quiet passes compound the baseline upward; a " +
+            "genuine regression is promoted by hand (bench_ref_candidate.json) " +
+            "with the regression named")
+          appendLineage(accepted = false,
+            "ratchet: total > 1.25x best-ever accepted quiet total")
+        }
+        if (willRefreshRef) {
+          writeAtomic(java.nio.file.Paths.get(refPath),
+            refJson("quiet full-pass effective medians — the committed " +
+              "per-query reference (r14 verdict #3)") + "\n")
+          appendLineage(accepted = true,
+            if (refFileExists) "quiet full pass agreeing with prior ref"
+            else "bootstrap: no prior reference file")
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -911,7 +1035,7 @@ object Bench {
     // (a contended stream median that a challenge rerun acquitted must
     // not head this list)
     val slowest = effTimes.filter(_._2 >= 0).sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":${fmt2(effectiveTotal)},"value_is":"effective_total","unit":"sec","effective_total":${fmt2(effectiveTotal)},"cold_total":${fmt2(coldTotal)},"warm_total":${fmt2(warmTotal)},"calib_sec":${fmt2(calibSec)},"calib_norm_total":${fmt2(calibNorm)},"calib_med_v2":${fmt2(calibMedV2)},"calib_norm_total_v2":${fmt2(calibNormV2)},"contended":$contended,"contended_by":"$contendedBy","warm_exceeds_cold":$warmOverCold,"ratio_vs_ref_median":${fmt2(ratioMedian)},"n_ratio_gt2":${ratioGt2.size},"n_errors":${errors.size},"n_queries":${ordered.size},"n_reruns":${allReruns.size},"n_stream_reruns":${streamReruns.size},"n_spike_blocks":${blocks.size},"n_warm_spike_blocks":${warmBlocks.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(slowest)},"queries_are_slowest10":true}""")
+    println(s"""{"metric":"total","value":${fmt2(effectiveTotal)},"value_is":"effective_total","unit":"sec","effective_total":${fmt2(effectiveTotal)},"cold_total":${fmt2(coldTotal)},"warm_total":${fmt2(warmTotal)},"calib_sec":${fmt2(calibSec)},"calib_norm_total":${fmt2(calibNorm)},"calib_med_v2":${fmt2(calibMedV2)},"calib_norm_total_v2":${fmt2(calibNormV2)},"contended":$contended,"contended_by":"$contendedBy","warm_exceeds_cold":$warmOverCold,"ratio_vs_ref_median":${fmt2(ratioMedian)},"n_ratio_gt2":${ratioGt2.size},"ref_refreshed":$willRefreshRef,"n_errors":${errors.size},"n_queries":${ordered.size},"n_reruns":${allReruns.size},"n_stream_reruns":${streamReruns.size},"n_spike_blocks":${blocks.size},"n_warm_spike_blocks":${warmBlocks.size},"sf":"$sfDir","detail":"${esc(detailPath)}","queries":${jsonMap2(slowest)},"queries_are_slowest10":true}""")
     spark.stop()
   }
 }

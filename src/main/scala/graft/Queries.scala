@@ -5033,8 +5033,11 @@ object Queries {
     * fuzz pins equality with brute force at three thresholds.
     */
   def q231_containment_join(s: SparkSession, dir: String): DataFrame =
+    // allowUncapped: this IS the exact-recall certification gate the
+    // uncapped path exists for (the production default is
+    // containmentPairsAdaptive — q230/q206's entry)
     Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-      shingleWidth = 3, num = 3, den = 5)
+      shingleWidth = 3, num = 3, den = 5, allowUncapped = true)
 
   /** Recall-contract certification for the containment join's `maxDf`
     * posting cap — the q183/q196 violations-as-rows pattern applied to
@@ -5071,7 +5074,7 @@ object Queries {
     // blocking exchanges are already reused at runtime — and was
     // reverted (SCALE.md §q232 certification cost).
     val exact = Dedup.containmentPairs(docs, "doc_id", "text",
-      shingleWidth = 3, num = 3, den = 5)
+      shingleWidth = 3, num = 3, den = 5, allowUncapped = true)
     val capped = Dedup.containmentPairs(docs, "doc_id", "text",
       shingleWidth = 3, num = 3, den = 5, maxDf = Some(cap))
     // gate 1: capped ⊆ exact with identical measures

@@ -527,9 +527,22 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int, num: Int, den: Int,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = None, allowUncapped: Boolean = false): DataFrame = {
     require(num > 0 && den >= num, s"threshold must be in (0,1]: $num/$den")
     maxDf.foreach(cap => require(cap >= 1, s"maxDf must be >= 1, got $cap"))
+    // The uncapped invocation is the measured 100x DNF mode (SCALE.md
+    // §Scale knee: 322 M candidates, 77 GB of spill) and it was still
+    // the DEFAULT-callable path (r15 verdict next-round #5) — an
+    // uncapped run now requires the caller to say so. The refusal names
+    // the production entry so a pipeline hitting it knows the fix.
+    require(maxDf.isDefined || allowUncapped,
+      "containmentPairs called UNCAPPED (maxDf=None) without allowUncapped=true. " +
+        "The uncapped prefix(A) x postings(B) candidate join is the measured " +
+        "100x DNF mode (SCALE.md: 322 M candidates filled 77 GB of spill). Use " +
+        "containmentPairsAdaptive — it probes the corpus's candidate volume " +
+        "first and runs exact whenever that fits the budget — or pass " +
+        "allowUncapped=true where a gate requires exact recall regardless of " +
+        "cost (the q231/q232 certification pattern).")
     val toks = df
       .select(col(idCol).as("__id"),
         explode(array_distinct(shingles(col(textCol), shingleWidth))).as("__t"))
@@ -756,8 +769,11 @@ object Dedup {
       maxCandidatesPerDoc: Long = DefaultCandidatesPerDoc): (DataFrame, ContainmentFanout) = {
     val probe = containmentFanout(df, idCol, textCol, shingleWidth, num, den,
       maxCandidatesPerDoc)
+    // allowUncapped here is PROBE-CERTIFIED: recommendedMaxDf = None
+    // means the uncapped candidate volume fits the budget — this is the
+    // auto-routed safe path the bare entry's refusal points at
     (containmentPairs(df, idCol, textCol, shingleWidth, num, den,
-      probe.recommendedMaxDf), probe)
+      probe.recommendedMaxDf, allowUncapped = true), probe)
   }
 
   /** PREFIX-FILTERED set-similarity self-join (AllPairs/PPJoin family,

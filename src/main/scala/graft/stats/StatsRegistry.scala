@@ -221,29 +221,67 @@ object StatsRegistry {
     }
   }
 
-  /** Raw sidecar rows (no registry side effects) — shared by [[load]]
-    * and [[save]]'s merge-on-save re-read.
+  /** Raw JSON lines of a sidecar's part files — a driver-side read
+    * (the sidecar is kilobytes). Shared by the load path, the
+    * merge-on-save re-read, and the future-row preservation scan.
     */
-  private def readRows(spark: SparkSession, dir: String): Seq[PStats] = {
-    val enc = Encoders.product[PStats]
-    spark.read.schema(enc.schema).json(dir).as[PStats](enc).collect().toSeq
+  private def rawSidecarLines(dir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir))) {
+      _.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".json")
+        }
+        .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+        .filter(_.trim.nonEmpty).toList
+    }
   }
 
-  /** Split sidecar rows into (current-version, refused); the refused
-    * side is named on stderr — never silently deserialized (r14 verdict
-    * #5: a pre-versioning or future-format row must not answer by name).
+  /** The row's declared format version, if any (None = pre-versioning
+    * r14 rows or unparsable lines).
     */
-  private def versionGate(rows: Seq[PStats], dir: String): Seq[PStats] = {
-    val (ok, refused) = rows.partition(_.version.contains(SidecarFormatVersion))
+  private def lineVersion(line: String): Option[Long] =
+    try {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(line) \ "version" match {
+        case JInt(v) => Some(v.toLong)
+        case JLong(v) => Some(v)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Current-version sidecar rows, typed (no registry side effects) —
+    * shared by [[load]] and [[save]]'s merge-on-save re-read. The
+    * version gate runs on the RAW LINES, before typed deserialization
+    * (r14 verdict #5, hardened r16): an off-version row must neither be
+    * deserialized by name NOR abort the read of its current-version
+    * neighbors — a future row's unknown shape (e.g. null in a
+    * non-nullable field) used to throw out of the whole-directory typed
+    * read, which the merge-on-save fallback then swallowed as "write
+    * this process's entries only", silently dropping every carried
+    * entry. Refused rows are named on stderr.
+    */
+  private def readRows(spark: SparkSession, dir: String): Seq[PStats] = {
+    val (ok, refused) =
+      rawSidecarLines(dir).partition(lineVersion(_).contains(SidecarFormatVersion))
     if (refused.nonEmpty) {
-      val kinds = refused.map(_.version.map(_.toString).getOrElse("pre-versioning"))
+      val kinds = refused.map(lineVersion(_).map(_.toString).getOrElse("pre-versioning"))
         .distinct.sorted.mkString(", ")
       System.err.println(s"[stats] sidecar $dir: refused ${refused.size} " +
         s"entr${if (refused.size == 1) "y" else "ies"} with format version " +
-        s"[$kinds] != $SidecarFormatVersion — those tables rebuild (and the " +
-        "next save rewrites the sidecar in the current format)")
+        s"[$kinds] != $SidecarFormatVersion — those tables rebuild (a " +
+        "pre-current row is superseded; a future row is preserved across " +
+        "saves for the newer binary that wrote it)")
     }
-    ok
+    if (ok.isEmpty) Seq.empty
+    else {
+      val enc = Encoders.product[PStats]
+      spark.read.schema(enc.schema)
+        .json(spark.createDataset(ok)(Encoders.STRING))
+        .as[PStats](enc).collect().toSeq
+    }
   }
 
   // local file: paths whose files are all gone are dead entries (scratch
@@ -290,7 +328,11 @@ object StatsRegistry {
     *    in-memory entry wins (it is the fresher build); an entry a
     *    LOADER dropped as stale may be re-carried from disk here, which
     *    is harmless — its signature still fails verification for every
-    *    later reader until a rebuild overwrites it.
+    *    later reader until a rebuild overwrites it. Rows with a FUTURE
+    *    format version are preserved verbatim as raw JSON lines
+    *    (ADVICE r15: a mixed-version deployment's newer entries must
+    *    survive an older binary's save); pre-current rows are dropped —
+    *    rebuild is the safe direction for superseded formats.
     */
   def save(spark: SparkSession, dir: String): Int = withSidecarLock(dir) {
     import scala.jdk.CollectionConverters._
@@ -323,12 +365,23 @@ object StatsRegistry {
       // the marker is part-*.json SPECIFICALLY, not _SUCCESS: every
       // Spark output directory carries _SUCCESS (a parquet table IS the
       // misconfigured-GRAFT_STATS_DIR scenario this guard exists for),
-      // while only a JSON sidecar carries json part files (review r15)
+      // while only a JSON sidecar carries json part files (review r15).
+      // And the directory must contain ONLY sidecar entries (_SUCCESS /
+      // part-*.json / committer .crc residue) — ADVICE r15: a dir
+      // mixing one sidecar-like part file with unrelated user files
+      // would otherwise still be recursively deleted.
+      def sidecarEntry(n: String): Boolean =
+        n == "_SUCCESS" || n.endsWith(".crc") ||
+          (n.startsWith("part-") && n.endsWith(".json"))
+      val foreign = names.filterNot(sidecarEntry)
       val marker = names.isEmpty ||
-        names.exists(n => n.startsWith("part-") && n.endsWith(".json"))
+        (foreign.isEmpty &&
+          names.exists(n => n.startsWith("part-") && n.endsWith(".json")))
       require(marker,
-        s"stats sidecar target $dir is non-empty and carries no prior " +
-          "sidecar marker (part-*.json) — refusing to delete it; point " +
+        s"stats sidecar target $dir is non-empty and is not purely a prior " +
+          s"sidecar (non-sidecar entries: ${foreign.take(5).mkString(", ")}" +
+          s"${if (foreign.size > 5) ", ..." else ""}; a sidecar holds only " +
+          "_SUCCESS/part-*.json/.crc) — refusing to delete it; point " +
           "GRAFT_STATS_DIR at an empty or sidecar directory")
       names.contains("_SUCCESS")
     }
@@ -337,7 +390,7 @@ object StatsRegistry {
     val memKeys = rows.map(_.key).toSet
     val carried =
       if (!targetIsSidecar) Seq.empty[PStats]
-      else try versionGate(readRows(spark, normDir), normDir)
+      else try readRows(spark, normDir)
         .filter(p => !memKeys(p.key) && keyAlive(p.key))
       catch {
         case scala.util.control.NonFatal(e) =>
@@ -345,11 +398,40 @@ object StatsRegistry {
             s"merge-on-save ($e) — writing this process's entries only")
           Seq.empty[PStats]
       }
+    // FUTURE-format rows are preserved VERBATIM (ADVICE r15): merge-on-
+    // save carries only current-version typed rows, so a save by an
+    // older binary would otherwise permanently DELETE a newer peer's
+    // rows from the sidecar rather than merely refusing to read them —
+    // destructive in a mixed-version deployment. Raw JSON lines whose
+    // "version" exceeds ours ride through the rewrite untouched (no
+    // parse into PStats, no keyAlive GC — a future format may rename
+    // either field); this binary's version gate keeps refusing them at
+    // load, and the newer binary still finds them. OLDER-than-current
+    // rows stay dropped: rebuilding them is the safe direction and the
+    // current format supersedes them by definition.
+    val preservedFuture: Seq[String] =
+      if (!targetIsSidecar) Seq.empty
+      else try rawSidecarLines(normDir)
+        .filter(lineVersion(_).exists(_ > SidecarFormatVersion))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[stats] prior sidecar at $dir unreadable while " +
+            s"checking for future-format rows ($e) — none preserved")
+          Seq.empty
+      }
     val all = (rows ++ carried).sortBy(_.key)
     val tmp = s"$normDir.tmp-${ProcessHandle.current().pid()}"
     spark.createDataset(all)(Encoders.product[PStats])
       .coalesce(1).write.mode("overwrite").json(tmp)
     val tmpPath = java.nio.file.Paths.get(tmp)
+    // preserved future-format lines land as their OWN part file in the
+    // swap dir (readers list part-*.json, so they ride along; appending
+    // into Spark's part file would race its .crc checksum)
+    if (preservedFuture.nonEmpty)
+      java.nio.file.Files.write(
+        tmpPath.resolve("part-preserved-future.json"),
+        preservedFuture.asJava,
+        java.nio.file.StandardOpenOption.CREATE)
     try {
       if (java.nio.file.Files.exists(target)) {
         scala.util.Using.resource(java.nio.file.Files.walk(target)) { w =>
@@ -385,7 +467,7 @@ object StatsRegistry {
     * Returns the number of entries loaded.
     */
   def load(spark: SparkSession, dir: String): Int = withSidecarLock(dir) {
-    val rows = versionGate(readRows(spark, dir), dir)
+    val rows = readRows(spark, dir)
     rows.foreach { p =>
       val hists = p.hists.map { ph =>
         val h = new IntHistogram(ph.buckets, ph.minV, ph.maxV)

@@ -270,6 +270,66 @@ class BenchGuardSpec extends AnyFunSuite {
       ratioMedian = -1.0, nRatioGt2 = 0, nRefCovered = 0))
   }
 
+  test("warm-over-cold sums are like-for-like (ADVICE r15: asymmetric errors)") {
+    // a query erroring ONLY in the cold pass (q62's 6 s missing from
+    // cold, present in warm) used to read as "warm grew 6 s" and could
+    // spuriously fire the contention flag...
+    val cold = Seq("q01" -> 10.0, "q62" -> -1.0, "q03" -> 5.0)
+    val warm = Seq("q01" -> 9.0, "q62" -> 6.0, "q03" -> 4.5)
+    val (c1, w1) = Bench.likeForLikeTotals(cold, warm)
+    assert(c1 == 15.0 && w1 == 13.5, "q62 must be excluded from BOTH sums")
+    assert(!Bench.warmExceedsCold(c1, w1))
+    // ...and a query erroring only in the WARM pass could mask a real
+    // warm-over-cold signature by deleting its warm contribution
+    val cold2 = Seq("q01" -> 10.0, "q62" -> 6.0)
+    val warm2 = Seq("q01" -> 12.0, "q62" -> -1.0)
+    val (c2, w2) = Bench.likeForLikeTotals(cold2, warm2)
+    assert(c2 == 10.0 && w2 == 12.0)
+    assert(Bench.warmExceedsCold(c2, w2),
+      "the real q01 inflation must not be masked by q62's missing warm entry")
+    // disjoint/empty inputs degrade to zero sums, never crash
+    assert(Bench.likeForLikeTotals(Seq("a" -> 1.0), Seq("b" -> 1.0)) == ((0.0, 0.0)))
+    assert(Bench.likeForLikeTotals(Seq.empty, Seq.empty) == ((0.0, 0.0)))
+  }
+
+  test("ref-refresh lineage ratchet: compounding upward drift is refused (r15 verdict #1)") {
+    // the compounding scenario the agreement gate alone permits: each
+    // pass is within 1.15x of the CURRENT ref, but four refreshes later
+    // the baseline sits 1.52x the best-ever — the ratchet stops the
+    // chain at the first refresh past 1.25x of the best anchor
+    val best = Some(178.79) // the r15 closing pass
+    assert(Bench.refRatchetAllows(205.0, best), "1.147x best: allowed")
+    assert(Bench.refRatchetAllows(223.4, best), "1.249x best: allowed")
+    assert(!Bench.refRatchetAllows(224.0, best), "1.253x best: refused by the ratchet")
+    assert(!Bench.refRatchetAllows(272.0, best), "the compounded 1.52x can never land")
+    // faster-than-best always lands (the ratchet only resists the slow
+    // direction — r15 converged DOWN and re-pinned the floor)
+    assert(Bench.refRatchetAllows(150.0, best))
+    // bootstrap: no lineage yet -> allowed; garbage anchors are ignored
+    assert(Bench.refRatchetAllows(500.0, None))
+    assert(Bench.refRatchetAllows(500.0, Some(-1.0)))
+    // a non-positive total is never acceptable evidence
+    assert(!Bench.refRatchetAllows(0.0, None))
+    assert(!Bench.refRatchetAllows(-1.0, best))
+  }
+
+  test("lineage best-ever anchor: accepted same-sf rows only, garbage-tolerant") {
+    val lines = Seq(
+      """{"ts":"2026-08-16T00:00:00Z","sf":"/root/testdata/sf0.1","effective_total":178.79,"accepted":true}""",
+      """{"ts":"2026-08-16T01:00:00Z","sf":"/root/testdata/sf0.1","effective_total":205.1,"accepted":true}""",
+      // refused rows are drift TRACE, never anchor
+      """{"sf":"/root/testdata/sf0.1","effective_total":100.0,"accepted":false}""",
+      // other-sf rows never anchor this sf
+      """{"sf":"/tmp/graft-sf1","effective_total":50.0,"accepted":true}""",
+      // garbage lines are skipped, not fatal
+      """not json at all""",
+      """{"sf":"/root/testdata/sf0.1","effective_total":-3.0,"accepted":true}""")
+    assert(Bench.bestEverQuietTotal(lines, "/root/testdata/sf0.1") == Some(178.79))
+    assert(Bench.bestEverQuietTotal(lines, "/tmp/graft-sf1") == Some(50.0))
+    assert(Bench.bestEverQuietTotal(lines, "/none").isEmpty)
+    assert(Bench.bestEverQuietTotal(Seq.empty, "/root/testdata/sf0.1").isEmpty)
+  }
+
   test("streaming policy keys off the explicit registry, not a name substring (r13 verdict #7)") {
     val reg = Queries.streamingQueries
     // the registry names only live queries, and today covers exactly the

@@ -39,7 +39,8 @@ class DegenerateInputSpec extends AnyFunSuite {
     assertEmpty(Dedup.minHashPairs(docs0, "doc_id", "text"))
     assertEmpty(Dedup.simHashPairs(docs0, "doc_id", "text"))
     assertEmpty(Dedup.winnowingPairs(docs0, "doc_id", "text"))
-    assertEmpty(Dedup.containmentPairs(docs0, "doc_id", "text", 3, 3, 5))
+    assertEmpty(Dedup.containmentPairs(docs0, "doc_id", "text", 3, 3, 5,
+      allowUncapped = true))
     assertEmpty(Dedup.containmentPairs(docs0, "doc_id", "text", 3, 3, 5, Some(2L)))
     assertEmpty(Dedup.prefixJaccardPairs(docs0, "doc_id", "text", 1, 2))
     // the fan-out probe on an empty (or all-null-text) corpus: zeroed
@@ -339,7 +340,8 @@ class DegenerateInputSpec extends AnyFunSuite {
   test("all-null payload columns flow through as empty results, not crashes") {
     val docsN = Seq((1L, null: String), (2L, null: String)).toDF("doc_id", "text")
     assertEmpty(Dedup.minHashPairs(docsN, "doc_id", "text"))
-    assertEmpty(Dedup.containmentPairs(docsN, "doc_id", "text", 3, 3, 5))
+    assertEmpty(Dedup.containmentPairs(docsN, "doc_id", "text", 3, 3, 5,
+      allowUncapped = true))
     assertEmpty(FuzzyJoin.editDistanceSelfJoin(docsN, "doc_id", "text", 2))
     assertEmpty(TextAnalysis.vocabEncode(docsN, "doc_id", "text"))
     val vecsN = Seq((1L, null: Array[Float]), (2L, null: Array[Float]))

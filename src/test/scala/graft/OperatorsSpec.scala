@@ -1226,7 +1226,8 @@ class OperatorsSpec extends AnyFunSuite {
       } yield (a, b, i, na)).toSet
     }
     for ((num, den) <- Seq((1, 2), (3, 5), (4, 5))) {
-      val got = Dedup.containmentPairs(df, "id", "t", shingleWidth = 1, num, den)
+      val got = Dedup.containmentPairs(df, "id", "t", shingleWidth = 1, num, den,
+        allowUncapped = true)
         .as[(Long, Long, Long, Long)].collect().toSet
       assert(got == brute(num, den), s"mismatch at t=$num/$den")
       // asymmetry must be live: some pair where A⊆-ish B but not back
@@ -1248,7 +1249,8 @@ class OperatorsSpec extends AnyFunSuite {
       na = sets3(a).size.toLong
       if i * 5L >= na * 3L
     } yield (a, b, i, na)).toSet
-    val got3 = Dedup.containmentPairs(df, "id", "t", shingleWidth = 3, num = 3, den = 5)
+    val got3 = Dedup.containmentPairs(df, "id", "t", shingleWidth = 3, num = 3,
+      den = 5, allowUncapped = true)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got3 == brute3, "3-shingle containment mismatch")
 
@@ -1268,7 +1270,7 @@ class OperatorsSpec extends AnyFunSuite {
       if i * 5L >= na * 3L
     } yield (a, b, i, na)).toSet
     val ugot = Dedup.containmentPairs(udocs.toDF("id", "t"), "id", "t",
-      shingleWidth = 1, num = 3, den = 5)
+      shingleWidth = 1, num = 3, den = 5, allowUncapped = true)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(ugot == ubrute, "unicode containment mismatch")
   }
@@ -1360,7 +1362,8 @@ class OperatorsSpec extends AnyFunSuite {
       maxCandidatesPerDoc = 10000L)
     assert(aprobe.recommendedMaxDf.isEmpty)
     assert(adaptive.as[(Long, Long, Long, Long)].collect().toSet ===
-      Dedup.containmentPairs(healthy.toDF("id", "t"), "id", "t", 1, 1, 2)
+      Dedup.containmentPairs(healthy.toDF("id", "t"), "id", "t", 1, 1, 2,
+        allowUncapped = true)
         .as[(Long, Long, Long, Long)].collect().toSet)
 
     // boilerplate corpus: every doc shares a common chunk (the measured
@@ -1389,7 +1392,8 @@ class OperatorsSpec extends AnyFunSuite {
     // capped at the recommendation: subset of exact with identical
     // measures (the q232 contract), and the rare-token pairs survive
     val exactPairs = Dedup.containmentPairs(boiler.toDF("id", "t"),
-      "id", "t", 1, 1, 2).as[(Long, Long, Long, Long)].collect().toSet
+      "id", "t", 1, 1, 2, allowUncapped = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
     val cappedPairs = Dedup.containmentPairs(boiler.toDF("id", "t"),
       "id", "t", 1, 1, 2, maxDf = Some(expected))
       .as[(Long, Long, Long, Long)].collect().toSet
@@ -1404,6 +1408,25 @@ class OperatorsSpec extends AnyFunSuite {
       shingleWidth = 1, num = 1, den = 2, maxCandidatesPerDoc = 10000L)
     assert(dprobe.nDocs === 50L,
       "repeated ids are one doc and null-text rows are no doc")
+  }
+
+  test("uncapped containment requires explicit opt-in (r15 verdict #5)") {
+    // the uncapped candidate join is the measured 100x DNF mode — it was
+    // still the default-callable path; a bare uncapped call now refuses
+    // BEFORE any job runs, and the refusal names the production entry
+    val df = Seq((1L, "a b c"), (2L, "a b d")).toDF("id", "t")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(df, "id", "t", shingleWidth = 1, num = 1, den = 2)
+    }
+    assert(err.getMessage.contains("containmentPairsAdaptive"),
+      "refusal must name the adaptive production entry")
+    assert(err.getMessage.contains("allowUncapped"),
+      "refusal must name the explicit opt-in")
+    // both sanctioned forms still run: capped, and explicitly-uncapped
+    assert(Dedup.containmentPairs(df, "id", "t", 1, 1, 2,
+      maxDf = Some(1L)).count() >= 0)
+    assert(Dedup.containmentPairs(df, "id", "t", 1, 1, 2,
+      allowUncapped = true).count() >= 0)
   }
 
   test("Compaction merges small files without changing content") {

@@ -252,6 +252,91 @@ class StatsPersistSpec extends AnyFunSuite {
     } finally ch.close()
   }
 
+  test("future-format rows survive an older binary's save verbatim (ADVICE r15)") {
+    val spark = SharedSpark.spark
+    val sidecar = scratch("future-sidecar")
+    val dfA = writeTable(scratch("future-a"), seed = 51)
+    StatsRegistry.clear()
+    StatsRegistry.register(dfA, TableStats.build(dfA), full = true)
+    assert(StatsRegistry.save(spark, sidecar) == 1)
+    // a NEWER binary's row lands in the sidecar (format version 99, a
+    // shape this binary's PStats schema does not know)
+    val futureLine = """{"key":"file:/future/table.parquet","version":99,""" +
+      """"new_field_this_binary_never_heard_of":{"a":[1,2,3]}}"""
+    import scala.jdk.CollectionConverters._
+    val part = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(sidecar)))(
+      _.iterator().asScala.toList)
+      .find { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".json")
+      }.get
+    // drop the .crc twin so the local checksum fs accepts the edit
+    scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(sidecar)))(
+      _.iterator().asScala.toList)
+      .filter(p => p.getFileName.toString.endsWith(".crc"))
+      .foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.writeString(part,
+      java.nio.file.Files.readString(part) + futureLine + "\n")
+    // this (older) binary saves a second table over the same sidecar:
+    // pre-fix, merge-on-save carried only current-version rows and the
+    // newer peer's row was permanently DELETED
+    val dfB = writeTable(scratch("future-b"), seed = 52, n = 6000)
+    StatsRegistry.clear()
+    StatsRegistry.register(dfB, TableStats.build(dfB), full = true)
+    assert(StatsRegistry.save(spark, sidecar) == 2, "A carried + B fresh")
+    val rawAfter = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(sidecar)))(
+      _.iterator().asScala.toList)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".json")
+      }
+      .map(java.nio.file.Files.readString(_)).mkString
+    assert(rawAfter.contains(futureLine),
+      "the future-format row must ride through the rewrite verbatim")
+    // this binary still refuses it at load; the typed rows still work
+    StatsRegistry.clear()
+    assert(StatsRegistry.load(spark, sidecar) == 2)
+    assert(StatsRegistry.forPlan(dfA.queryExecution.analyzed).isDefined)
+    assert(StatsRegistry.forPlan(dfB.queryExecution.analyzed).isDefined)
+    // and a THIRD save keeps preserving it (stable across rewrites)
+    StatsRegistry.clear()
+    StatsRegistry.register(dfB, TableStats.build(dfB), full = true)
+    assert(StatsRegistry.save(spark, sidecar) == 2)
+    val rawThird = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(sidecar)))(
+      _.iterator().asScala.toList)
+      .filter(p => p.getFileName.toString.endsWith(".json"))
+      .map(java.nio.file.Files.readString(_)).mkString
+    assert(rawThird.contains(futureLine))
+  }
+
+  test("delete guard: a sidecar-LIKE dir mixing foreign files refuses (ADVICE r15)") {
+    val spark = SharedSpark.spark
+    val dfA = writeTable(scratch("mixed-a"), seed = 61)
+    StatsRegistry.clear()
+    StatsRegistry.register(dfA, TableStats.build(dfA), full = true)
+    // pre-fix: ONE part-*.json anywhere in the dir licensed a recursive
+    // delete of EVERYTHING in it — a user dir that happens to hold a
+    // sidecar-like file plus unrelated content was still destroyed
+    val victim = scratch("mixed-victim")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(victim, "part-00000.json"), "{}")
+    val innocent = java.nio.file.Paths.get(victim, "precious.txt")
+    java.nio.file.Files.writeString(innocent, "user data")
+    val e = intercept[IllegalArgumentException] { StatsRegistry.save(spark, victim) }
+    assert(e.getMessage.contains("refusing to delete"))
+    assert(e.getMessage.contains("precious.txt"),
+      "the refusal must name the foreign entry")
+    assert(java.nio.file.Files.readString(innocent) == "user data")
+    // a PURE prior sidecar (only _SUCCESS/part-*.json/.crc) still saves
+    val ok = scratch("mixed-ok")
+    assert(StatsRegistry.save(spark, ok) >= 1)
+    assert(StatsRegistry.save(spark, ok) >= 1)
+  }
+
   test("save GCs entries whose local file set is gone (dead scratch paths)") {
     val spark = SharedSpark.spark
     val tableDir = scratch("gone")
