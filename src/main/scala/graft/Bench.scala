@@ -407,6 +407,16 @@ object Bench {
       // coalesces toward its advisory partition size, so large cached
       // relations keep their parallelism. (OPTIMIZATION_r16.md §2)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // AQE partition coalescing is byte-proportional, so it collapses
+      // CPU-DENSE sub-MB stages (containment's array_intersect verify,
+      // rankedToks joins over exploded shingles) to ONE task at the
+      // default 1 MB minPartitionSize — measured r16: a 3.0-3.4 s
+      // single-task stage inside q231; q231 cold 4.97 -> 2.67 s, warm
+      // 5.09 -> 2.56 s with a 64k floor. Tail impact measured neutral
+      // (30-query sample, median per-query ratio 1.000). At cluster
+      // scale multi-GB stages are sized by totalBytes/parallelism, so a
+      // 64k floor only affects tiny stages. (OPTIMIZATION_r16.md §4)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()

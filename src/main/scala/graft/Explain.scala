@@ -16,6 +16,8 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       // AQE on cached-plan consumers — see Bench.scala (r16)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // 64k coalescing floor for CPU-dense sub-MB stages — see Bench.scala (r16)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions()(_))

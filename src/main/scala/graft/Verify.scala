@@ -16,6 +16,8 @@ object Verify {
       // same engine posture as Bench (r16): AQE may re-plan stages
       // reading cached relations — see the Bench.scala comment
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // 64k coalescing floor for CPU-dense sub-MB stages — see Bench.scala (r16)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions()(_))
