@@ -26,7 +26,19 @@ object Bucketing {
       buckets: Int,
       mode: SaveMode = SaveMode.Overwrite,
       path: Option[String] = None): Unit = {
-    val w = df.write
+    // Cluster by the bucket key BEFORE the bucketed write (r16, guide
+    // §6 / the Iceberg hash distribution-mode analogue): without it,
+    // EVERY input task local-sorts and writes a file for EVERY bucket
+    // it sees — T×B small files at scale (the exact accretion
+    // Compaction exists to clean up) and a write whose parallelism is
+    // the upstream partitioning, not the bucket count (measured at
+    // sf0.1: q107's lineitem write ran as 3 scan-shaped tasks).
+    // repartition(n, col) hash-partitions with the same Murmur3 the
+    // bucket spec uses, so each task holds exactly one bucket: one
+    // file per bucket, write parallelism = bucket count. The explicit
+    // count keeps AQE from coalescing it back (REPARTITION_BY_NUM).
+    val w = df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write
       .mode(mode)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
