@@ -330,6 +330,38 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.bestEverQuietTotal(Seq.empty, "/root/testdata/sf0.1").isEmpty)
   }
 
+  test("spike-evidence contended contributor replays the r16 driver pass (r16 verdict #2)") {
+    // The r16 driver pass shipped contended:false (v2 median 1.38, near
+    // the 1.31 pin) while its own challenge machinery recorded 9 batch
+    // reruns and 1+6 spike blocks; 7 queries read >2x the quiet
+    // reference. Replay its committed detail numbers (BENCH_r16.json):
+    val r16Reruns = Seq(        // (first, second) per challenge rerun
+      (1.14, 0.58), (13.57, 3.50), (10.38, 1.87), (12.10, 1.19),
+      (8.11, 0.62), (23.86, 3.03), (14.14, 3.58), (11.27, 16.37),
+      (21.59, 50.68))
+    val deltas = r16Reruns.map { case (a, b) => a - math.min(a, b) }
+    // raw (pre-substitution) cold total = substituted cold_total 274.48
+    // plus the spike seconds the substitutions removed
+    val rawCold = 274.48 + deltas.filter(_ > 0).sum
+    // fires on EITHER prong independently
+    assert(Bench.spikeEvidenceContended(deltas, rawCold, 1, 6),
+      "the r16 driver pass must flag on its own in-pass evidence")
+    assert(Bench.spikeEvidenceContended(deltas, rawCold, 0, 0),
+      "the ~20% rerun-delta share alone fires the flag")
+    assert(Bench.spikeEvidenceContended(Seq.empty, rawCold, 1, 6),
+      "1 cold + 6 warm spike blocks alone fire the flag")
+    // a quiet pass (zero reruns, zero blocks — e.g. the r16 quiet
+    // closing pass: eff 185.41, n_reruns 0, zero spike blocks) is silent
+    assert(!Bench.spikeEvidenceContended(Seq.empty, 185.41, 0, 0))
+    // small rerun noise below the delta fraction does not fire
+    assert(!Bench.spikeEvidenceContended(Seq(0.56, 1.2), 200.0, 1, 2))
+    // negative deltas (rerun slower than first reading, like r16's
+    // q177/q232 entries) contribute nothing
+    assert(!Bench.spikeEvidenceContended(Seq(-29.1, -5.1, 0.5), 200.0, 0, 3))
+    // an all-errored pass (rawColdTotal 0) cannot fire the ratio prong
+    assert(!Bench.spikeEvidenceContended(Seq(1.0), 0.0, 0, 0))
+  }
+
   test("streaming policy keys off the explicit registry, not a name substring (r13 verdict #7)") {
     val reg = Queries.streamingQueries
     // the registry names only live queries, and today covers exactly the
