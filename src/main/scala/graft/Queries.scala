@@ -512,14 +512,20 @@ object Queries {
     * independent brute-force verification form.
     */
   def q130_containment(s: SparkSession, dir: String): DataFrame = {
+    // array_sort once per ROW (500 rows) buys the allocation-free sorted
+    // two-pointer intersection count per PAIR (~250k pairs) — replacing
+    // array_intersect's per-pair hash set + output array; the count over
+    // distinct sets is identical, so `containment` is bit-for-bit the
+    // same (r17, guide §1.2 per-task work / §5 allocation rate)
     val docs = t(s, dir, "documents").where(col("doc_id") < 500)
-      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("__s")) // shingles are already distinct
+      .select(col("doc_id"),
+        array_sort(Dedup.shingles(col("text"), 3)).as("__s")) // shingles are already distinct
     val a = docs.select(col("doc_id").as("id_a"), col("__s").as("sa"))
     val b = docs.select(col("doc_id").as("id_b"), col("__s").as("sb"))
     a.join(b, col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(col("sa"))).as("containment"))
+        (graft.functions.exprs.sortedIntersectCount(col("sa"), col("sb"))
+          .cast("double") / size(col("sa"))).as("containment"))
       .where(col("containment") >= 0.6)
   }
 
@@ -3859,7 +3865,9 @@ object Queries {
       numHashes = numHashes, bands = 32, shingleWidth = 3)
     val sigs = docs.select(col("doc_id").as("__id"),
       Dedup.minHashSignature(Dedup.shingles(col("text"), 3), numHashes).as("__sig"),
-      Dedup.shingles(col("text"), 3).as("__sh")) // shingles are already distinct
+      // array_sort once per row: the per-pair intersection below runs
+      // the allocation-free sorted two-pointer count (r17; i unchanged)
+      array_sort(Dedup.shingles(col("text"), 3)).as("__sh")) // shingles are already distinct
     cands
       .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a"),
         col("__sh").as("sh_a")), Seq("id_a"))
@@ -3869,7 +3877,8 @@ object Queries {
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v).as("m"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("i"),
+        graft.functions.exprs.sortedIntersectCount(
+          col("sh_a"), col("sh_b")).as("i"),
         (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("ab"))
       .withColumn("u", col("ab") - col("i"))
       .where(abs(col("m") * col("u") * 100 - lit(12800L) * col("i")) >

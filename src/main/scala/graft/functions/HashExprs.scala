@@ -308,6 +308,74 @@ object HashImpls {
     }
     acc
   }
+
+  /** |a ∩ b| (distinct) of two SORTED-ascending long arrays — the
+    * allocation-free form of `size(array_intersect(a, b))`, which
+    * builds an OpenHashSet AND an output array PER PAIR on the
+    * containment/similarity verify paths (every candidate pair pays
+    * it; r17: the measured GC-pressure owner of the q232 slow mode).
+    * Two-pointer merge walk: zero allocation, duplicates counted once
+    * (array_intersect semantics). Null elements are skipped in the
+    * walk and counted once iff BOTH sides contain one (array_intersect
+    * treats null as a value) — placement-independent, so both
+    * sort_array (nulls first) and array_sort (nulls last) inputs work.
+    * PRECONDITION: both arrays sorted ascending; unsorted inputs give
+    * undercounts, which is why the expression name says sorted.
+    */
+  def sortedIntersectCountLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var hasNullA = false; var i = 0
+    while (i < na && !hasNullA) { hasNullA = a.isNullAt(i); i += 1 }
+    var hasNullB = false; var j = 0
+    while (j < nb && !hasNullB) { hasNullB = b.isNullAt(j); j += 1 }
+    var cnt = if (hasNullA && hasNullB) 1L else 0L
+    i = 0; j = 0
+    var seen = false; var last = 0L
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x < y) i += 1
+        else if (x > y) j += 1
+        else {
+          if (!seen || x != last) { cnt += 1; seen = true; last = x }
+          i += 1; j += 1
+        }
+      }
+    }
+    cnt
+  }
+
+  /** String-array variant of [[sortedIntersectCountLong]] (same
+    * contract; arrays sorted by UTF8String binary order, which is what
+    * array_sort/sort_array produce for strings).
+    */
+  def sortedIntersectCountString(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var hasNullA = false; var i = 0
+    while (i < na && !hasNullA) { hasNullA = a.isNullAt(i); i += 1 }
+    var hasNullB = false; var j = 0
+    while (j < nb && !hasNullB) { hasNullB = b.isNullAt(j); j += 1 }
+    var cnt = if (hasNullA && hasNullB) 1L else 0L
+    i = 0; j = 0
+    var last: UTF8String = null
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getUTF8String(i); val y = b.getUTF8String(j)
+        val c = x.compareTo(y)
+        if (c < 0) i += 1
+        else if (c > 0) j += 1
+        else {
+          if (last == null || x.compareTo(last) != 0) { cnt += 1; last = x }
+          i += 1; j += 1
+        }
+      }
+    }
+    cnt
+  }
 }
 
 /** Distinct word w-shingles (array<string>) of a space-separated text
@@ -467,6 +535,57 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |a ∩ b| (bigint, distinct count) of two SORTED arrays — the
+  * allocation-free verify kernel of the containment / set-similarity
+  * joins. `size(array_intersect(sa, sb))` allocates an OpenHashSet plus
+  * the materialized intersection array for EVERY candidate pair; on the
+  * array-heavy verify stages that is the dominant allocation of the
+  * whole bench (r17: the measured GC-pressure owner of q232's slow mode
+  * under low heap headroom). This runs the two-pointer merge count in
+  * compiled code with zero allocation. PRECONDITION: both inputs sorted
+  * ascending (sort_array / array_sort upstream) — duplicates and null
+  * elements follow array_intersect semantics (counted once; null counts
+  * iff present on both sides).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // analysis-time type check: without it, a mistyped SQL call (these are
+  // registered session functions) dies mid-job with an executor
+  // ClassCastException instead of a readable AnalysisException
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<BIGINT> or ARRAY<STRING> on both " +
+          s"sides, got ${l.sql} and ${r.sql}")
+    }
+  private def isString: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == StringType
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (isString)
+      HashImpls.sortedIntersectCountString(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      HashImpls.sortedIntersectCountLong(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isString) "sortedIntersectCountString" else "sortedIntersectCountLong"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashImpls.$fn($a, $b);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Rolling polynomial hash fingerprint (bigint) of a string column —
   * the native form of q25's document fingerprint. The HOF formulation
   * (`aggregate` over `split(text, "")`) evaluates an interpreted
@@ -614,6 +733,10 @@ object exprs {
 
   def dotProduct(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SortedIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   def bloomMightContain(key: Column, filterBytes: Array[Byte]): Column =

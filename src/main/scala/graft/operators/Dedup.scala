@@ -199,9 +199,17 @@ object Dedup {
     candidates
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      // i via the allocation-free sorted two-pointer count (__sh is
+      // array_sort'd and distinct), and |union| = |A| + |B| - i by
+      // inclusion-exclusion over distinct sets — replaces TWO per-pair
+      // hash-set allocations (array_intersect AND array_union) with
+      // none; same values bit-for-bit (r17, guide §1.2 per-task work)
+      .withColumn("__i", graft.functions.exprs.sortedIntersectCount(
+        col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (col("__i").cast("double") /
+          (size(col("sh_a")).cast("long") + size(col("sh_b")) - col("__i")))
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -595,7 +603,13 @@ object Dedup {
       // length filter: |A∩B| ≤ |B|, so C(A,B) ≥ t needs |B|·den ≥ |A|·num
       // — prunes candidates on two longs before the array intersection
       .where(col("nb") * den >= col("na") * num)
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      // sorted_intersect_count, not size(array_intersect): the sets are
+      // sort_array'd, and the two-pointer count allocates NOTHING where
+      // array_intersect builds a hash set + output array per candidate
+      // pair — the verify stages' allocation rate was the measured GC
+      // owner of q232's slow mode under low heap headroom (r17, §5)
+      .withColumn("i", graft.functions.exprs.sortedIntersectCount(
+        col("sa"), col("sb")))
       .where(col("i") * den >= col("na") * num)
       .select("id_a", "id_b", "i", "na")
     verified
@@ -823,7 +837,10 @@ object Dedup {
         col("__n").as("na")), Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__set").as("sb"),
         col("__n").as("nb")), Seq("id_b"))
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      // allocation-free sorted two-pointer count (sets are sort_array'd;
+      // same rationale as containmentPairs' verify — r17)
+      .withColumn("i", graft.functions.exprs.sortedIntersectCount(
+        col("sa"), col("sb")))
       .withColumn("u", col("na") + col("nb") - col("i"))
       .where(col("i") * (den + num) >= (col("na") + col("nb")) * num)
       .select("id_a", "id_b", "i", "u")

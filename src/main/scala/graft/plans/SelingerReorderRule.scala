@@ -415,6 +415,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(args.head, args(1))
       }))
 
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      // the SORTED precondition is part of the registered surface:
+      // unsorted inputs silently undercount — callers sort_array /
+      // array_sort first (exactly what the engine's verify paths do)
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - distinct |a INTERSECT b| of two " +
+          "SORTED bigint/string arrays (allocation-free " +
+          "size(array_intersect(a, b)); inputs MUST be sorted ascending)"),
+      (args: Seq[Expression]) => {
+        arity("sorted_intersect_count", args, 2)
+        graft.functions.SortedIntersectCount(args.head, args(1))
+      }))
+
     ext.injectFunction((FunctionIdentifier("rolling_fingerprint"),
       info("rolling_fingerprint",
         "rolling_fingerprint(text) - polynomial rolling-hash document fingerprint"),

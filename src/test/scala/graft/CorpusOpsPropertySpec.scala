@@ -35,6 +35,56 @@ object CorpusOpsPropertySpec extends Properties("CorpusOps") {
     }.toMap
   }
 
+  // ------------------------------------------- sortedIntersectCount
+
+  property("sortedIntersectCount == size(array_intersect) on sorted arrays") = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // duplicates INCLUDED (array_intersect counts distinct; the
+    // two-pointer walk must dedup), empties included, tiny alphabet for
+    // collisions. Longs exercise the bigint kernel; strings the UTF8
+    // comparator (and string sort order = binary order, what
+    // array_sort/sort_array emit).
+    val gen = for {
+      na <- Gen.choose(0, 12)
+      nb <- Gen.choose(0, 12)
+      a <- Gen.listOfN(na, Gen.choose(0L, 6L))
+      b <- Gen.listOfN(nb, Gen.choose(0L, 6L))
+    } yield (a, b)
+    Prop.forAllNoShrink(gen) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(sort_array(col("a")).as("sa"), array_sort(col("b")).as("sb"),
+          sort_array(concat(col("a").cast("array<string>"), array(lit("zz"))))
+            .as("ta"),
+          array_sort(concat(col("b").cast("array<string>"), array(lit("zz"))))
+            .as("tb"))
+      val row = df.select(
+        graft.functions.exprs.sortedIntersectCount(col("sa"), col("sb")),
+        size(array_intersect(col("sa"), col("sb"))).cast("long"),
+        graft.functions.exprs.sortedIntersectCount(col("ta"), col("tb")),
+        size(array_intersect(col("ta"), col("tb"))).cast("long")).head()
+      row.getLong(0) == row.getLong(1) && row.getLong(2) == row.getLong(3)
+    }
+  }
+
+  property("sortedIntersectCount handles null elements like array_intersect") = {
+    // null placement differs between sort_array (nulls first) and
+    // array_sort (nulls last); the kernel is placement-independent
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val nullsFirst = new GenericArrayData(Array[Any](null, 1L, 3L))
+    val nullsLast = new GenericArrayData(Array[Any](2L, 3L, null))
+    val noNull = new GenericArrayData(Array[Any](1L, 2L, 3L))
+    val empty = new GenericArrayData(Array.empty[Any])
+    import graft.functions.HashImpls.sortedIntersectCountLong
+    // {null,1,3} ∩ {2,3,null} = {3, null} → 2;
+    // {null,1,3} ∩ {1,2,3} = {1,3} → 2 (null only on one side)
+    Prop.propBoolean(
+      sortedIntersectCountLong(nullsFirst, nullsLast) == 2L &&
+        sortedIntersectCountLong(nullsFirst, noNull) == 2L &&
+        sortedIntersectCountLong(empty, noNull) == 0L &&
+        sortedIntersectCountLong(noNull, noNull) == 3L)
+  }
+
   property("repeatedWindowStats matches brute force (raw and hashed)") = {
     import spark.implicits._
     val docGen = for {
