@@ -403,11 +403,31 @@ object Similarity {
     // The tf relation feeds FIVE consumers (norms, the frequent-vocab
     // cap, both candidate sides, both dot-rejoin sides); persist the
     // compact (id, tok, tf) form once rather than re-exploding the
-    // corpus per consumer — the minHashPairs signature-cache pattern
+    // corpus per consumer — the minHashPairs signature-cache pattern.
+    //
+    // Cache layout sized by input volume (r17; guide §5/§2.2): the
+    // aggregate lands on the full shuffle-partition count and persist
+    // PINS that layout — at sf0.1 that is 32 near-empty cache
+    // partitions for a KB-scale relation, and the materialization job
+    // plus every first-touch consumer stage pays a task per partition
+    // (AQE's coalescing never re-plans the cached layout itself, only
+    // stages that read it). Coalesce — no extra shuffle — to
+    // ceil(inputBytes / 32 MB) partitions, clamped to the session's
+    // shuffle-partition count: unknown or huge size estimates keep the
+    // current layout (clamp binds), a large corpus keeps full
+    // parallelism, and only the tiny-relation case loses its empty
+    // partitions. Size comes from the already-planned input stats (a
+    // file scan reports file bytes), not a job.
+    val tfParts = {
+      val shuffleParts = df.sparkSession.sessionState.conf.numShufflePartitions
+      val inBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      ((inBytes / (32L << 20)) + 1).min(BigInt(shuffleParts)).max(BigInt(1)).toInt
+    }
     val tf = df
       .select(col(idCol).as("__id"),
         explode(split(col(textCol), " ")).as("__tok"))
       .groupBy("__id", "__tok").agg(count(lit(1)).as("__tf"))
+      .coalesce(tfParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = tf.groupBy("__id").agg(sum(col("__tf") * col("__tf")).as("__n2"))
     // df cap: (id, tok) is distinct post-agg, so count == document
