@@ -37,6 +37,13 @@ object Bucketing {
     // bucket spec uses, so each task holds exactly one bucket: one
     // file per bucket, write parallelism = bucket count. The explicit
     // count keeps AQE from coalescing it back (REPARTITION_BY_NUM).
+    // SKEW TRADEOFF (ADVICE r16): this also caps write parallelism and
+    // per-task data at one bucket per task — a hot bucket key funnels
+    // its whole bucket through a single task (previously spread across
+    // upstream tasks). It is the standard hash-distribution trade;
+    // size `buckets` with key skew in mind (more buckets spread a hot
+    // key's neighbors, nothing spreads one degenerate key — pre-salt
+    // upstream if a single key ever dominates a table).
     val w = df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
       .write
       .mode(mode)

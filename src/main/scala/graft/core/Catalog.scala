@@ -31,9 +31,23 @@ object Catalog {
 
   private def dirStamp(path: String): Long = {
     val f = new java.io.File(path)
-    val names = f.list()
-    if (names == null) f.lastModified // plain file or missing: mtime alone
-    else f.lastModified * 1000003L + names.length
+    val children = f.listFiles()
+    if (children == null) f.lastModified // plain file or missing: mtime alone
+    else {
+      // Fold child (name, mtime, length) into the stamp (ADVICE r16:
+      // dir mtime + entry count alone misses an in-place rewrite of a
+      // part file's CONTENTS — no entry added/removed/renamed — and
+      // rewrites landing in the same mtime tick). Sorted by name so the
+      // stamp is independent of listing order; fixture dirs hold a
+      // handful of entries, so this stays a cheap metadata walk.
+      var h = f.lastModified * 1000003L + children.length
+      children.sortBy(_.getName).foreach { c =>
+        h = h * 1000003L + c.getName.hashCode
+        h = h * 1000003L + c.lastModified
+        h = h * 1000003L + c.length()
+      }
+      h
+    }
   }
 
   /** The table's parquet schema, inferred once per (path, dir-stamp) and
@@ -104,7 +118,22 @@ object Catalog {
         case _ => spark.read.schema(rawSchema).parquet(path)
       }
     } else {
-      val sch = cachedSchema(path)(spark.read.parquet(path).schema)
+      // Probe with the NANOS legacy conf explicitly CLEAR (ADVICE r16:
+      // the cache is per-process but inference runs under per-session
+      // conf — after an events NANOS probe leaves nanosAsLong=true in
+      // its session, a first-time probe of another table here would
+      // cache a conf-dependent LongType schema and serve it to sessions
+      // without the conf). With the conf clear, a non-events fixture
+      // that ever shipped NANOS timestamps fails the probe LOUDLY
+      // (Spark 4 rejects NANOS without the conf) instead of poisoning
+      // the process-wide cache.
+      val sch = cachedSchema(path) {
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        prev.foreach(_ => spark.conf.unset(key))
+        try spark.read.parquet(path).schema
+        finally prev.foreach(v => spark.conf.set(key, v))
+      }
       spark.read.schema(sch).parquet(path)
     }
   }
