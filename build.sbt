@@ -33,4 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Dev-only GC telemetry (r17 q232 slow-mode adjudication): set
+  // GRAFT_GC_LOG=/path to get a JVM GC log from any forked run.
+  sys.env.get("GRAFT_GC_LOG").map(p => s"-Xlog:gc:file=$p:time,uptime").toSeq
