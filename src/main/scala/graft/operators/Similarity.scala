@@ -417,11 +417,16 @@ object Similarity {
     // current layout (clamp binds), a large corpus keeps full
     // parallelism, and only the tiny-relation case loses its empty
     // partitions. Size comes from the already-planned input stats (a
-    // file scan reports file bytes), not a job.
+    // file scan reports file bytes), not a job. Target: 4 MB of INPUT
+    // bytes per cache partition — the tokenize-explode-aggregate work
+    // the consumers re-read is ~10x the raw text bytes, so 4 MB of
+    // input is ~40 MB of per-task work; measured at 10x sf0.1 (14 MB
+    // input), a 32 MB target collapsed the cache to ONE partition and
+    // serialized the 2 s consumer stages the coalesce exists to shrink.
     val tfParts = {
       val shuffleParts = df.sparkSession.sessionState.conf.numShufflePartitions
       val inBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      ((inBytes / (32L << 20)) + 1).min(BigInt(shuffleParts)).max(BigInt(1)).toInt
+      ((inBytes / (4L << 20)) + 1).min(BigInt(shuffleParts)).max(BigInt(1)).toInt
     }
     val tf = df
       .select(col(idCol).as("__id"),
